@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables._
+
+/** Event-stream analytics (SURVEY.md §2.G) over the `events` table.
+  *
+  * The batch plans here are deliberately the same shapes the streaming
+  * module (graft.streaming.StreamingJobs) runs with readStream + watermark:
+  * tumbling-window aggregation and keyed stateful sessionization.
+  *
+  * Timestamp discipline: events.ts is nanosecond parquet; Spark truncates
+  * to microseconds on read while DuckDB keeps ns, so every output goes
+  * through whole-second epoch (floor) or date_trunc — identical on both
+  * engines (SURVEY.md §4).
+  */
+object Events {
+
+  /** Tumbling 1-hour windows per event type — one shuffle on (hour, type),
+    * map-side partial aggs. Streaming twin uses window($"ts", "1 hour"). */
+  def windowedAgg(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"), col("value"))
+      .groupBy("hour_epoch", "event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("hour_epoch", "event_type")
+
+  /** Gap-based sessionization (30-min inactivity): lag + cumulative flag —
+    * the classic two-window plan; both windows share the (user_id, ts)
+    * partitioning so Catalyst sorts once per user partition. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_sec").asc, col("event_id").asc)
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ts_sec"), col("value"))
+      .withColumn("prev_sec", lag(col("ts_sec"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") >= lit(1800L), lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("session_idx", sum(col("new_session")).over(byUser))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_sec")).as("start_sec"),
+        max(col("ts_sec")).as("end_sec"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** JSON property extraction + aggregation (events.props is a JSON blob;
+    * get_json_object is codegen'd, no UDF). */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** Funnel: users who signed up and then purchased strictly after their
+    * first signup — conditional min-aggregates then one comparison; a
+    * single shuffle on user_id, no self-join. */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("ts_sec"))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === lit("signup"), col("ts_sec"))).as("first_signup"),
+        min(when(col("event_type") === lit("purchase"), col("ts_sec"))).as("first_purchase"),
+        count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"), col("n_events"),
+        col("first_signup").isNotNull.as("did_signup"),
+        (col("first_signup").isNotNull && col("first_purchase").isNotNull
+          && col("first_purchase") > col("first_signup")).as("converted"))
+      .orderBy("user_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_windowed_agg" -> (windowedAgg _),
+    "ev_sessionize" -> (sessionize _),
+    "ev_json" -> (jsonExtract _),
+    "ev_funnel" -> (funnel _))
+
+  val oracle: Map[String, String] = Map(
+    "ev_windowed_agg" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value
+        |  FROM events
+        |), f AS (
+        |  SELECT *, LAG(ts_sec, 1) OVER win AS prev_sec
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)
+        |), g AS (
+        |  SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec >= 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM f
+        |), h AS (
+        |  SELECT *, SUM(new_session) OVER win AS session_idx
+        |  FROM g WINDOW win AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)
+        |)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  MIN(ts_sec) AS start_sec, MAX(ts_sec) AS end_sec,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM h GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+    "ev_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ev_funnel" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  MIN(CASE WHEN event_type = 'signup' THEN CAST(floor(epoch(ts)) AS BIGINT) END) IS NOT NULL AS did_signup,
+        |  COALESCE(MIN(CASE WHEN event_type = 'signup' THEN CAST(floor(epoch(ts)) AS BIGINT) END) IS NOT NULL
+        |    AND MIN(CASE WHEN event_type = 'purchase' THEN CAST(floor(epoch(ts)) AS BIGINT) END) IS NOT NULL
+        |    AND MIN(CASE WHEN event_type = 'purchase' THEN CAST(floor(epoch(ts)) AS BIGINT) END)
+        |      > MIN(CASE WHEN event_type = 'signup' THEN CAST(floor(epoch(ts)) AS BIGINT) END), FALSE) AS converted
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+}

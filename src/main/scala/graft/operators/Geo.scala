@@ -1,0 +1,315 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables._
+
+/** Geospatial re-expression of the reference pipeline (SURVEY.md §2.B).
+  *
+  * The reference computes zonal statistics as a PostGIS spatial join +
+  * grouped AVG (pipeline/processing/stats.py:5-17), standardizes rasters by
+  * clipping to a lon/lat box and reprojecting (batch/processing/raster.py:
+  * 22-38), joins stats back to vector features by fid (pipeline/processing/
+  * vector.py:6-13), and tiles the result into an XYZ pyramid with densest-
+  * feature dropping (pipeline/processing/tiles.py:16-29).
+  *
+  * Geometry model: points carry (lon, lat) derived deterministically from
+  * event keys via integer arithmetic (portable to the DuckDB oracle bit for
+  * bit); zones are axis-aligned boxes derived from part keys — exactly the
+  * grid-cell polygons the reference gets from ST_DumpAsPolygons
+  * (pipeline/processing/inputs.py:7-17).
+  *
+  * Scale design: the point-in-zone join is NOT a nested-loop scan. Zones
+  * are exploded onto a coarse grid (cell = max zone extent, 20x10 deg) and
+  * the join is an equi-join on the cell key plus the exact containment
+  * predicate — the standard shard-able spatial-join plan: at 100 TB both
+  * sides hash-partition by cell, here the zone side is small enough that
+  * Catalyst broadcasts it.
+  */
+object Geo {
+
+  // -- synthetic geometry (integer-derived => identical in Spark & DuckDB) --
+
+  /** events -> points: lon in [-180, 180), lat in [-35, 35) — the
+    * reference's clip band (batch/processing/config.py:18-21). */
+  def points(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col("event_id"), col("event_type"), col("value"),
+      ((col("event_id") * lit(7919L)) % lit(36000L)).cast("double").divide(lit(100.0))
+        .minus(lit(180.0)).as("lon"),
+      ((col("event_id") * lit(104729L)) % lit(7000L)).cast("double").divide(lit(100.0))
+        .minus(lit(35.0)).as("lat"))
+
+  private val pointsSql =
+    """SELECT event_id, event_type, value,
+      |  CAST(event_id * 7919 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon,
+      |  CAST(event_id * 104729 % 7000 AS DOUBLE) / 100.0 - 35.0 AS lat
+      |FROM events""".stripMargin
+
+  /** part -> zones: 20x10-degree boxes [xmin,xmax) x [ymin,ymax). */
+  def zones(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir).select(
+      col("p_partkey").as("zone_id"),
+      ((col("p_partkey") * lit(37L)) % lit(340L)).cast("double").minus(lit(180.0)).as("xmin"),
+      ((col("p_partkey") * lit(61L)) % lit(60L)).cast("double").minus(lit(35.0)).as("ymin"))
+      .withColumn("xmax", col("xmin") + lit(20.0))
+      .withColumn("ymax", col("ymin") + lit(10.0))
+
+  private val zonesSql =
+    """SELECT p_partkey AS zone_id,
+      |  CAST(p_partkey * 37 % 340 AS DOUBLE) - 180.0 AS xmin,
+      |  CAST(p_partkey * 61 % 60 AS DOUBLE) - 35.0 AS ymin,
+      |  CAST(p_partkey * 37 % 340 AS DOUBLE) - 160.0 AS xmax,
+      |  CAST(p_partkey * 61 % 60 AS DOUBLE) - 25.0 AS ymax
+      |FROM part""".stripMargin
+
+  /** Cell-bucketed spatial join: zone side exploded onto its <=4 covering
+    * 20x10 cells, point side keyed by its single cell, equi-join + exact
+    * containment. Result identical to the naive theta-join the oracle runs. */
+  def pointZoneJoin(spark: SparkSession, dir: String): DataFrame = {
+    val z = zones(spark, dir)
+      .withColumn("cx0", floor(col("xmin") / lit(20.0)).cast("int"))
+      .withColumn("cy0", floor(col("ymin") / lit(10.0)).cast("int"))
+      .withColumn("cx", explode(array(col("cx0"), col("cx0") + lit(1))))
+      .withColumn("cy", explode(array(col("cy0"), col("cy0") + lit(1))))
+      .drop("cx0", "cy0")
+    val p = points(spark, dir)
+      .withColumn("cx", floor(col("lon") / lit(20.0)).cast("int"))
+      .withColumn("cy", floor(col("lat") / lit(10.0)).cast("int"))
+    p.join(broadcast(z), Seq("cx", "cy")).filter(
+      col("lon") >= col("xmin") && col("lon") < col("xmax")
+        && col("lat") >= col("ymin") && col("lat") < col("ymax"))
+  }
+
+  // ------------------------------------------------------------ operators
+
+  /** Clip to a bbox (batch raster standardization: gdal -projwin/-te). The
+    * predicate is a plain range filter => pushdown-able when lon/lat are
+    * materialized columns; here they are derived, so it folds into the
+    * scan's projection stage. */
+  def clip(spark: SparkSession, dir: String): DataFrame =
+    points(spark, dir)
+      .filter(col("lon") >= lit(-20.0) && col("lon") < lit(60.0)
+        && col("lat") >= lit(-10.0) && col("lat") < lit(30.0))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_points"), dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+
+  /** Affine reprojection (gdalwarp linear re-grid): x' = a*x + b. Pure
+    * double arithmetic, row-parallel, no shuffle. */
+  def affine(spark: SparkSession, dir: String): DataFrame =
+    points(spark, dir)
+      .filter(col("event_id") < lit(100L))
+      .select(col("event_id"),
+        (col("lon") * lit(0.5) + lit(10.0)).as("x_proj"),
+        (col("lat") * lit(2.0) - lit(5.0)).as("y_proj"))
+      .orderBy("event_id")
+
+  /** Zonal statistics: the reference's core query (stats.py query_1),
+    * generalized from AVG to the full suite. */
+  def zonalStats(spark: SparkSession, dir: String): DataFrame =
+    pointZoneJoin(spark, dir)
+      .groupBy("zone_id")
+      .agg(
+        count(lit(1)).as("n_points"),
+        dmean(col("value")).as("mean_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("zone_id")
+
+  /** Grid downsample (raster block aggregation, gdal BLOCKXSIZE): fine
+    * 1-degree cells -> coarse 4x4 blocks. Partial decimal sums carry up the
+    * pyramid so the coarse aggregate reuses fine-level work — one shuffle
+    * per level keyed by the parent cell. */
+  def gridDownsample(spark: SparkSession, dir: String): DataFrame = {
+    val fine = points(spark, dir)
+      .withColumn("fx", (floor(col("lon")).cast("long") + lit(180L)))
+      .withColumn("fy", (floor(col("lat")).cast("long") + lit(35L)))
+      .groupBy("fx", "fy")
+      .agg(sum(col("value").cast(DecimalType(18, 4))).as("cell_sum_dec"),
+        count(lit(1)).as("cell_n"))
+    fine
+      .withColumn("cx", (col("fx") / lit(4L)).cast("long"))
+      .withColumn("cy", (col("fy") / lit(4L)).cast("long"))
+      .groupBy("cx", "cy")
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(col("cell_n")).as("n_points"),
+        (sum(col("cell_sum_dec")).cast("double") / sum(col("cell_n"))).as("mean_value"))
+      .orderBy("cx", "cy")
+  }
+
+  /** Stats joined back onto every zone feature (vector.py query_1 is a LEFT
+    * JOIN so empty zones keep their geometry, stats NULL). */
+  def vectorEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val stats = pointZoneJoin(spark, dir)
+      .groupBy("zone_id")
+      .agg(count(lit(1)).as("n_points"), dmean(col("value")).as("mean_value"))
+    zones(spark, dir)
+      .join(stats, Seq("zone_id"), "left_outer")
+      .select(col("zone_id"), col("xmin"), col("ymin"),
+        coalesce(col("n_points"), lit(0L)).as("n_points"), col("mean_value"))
+      .orderBy("zone_id")
+  }
+
+  // -- tiling (tippecanoe re-expression, plate-carree XYZ grid: 2^z x 2^z,
+  //    pure arithmetic => bitwise portable; a Web-Mercator variant lives in
+  //    the spec suite where transcendental libm differences don't matter) --
+
+  val Zoom = 10
+
+  private def tileCols(zoom: Int): (Column, Column) = {
+    val n = (1L << zoom).toDouble
+    (floor((col("lon") + lit(180.0)) / lit(360.0) * lit(n)).cast("long"),
+      floor((lit(90.0) - col("lat")) / lit(180.0) * lit(n)).cast("long"))
+  }
+
+  private def tileSqlExprs(zoom: Int): (String, String) = {
+    val n = (1L << zoom).toDouble
+    (s"CAST(floor((lon + 180.0) / 360.0 * $n) AS BIGINT)",
+      s"CAST(floor((90.0 - lat) / 180.0 * $n) AS BIGINT)")
+  }
+
+  /** Quadkey digits: interleave tx/ty bits, MSB first (Bing tile scheme). */
+  private def quadkeyCol(zoom: Int): Column =
+    concat((zoom - 1 to 0 by -1).map { i =>
+      (shiftright(col("tx"), i) % lit(2L) + (shiftright(col("ty"), i) % lit(2L)) * lit(2L))
+        .cast("string")
+    }: _*)
+
+  private def quadkeySql(zoom: Int): String =
+    (zoom - 1 to 0 by -1).map { i =>
+      s"CAST(((tx >> $i) & 1) + ((ty >> $i) & 1) * 2 AS VARCHAR)"
+    }.mkString(" || ")
+
+  /** lon/lat -> XYZ tile + quadkey at zoom 10, per-tile feature counts. */
+  def tileAssign(spark: SparkSession, dir: String): DataFrame = {
+    val (tx, ty) = tileCols(Zoom)
+    points(spark, dir)
+      .withColumn("tx", tx).withColumn("ty", ty)
+      .withColumn("quadkey", quadkeyCol(Zoom))
+      .groupBy("tx", "ty", "quadkey")
+      .agg(count(lit(1)).as("n_features"), dsum(col("value")).as("sum_value"))
+      .orderBy("tx", "ty")
+  }
+
+  /** Tile pyramid rollup z10 -> z6: parent key is a bit shift of the child
+    * key, so each level is one shuffle over pre-aggregated partials
+    * (tippecanoe's per-zoom generation, --maximum-zoom=10). */
+  def tilePyramid(spark: SparkSession, dir: String): DataFrame = {
+    val (tx, ty) = tileCols(Zoom)
+    val z10 = points(spark, dir)
+      .withColumn("tx", tx).withColumn("ty", ty)
+      .groupBy("tx", "ty")
+      .agg(sum(col("value").cast(DecimalType(18, 4))).as("sum_dec"), count(lit(1)).as("n"))
+    z10
+      .withColumn("tx6", shiftright(col("tx"), 4))
+      .withColumn("ty6", shiftright(col("ty"), 4))
+      .groupBy("tx6", "ty6")
+      .agg(
+        count(lit(1)).as("n_child_tiles"),
+        sum(col("n")).as("n_features"),
+        sum(col("sum_dec")).cast("double").as("sum_value"))
+      .orderBy("tx6", "ty6")
+  }
+
+  /** Densest-feature dropping (tippecanoe --drop-densest-as-needed): keep
+    * the top-10 features per z6 tile by value; rank ties broken by id so
+    * the kept set is deterministic. */
+  def featureDrop(spark: SparkSession, dir: String): DataFrame = {
+    val (tx, ty) = tileCols(6)
+    val w = Window.partitionBy("tx", "ty").orderBy(col("value").desc, col("event_id").asc)
+    points(spark, dir)
+      .withColumn("tx", tx).withColumn("ty", ty)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= lit(10))
+      .select("tx", "ty", "rank", "event_id", "value")
+      .orderBy("tx", "ty", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zs_clip" -> (clip _),
+    "zs_affine" -> (affine _),
+    "zs_zonal_stats" -> (zonalStats _),
+    "zs_grid_downsample" -> (gridDownsample _),
+    "zs_vector_enrich" -> (vectorEnrich _),
+    "zs_tile_assign" -> (tileAssign _),
+    "zs_tile_pyramid" -> (tilePyramid _),
+    "zs_feature_drop" -> (featureDrop _))
+
+  val oracle: Map[String, String] = {
+    val (tx10, ty10) = tileSqlExprs(Zoom)
+    val (tx6, ty6) = tileSqlExprs(6)
+    Map(
+      "zs_clip" ->
+        s"""WITH pts AS ($pointsSql)
+           |SELECT event_type, COUNT(*) AS n_points,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+           |FROM pts
+           |WHERE lon >= -20.0 AND lon < 60.0 AND lat >= -10.0 AND lat < 30.0
+           |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "zs_affine" ->
+        s"""WITH pts AS ($pointsSql)
+           |SELECT event_id, lon * 0.5 + 10.0 AS x_proj, lat * 2.0 - 5.0 AS y_proj
+           |FROM pts WHERE event_id < 100 ORDER BY event_id""".stripMargin,
+      "zs_zonal_stats" ->
+        s"""WITH pts AS ($pointsSql), z AS ($zonesSql)
+           |SELECT zone_id, COUNT(*) AS n_points,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean_value,
+           |  MIN(value) AS min_value, MAX(value) AS max_value
+           |FROM pts JOIN z ON lon >= xmin AND lon < xmax AND lat >= ymin AND lat < ymax
+           |GROUP BY zone_id ORDER BY zone_id""".stripMargin,
+      "zs_grid_downsample" ->
+        s"""WITH pts AS ($pointsSql),
+           |fine AS (
+           |  SELECT CAST(floor(lon) AS BIGINT) + 180 AS fx, CAST(floor(lat) AS BIGINT) + 35 AS fy,
+           |    SUM(CAST(value AS DECIMAL(18,4))) AS cell_sum_dec, COUNT(*) AS cell_n
+           |  FROM pts GROUP BY 1, 2
+           |)
+           |SELECT fx // 4 AS cx, fy // 4 AS cy, COUNT(*) AS n_cells, SUM(cell_n) AS n_points,
+           |  CAST(SUM(cell_sum_dec) AS DOUBLE) / SUM(cell_n) AS mean_value
+           |FROM fine GROUP BY 1, 2 ORDER BY cx, cy""".stripMargin,
+      "zs_vector_enrich" ->
+        s"""WITH pts AS ($pointsSql), z AS ($zonesSql),
+           |stats AS (
+           |  SELECT zone_id, COUNT(*) AS n_points,
+           |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean_value
+           |  FROM pts JOIN z ON lon >= xmin AND lon < xmax AND lat >= ymin AND lat < ymax
+           |  GROUP BY zone_id
+           |)
+           |SELECT z.zone_id, z.xmin, z.ymin,
+           |  COALESCE(stats.n_points, 0) AS n_points, stats.mean_value
+           |FROM z LEFT JOIN stats ON z.zone_id = stats.zone_id
+           |ORDER BY z.zone_id""".stripMargin,
+      "zs_tile_assign" ->
+        s"""WITH pts AS ($pointsSql),
+           |t AS (SELECT *, $tx10 AS tx, $ty10 AS ty FROM pts)
+           |SELECT tx, ty, ${quadkeySql(Zoom)} AS quadkey,
+           |  COUNT(*) AS n_features,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+           |FROM t GROUP BY tx, ty ORDER BY tx, ty""".stripMargin,
+      "zs_tile_pyramid" ->
+        s"""WITH pts AS ($pointsSql),
+           |z10 AS (
+           |  SELECT $tx10 AS tx, $ty10 AS ty,
+           |    SUM(CAST(value AS DECIMAL(18,4))) AS sum_dec, COUNT(*) AS n
+           |  FROM pts GROUP BY 1, 2
+           |)
+           |SELECT tx >> 4 AS tx6, ty >> 4 AS ty6, COUNT(*) AS n_child_tiles,
+           |  SUM(n) AS n_features, CAST(SUM(sum_dec) AS DOUBLE) AS sum_value
+           |FROM z10 GROUP BY 1, 2 ORDER BY tx6, ty6""".stripMargin,
+      "zs_feature_drop" ->
+        s"""WITH pts AS ($pointsSql),
+           |t AS (
+           |  SELECT *, $tx6 AS tx, $ty6 AS ty FROM pts
+           |), r AS (
+           |  SELECT tx, ty, event_id, value,
+           |    ROW_NUMBER() OVER (PARTITION BY tx, ty ORDER BY value DESC, event_id ASC) AS rank
+           |  FROM t
+           |)
+           |SELECT tx, ty, rank, event_id, value FROM r WHERE rank <= 10
+           |ORDER BY tx, ty, rank""".stripMargin)
+  }
+}

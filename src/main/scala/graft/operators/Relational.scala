@@ -1,0 +1,292 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables._
+
+/** Core relational surface (SURVEY.md §2.A).
+  *
+  * The reference's whole query engine is joins + grouped aggregates over
+  * PostGIS tables (stats.py:5-17 — LEFT JOIN + GROUP BY + AVG; vector.py:6-13
+  * — fid equi-join; data.py:26-40 — skip-if-output-exists anti-join). Here
+  * the same shapes are declared on DataFrames so Catalyst plans them:
+  * broadcast hash joins for dims, shuffle hash/sort-merge for fact-fact,
+  * partial aggregation map-side, pushdown into the parquet scans.
+  */
+object Relational {
+
+  /** q1: multi-aggregate scan (TPC-H Q1 shape). One shuffle on the 2 group
+    * keys; partial aggs map-side; scan prunes to 7 of 11 columns. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(18, 6)))
+          .cast("double").as("sum_disc_price"),
+        dmean(col("l_quantity")).as("avg_qty"),
+        dmean(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q2: three-way dimension join, all broadcast (region 5 rows, nation 25):
+    * zero shuffles for the joins, one for the final groupBy. */
+  def q2JoinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .join(broadcast(nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy("r_name", "c_mktsegment")
+
+  /** q3: fact-fact shuffle join (orders x lineitem on orderkey) + top-N.
+    * AQE coalesces the post-shuffle partitions; the limit becomes
+    * TakeOrderedAndProject (no global sort materialized). */
+  def q3JoinShuffle(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .filter(col("o_orderstatus") =!= lit("F"))
+      .join(lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "o_orderpriority")
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(18, 6)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(20)
+
+  /** q4: predicate + projection pushdown — the scan must read only
+    * (l_shipdate, l_quantity, l_extendedprice) with PushedFilters on both
+    * predicates (asserted in RelationalSpec via the physical plan). */
+  def q4FilterPushdown(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01")
+        && col("l_quantity") < lit(24.0))
+      .agg(
+        dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n_rows"))
+
+  /** q5: window functions over one shuffle-partitioning (all three windows
+    * share PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey so
+    * Catalyst plans a single Window node / single sort). */
+  def q5Window(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("order_seq"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w).cast("double").as("running_spend"))
+      .filter(col("order_seq") <= lit(3))
+      .orderBy("o_custkey", "order_seq")
+  }
+
+  /** q6: the reference's incremental skip (data.py:26-40 — process only
+    * pairs whose output is missing) is an anti-join; its dual is the
+    * semi-join. Both planned as broadcast/shuffled hash joins with no
+    * row duplication. */
+  def q6AntiSemi(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val returned = lineitem(spark, dir).filter(col("l_returnflag") === lit("R"))
+      .select(col("l_orderkey"))
+    val anti = o.join(returned, o("o_orderkey") === returned("l_orderkey"), "left_anti")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_clean"))
+    val semi = o.join(returned, o("o_orderkey") === returned("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_returned"))
+    anti.join(semi, Seq("o_orderpriority"), "full_outer")
+      .select(
+        col("o_orderpriority"),
+        coalesce(col("n_clean"), lit(0L)).as("n_clean"),
+        coalesce(col("n_returned"), lit(0L)).as("n_returned"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q7: distinct + count-distinct (expand-based partial aggregation:
+    * count(distinct x) plans as two-stage agg, no naive global distinct). */
+  def q7Distinct(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** q8: global top-k — Catalyst plans TakeOrderedAndProject (per-partition
+    * heap + driver merge), never a full sort of the fact table. */
+  def q8SortTopk(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(15)
+
+  /** q9: hierarchical rollup (region > nation) — the reference computes
+    * stats per layer then re-aggregates per zoom (tiles.py); rollup does
+    * all levels in one pass via Expand. */
+  def q9Rollup(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .join(broadcast(nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      // Alias the grouping keys: rollup's Expand re-emits the source attrs,
+      // so sorting on the original names trips DetectAmbiguousSelfJoin.
+      .rollup(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy(asc_nulls_first("region_name"), asc_nulls_first("nation_name"))
+
+  /** q10: the generalized zonal-stat suite (reference computes only AVG —
+    * stats.py:14; real zonal stats want the full set). Median/p90 use exact
+    * percentile (interpolated), rounded to 4dp for cross-engine stability. */
+  def q10StatsSuite(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        dmean(col("l_quantity")).as("mean_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        round(dstddev(col("l_quantity")), 4).as("stddev_qty"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"))
+      .orderBy("l_returnflag")
+
+  /** q11: conditional aggregates — per-class stats in one scan (the
+    * reference runs one query per raster class; CASE WHEN folds them). */
+  def q11ConditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderstatus") === lit("F"), lit(1L)).otherwise(lit(0L))).as("n_finished"),
+        dsum(when(col("o_orderstatus") === lit("F"), col("o_totalprice")).otherwise(lit(0.0)))
+          .as("sum_finished_price"),
+        dsum(when(col("o_totalprice") > lit(150000.0), col("o_totalprice")).otherwise(lit(0.0)))
+          .as("sum_big_price"))
+      .orderBy("o_orderpriority")
+
+  /** q12: union of heterogeneous sources + dedup (multi-layer merge: the
+    * reference unions per-layer outputs into one catalog). Distinct is a
+    * hash aggregate on the shuffle, not a sort. */
+  def q12UnionDedup(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir)
+      .select(col("c_nationkey").cast("int").as("nationkey"), lit("customer").as("kind"))
+    val s = supplier(spark, dir)
+      .select(col("s_nationkey").cast("int").as("nationkey"), lit("supplier").as("kind"))
+    c.unionByName(s).distinct()
+      .groupBy("nationkey")
+      .agg(count(lit(1)).as("n_kinds"))
+      .orderBy("nationkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q2_join_broadcast" -> (q2JoinBroadcast _),
+    "q3_join_shuffle" -> (q3JoinShuffle _),
+    "q4_filter_pushdown" -> (q4FilterPushdown _),
+    "q5_window" -> (q5Window _),
+    "q6_anti_semi" -> (q6AntiSemi _),
+    "q7_distinct" -> (q7Distinct _),
+    "q8_sort_topk" -> (q8SortTopk _),
+    "q9_rollup" -> (q9Rollup _),
+    "q10_stats_suite" -> (q10StatsSuite _),
+    "q11_conditional_agg" -> (q11ConditionalAgg _),
+    "q12_union_dedup" -> (q12UnionDedup _))
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join_broadcast" ->
+      """SELECT r_name, c_mktsegment, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, c_mktsegment ORDER BY r_name, c_mktsegment""".stripMargin,
+    "q3_join_shuffle" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderstatus <> 'F'
+        |GROUP BY o_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+    "q4_filter_pushdown" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_quantity < 24.0""".stripMargin,
+    "q5_window" ->
+      """WITH w AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER win AS order_seq,
+        |    LAG(o_orderkey, 1) OVER win AS prev_orderkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER win AS DOUBLE) AS running_spend
+        |  FROM orders
+        |  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |)
+        |SELECT * FROM w WHERE order_seq <= 3 ORDER BY o_custkey, order_seq""".stripMargin,
+    "q6_anti_semi" ->
+      """WITH returned AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+        |a AS (SELECT o_orderpriority, COUNT(*) AS n_clean FROM orders
+        |      WHERE o_orderkey NOT IN (SELECT l_orderkey FROM returned) GROUP BY 1),
+        |s AS (SELECT o_orderpriority, COUNT(*) AS n_returned FROM orders
+        |      WHERE o_orderkey IN (SELECT l_orderkey FROM returned) GROUP BY 1)
+        |SELECT COALESCE(a.o_orderpriority, s.o_orderpriority) AS o_orderpriority,
+        |  COALESCE(n_clean, 0) AS n_clean, COALESCE(n_returned, 0) AS n_returned
+        |FROM a FULL OUTER JOIN s ON a.o_orderpriority = s.o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q7_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q8_sort_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 15""".stripMargin,
+    "q9_rollup" ->
+      """SELECT r_name AS region_name, n_name AS nation_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region_name ASC NULLS FIRST, nation_name ASC NULLS FIRST""".stripMargin,
+    "q10_stats_suite" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean_qty,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        |  ROUND(SQRT((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE)
+        |    - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |      * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |    / (CAST(COUNT(*) AS DOUBLE) - 1.0)), 4) AS stddev_qty,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |  ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q11_conditional_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+        |  CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS sum_finished_price,
+        |  CAST(SUM(CAST(CASE WHEN o_totalprice > 150000.0 THEN o_totalprice ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS sum_big_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q12_union_dedup" ->
+      """WITH u AS (
+        |  SELECT CAST(c_nationkey AS INT) AS nationkey, 'customer' AS kind FROM customer
+        |  UNION ALL
+        |  SELECT CAST(s_nationkey AS INT) AS nationkey, 'supplier' AS kind FROM supplier
+        |)
+        |SELECT nationkey, COUNT(*) AS n_kinds FROM (SELECT DISTINCT nationkey, kind FROM u)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin)
+}

@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Parquet table loaders + numeric-determinism helpers.
+  *
+  * All queries go through these helpers so that every aggregate the DuckDB
+  * oracle re-computes is bit-identical (SURVEY.md §4):
+  *  - double sums are summed as DECIMAL(18,4) (exact, order-independent)
+  *    and only then cast back to double;
+  *  - means divide the exact decimal sum (as double) by the count — the
+  *    single double division is deterministic across engines;
+  *  - nothing relies on engine-native hash functions: md5 only.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "region")
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
+    * rejects; we read it as a long (spark.sql.legacy.parquet.nanosAsLong,
+    * set by GraftSession/Verify/Bench) and convert ns -> µs timestamp with
+    * integer division (ns fits a long but NOT a double mantissa). */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def documents(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
+
+  /** Exact sum of a double column: decimal-accumulated, returned as double. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** Deterministic mean: exact decimal sum (double) / count, one double op. */
+  def dmean(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** Deterministic sample stddev from exact decimal sums (two-pass formula
+    * written identically in the oracle SQL so the double math matches). */
+  def dstddev(c: Column): Column = {
+    val n  = count(lit(1)).cast("double")
+    val s  = dsum(c)
+    val s2 = sum((c * c).cast(DecimalType(28, 8))).cast("double")
+    sqrt((s2 - s * s / n) / (n - lit(1.0)))
+  }
+}

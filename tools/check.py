@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfdir> <verify_outdir>
+
+Reads <verify_outdir>/<name>/ (Spark parquet) and oracle_sql.json, runs each
+oracle SQL in DuckDB with the sf tables registered as views, and compares:
+row count, column names (sorted), and cell values (sorted rows, columns in
+name order, floats rounded to 6 significant decimals).
+"""
+import json, math, sys
+
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+
+con = duckdb.connect()
+for t in ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split():
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6g}"
+    if v is None:
+        return ""
+    return str(v)
+
+fails = []
+for name, sql in sorted(oracle.items()):
+    try:
+        spark_rel = con.sql(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
+        duck_rel = con.sql(sql)
+        scols, dcols = sorted(spark_rel.columns), sorted(duck_rel.columns)
+        if scols != dcols:
+            fails.append(name)
+            print(f"FAIL {name}: cols spark={scols} duck={dcols}")
+            continue
+        s_rows = sorted(tuple(norm(v) for v in row) for row in
+                        spark_rel.select(", ".join(f'"{c}"' for c in scols)).fetchall())
+        d_rows = sorted(tuple(norm(v) for v in row) for row in
+                        duck_rel.select(", ".join(f'"{c}"' for c in dcols)).fetchall())
+        if s_rows != d_rows:
+            fails.append(name)
+            diff = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
+            print(f"FAIL {name}: {len(s_rows)} vs {len(d_rows)} rows, "
+                  f"first diffs: {diff[:3]}")
+        else:
+            print(f"ok   {name} ({len(s_rows)} rows)")
+    except Exception as e:
+        fails.append(name)
+        print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}")
+
+print(f"\n{len(oracle) - len(fails)}/{len(oracle)} pass")
+sys.exit(1 if fails else 0)
