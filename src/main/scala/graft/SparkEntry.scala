@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Events, Geo, Relational}
+import graft.operators.{Dedup, Events, Geo, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.sources.ManifestIO
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +15,12 @@ object SparkEntry {
     Seq(
       (Relational.queries, Relational.oracle),
       (Geo.queries, Geo.oracle),
-      (Events.queries, Events.oracle))
+      (Events.queries, Events.oracle),
+      (Dedup.queries, Dedup.oracle),
+      (Similarity.queries, Similarity.oracle),
+      (TextAnalysis.queries, TextAnalysis.oracle),
+      (Multimodal.queries, Multimodal.oracle),
+      (ManifestIO.queries, ManifestIO.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** Deduplication suite over the `documents` table (SURVEY.md §2.C).
+  *
+  * The reference pipeline dedups at file granularity (skip-if-output-exists,
+  * pipeline/processing/data.py:26-40); a training-data pipeline needs
+  * content-level dedup. All hashes are md5-derived so the DuckDB oracle
+  * reproduces them bit for bit (SURVEY.md §4) — never engine-native hash().
+  *
+  * Scale design (SURVEY.md §5): every near-dup operator is an inverted-index
+  * plan — explode a bounded per-doc feature set (shingles, minhash bands,
+  * simhash blocks), shuffle on the feature key, and generate candidate pairs
+  * only inside a bucket with `a < b` triangularization. Nothing ever
+  * self-joins the full corpus; at 100 TB the bucket key is the shuffle
+  * partition key and hot buckets are AQE-skew-split.
+  */
+object Dedup {
+
+  /** doc -> distinct word 3-gram shingles (docs are single-space joined).
+    * Spark array indexing is 0-based (DuckDB's is 1-based — the oracle SQL
+    * mirrors this with range(1, len-1)). */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")))
+          .as("sh"))
+
+  private val shinglesSql =
+    """SELECT doc_id, sh FROM (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)-1),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 3)
+      |)""".stripMargin
+
+  /** Exact dedup: content-hash groupBy, keep the lowest doc_id per distinct
+    * text. Output is the keep-set with its group size — one shuffle on the
+    * md5 key; at 100 TB this is the standard first dedup pass. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("group_size"))
+      .orderBy("keep_id")
+
+  /** Word-3-gram Jaccard near-dup pairs (threshold 0.5): inverted index on
+    * the shingle, per-bucket triangular pair generation, |A∩B| from the
+    * bucket join and |A∪B| = |A|+|B|-|A∩B| from per-doc shingle counts
+    * broadcast back in. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(counts.withColumnRenamed("doc_id", "da").withColumnRenamed("n_sh", "na")), "da")
+      .join(broadcast(counts.withColumnRenamed("doc_id", "db").withColumnRenamed("n_sh", "nb")), "db")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")), 4))
+      .filter(col("jaccard") >= lit(0.5))
+      .select("da", "db", "n_inter", "jaccard")
+      .orderBy("da", "db")
+  }
+
+  /** MinHash + LSH. 12 hash functions = md5("h:shingle") min per doc
+    * (lexicographic min of the hex digest is a valid random-permutation
+    * proxy and portable); 6 bands x 2 rows; band key = md5 of the two
+    * signature components; pairs sharing >=1 band are candidates, scored by
+    * full-signature agreement (est_sim = matching components / 12). */
+  def minhash(spark: SparkSession, dir: String): DataFrame = {
+    val sig = shingles(spark, dir)
+      .select(col("doc_id"), col("sh"), explode(sequence(lit(0), lit(11))).as("h"))
+      .select(col("doc_id"), col("h"),
+        md5(concat(col("h").cast("string"), lit(":"), col("sh"))).as("hv"))
+      .groupBy("doc_id", "h")
+      .agg(min(col("hv")).as("mh"))
+    val bands = sig
+      .withColumn("band", expr("CAST(h div 2 AS INT)"))
+      .groupBy("doc_id", "band")
+      .agg(md5(concat(
+        min(when(col("h") % 2 === 0, col("mh"))), lit("|"),
+        min(when(col("h") % 2 === 1, col("mh"))))).as("band_key"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db")).distinct()
+    val sa = sig.select(col("doc_id").as("da"), col("h"), col("mh").as("mha"))
+    val sb = sig.select(col("doc_id").as("db"), col("h"), col("mh").as("mhb"))
+    cand.join(sa, Seq("da")).join(sb, Seq("db", "h"))
+      .groupBy("da", "db")
+      .agg(round(sum(when(col("mha") === col("mhb"), 1).otherwise(0)) / lit(12.0), 4).as("est_sim"))
+      .orderBy("da", "db")
+  }
+
+  /** SimHash: 64-bit fingerprint as a 64-char '0'/'1' string (portable — no
+    * engine-specific int/hex casts). Bit j of a shingle's hash is bit (j%4)
+    * of hex digit (j/4) of its md5; the doc bit is the sign of the +/-1 sum
+    * over shingles. Candidate pairs share one of four 16-bit blocks
+    * (bit-sliced LSH: hamming<=3 guarantees a shared block by pigeonhole);
+    * emitted pairs have hamming <= 12. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val bits = shingles(spark, dir)
+      .select(col("doc_id"), md5(col("sh")).as("hv"))
+      .select(col("doc_id"), col("hv"), explode(sequence(lit(0), lit(63))).as("j"))
+      .withColumn("digit", conv(expr("substring(hv, CAST(j div 4 AS INT) + 1, 1)"), 16, 10).cast("int"))
+      .withColumn("signed",
+        expr("CASE WHEN shiftright(digit, 3 - CAST(j % 4 AS INT)) % 2 = 1 THEN 1 ELSE -1 END"))
+      .groupBy("doc_id", "j")
+      .agg(sum(col("signed")).as("s"))
+      .withColumn("ch", when(col("s") > 0, lit("1")).otherwise(lit("0")))
+    val fp = bits.groupBy("doc_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(j, ch))), s -> s.ch), '')")
+        .as("simhash"))
+    val blocks = fp.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("block", expr("substring(simhash, b * 16 + 1, 16)"))
+    val cand = blocks.as("x").join(blocks.as("y"),
+        col("x.b") === col("y.b") && col("x.block") === col("y.block")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("x.simhash").as("ha"),
+        col("y.doc_id").as("db"), col("y.simhash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr(
+        "aggregate(sequence(1, 64), 0, (acc, i) -> acc + IF(substring(ha, i, 1) = substring(hb, i, 1), 0, 1))"))
+      .filter(col("hamming") <= lit(12))
+      .select("da", "db", "hamming")
+      .orderBy("da", "db")
+  }
+
+  /** Embedding-cosine near-dup pairs. Scale path: 8-bit random-hyperplane
+    * sign bucket (see Similarity.bucketExpr) FIRST, exact cosine only inside
+    * the bucket — the corpus never full-self-joins. Threshold 0.4 (this
+    * corpus's max pairwise cosine is ~0.48; a 0.95 threshold would be
+    * trivially empty). */
+  def embedCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.bucket("embedding").as("bucket"),
+        Similarity.norm("embedding").as("nrm"))
+    val pairs = e.as("x").join(e.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"),
+        (Similarity.dot("x.embedding", "y.embedding")
+          / (col("x.nrm") * col("y.nrm"))).as("cos"))
+    pairs.filter(col("cos") >= lit(0.4))
+      .select(col("va"), col("vb"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("va", "vb")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact" -> (exact _),
+    "dd_ngram_jaccard" -> (ngramJaccard _),
+    "dd_minhash" -> (minhash _),
+    "dd_simhash" -> (simhash _),
+    "dd_embed_cosine" -> (embedCosine _))
+
+  val oracle: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS group_size
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "dd_ngram_jaccard" ->
+      s"""WITH sh AS ($shinglesSql),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT da, db, n_inter,
+         |  ROUND(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
+         |FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+         |WHERE ROUND(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 4) >= 0.5
+         |ORDER BY da, db""".stripMargin,
+    "dd_minhash" ->
+      s"""WITH sh AS ($shinglesSql),
+         |sig AS (
+         |  SELECT doc_id, h, MIN(md5(CAST(h AS VARCHAR) || ':' || sh)) AS mh
+         |  FROM sh, UNNEST(range(0, 12)) AS t(h) GROUP BY doc_id, h
+         |),
+         |bands AS (
+         |  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+         |    md5(MIN(CASE WHEN h % 2 = 0 THEN mh END) || '|' || MIN(CASE WHEN h % 2 = 1 THEN mh END)) AS band_key
+         |  FROM sig GROUP BY doc_id, h // 2
+         |),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+         |)
+         |SELECT da, db,
+         |  ROUND(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 12.0, 4) AS est_sim
+         |FROM cand
+         |JOIN sig sa ON sa.doc_id = da
+         |JOIN sig sb ON sb.doc_id = db AND sb.h = sa.h
+         |GROUP BY da, db ORDER BY da, db""".stripMargin,
+    "dd_simhash" ->
+      s"""WITH sh AS ($shinglesSql),
+         |bits AS (
+         |  SELECT doc_id, j,
+         |    CASE WHEN SUM(CASE WHEN
+         |        ((strpos('0123456789abcdef', substr(md5(sh), CAST(j // 4 AS INT) + 1, 1)) - 1)
+         |          >> (3 - (j % 4))) % 2 = 1
+         |      THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS ch
+         |  FROM sh, UNNEST(range(0, 64)) AS t(j) GROUP BY doc_id, j
+         |),
+         |fp AS (
+         |  SELECT doc_id, STRING_AGG(ch, '' ORDER BY j) AS simhash FROM bits GROUP BY doc_id
+         |),
+         |blocks AS (
+         |  SELECT doc_id, simhash, b, substr(simhash, b * 16 + 1, 16) AS block
+         |  FROM fp, UNNEST(range(0, 4)) AS t(b)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS da, x.simhash AS ha, y.doc_id AS db, y.simhash AS hb
+         |  FROM blocks x JOIN blocks y
+         |    ON x.b = y.b AND x.block = y.block AND x.doc_id < y.doc_id
+         |)
+         |SELECT da, db, hamming(ha, hb) AS hamming
+         |FROM cand WHERE hamming(ha, hb) <= 12 ORDER BY da, db""".stripMargin,
+    "dd_embed_cosine" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${Similarity.bucketSql("embedding")} AS bucket,
+         |    ${Similarity.normSql("embedding")} AS nrm
+         |  FROM embeddings
+         |)
+         |SELECT x.vec_id AS va, y.vec_id AS vb,
+         |  ROUND(${Similarity.dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 4) AS cos_sim
+         |FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE ${Similarity.dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= 0.4
+         |ORDER BY va, vb""".stripMargin)
+}

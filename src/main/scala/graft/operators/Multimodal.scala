@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** Multimodal (opaque binary) column handling (SURVEY.md §2.F).
+  *
+  * Real pipelines carry image/audio/video as `binary` columns with typed
+  * metadata. No media codecs exist in this environment, so the payload is a
+  * deterministic fake — the document text's UTF-8 bytes — but every piece of
+  * Spark-side plumbing is real: binary schema, per-row metadata extraction
+  * (length / magic / checksum), frame-granularity sampling via a generated
+  * explode, and a typed mapPartitions decode stage (`decodeBatch`) with the
+  * batch shape a Pandas-UDF/mapInPandas stage would have at scale.
+  *
+  * Both oracle queries operate on the hex view of the bytes so DuckDB
+  * reproduces them exactly (utf-8 bytes are identical on both engines;
+  * hex normalized to lowercase).
+  */
+object Multimodal {
+
+  /** documents with a synthetic binary payload column. */
+  def withPayload(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).withColumn("payload", col("text").cast("binary"))
+
+  /** Typed metadata extraction over an opaque binary column: byte length,
+    * 4-byte magic, md5 checksum, frame count at 16 bytes/frame. Row-parallel
+    * scan, no shuffle. */
+  def metadata(spark: SparkSession, dir: String): DataFrame =
+    withPayload(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        length(col("payload")).cast("long").as("byte_len"),
+        lower(hex(expr("substring(payload, 1, 4)"))).as("magic"),
+        md5(col("payload")).as("checksum"),
+        expr("CAST((length(payload) + 15) div 16 AS LONG)").as("n_frames"))
+      .orderBy("doc_id")
+
+  /** Deterministic frame sampling: frames are 16-byte chunks; sample every
+    * 4th frame for doc_id < 100. The explode is generated per row from the
+    * frame count — the same shape a video frame-sampler has (no driver-side
+    * loop, no UDF). */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    withPayload(spark, dir)
+      .filter(col("doc_id") < 100)
+      .withColumn("n_frames", expr("CAST((length(payload) + 15) div 16 AS LONG)"))
+      .select(col("doc_id"), col("payload"), col("n_frames"),
+        explode(expr("sequence(0L, n_frames - 1, 4L)")).as("frame_idx"))
+      .select(
+        col("doc_id"), col("frame_idx"),
+        lower(hex(expr("substring(payload, CAST(frame_idx * 16 + 1 AS INT), 16)"))).as("frame_hex"),
+        md5(expr("substring(payload, CAST(frame_idx * 16 + 1 AS INT), 16)")).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+
+  /** The decode stage a real multimodal pipeline would run (image decode,
+    * resample, feature-extract). The codec is STUBBED — deterministic fake
+    * features derived from the bytes — but the distributed shape is real:
+    * typed Dataset, per-partition batching, bounded memory per batch.
+    * Exercised by MultimodalSpec (no SQL oracle: not SQL-expressible). */
+  final case class DecodedFrame(docId: Long, frameIdx: Long, meanByte: Double, nBytes: Int)
+
+  def decodeBatch(spark: SparkSession, dir: String): Dataset[DecodedFrame] = {
+    import spark.implicits._
+    withPayload(spark, dir)
+      .select(col("doc_id").as("docId"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // STUB decode: a real implementation hands each 16-byte frame to a
+        // codec; here the "feature" is the mean byte value — deterministic,
+        // so specs can assert exact results.
+        rows.flatMap { case (docId, payload) =>
+          payload.grouped(16).zipWithIndex.map { case (frame, idx) =>
+            DecodedFrame(docId, idx.toLong,
+              if (frame.isEmpty) 0.0 else frame.map(_ & 0xff).sum.toDouble / frame.length,
+              frame.length)
+          }
+        }
+      }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_metadata" -> (metadata _),
+    "mm_framesample" -> (frameSample _))
+
+  val oracle: Map[String, String] = Map(
+    "mm_metadata" ->
+      """SELECT doc_id, source,
+        |  CAST(length(text) AS BIGINT) AS byte_len,
+        |  lower(hex(substr(text, 1, 4))) AS magic,
+        |  md5(text) AS checksum,
+        |  (length(text) + 15) // 16 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_framesample" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, (length(text) + 15) // 16 AS n_frames
+        |  FROM documents WHERE doc_id < 100
+        |),
+        |f AS (
+        |  SELECT doc_id, unnest(range(0, n_frames, 4)) AS frame_idx, text FROM d
+        |)
+        |SELECT doc_id, frame_idx,
+        |  lower(hex(substr(text, CAST(frame_idx * 16 + 1 AS INT), 16))) AS frame_hex,
+        |  md5(substr(text, CAST(frame_idx * 16 + 1 AS INT), 16)) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin)
+}

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.D).
+  *
+  * Cross-engine determinism: every dot product is an explicit left-to-right
+  * fold of double products (Spark `aggregate`, DuckDB `list_reduce`), so the
+  * float->double->sum pipeline is bit-identical on both engines and ranking
+  * ties cannot diverge (SURVEY.md §4). All pseudo-randomness (hyperplanes)
+  * is md5-derived integer arithmetic.
+  *
+  * Scale design (SURVEY.md §5): the query side is a bounded set that gets
+  * broadcast; the corpus side is never self-joined. Brute force is the
+  * exact baseline (one broadcast-nested-loop over the corpus, fully
+  * parallel); LSH/IVF bucket the corpus first so a 100 TB corpus shuffles
+  * once on the bucket key instead of cross-joining.
+  */
+object Similarity {
+
+  val Dim = 64
+  val HyperplaneBits = 8
+
+  /** Left-fold dot product of two float-array columns, in double. */
+  def dot(a: String, b: String): Column = expr(dotSparkExpr(a, b))
+
+  private def dotSparkExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), " +
+      "(acc, v) -> acc + v)"
+
+  def norm(v: String): Column = sqrt(dot(v, v))
+
+  def normSql(v: String): String = s"sqrt(${dotSql(v, v)})"
+
+  /** Deterministic "random" hyperplane weight for (plane h, dim i):
+    * first two hex digits of md5('h:i') as 0..255, centered to +/-127.5. */
+  private def weightSparkExpr(h: String, i: String): String =
+    s"(CAST(conv(substring(md5(concat(CAST($h AS STRING), ':', CAST($i AS STRING))), 1, 2), 16, 10) AS DOUBLE) - 127.5)"
+
+  private def weightSqlExpr(h: String, i: String): String =
+    s"((strpos('0123456789abcdef', substr(md5(CAST($h AS VARCHAR) || ':' || CAST($i AS VARCHAR)), 1, 1)) - 1) * 16 " +
+      s"+ strpos('0123456789abcdef', substr(md5(CAST($h AS VARCHAR) || ':' || CAST($i AS VARCHAR)), 2, 1)) - 1 - 127.5)"
+
+  /** 8-char '0'/'1' random-hyperplane sign bucket of a vector column. */
+  def bucket(v: String): Column = expr(
+    s"array_join(transform(sequence(0, ${HyperplaneBits - 1}), h -> " +
+      s"CASE WHEN aggregate(sequence(0, ${Dim - 1}), CAST(0.0 AS DOUBLE), " +
+      s"(acc, i) -> acc + CAST(element_at($v, i + 1) AS DOUBLE) * ${weightSparkExpr("h", "i")}) > 0 " +
+      "THEN '1' ELSE '0' END), '')")
+
+  def bucketSql(v: String): String =
+    s"array_to_string(list_transform(range(0, $HyperplaneBits), h -> " +
+      s"CASE WHEN list_reduce(list_transform(range(0, $Dim), i -> " +
+      s"$v[i + 1]::DOUBLE * ${weightSqlExpr("h", "i")}), (acc, w) -> acc + w) > 0 " +
+      "THEN '1' ELSE '0' END), '')"
+
+  /** IVF-style coarse cell: sign pattern of the first 4 dimensions — a fixed
+    * grid quantizer (16 cells); a trained k-means centroid table would slot
+    * into the same plan as a broadcast join. */
+  private def cellExpr(v: String): String =
+    s"concat(CASE WHEN element_at($v, 1) > 0 THEN '1' ELSE '0' END, " +
+      s"CASE WHEN element_at($v, 2) > 0 THEN '1' ELSE '0' END, " +
+      s"CASE WHEN element_at($v, 3) > 0 THEN '1' ELSE '0' END, " +
+      s"CASE WHEN element_at($v, 4) > 0 THEN '1' ELSE '0' END)"
+
+  private def cellSql(v: String): String =
+    s"(CASE WHEN $v[1] > 0 THEN '1' ELSE '0' END) || (CASE WHEN $v[2] > 0 THEN '1' ELSE '0' END) " +
+      s"|| (CASE WHEN $v[3] > 0 THEN '1' ELSE '0' END) || (CASE WHEN $v[4] > 0 THEN '1' ELSE '0' END)"
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir).select(col("vec_id"), col("embedding"), norm("embedding").as("nrm"))
+
+  /** Exact top-5 cosine neighbors for the bounded query set (vec_id < 10):
+    * broadcast the queries, one parallel pass over the corpus, per-query
+    * top-k via window (at scale: TakeOrdered per query partition). */
+  def bruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val q = corpus(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val c = corpus(spark, dir)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("cid"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Random-hyperplane LSH ANN: candidates share the 8-bit sign bucket;
+    * exact cosine + top-3 only within the bucket. */
+  def lsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir).withColumn("bucket", bucket("embedding"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    e.select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cn"), col("bucket"))
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("qid", "rank")
+  }
+
+  /** IVF-style ANN: corpus partitioned into 16 coarse cells by the sign
+    * grid; each query probes only its own cell. */
+  def ivf(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir).withColumn("cell", expr(cellExpr("embedding")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"), col("cell"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    e.select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cn"), col("cell"))
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("qid", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce" -> (bruteforce _),
+    "ann_lsh" -> (lsh _),
+    "ann_ivf" -> (ivf _))
+
+  private def annSql(candJoin: String, k: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings
+       |),
+       |$candJoin,
+       |ranked AS (
+       |  SELECT qid, cid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+       |  FROM cand
+       |)
+       |SELECT qid, rank, cid, ROUND(cos, 4) AS cos_sim
+       |FROM ranked WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "ann_bruteforce" -> annSql(
+      s"""cand AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+         |)""".stripMargin, 5),
+    "ann_lsh" -> annSql(
+      s"""b AS (SELECT *, ${bucketSql("embedding")} AS bucket FROM e),
+         |cand AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+         |)""".stripMargin, 3),
+    "ann_ivf" -> annSql(
+      s"""g AS (SELECT *, ${cellSql("embedding")} AS cell FROM e),
+         |cand AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |  FROM g q JOIN g c ON q.cell = c.cell AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+         |)""".stripMargin, 3))
+}

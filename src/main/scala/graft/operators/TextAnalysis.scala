@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables._
+
+/** Text analysis suite over the `documents` table (SURVEY.md §2.E).
+  *
+  * All scoring is integer / decimal arithmetic (or md5) so the DuckDB
+  * oracle matches bit for bit; ratios are rounded to 4dp on both sides
+  * (SURVEY.md §4).
+  *
+  * Scale design: per-doc feature extraction is embarrassingly parallel
+  * (no shuffle); the language-ID "model" is a tiny (lang x word) profile
+  * table that is broadcast — the 100 TB plan is scan + broadcast join +
+  * one groupBy shuffle.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "of", "to", "and", "in")
+  private val stopwordsSqlList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Language ID by corpus-trained word profile: count (lang, word) over
+    * the corpus, score each doc as the sum of its words' per-lang counts,
+    * predict the argmax (ties -> lang asc). Reported as a per-lang
+    * confusion summary. The profile table is O(|vocab| x |langs|) and
+    * broadcast. */
+  def langid(spark: SparkSession, dir: String): DataFrame = {
+    val words = documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+    val profile = words.groupBy(col("word"), col("lang").as("cand")).agg(count(lit(1)).as("cnt"))
+    val scores = words.join(broadcast(profile), Seq("word"))
+      .groupBy("doc_id", "lang", "cand")
+      .agg(sum(col("cnt")).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cand").asc)
+    scores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("cand") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+      .orderBy("lang")
+  }
+
+  /** Quality scoring: doc length, average word length, stopword ratio ->
+    * one bounded score per doc, aggregated per source. The score is
+    * computed entirely in scaled-integer arithmetic (x100000) so both
+    * engines agree exactly — double ROUND half-way behavior differs
+    * between Spark (HALF_UP) and DuckDB (HALF_EVEN). */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_stop", expr(
+        s"aggregate(ws, 0L, (acc, w) -> acc + IF(w IN $stopwordsSqlList, 1L, 0L))"))
+      // length component: 0.4 * min(n_words/100, 1)  -> 400 * min(n_words, 100)
+      .withColumn("c_len", lit(400L) * least(col("n_words"), lit(100L)))
+      // non-stopword component: 0.3 * (1 - n_stop/n_words), floored at 1e-5
+      .withColumn("c_stop", expr("(30000 * (n_words - n_stop)) div n_words"))
+      // word-length component: 0.3 * min(avg_word_len/8, 1); avg_word_len =
+      // (n_chars - (n_words-1)) / n_words for single-space-joined text
+      .withColumn("c_wlen", least(
+        expr("(30000 * (n_chars - n_words + 1)) div (8 * n_words)"), lit(30000L)))
+      .withColumn("score", col("c_len") + col("c_stop") + col("c_wlen"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("score")).cast("double") / count(lit(1)) / lit(100000.0)).as("avg_quality"),
+        (min(col("score")).cast("double") / lit(100000.0)).as("min_quality"),
+        (max(col("score")).cast("double") / lit(100000.0)).as("max_quality"))
+      .orderBy("source")
+
+  /** Token counting: whitespace tokens, a BPE-ish subword estimate
+    * (ceil(len/4) pieces per word), and regex word tokens. */
+  def tokens(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_ws_tokens", size(col("ws")).cast("long"))
+      .withColumn("n_bpe_tokens", expr("aggregate(ws, 0L, (acc, w) -> acc + CAST((length(w) + 3) div 4 AS LONG))"))
+      .withColumn("n_regex_tokens", size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_ws_tokens")).as("sum_ws_tokens"),
+        sum(col("n_bpe_tokens")).as("sum_bpe_tokens"),
+        sum(col("n_regex_tokens")).as("sum_regex_tokens"))
+      .orderBy("source")
+
+  /** Document fingerprint (winnowing-style): the minimum md5 over the doc's
+    * word 4-gram windows — a Karp-Rabin rolling window with md5 standing in
+    * for the rolling hash so both engines agree. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 4)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws)-4), i -> md5(concat(ws[i], ' ', ws[i+1], ' ', ws[i+2], ' ', ws[i+3])))"))
+        .as("wh"))
+      .groupBy("doc_id")
+      .agg(min(col("wh")).as("fingerprint"), count(lit(1)).as("n_windows"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_langid" -> (langid _),
+    "ta_quality" -> (quality _),
+    "ta_tokens" -> (tokens _),
+    "ta_fingerprint" -> (fingerprint _))
+
+  val oracle: Map[String, String] = Map(
+    "ta_langid" ->
+      """WITH words AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
+        |),
+        |profile AS (
+        |  SELECT word, lang AS cand, COUNT(*) AS cnt FROM words GROUP BY 1, 2
+        |),
+        |scores AS (
+        |  SELECT w.doc_id, w.lang, p.cand, SUM(p.cnt) AS score
+        |  FROM words w JOIN profile p ON w.word = p.word
+        |  GROUP BY 1, 2, 3
+        |),
+        |pred AS (
+        |  SELECT doc_id, lang, cand,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn
+        |  FROM scores
+        |)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  SUM(CASE WHEN cand = lang THEN 1 ELSE 0 END) AS n_correct
+        |FROM pred WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
+    "ta_quality" ->
+      s"""WITH d AS (
+         |  SELECT source, n_chars, string_split(text, ' ') AS ws FROM documents
+         |),
+         |m AS (
+         |  SELECT source, n_chars, len(ws) AS n_words,
+         |    len(list_filter(ws, w -> w IN $stopwordsSqlList)) AS n_stop
+         |  FROM d
+         |),
+         |s AS (
+         |  SELECT source,
+         |    400 * LEAST(n_words, 100)
+         |      + (30000 * (n_words - n_stop)) // n_words
+         |      + LEAST((30000 * (n_chars - n_words + 1)) // (8 * n_words), 30000) AS score
+         |  FROM m
+         |)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(score) AS DOUBLE) / COUNT(*) / 100000.0 AS avg_quality,
+         |  CAST(MIN(score) AS DOUBLE) / 100000.0 AS min_quality,
+         |  CAST(MAX(score) AS DOUBLE) / 100000.0 AS max_quality
+         |FROM s GROUP BY source ORDER BY source""".stripMargin,
+    "ta_tokens" ->
+      """WITH d AS (
+        |  SELECT source, text, string_split(text, ' ') AS ws FROM documents
+        |)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  SUM(len(ws)) AS sum_ws_tokens,
+        |  SUM(list_sum(list_transform(ws, w -> (length(w) + 3) // 4))) AS sum_bpe_tokens,
+        |  SUM(len(regexp_extract_all(text, '[a-z]+'))) AS sum_regex_tokens
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "ta_fingerprint" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 4
+        |),
+        |wh AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 2),
+        |    i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) AS wh
+        |  FROM w
+        |)
+        |SELECT doc_id, MIN(wh) AS fingerprint, COUNT(*) AS n_windows
+        |FROM wh GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+}

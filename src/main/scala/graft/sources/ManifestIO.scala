@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CSV/JSON manifest handling + incremental catalog writer (SURVEY.md §2.H).
+  *
+  * The reference's batch stage is driven by a CSV manifest (batch/
+  * processing/data.py:9-20) and emits a rasters.csv result manifest
+  * (batch/processing/upload.py:35-44); the pipeline stage skips any
+  * (vector, raster) pair whose output already exists (pipeline/processing/
+  * data.py:26-40). Re-expressed: schema'd csv/json readers+writers, and an
+  * incremental writer = anti-join of the incoming batch against the
+  * already-written catalog keys, then a partitioned append — the scalable
+  * form of "skip if output exists" (no per-file driver loop; one anti-join
+  * that broadcasts the key set).
+  */
+object ManifestIO {
+
+  val manifestSchema: StructType = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)))
+
+  /** Write a DataFrame as a single-header CSV manifest directory. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Read a CSV manifest with an explicit schema (never inferSchema — an
+    * inference pass is a second full scan at 100 TB). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Partitioned, sorted-within-partition parquet writer — the layout that
+    * makes downstream scans prune (partition column) and range-skip
+    * (min/max on the sort column). */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String, sortCol: String): Unit =
+    df.repartition(col(partitionCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(path)
+
+  /** Incremental catalog append: write only rows whose `keyCol` is not
+    * already present at `catalogPath`. Returns the number of rows written.
+    * The existing-key set is a single-column scan (column pruning) and the
+    * anti-join broadcasts it when small — the reference's exists-check at
+    * data.py:26-40 without a driver-side listing loop. */
+  def appendMissing(spark: SparkSession, batch: DataFrame, catalogPath: String, keyCol: String): Long = {
+    val existing =
+      try spark.read.parquet(catalogPath).select(col(keyCol)).distinct()
+      catch { case _: Exception => null } // first write: no catalog yet
+    val fresh =
+      if (existing == null) batch
+      else batch.join(broadcast(existing), Seq(keyCol), "left_anti")
+    val n = fresh.count()
+    if (n > 0) fresh.write.mode(SaveMode.Append).parquet(catalogPath)
+    n
+  }
+
+  /** CSV manifest round-trip as a query: part -> csv manifest -> schema'd
+    * read -> per-brand aggregate. The oracle aggregates the parquet
+    * directly, so the round-trip must be value-lossless (doubles survive
+    * via Java shortest round-trip formatting). */
+  def csvManifestQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_io/manifest_${Integer.toHexString(dir.hashCode)}"
+    writeCsv(Tables.part(spark, dir), tmp)
+    readCsv(spark, tmp, manifestSchema)
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        Tables.dsum(col("p_retailprice")).as("sum_retail"),
+        max(col("p_size")).as("max_size"))
+      .orderBy("p_brand")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_csv_manifest" -> (csvManifestQuery _))
+
+  val oracle: Map[String, String] = Map(
+    "io_csv_manifest" ->
+      """SELECT p_brand, COUNT(*) AS n_parts,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_retail,
+        |  MAX(p_size) AS max_size
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+}
