@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpecBase {
+
+  test("minhash LSH finds every high-jaccard pair (recall on j>=0.8)") {
+    val trueDups = Dedup.ngramJaccard(spark, sfDir)
+      .filter(col("jaccard") >= 0.8).select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.minhash(spark, sfDir)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(trueDups.nonEmpty, "expected planted near-dups in testdata")
+    assert(trueDups.subsetOf(found),
+      s"missed: ${trueDups -- found}")
+  }
+
+  test("simhash near-dup pairs have high jaccard overlap with ngram pairs") {
+    val sim = Dedup.simhash(spark, sfDir).filter(col("hamming") <= 3)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jac = Dedup.ngramJaccard(spark, sfDir)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.nonEmpty)
+    assert(sim.intersect(jac).size * 2 >= sim.size, s"simhash<=3 pairs mostly non-dups: $sim vs $jac")
+  }
+
+  test("exact dedup keeps exactly one doc per distinct text") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val kept = Dedup.exact(spark, sfDir)
+    assert(kept.count() == docs.selectExpr("count(distinct text)").collect()(0).getLong(0))
+    assert(kept.agg(sum("group_size")).collect()(0).getLong(0) == docs.count())
+  }
+
+  test("LSH ANN results are a subset of brute-force top-50 per query") {
+    val brute = {
+      // recompute brute force with a deep k to measure containment
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"), Similarity.norm("embedding").as("nrm"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+      e.select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cn"))
+        .join(broadcast(q), col("qid") =!= col("cid"))
+        .withColumn("cos", Similarity.dot("qv", "cv") / (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("qid")
+            .orderBy(col("cos").desc, col("cid").asc)))
+        .filter(col("rank") <= 50)
+        .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val lsh = Similarity.lsh(spark, sfDir)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty)
+    // An 8-bit bucket on 500 near-orthogonal vectors is a weak filter; the
+    // spec pins that in-bucket winners are still far better than chance
+    // (random top-3 would land in the true top-50 ~10% of the time).
+    val contained = lsh.count(brute.contains)
+    assert(contained * 10 >= lsh.size * 2, s"only $contained/${lsh.size} of LSH picks in brute top-50")
+  }
+
+  test("brute-force ANN returns exactly 5 ranked neighbors per query") {
+    val rows = Similarity.bruteforce(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to 5))
+      val sims = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, sims.mkString(","))
+    }
+  }
+}

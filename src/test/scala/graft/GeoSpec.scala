@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Geo
+import org.apache.spark.sql.functions._
+
+class GeoSpec extends SparkSpecBase {
+
+  test("cell-bucketed point-zone join equals the naive theta-join") {
+    val bucketed = Geo.pointZoneJoin(spark, sfDir)
+      .select("event_id", "zone_id")
+    val p = Geo.points(spark, sfDir)
+    val z = Geo.zones(spark, sfDir)
+    val naive = p.join(z,
+        col("lon") >= col("xmin") && col("lon") < col("xmax")
+          && col("lat") >= col("ymin") && col("lat") < col("ymax"))
+      .select("event_id", "zone_id")
+    assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty)
+  }
+
+  test("zone side of the spatial join is broadcast") {
+    val p = plan(Geo.zonalStats(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("quadkey encodes tile coordinates (invertible)") {
+    val rows = Geo.tileAssign(spark, sfDir)
+      .select("tx", "ty", "quadkey").limit(50).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tx, ty, qk) = (r.getLong(0), r.getLong(1), r.getString(2))
+      assert(qk.length == Geo.Zoom)
+      var (x, y) = (0L, 0L)
+      qk.foreach { d =>
+        x = (x << 1) | (d - '0') % 2
+        y = (y << 1) | (d - '0') / 2
+      }
+      assert(x == tx && y == ty, s"$qk -> ($x,$y) != ($tx,$ty)")
+    }
+  }
+
+  test("tile pyramid conserves feature counts across levels") {
+    val z10 = Geo.tileAssign(spark, sfDir).agg(sum("n_features")).collect()(0).getLong(0)
+    val z6 = Geo.tilePyramid(spark, sfDir).agg(sum("n_features")).collect()(0).getLong(0)
+    val pts = Geo.points(spark, sfDir).count()
+    assert(z10 == pts && z6 == pts)
+  }
+}
