@@ -23,8 +23,11 @@ object Dedup {
   /** doc -> distinct word 3-gram shingles (docs are single-space joined).
     * Spark array indexing is 0-based (DuckDB's is 1-based — the oracle SQL
     * mirrors this with range(1, len-1)). */
-  private def shingles(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def shingles(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
+      // documents is a single small parquet file => one input partition; fan
+      // out before the expensive explode/hash stages so they use every core
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"),
@@ -53,7 +56,10 @@ object Dedup {
     * bucket join and |A∪B| = |A|+|B|-|A∩B| from per-doc shingle counts
     * broadcast back in. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
+    // referenced three times below (two join sides + counts): materialize
+    // eagerly so the shingle explode runs once, not per subtree (a lazy
+    // persist still races when broadcast builds start concurrently)
+    val sh = shingles(spark, dir).localCheckpoint()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -76,27 +82,27 @@ object Dedup {
     * signature components; pairs sharing >=1 band are candidates, scored by
     * full-signature agreement (est_sim = matching components / 12). */
   def minhash(spark: SparkSession, dir: String): DataFrame = {
-    val sig = shingles(spark, dir)
-      .select(col("doc_id"), col("sh"), explode(sequence(lit(0), lit(11))).as("h"))
-      .select(col("doc_id"), col("h"),
-        md5(concat(col("h").cast("string"), lit(":"), col("sh"))).as("hv"))
-      .groupBy("doc_id", "h")
-      .agg(min(col("hv")).as("mh"))
-    val bands = sig
-      .withColumn("band", expr("CAST(h div 2 AS INT)"))
-      .groupBy("doc_id", "band")
-      .agg(md5(concat(
-        min(when(col("h") % 2 === 0, col("mh"))), lit("|"),
-        min(when(col("h") % 2 === 1, col("mh"))))).as("band_key"))
+    // One shuffle: 12 min-aggregates computed column-wise with map-side
+    // partial aggregation (vs. exploding 12 hash rows per shingle).
+    val sigCols = (0 until 12).map(h =>
+      min(md5(concat(lit(s"$h:"), col("sh")))).as(s"mh$h"))
+    val sig = shingles(spark, dir).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .localCheckpoint() // tiny (one row per doc); used by both band sides + scoring
+    val bandCols = (0 until 6).map(b =>
+      md5(concat(col(s"mh${2 * b}"), lit("|"), col(s"mh${2 * b + 1}"))))
+    val bands = sig.select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "band_key")))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db")).distinct()
-    val sa = sig.select(col("doc_id").as("da"), col("h"), col("mh").as("mha"))
-    val sb = sig.select(col("doc_id").as("db"), col("h"), col("mh").as("mhb"))
-    cand.join(sa, Seq("da")).join(sb, Seq("db", "h"))
-      .groupBy("da", "db")
-      .agg(round(sum(when(col("mha") === col("mhb"), 1).otherwise(0)) / lit(12.0), 4).as("est_sim"))
+    // signature agreement: broadcast the small per-doc signature table twice
+    val matches = (0 until 12).map(h =>
+      when(col(s"x.mh$h") === col(s"y.mh$h"), 1).otherwise(0)).reduce(_ + _)
+    cand
+      .join(broadcast(sig.as("x")), col("da") === col("x.doc_id"))
+      .join(broadcast(sig.as("y")), col("db") === col("y.doc_id"))
+      .select(col("da"), col("db"), round(matches / lit(12.0), 4).as("est_sim"))
       .orderBy("da", "db")
   }
 
@@ -107,18 +113,22 @@ object Dedup {
     * (bit-sliced LSH: hamming<=3 guarantees a shared block by pigeonhole);
     * emitted pairs have hamming <= 12. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val bits = shingles(spark, dir)
+    // Column-wise: 16 hex-digit columns per shingle, 64 signed-bit sums in
+    // ONE groupBy (map-side combined, codegen'd) — no 64x row explosion,
+    // no collect_list sort.
+    val digitCols = (0 until 16).map(d =>
+      conv(substring(col("hv"), d + 1, 1), 16, 10).cast("int").as(s"d$d"))
+    val withDigits = shingles(spark, dir)
       .select(col("doc_id"), md5(col("sh")).as("hv"))
-      .select(col("doc_id"), col("hv"), explode(sequence(lit(0), lit(63))).as("j"))
-      .withColumn("digit", conv(expr("substring(hv, CAST(j div 4 AS INT) + 1, 1)"), 16, 10).cast("int"))
-      .withColumn("signed",
-        expr("CASE WHEN shiftright(digit, 3 - CAST(j % 4 AS INT)) % 2 = 1 THEN 1 ELSE -1 END"))
-      .groupBy("doc_id", "j")
-      .agg(sum(col("signed")).as("s"))
-      .withColumn("ch", when(col("s") > 0, lit("1")).otherwise(lit("0")))
-    val fp = bits.groupBy("doc_id")
-      .agg(expr("array_join(transform(array_sort(collect_list(struct(j, ch))), s -> s.ch), '')")
-        .as("simhash"))
+      .select(col("doc_id") +: digitCols: _*)
+    val bitSums = (0 until 64).map { j =>
+      sum(expr(s"CASE WHEN shiftright(d${j / 4}, ${3 - j % 4}) % 2 = 1 THEN 1 ELSE -1 END")).as(s"s$j")
+    }
+    val fp = withDigits.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        concat((0 until 64).map(j =>
+          when(col(s"s$j") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
+      .localCheckpoint() // one row per doc; both self-join sides reuse it
     val blocks = fp.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("b"))
       .withColumn("block", expr("substring(simhash, b * 16 + 1, 16)"))
@@ -143,9 +153,11 @@ object Dedup {
     * trivially empty). */
   def embedCosine(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"),
         Similarity.bucket("embedding").as("bucket"),
         Similarity.norm("embedding").as("nrm"))
+      .localCheckpoint() // bucket+norm computed once, reused by both join sides
     val pairs = e.as("x").join(e.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"),

@@ -65,19 +65,27 @@ object Geo {
       |  CAST(p_partkey * 61 % 60 AS DOUBLE) - 25.0 AS ymax
       |FROM part""".stripMargin
 
-  /** Cell-bucketed spatial join: zone side exploded onto its <=4 covering
-    * 20x10 cells, point side keyed by its single cell, equi-join + exact
-    * containment. Result identical to the naive theta-join the oracle runs. */
+  /** Cell-bucketed spatial join: zone side exploded onto its covering grid
+    * cells, point side keyed by its single cell, equi-join + exact
+    * containment. Result identical to the naive theta-join the oracle runs.
+    *
+    * Cell size = zone extent (20x10 deg): each zone covers <=4 cells. A
+    * finer 10x5 grid was measured SLOWER here (more broadcast rows + probe
+    * overhead beat the better filter selectivity at this density). At
+    * 100 TB both sides hash-partition on (cx,cy) instead of broadcasting;
+    * the same plan shape survives. */
+  val CellW = 20.0
+  val CellH = 10.0
+
   def pointZoneJoin(spark: SparkSession, dir: String): DataFrame = {
     val z = zones(spark, dir)
-      .withColumn("cx0", floor(col("xmin") / lit(20.0)).cast("int"))
-      .withColumn("cy0", floor(col("ymin") / lit(10.0)).cast("int"))
-      .withColumn("cx", explode(array(col("cx0"), col("cx0") + lit(1))))
-      .withColumn("cy", explode(array(col("cy0"), col("cy0") + lit(1))))
-      .drop("cx0", "cy0")
+      .withColumn("cx", explode(expr(
+        s"sequence(CAST(floor(xmin / $CellW) AS INT), CAST(floor(xmax / $CellW) AS INT))")))
+      .withColumn("cy", explode(expr(
+        s"sequence(CAST(floor(ymin / $CellH) AS INT), CAST(floor(ymax / $CellH) AS INT))")))
     val p = points(spark, dir)
-      .withColumn("cx", floor(col("lon") / lit(20.0)).cast("int"))
-      .withColumn("cy", floor(col("lat") / lit(10.0)).cast("int"))
+      .withColumn("cx", floor(col("lon") / lit(CellW)).cast("int"))
+      .withColumn("cy", floor(col("lat") / lit(CellH)).cast("int"))
     p.join(broadcast(z), Seq("cx", "cy")).filter(
       col("lon") >= col("xmin") && col("lon") < col("xmax")
         && col("lat") >= col("ymin") && col("lat") < col("ymax"))

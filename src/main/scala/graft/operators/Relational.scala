@@ -93,10 +93,11 @@ object Relational {
   def q6AntiSemi(spark: SparkSession, dir: String): DataFrame = {
     val o = orders(spark, dir)
     val returned = lineitem(spark, dir).filter(col("l_returnflag") === lit("R"))
-      .select(col("l_orderkey"))
-    val anti = o.join(returned, o("o_orderkey") === returned("l_orderkey"), "left_anti")
+      .select(col("l_orderkey")).distinct()
+      .localCheckpoint() // reused by both joins: scan+distinct lineitem once
+    val anti = o.join(broadcast(returned), o("o_orderkey") === returned("l_orderkey"), "left_anti")
       .groupBy("o_orderpriority").agg(count(lit(1)).as("n_clean"))
-    val semi = o.join(returned, o("o_orderkey") === returned("l_orderkey"), "left_semi")
+    val semi = o.join(broadcast(returned), o("o_orderkey") === returned("l_orderkey"), "left_semi")
       .groupBy("o_orderpriority").agg(count(lit(1)).as("n_returned"))
     anti.join(semi, Seq("o_orderpriority"), "full_outer")
       .select(

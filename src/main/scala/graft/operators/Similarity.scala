@@ -40,20 +40,34 @@ object Similarity {
   def normSql(v: String): String = s"sqrt(${dotSql(v, v)})"
 
   /** Deterministic "random" hyperplane weight for (plane h, dim i):
-    * first two hex digits of md5('h:i') as 0..255, centered to +/-127.5. */
-  private def weightSparkExpr(h: String, i: String): String =
-    s"(CAST(conv(substring(md5(concat(CAST($h AS STRING), ':', CAST($i AS STRING))), 1, 2), 16, 10) AS DOUBLE) - 127.5)"
+    * first two hex digits of md5('h:i') as 0..255, centered to +/-127.5.
+    * Computed once at plan-build time (the oracle SQL re-derives the same
+    * value from md5 at query time) — exact .5-fraction doubles either way. */
+  def weight(h: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$h:$i".getBytes("UTF-8"))
+    (d(0) & 0xff).toDouble - 127.5
+  }
 
   private def weightSqlExpr(h: String, i: String): String =
     s"((strpos('0123456789abcdef', substr(md5(CAST($h AS VARCHAR) || ':' || CAST($i AS VARCHAR)), 1, 1)) - 1) * 16 " +
       s"+ strpos('0123456789abcdef', substr(md5(CAST($h AS VARCHAR) || ':' || CAST($i AS VARCHAR)), 2, 1)) - 1 - 127.5)"
 
-  /** 8-char '0'/'1' random-hyperplane sign bucket of a vector column. */
-  def bucket(v: String): Column = expr(
-    s"array_join(transform(sequence(0, ${HyperplaneBits - 1}), h -> " +
-      s"CASE WHEN aggregate(sequence(0, ${Dim - 1}), CAST(0.0 AS DOUBLE), " +
-      s"(acc, i) -> acc + CAST(element_at($v, i + 1) AS DOUBLE) * ${weightSparkExpr("h", "i")}) > 0 " +
-      "THEN '1' ELSE '0' END), '')")
+  /** 8-char '0'/'1' random-hyperplane sign bucket of a vector column. The
+    * weight matrix is a literal 8x64 array (no per-row hash evaluation);
+    * each projection is the same left-to-right fold as the oracle's
+    * list_reduce. (A fully unrolled 512-term expression was tried and is
+    * ~8x slower end to end: expression compilation dominates.) */
+  def bucket(v: String): Column = {
+    val wm = (0 until HyperplaneBits)
+      .map(h => (0 until Dim).map(i => s"${weight(h, i)}D").mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+    expr(
+      s"array_join(transform(sequence(0, ${HyperplaneBits - 1}), h -> " +
+        s"CASE WHEN aggregate(sequence(0, ${Dim - 1}), CAST(0.0 AS DOUBLE), " +
+        s"(acc, i) -> acc + CAST(element_at($v, i + 1) AS DOUBLE) * element_at(element_at($wm, h + 1), i + 1)) > 0 " +
+        "THEN '1' ELSE '0' END), '')")
+  }
 
   def bucketSql(v: String): String =
     s"array_to_string(list_transform(range(0, $HyperplaneBits), h -> " +
@@ -75,7 +89,10 @@ object Similarity {
       s"|| (CASE WHEN $v[3] > 0 THEN '1' ELSE '0' END) || (CASE WHEN $v[4] > 0 THEN '1' ELSE '0' END)"
 
   private def corpus(spark: SparkSession, dir: String): DataFrame =
-    embeddings(spark, dir).select(col("vec_id"), col("embedding"), norm("embedding").as("nrm"))
+    embeddings(spark, dir)
+      // single-file table => one input partition; fan out before per-row folds
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"), norm("embedding").as("nrm"))
 
   /** Exact top-5 cosine neighbors for the bounded query set (vec_id < 10):
     * broadcast the queries, one parallel pass over the corpus, per-query
@@ -98,6 +115,7 @@ object Similarity {
     * exact cosine + top-3 only within the bucket. */
   def lsh(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir).withColumn("bucket", bucket("embedding"))
+      .localCheckpoint() // bucket projections computed once for query + corpus sides
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"), col("bucket"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
