@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native codegen dot product of two float-vector columns.
+  *
+  * Semantics are EXACTLY the declarative fold used elsewhere
+  * (`aggregate(zip_with(a, b, (x, y) -> double(x)*double(y)), 0d, +)` /
+  * DuckDB `list_reduce`): left-to-right accumulation of double products of
+  * float pairs, so results are bit-identical to the oracle. The payoff is
+  * whole-stage codegen: a tight primitive loop instead of one interpreted
+  * lambda frame + boxed Float per element — the ANN hot path runs this
+  * O(|queries| x |corpus| x dim) times.
+  *
+  * NULL if either side is NULL. Lengths must match (analysis-time check is
+  * not possible for arrays; mismatch throws at runtime like zip_with-strict
+  * would).
+  */
+case class VectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vector_dot requires two ARRAY<FLOAT> arguments, got ${l.sql} and ${r.sql}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    require(y.numElements() == n, s"vector_dot: length mismatch $n vs ${y.numElements()}")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "vector_dot: length mismatch " + $n + " vs " + $b.numElements());
+         |}
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+  /** Idempotently register graft's native functions on a session (the
+    * programmatic path; spark.sql.extensions=graft.plans.GraftExtensions is
+    * the config path). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      (children: Seq[Expression]) => VectorDot(children(0), children(1)))
+}

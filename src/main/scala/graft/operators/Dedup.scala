@@ -152,6 +152,7 @@ object Dedup {
     * corpus's max pairwise cosine is ~0.48; a 0.95 threshold would be
     * trivially empty). */
   def embedCosine(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = embeddings(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"),

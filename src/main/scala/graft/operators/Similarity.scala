@@ -24,12 +24,10 @@ object Similarity {
   val Dim = 64
   val HyperplaneBits = 8
 
-  /** Left-fold dot product of two float-array columns, in double. */
-  def dot(a: String, b: String): Column = expr(dotSparkExpr(a, b))
-
-  private def dotSparkExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+  /** Left-fold dot product of two float-array columns, in double. Uses the
+    * native codegen expression (graft.functions.VectorDot) — bit-identical
+    * to the declarative `aggregate(zip_with(...))` fold it replaces. */
+  def dot(a: String, b: String): Column = expr(s"vector_dot($a, $b)")
 
   def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), " +
@@ -88,11 +86,13 @@ object Similarity {
     s"(CASE WHEN $v[1] > 0 THEN '1' ELSE '0' END) || (CASE WHEN $v[2] > 0 THEN '1' ELSE '0' END) " +
       s"|| (CASE WHEN $v[3] > 0 THEN '1' ELSE '0' END) || (CASE WHEN $v[4] > 0 THEN '1' ELSE '0' END)"
 
-  private def corpus(spark: SparkSession, dir: String): DataFrame =
+  private def corpus(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     embeddings(spark, dir)
       // single-file table => one input partition; fan out before per-row folds
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"), norm("embedding").as("nrm"))
+  }
 
   /** Exact top-5 cosine neighbors for the bounded query set (vec_id < 10):
     * broadcast the queries, one parallel pass over the corpus, per-query

@@ -1,0 +1,23 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.VectorDot
+
+/** SparkSessionExtensions entry point: enable with
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  *
+  * Injects graft's native expressions into every session built with the
+  * config — the deployment path a cluster would use (the specs and query
+  * builders also register programmatically via GraftFunctions.register so
+  * a plain session works too).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      (children: Seq[Expression]) => VectorDot(children(0), children(1))))
+  }
+}
