@@ -237,7 +237,51 @@ object Geo {
       .orderBy("tx", "ty", "rank")
   }
 
+  /** Full pyramid z10 -> z0 in step-2 levels (tippecanoe generates every
+    * zoom from max down to --minimum-zoom). Each level aggregates the
+    * PREVIOUS level's partials — one shuffle per level on the parent key,
+    * never re-reading the base data; the per-level decimal partial sums
+    * carry up exactly. */
+  def tilePyramidFull(spark: SparkSession, dir: String): DataFrame = {
+    val (tx, ty) = tileCols(Zoom)
+    val base = points(spark, dir)
+      .withColumn("tx", tx).withColumn("ty", ty)
+      .groupBy("tx", "ty")
+      .agg(sum(col("value").cast(DecimalType(18, 4))).as("sum_dec"), count(lit(1)).as("n"))
+      .withColumn("zoom", lit(Zoom))
+    val levels = Iterator.iterate((base, Zoom)) { case (prev, z) =>
+      val nz = z - 2
+      (prev
+        .withColumn("ptx", shiftright(col("tx"), 2))
+        .withColumn("pty", shiftright(col("ty"), 2))
+        .groupBy("ptx", "pty")
+        .agg(sum(col("sum_dec")).as("sum_dec"), sum(col("n")).as("n"))
+        .withColumnRenamed("ptx", "tx").withColumnRenamed("pty", "ty")
+        .withColumn("zoom", lit(nz)), nz)
+    }.takeWhile(_._2 >= 0).map(_._1).toSeq
+    levels.reduce(_ unionByName _)
+      .select(col("zoom"), col("tx"), col("ty"), col("n").as("n_features"),
+        col("sum_dec").cast("double").as("sum_value"))
+      .orderBy("zoom", "tx", "ty")
+  }
+
+  /** Low-zoom simplification (tiles.py feeds tippecanoe --simplification):
+    * snap coordinates to a 1-degree grid and collapse coincident features,
+    * keeping the representative (min event_id) + collapse count. */
+  def simplify(spark: SparkSession, dir: String): DataFrame =
+    points(spark, dir)
+      .withColumn("snap_lon", floor(col("lon")).cast("long"))
+      .withColumn("snap_lat", floor(col("lat")).cast("long"))
+      .groupBy("snap_lon", "snap_lat")
+      .agg(
+        min(col("event_id")).as("rep_event_id"),
+        count(lit(1)).as("n_collapsed"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("snap_lon", "snap_lat")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zs_tile_pyramid_full" -> (tilePyramidFull _),
+    "zs_simplify" -> (simplify _),
     "zs_clip" -> (clip _),
     "zs_affine" -> (affine _),
     "zs_zonal_stats" -> (zonalStats _),
@@ -250,7 +294,28 @@ object Geo {
   val oracle: Map[String, String] = {
     val (tx10, ty10) = tileSqlExprs(Zoom)
     val (tx6, ty6) = tileSqlExprs(6)
+    val pyramidLevels = (Zoom to 0 by -2).map { z =>
+      val shift = Zoom - z
+      s"""SELECT $z AS zoom, tx >> $shift AS tx, ty >> $shift AS ty,
+         |  SUM(n) AS n_features, CAST(SUM(sum_dec) AS DOUBLE) AS sum_value
+         |FROM z10 GROUP BY 1, 2, 3""".stripMargin
+    }.mkString("\nUNION ALL\n")
     Map(
+      "zs_tile_pyramid_full" ->
+        s"""WITH pts AS ($pointsSql),
+           |z10 AS (
+           |  SELECT $tx10 AS tx, $ty10 AS ty,
+           |    SUM(CAST(value AS DECIMAL(18,4))) AS sum_dec, COUNT(*) AS n
+           |  FROM pts GROUP BY 1, 2
+           |)
+           |$pyramidLevels
+           |ORDER BY zoom, tx, ty""".stripMargin,
+      "zs_simplify" ->
+        s"""WITH pts AS ($pointsSql)
+           |SELECT CAST(floor(lon) AS BIGINT) AS snap_lon, CAST(floor(lat) AS BIGINT) AS snap_lat,
+           |  MIN(event_id) AS rep_event_id, COUNT(*) AS n_collapsed,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+           |FROM pts GROUP BY 1, 2 ORDER BY snap_lon, snap_lat""".stripMargin,
       "zs_clip" ->
         s"""WITH pts AS ($pointsSql)
            |SELECT event_type, COUNT(*) AS n_points,

@@ -185,7 +185,26 @@ object Relational {
       .orderBy("nationkey")
   }
 
+  /** q13: sketch aggregates — HyperLogLog++ approx count-distinct and
+    * approx percentile (one pass, mergeable partial sketches: the shape
+    * that replaces q7/q10's exact forms at 100 TB). Rows-only check (no
+    * oracleSql): sketch estimates are engine-specific by design; the spec
+    * pins the estimates within rigorous error bounds of the exact values. */
+  def q13Sketch(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"),
+        expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)").as("approx_q"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("approx_parts"), col("approx_supps"),
+        col("approx_q").getItem(0).as("approx_median"),
+        col("approx_q").getItem(1).as("approx_p90"), col("n_rows"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_sketch" -> (q13Sketch _),
     "q1_agg" -> (q1Agg _),
     "q2_join_broadcast" -> (q2JoinBroadcast _),
     "q3_join_shuffle" -> (q3JoinShuffle _),

@@ -84,10 +84,33 @@ object ManifestIO {
       .orderBy("p_brand")
   }
 
+  /** Partitioned-layout round trip: write orders partitioned by priority,
+    * read back with a partition predicate — the scan must prune to ONE
+    * partition directory (PartitionFilters, asserted in the spec) and the
+    * values must survive the layout change. */
+  def partitionedScanQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_io/orders_part_${Integer.toHexString(dir.hashCode)}"
+    if (!new java.io.File(tmp).exists())
+      writePartitioned(Tables.orders(spark, dir), tmp, "o_orderpriority", "o_orderkey")
+    spark.read.parquet(tmp)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Tables.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "io_csv_manifest" -> (csvManifestQuery _))
+    "io_csv_manifest" -> (csvManifestQuery _),
+    "io_partitioned_scan" -> (partitionedScanQuery _))
 
   val oracle: Map[String, String] = Map(
+    "io_partitioned_scan" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "io_csv_manifest" ->
       """SELECT p_brand, COUNT(*) AS n_parts,
         |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_retail,

@@ -56,6 +56,63 @@ object StreamingJobs {
       }
   }
 
+  final case class SessEv(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessState(start_sec: Long, last_sec: Long, n: Long, sum: java.math.BigDecimal)
+  final case class SessionOut(user_id: Long, start_sec: Long, end_sec: Long,
+      n_events: Long, sum_value: Double)
+
+  /** True streaming sessionization: gap-close via flatMapGroupsWithState
+    * with an event-time timeout — the streaming twin of Events.sessionize.
+    * A session is emitted when the watermark passes its last event + gap.
+    * State per user is O(1) (one open session); the decimal accumulator
+    * matches the batch dsum exactly. Events inside one micro-batch are
+    * sorted by event time before merging (cross-batch order is guaranteed
+    * by the watermark). */
+  def sessionize(events: Dataset[SessEv], gapSec: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[SessEv], state: GroupState[SessState]) =>
+          def close(s: SessState): SessionOut =
+            SessionOut(uid, s.start_sec, s.last_sec, s.n, s.sum.doubleValue())
+          if (state.hasTimedOut) {
+            val out = close(state.get)
+            state.remove()
+            Iterator.single(out)
+          } else {
+            val sorted = rows.toIndexedSeq.sortBy(_.ts.getTime)
+            val closed = Iterator.unfold(
+              (state.getOption, sorted.iterator)) { case (open, it) =>
+              if (!it.hasNext) {
+                open.foreach { s =>
+                  state.update(s)
+                  state.setTimeoutTimestamp(math.max(
+                    (s.last_sec + gapSec) * 1000L,
+                    state.getCurrentWatermarkMs() + 1))
+                }
+                None
+              } else {
+                val e = it.next()
+                val sec = e.ts.getTime / 1000L
+                val v = java.math.BigDecimal.valueOf(e.value).setScale(4)
+                open match {
+                  case Some(s) if sec - s.last_sec < gapSec =>
+                    Some((None, (Some(SessState(s.start_sec, sec, s.n + 1, s.sum.add(v))), it)))
+                  case Some(s) =>
+                    Some((Some(close(s)), (Some(SessState(sec, sec, 1L, v)), it)))
+                  case None =>
+                    Some((None, (Some(SessState(sec, sec, 1L, v)), it)))
+                }
+              }
+            }.flatten.toVector
+            closed.iterator
+          }
+      }
+  }
+
   /** Convenience: run a streaming DataFrame to completion against an
     * in-memory sink and return the result table. Test/dev harness only. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String, mode: OutputMode): DataFrame = {

@@ -44,4 +44,15 @@ class GeoSpec extends SparkSpecBase {
     val pts = Geo.points(spark, sfDir).count()
     assert(z10 == pts && z6 == pts)
   }
+
+  test("full pyramid has every even zoom and conserves counts at each") {
+    val pts = Geo.points(spark, sfDir).count()
+    val perZoom = Geo.tilePyramidFull(spark, sfDir)
+      .groupBy("zoom").agg(sum("n_features").as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perZoom.keySet == (0 to 10 by 2).toSet)
+    perZoom.foreach { case (z, n) => assert(n == pts, s"zoom $z: $n != $pts") }
+    // zoom 0 is a single world tile
+    assert(Geo.tilePyramidFull(spark, sfDir).filter(col("zoom") === 0).count() == 1)
+  }
 }

@@ -41,6 +41,24 @@ class RelationalSpec extends SparkSpecBase {
     assert(total == orders)
   }
 
+  test("q13 sketch estimates sit inside their error bounds") {
+    val exact = Relational.q7Distinct(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Relational.q13Sketch(spark, sfDir).collect().foreach { r =>
+      val (flag, aParts, aSupps) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val (eParts, eSupps) = exact(flag)
+      // rsd 0.02 => generous 10% guard band
+      assert(math.abs(aParts - eParts) <= eParts * 0.1, s"$flag parts $aParts vs $eParts")
+      assert(math.abs(aSupps - eSupps) <= eSupps * 0.1, s"$flag supps $aSupps vs $eSupps")
+    }
+  }
+
+  test("io_partitioned_scan prunes to one partition directory") {
+    val p = plan(graft.sources.ManifestIO.partitionedScanQuery(spark, sfDir))
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("1-URGENT"), p)
+  }
+
   test("q5 plans a single Window node (shared sort)") {
     val p = plan(Relational.q5Window(spark, sfDir))
     val windowNodes = "\\(\\d+\\) Window\\b".r.findAllIn(p).size

@@ -32,6 +32,34 @@ class StreamingSpec extends SparkSpecBase {
       s"stream=${result.count()} batch=${expected.count()}")
   }
 
+  test("streaming sessionization (flatMapGroupsWithState) matches batch sessions") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val real = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[StreamingJobs.SessEv].collect()
+    val maxTs = real.map(_.ts.getTime).max
+    // sentinel user -1 events push the watermark far past every real
+    // session's close; two sentinel batches so timeouts registered after
+    // batch N fire in batch N+1
+    def sentinel(offsetMs: Long) =
+      StreamingJobs.SessEv(-1L, new Timestamp(maxTs + offsetMs), 0.0)
+    val stream = MemoryStream[StreamingJobs.SessEv]
+    val q = StreamingJobs.sessionize(stream.toDS(), gapSec = 1800L)
+      .toDF().writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    stream.addData(real.toSeq); q.processAllAvailable()
+    stream.addData(sentinel(86400000L)); q.processAllAvailable()
+    stream.addData(sentinel(86400000L * 2)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess").filter(col("user_id") >= 0)
+      .select("user_id", "start_sec", "end_sec", "n_events", "sum_value")
+    val batch = Events.sessionize(spark, sfDir)
+      .select("user_id", "start_sec", "end_sec", "n_events", "sum_value")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      s"stream=${streamed.count()} batch=${batch.count()}")
+  }
+
   test("stateful per-user running agg matches batch groupBy") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
