@@ -20,20 +20,23 @@ import graft.sources.Tables._
   */
 object Dedup {
 
-  /** doc -> distinct word 3-gram shingles (docs are single-space joined).
-    * Spark array indexing is 0-based (DuckDB's is 1-based — the oracle SQL
-    * mirrors this with range(1, len-1)). */
-  private[graft] def shingles(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
-      // documents is a single small parquet file => one input partition; fan
-      // out before the expensive explode/hash stages so they use every core
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+  /** Distinct word 3-gram shingles of any (id, text) corpus (docs are
+    * single-space joined). Spark array indexing is 0-based (DuckDB's is
+    * 1-based — the oracle SQL mirrors this with range(1, len-1)). */
+  def shinglesOn(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"),
         explode(array_distinct(expr(
           "transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")))
           .as("sh"))
+
+  private[graft] def shingles(spark: SparkSession, dir: String): DataFrame =
+    shinglesOn(documents(spark, dir)
+      // documents is a single small parquet file => one input partition; fan
+      // out before the expensive explode/hash stages so they use every core
+      .repartition(spark.sparkContext.defaultParallelism))
 
   private val shinglesSql =
     """SELECT doc_id, sh FROM (
@@ -45,21 +48,27 @@ object Dedup {
   /** Exact dedup: content-hash groupBy, keep the lowest doc_id per distinct
     * text. Output is the keep-set with its group size — one shuffle on the
     * md5 key; at 100 TB this is the standard first dedup pass. */
+  def exactOn(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
+
   def exact(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
-      .groupBy(md5(col("text")).as("text_hash"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("group_size"))
-      .orderBy("keep_id")
+    exactOn(documents(spark, dir)).orderBy("keep_id")
 
   /** Word-3-gram Jaccard near-dup pairs (threshold 0.5): inverted index on
     * the shingle, per-bucket triangular pair generation, |A∩B| from the
     * bucket join and |A∪B| = |A|+|B|-|A∩B| from per-doc shingle counts
     * broadcast back in. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardOn(shingles(spark, dir), 0.5).orderBy("da", "db")
+
+  /** Generic form over any (doc_id, sh) shingle set. */
+  def ngramJaccardOn(shingleSet: DataFrame, threshold: Double): DataFrame = {
     // referenced three times below (two join sides + counts): materialize
     // eagerly so the shingle explode runs once, not per subtree (a lazy
     // persist still races when broadcast builds start concurrently)
-    val sh = shingles(spark, dir).localCheckpoint()
+    val sh = shingleSet.localCheckpoint()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -71,9 +80,8 @@ object Dedup {
       .join(broadcast(counts.withColumnRenamed("doc_id", "db").withColumnRenamed("n_sh", "nb")), "db")
       .withColumn("jaccard",
         round(col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")), 4))
-      .filter(col("jaccard") >= lit(0.5))
+      .filter(col("jaccard") >= lit(threshold))
       .select("da", "db", "n_inter", "jaccard")
-      .orderBy("da", "db")
   }
 
   /** MinHash + LSH. 12 hash functions = md5("h:shingle") min per doc
@@ -81,12 +89,16 @@ object Dedup {
     * proxy and portable); 6 bands x 2 rows; band key = md5 of the two
     * signature components; pairs sharing >=1 band are candidates, scored by
     * full-signature agreement (est_sim = matching components / 12). */
-  def minhash(spark: SparkSession, dir: String): DataFrame = {
+  def minhash(spark: SparkSession, dir: String): DataFrame =
+    minhashOn(shingles(spark, dir)).orderBy("da", "db")
+
+  /** Generic form over any (doc_id, sh) shingle set. */
+  def minhashOn(shingleSet: DataFrame): DataFrame = {
     // One shuffle: 12 min-aggregates computed column-wise with map-side
     // partial aggregation (vs. exploding 12 hash rows per shingle).
     val sigCols = (0 until 12).map(h =>
       min(md5(concat(lit(s"$h:"), col("sh")))).as(s"mh$h"))
-    val sig = shingles(spark, dir).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val sig = shingleSet.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
       .localCheckpoint() // tiny (one row per doc); used by both band sides + scoring
     val bandCols = (0 until 6).map(b =>
       md5(concat(col(s"mh${2 * b}"), lit("|"), col(s"mh${2 * b + 1}"))))
@@ -103,7 +115,6 @@ object Dedup {
       .join(broadcast(sig.as("x")), col("da") === col("x.doc_id"))
       .join(broadcast(sig.as("y")), col("db") === col("y.doc_id"))
       .select(col("da"), col("db"), round(matches / lit(12.0), 4).as("est_sim"))
-      .orderBy("da", "db")
   }
 
   /** SimHash: 64-bit fingerprint as a 64-char '0'/'1' string (portable — no
@@ -112,13 +123,17 @@ object Dedup {
     * over shingles. Candidate pairs share one of four 16-bit blocks
     * (bit-sliced LSH: hamming<=3 guarantees a shared block by pigeonhole);
     * emitted pairs have hamming <= 12. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashOn(shingles(spark, dir), 12).orderBy("da", "db")
+
+  /** Generic form over any (doc_id, sh) shingle set. */
+  def simhashOn(shingleSet: DataFrame, maxHamming: Int): DataFrame = {
     // Column-wise: 16 hex-digit columns per shingle, 64 signed-bit sums in
     // ONE groupBy (map-side combined, codegen'd) — no 64x row explosion,
     // no collect_list sort.
     val digitCols = (0 until 16).map(d =>
       conv(substring(col("hv"), d + 1, 1), 16, 10).cast("int").as(s"d$d"))
-    val withDigits = shingles(spark, dir)
+    val withDigits = shingleSet
       .select(col("doc_id"), md5(col("sh")).as("hv"))
       .select(col("doc_id") +: digitCols: _*)
     val bitSums = (0 until 64).map { j =>
@@ -141,9 +156,8 @@ object Dedup {
     cand
       .withColumn("hamming", expr(
         "aggregate(sequence(1, 64), 0, (acc, i) -> acc + IF(substring(ha, i, 1) = substring(hb, i, 1), 0, 1))"))
-      .filter(col("hamming") <= lit(12))
+      .filter(col("hamming") <= lit(maxHamming))
       .select("da", "db", "hamming")
-      .orderBy("da", "db")
   }
 
   /** Embedding-cosine near-dup pairs. Scale path: 8-bit random-hyperplane
@@ -153,8 +167,15 @@ object Dedup {
     * trivially empty). */
   def embedCosine(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val e = embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    embedCosineOn(
+      embeddings(spark, dir).repartition(spark.sparkContext.defaultParallelism),
+      0.4).orderBy("va", "vb")
+  }
+
+  /** Generic form over any (vec_id, embedding ARRAY<FLOAT>) corpus; callers
+    * must have vector_dot registered (GraftFunctions.register). */
+  def embedCosineOn(vectors: DataFrame, threshold: Double): DataFrame = {
+    val e = vectors
       .select(col("vec_id"), col("embedding"),
         Similarity.bucket("embedding").as("bucket"),
         Similarity.norm("embedding").as("nrm"))
@@ -164,9 +185,8 @@ object Dedup {
       .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"),
         (Similarity.dot("x.embedding", "y.embedding")
           / (col("x.nrm") * col("y.nrm"))).as("cos"))
-    pairs.filter(col("cos") >= lit(0.4))
+    pairs.filter(col("cos") >= lit(threshold))
       .select(col("va"), col("vb"), round(col("cos"), 4).as("cos_sim"))
-      .orderBy("va", "vb")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

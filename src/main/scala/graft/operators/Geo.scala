@@ -77,19 +77,34 @@ object Geo {
   val CellW = 20.0
   val CellH = 10.0
 
-  def pointZoneJoin(spark: SparkSession, dir: String): DataFrame = {
-    val z = zones(spark, dir)
+  /** Generic form: any points DataFrame with (lon, lat) columns against any
+    * zones DataFrame with (xmin, ymin, xmax, ymax) box columns. */
+  def pointZoneJoinOn(points: DataFrame, zones: DataFrame): DataFrame = {
+    val z = zones
       .withColumn("cx", explode(expr(
         s"sequence(CAST(floor(xmin / $CellW) AS INT), CAST(floor(xmax / $CellW) AS INT))")))
       .withColumn("cy", explode(expr(
         s"sequence(CAST(floor(ymin / $CellH) AS INT), CAST(floor(ymax / $CellH) AS INT))")))
-    val p = points(spark, dir)
+    val p = points
       .withColumn("cx", floor(col("lon") / lit(CellW)).cast("int"))
       .withColumn("cy", floor(col("lat") / lit(CellH)).cast("int"))
     p.join(broadcast(z), Seq("cx", "cy")).filter(
       col("lon") >= col("xmin") && col("lon") < col("xmax")
         && col("lat") >= col("ymin") && col("lat") < col("ymax"))
   }
+
+  def pointZoneJoin(spark: SparkSession, dir: String): DataFrame =
+    pointZoneJoinOn(points(spark, dir), zones(spark, dir))
+
+  /** Generic zonal statistics over any joined point-zone DataFrame. */
+  def zonalStatsOn(points: DataFrame, zones: DataFrame, valueCol: String = "value"): DataFrame =
+    pointZoneJoinOn(points, zones)
+      .groupBy("zone_id")
+      .agg(
+        count(lit(1)).as("n_points"),
+        dmean(col(valueCol)).as("mean_value"),
+        min(col(valueCol)).as("min_value"),
+        max(col(valueCol)).as("max_value"))
 
   // ------------------------------------------------------------ operators
 
@@ -118,14 +133,7 @@ object Geo {
   /** Zonal statistics: the reference's core query (stats.py query_1),
     * generalized from AVG to the full suite. */
   def zonalStats(spark: SparkSession, dir: String): DataFrame =
-    pointZoneJoin(spark, dir)
-      .groupBy("zone_id")
-      .agg(
-        count(lit(1)).as("n_points"),
-        dmean(col("value")).as("mean_value"),
-        min(col("value")).as("min_value"),
-        max(col("value")).as("max_value"))
-      .orderBy("zone_id")
+    zonalStatsOn(points(spark, dir), zones(spark, dir)).orderBy("zone_id")
 
   /** Grid downsample (raster block aggregation, gdal BLOCKXSIZE): fine
     * 1-degree cells -> coarse 4x4 blocks. Partial decimal sums carry up the

@@ -98,17 +98,24 @@ object Similarity {
     * broadcast the queries, one parallel pass over the corpus, per-query
     * top-k via window (at scale: TakeOrdered per query partition). */
   def bruteforce(spark: SparkSession, dir: String): DataFrame = {
-    val q = corpus(spark, dir).filter(col("vec_id") < 10)
+    val c = corpus(spark, dir).localCheckpoint() // reused: query + corpus side
+    bruteforceOn(c.filter(col("vec_id") < 10), c, 5).orderBy("qid", "rank")
+  }
+
+  /** Generic exact top-k: any (vec_id, embedding, nrm) query set against a
+    * corpus of the same shape — broadcast the queries, one parallel pass
+    * over the corpus, per-query top-k via window. */
+  def bruteforceOn(queries: DataFrame, corpusDf: DataFrame, k: Int): DataFrame = {
+    val q = queries
       .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
-    val c = corpus(spark, dir)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cn"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
-    c.join(broadcast(q), col("qid") =!= col("cid"))
+    corpusDf
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cn"))
+      .join(broadcast(q), col("qid") =!= col("cid"))
       .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("cid"), round(col("cos"), 4).as("cos_sim"))
-      .orderBy("qid", "rank")
   }
 
   /** Random-hyperplane LSH ANN: candidates share the 8-bit sign bucket;
@@ -116,34 +123,31 @@ object Similarity {
   def lsh(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir).withColumn("bucket", bucket("embedding"))
       .localCheckpoint() // bucket projections computed once for query + corpus sides
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"), col("bucket"))
+    bucketedAnnOn(e.filter(col("vec_id") < 10), e, "bucket", 3).orderBy("qid", "rank")
+  }
+
+  /** Generic bucketed ANN: join on any precomputed bucket/cell column,
+    * exact cosine + top-k only within the bucket. */
+  def bucketedAnnOn(queries: DataFrame, corpusDf: DataFrame, bucketCol: String, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      col("nrm").as("qn"), col(bucketCol))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
-    e.select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cn"), col("bucket"))
-      .join(broadcast(q), Seq("bucket"))
+    corpusDf
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cn"), col(bucketCol))
+      .join(broadcast(q), Seq(bucketCol))
       .filter(col("qid") =!= col("cid"))
       .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+      .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("cid"), round(col("cos"), 4).as("cos_sim"))
-      .orderBy("qid", "rank")
   }
 
   /** IVF-style ANN: corpus partitioned into 16 coarse cells by the sign
     * grid; each query probes only its own cell. */
   def ivf(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir).withColumn("cell", expr(cellExpr("embedding")))
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"), col("cell"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
-    e.select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cn"), col("cell"))
-      .join(broadcast(q), Seq("cell"))
-      .filter(col("qid") =!= col("cid"))
-      .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("qid"), col("rank"), col("cid"), round(col("cos"), 4).as("cos_sim"))
-      .orderBy("qid", "rank")
+      .localCheckpoint() // cell + norm computed once for query + corpus sides
+    bucketedAnnOn(e.filter(col("vec_id") < 10), e, "cell", 3).orderBy("qid", "rank")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.{Dedup, Geo, Similarity}
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+/** The operators are a library, not a test harness: every core works on
+  * arbitrary user DataFrames, proven here on synthetic frames built from
+  * scratch (never the driver testdata). */
+class GenericApiSpec extends SparkSpecBase {
+
+  test("zonal stats runs on arbitrary point/zone frames") {
+    import spark.implicits._
+    val pts = Seq((1L, 5.0, 5.0, 10.0), (2L, 15.0, 5.0, 20.0), (3L, -5.0, 5.0, 30.0))
+      .toDF("event_id", "lon", "lat", "value")
+    val zs = Seq((100L, 0.0, 0.0, 10.0, 10.0), (200L, 10.0, 0.0, 30.0, 10.0))
+      .toDF("zone_id", "xmin", "ymin", "xmax", "ymax")
+    val out = Geo.zonalStatsOn(pts, zs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out == Map(100L -> (1L, 10.0), 200L -> (1L, 20.0)))
+  }
+
+  test("dedup suite runs on an arbitrary corpus and finds the planted dup") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), (2L, base + " lambda"), (3L, "totally different words here my friend ok then"),
+      (4L, base)).toDF("id", "body")
+    val sh = Dedup.shinglesOn(docs, "id", "body")
+    val jac = Dedup.ngramJaccardOn(sh, 0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.contains((1L, 2L)) && jac.contains((1L, 4L)) && jac.contains((2L, 4L)))
+    assert(!jac.exists(p => p._1 == 3L || p._2 == 3L))
+    val mh = Dedup.minhashOn(sh).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.contains((1L, 4L)), mh.toString) // identical docs always collide
+    val sim = Dedup.simhashOn(sh, 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.contains((1L, 4L)), sim.toString) // hamming 0
+    val ex = Dedup.exactOn(docs, "id", "body").collect()
+    assert(ex.length == 3 && ex.exists(r => r.getLong(1) == 1L && r.getLong(2) == 2L))
+  }
+
+  test("ANN cores run on an arbitrary embedding frame") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // 5 unit-ish vectors in 64 dims, v1 ~ v2, v3 orthogonal-ish
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => (math.sin(seed * 31 + i).toFloat))
+    val df = Seq((1L, vec(1)), (2L, vec(1).map(x => x * 0.9f)), (3L, vec(7)), (4L, vec(9)))
+      .toDF("vec_id", "embedding")
+      .withColumn("nrm", Similarity.norm("embedding"))
+    val top = Similarity.bruteforceOn(df.filter(col("vec_id") === 1), df, 1).collect()
+    assert(top.length == 1 && top(0).getLong(2) == 2L, top.mkString(","))
+    val dd = Dedup.embedCosineOn(df, 0.99).collect()
+    assert(dd.length == 1 && dd(0).getLong(0) == 1L && dd(0).getLong(1) == 2L)
+  }
+}
