@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Events, Geo, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, Events, Geo, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.sources.ManifestIO
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -14,6 +14,7 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Relational.queries, Relational.oracle),
+      (AsofJoin.queries, AsofJoin.oracle),
       (Geo.queries, Geo.oracle),
       (Events.queries, Events.oracle),
       (Dedup.queries, Dedup.oracle),

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables._
+
+/** As-of (point-in-time) join — an operator Spark's built-ins lack.
+  *
+  * Implemented the scalable single-shuffle way: tag both streams, union,
+  * and run one window per key ordered by (time, tag) taking the last
+  * non-null right-side attributes at-or-before each left row. Compared to a
+  * range-join + groupBy-max (which explodes candidates) or a per-key
+  * collect (which doesn't distribute), this is one shuffle on the key and
+  * one sort — the same plan a 100 TB backfill join would use, with AQE
+  * handling key skew.
+  *
+  * Tie rule: right rows sort before left rows at equal timestamps, so the
+  * match is inclusive (right.t <= left.t) — exactly DuckDB's ASOF JOIN
+  * semantics, which the oracle uses natively.
+  */
+object AsofJoin {
+
+  /** Generic core. left must carry (`keyCol`, `timeCol`); right must carry
+    * (`keyCol`, `timeCol`, attr columns). Returns left rows + the latest
+    * right attrs (null when no right row is at-or-before). */
+  def asofOn(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
+      rightAttrs: Seq[String]): DataFrame = {
+    val rTagged = right.select(
+      Seq(col(keyCol), col(timeCol), lit(0).as("side")) ++
+        Seq(col(timeCol).as("asof_time")) ++
+        rightAttrs.map(a => col(a).as(s"asof_$a")) ++
+        left.columns.filterNot(c => c == keyCol || c == timeCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val lTagged = left.select(
+      Seq(col(keyCol), col(timeCol), lit(1).as("side")) ++
+        Seq(lit(null).cast(right.schema(timeCol).dataType).as("asof_time")) ++
+        rightAttrs.map(a => lit(null).cast(right.schema(a).dataType).as(s"asof_$a")) ++
+        left.columns.filterNot(c => c == keyCol || c == timeCol).map(col): _*)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(timeCol).asc, col("side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rTagged.unionByName(lTagged)
+      .withColumn("asof_time_f", last(col("asof_time"), ignoreNulls = true).over(w))
+    val withAttrs = rightAttrs.foldLeft(filled) { (df, a) =>
+      df.withColumn(s"asof_${a}_f", last(col(s"asof_$a"), ignoreNulls = true).over(w))
+    }
+    withAttrs.filter(col("side") === 1)
+      .select(
+        Seq(col(keyCol), col(timeCol)) ++
+          left.columns.filterNot(c => c == keyCol || c == timeCol).map(col) ++
+          Seq(col("asof_time_f").as("asof_time")) ++
+          rightAttrs.map(a => col(s"asof_${a}_f").as(s"asof_$a")): _*)
+  }
+
+  /** q14: for every purchase event, the user's most recent click at or
+    * before it (classic point-in-time feature join: "state of X when Y
+    * happened"). */
+  def purchaseAsofClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("sec"),
+        col("event_type"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("sec"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("sec"), col("value"))
+    asofOn(purchases, clicks, "user_id", "sec", Seq("value"))
+      .select(col("event_id"), col("user_id"), col("sec").as("purchase_sec"),
+        col("asof_time").as("last_click_sec"), col("asof_value").as("last_click_value"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_asof_join" -> (purchaseAsofClick _))
+
+  val oracle: Map[String, String] = Map(
+    "q14_asof_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type, value
+        |  FROM events
+        |),
+        |p AS (SELECT user_id, sec, event_id FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, sec AS c_sec, value FROM ev WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.sec AS purchase_sec,
+        |  c.c_sec AS last_click_sec, c.value AS last_click_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.c_sec <= p.sec
+        |ORDER BY p.event_id""".stripMargin)
+}

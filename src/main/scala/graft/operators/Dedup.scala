@@ -84,6 +84,18 @@ object Dedup {
       .select("da", "db", "n_inter", "jaccard")
   }
 
+  /** The skew-capped scale path: drop shingles whose document frequency
+    * exceeds a cap (stopword-shingle removal) BEFORE the inverted-index
+    * join — the standard guard against the b^2 pair blowup of hot buckets
+    * at 100 TB. Jaccard is then computed consistently over the rare-shingle
+    * space (both engines apply the same cap, so the oracle matches). */
+  def ngramJaccardCapped(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).localCheckpoint()
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= 20)
+      .select("sh")
+    ngramJaccardOn(sh.join(broadcast(rare), Seq("sh")), 0.5).orderBy("da", "db")
+  }
+
   /** MinHash + LSH. 12 hash functions = md5("h:shingle") min per doc
     * (lexicographic min of the hex digest is a valid random-permutation
     * proxy and portable); 6 bands x 2 rows; band key = md5 of the two
@@ -192,6 +204,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (exact _),
     "dd_ngram_jaccard" -> (ngramJaccard _),
+    "dd_jaccard_capped" -> (ngramJaccardCapped _),
     "dd_minhash" -> (minhash _),
     "dd_simhash" -> (simhash _),
     "dd_embed_cosine" -> (embedCosine _))
@@ -202,6 +215,21 @@ object Dedup {
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "dd_ngram_jaccard" ->
       s"""WITH sh AS ($shinglesSql),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT da, db, n_inter,
+         |  ROUND(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
+         |FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+         |WHERE ROUND(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 4) >= 0.5
+         |ORDER BY da, db""".stripMargin,
+    "dd_jaccard_capped" ->
+      s"""WITH sh0 AS ($shinglesSql),
+         |rare AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM sh0 GROUP BY sh) WHERE df <= 20),
+         |sh AS (SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN rare ON sh0.sh = rare.sh),
          |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter

@@ -85,13 +85,47 @@ object Events {
           && col("first_purchase") > col("first_signup")).as("converted"))
       .orderBy("user_id")
 
+  /** Weekly cohort retention: users active in week w who return in w+1 —
+    * one distinct pass + a self semi-join on (user, next week); both sides
+    * shuffle on user so the join co-locates. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val act = events(spark, dir)
+      .select(col("user_id"), unix_timestamp(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+      .localCheckpoint() // three uses below
+    val nextWeek = act.select(col("user_id"), (col("wk") - lit(604800L)).as("wk"))
+    val retained = act.join(nextWeek, Seq("user_id", "wk"), "left_semi")
+      .groupBy("wk").agg(count(lit(1)).as("n_retained"))
+    act.groupBy("wk").agg(count(lit(1)).as("n_active"))
+      .join(retained, Seq("wk"), "left_outer")
+      .select(col("wk").as("week_epoch"), col("n_active"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+      .orderBy("week_epoch")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_retention" -> (retention _),
     "ev_windowed_agg" -> (windowedAgg _),
     "ev_sessionize" -> (sessionize _),
     "ev_json" -> (jsonExtract _),
     "ev_funnel" -> (funnel _))
 
   val oracle: Map[String, String] = Map(
+    "ev_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS wk
+        |  FROM events
+        |),
+        |retained AS (
+        |  SELECT a.wk, COUNT(*) AS n_retained
+        |  FROM act a WHERE EXISTS (
+        |    SELECT 1 FROM act b WHERE b.user_id = a.user_id AND b.wk = a.wk + 604800)
+        |  GROUP BY a.wk
+        |)
+        |SELECT act.wk AS week_epoch, COUNT(*) AS n_active,
+        |  COALESCE(MIN(retained.n_retained), 0) AS n_retained
+        |FROM act LEFT JOIN retained ON act.wk = retained.wk
+        |GROUP BY act.wk ORDER BY week_epoch""".stripMargin,
     "ev_windowed_agg" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
         |  COUNT(*) AS n_events,
