@@ -273,6 +273,24 @@ object Geo {
       .orderBy("zoom", "tx", "ty")
   }
 
+  /** True Web-Mercator tiling at zoom 8 (tippecanoe's actual projection;
+    * the oracle-checked zs_tile_assign uses plate-carree because ln/tan
+    * results are not bit-portable across engines). Rows-only check; the
+    * GeoSpec pins fixed points (equator -> ty = 2^(z-1)) and monotonicity. */
+  val MercZoom = 8
+  def webmercator(spark: SparkSession, dir: String): DataFrame = {
+    val n = (1L << MercZoom).toDouble
+    val latRad = col("lat") * lit(math.Pi / 180.0)
+    points(spark, dir)
+      .withColumn("tx", floor((col("lon") + lit(180.0)) / lit(360.0) * lit(n)).cast("long"))
+      .withColumn("ty", floor(
+        (lit(1.0) - log(tan(latRad) + lit(1.0) / cos(latRad)) / lit(math.Pi)) / lit(2.0) * lit(n))
+        .cast("long"))
+      .groupBy("tx", "ty")
+      .agg(count(lit(1)).as("n_features"), dsum(col("value")).as("sum_value"))
+      .orderBy("tx", "ty")
+  }
+
   /** Low-zoom simplification (tiles.py feeds tippecanoe --simplification):
     * snap coordinates to a 1-degree grid and collapse coincident features,
     * keeping the representative (min event_id) + collapse count. */
@@ -290,6 +308,7 @@ object Geo {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zs_tile_pyramid_full" -> (tilePyramidFull _),
     "zs_simplify" -> (simplify _),
+    "zs_webmercator" -> (webmercator _),
     "zs_clip" -> (clip _),
     "zs_affine" -> (affine _),
     "zs_zonal_stats" -> (zonalStats _),

@@ -102,13 +102,51 @@ object TextAnalysis {
       .agg(min(col("wh")).as("fingerprint"), count(lit(1)).as("n_windows"))
       .orderBy("doc_id")
 
+  /** Top terms per language by a TF/DF salience score (TF-IDF with the log
+    * replaced by scaled-integer division — deterministic across engines).
+    * The (word, df) table is tiny and broadcast; one shuffle for the
+    * (lang, word) counts, top-k via window. */
+  def topterms(spark: SparkSession, dir: String): DataFrame = {
+    val words = documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+    val df = words.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val tf = words.groupBy("lang", "word").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("lang").orderBy(col("score").desc, col("word").asc)
+    tf.join(broadcast(df), Seq("word"))
+      .withColumn("score", expr("(tf * 10000) div df"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("lang"), col("rn").as("rank"), col("word"), col("tf"), col("df"), col("score"))
+      .orderBy("lang", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_topterms" -> (topterms _),
     "ta_langid" -> (langid _),
     "ta_quality" -> (quality _),
     "ta_tokens" -> (tokens _),
     "ta_fingerprint" -> (fingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "ta_topterms" ->
+      """WITH words AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
+        |),
+        |df AS (
+        |  SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, word FROM words) GROUP BY word
+        |),
+        |tf AS (SELECT lang, word, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT tf.lang, tf.word, tf.tf, df.df, (tf.tf * 10000) // df.df AS score
+        |  FROM tf JOIN df ON tf.word = df.word
+        |),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, word ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT lang, rank, word, tf, df, score FROM ranked WHERE rank <= 3
+        |ORDER BY lang, rank""".stripMargin,
     "ta_langid" ->
       """WITH words AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents

@@ -45,6 +45,23 @@ class GeoSpec extends SparkSpecBase {
     assert(z10 == pts && z6 == pts)
   }
 
+  test("web-mercator tiling: equator fixed point and latitude monotonicity") {
+    import spark.implicits._
+    val n = 1L << Geo.MercZoom
+    // derive ty for synthetic lat bands through the same operator pipeline
+    val rows = Geo.webmercator(spark, sfDir).select("ty").distinct().collect().map(_.getLong(0))
+    assert(rows.forall(ty => ty >= 0 && ty < n))
+    // lat in [-35, 35) straddles the equator: ty range must straddle 2^(z-1)
+    val mid = n / 2
+    assert(rows.exists(_ < mid) && rows.exists(_ >= mid), rows.sorted.mkString(","))
+    // exact fixed point: lat -> ty is the documented mercator formula
+    def ty(lat: Double): Long =
+      math.floor((1.0 - math.log(math.tan(math.toRadians(lat))
+        + 1.0 / math.cos(math.toRadians(lat))) / math.Pi) / 2.0 * n).toLong
+    assert(ty(0.0) == mid)
+    assert(ty(30.0) < ty(0.0) && ty(-30.0) > ty(0.0))
+  }
+
   test("full pyramid has every even zoom and conserves counts at each") {
     val pts = Geo.points(spark, sfDir).count()
     val perZoom = Geo.tilePyramidFull(spark, sfDir)
