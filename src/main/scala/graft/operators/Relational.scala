@@ -203,8 +203,24 @@ object Relational {
         col("approx_q").getItem(1).as("approx_p90"), col("n_rows"))
       .orderBy("l_returnflag")
 
+  /** q15: deterministic distributed sampling — bottom-k by md5(key) per
+    * group (a KMV/bottom-k sketch). Unlike rand()-based sampling this is
+    * reproducible across runs, engines, and partitionings: the sample is a
+    * pure function of the keys. One shuffle; per-group top-k via window. */
+  def q15Sample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("hk").asc)
+    orders(spark, dir)
+      .withColumn("hk", md5(col("o_orderkey").cast("string")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("o_orderpriority"), col("rn").as("rank"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderpriority", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sketch" -> (q13Sketch _),
+    "q15_sample" -> (q15Sample _),
     "q1_agg" -> (q1Agg _),
     "q2_join_broadcast" -> (q2JoinBroadcast _),
     "q3_join_shuffle" -> (q3JoinShuffle _),
@@ -219,6 +235,18 @@ object Relational {
     "q12_union_dedup" -> (q12UnionDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q15_sample" ->
+      """WITH h AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    md5(CAST(o_orderkey AS VARCHAR)) AS hk
+        |  FROM orders
+        |),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY hk ASC) AS rank
+        |  FROM h
+        |)
+        |SELECT o_orderpriority, rank, o_orderkey, o_totalprice
+        |FROM r WHERE rank <= 5 ORDER BY o_orderpriority, rank""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -19,5 +19,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       (children: Seq[Expression]) => VectorDot(children(0), children(1))))
+    ext.injectOptimizerRule(_ => NativeDotRule)
   }
 }
