@@ -80,11 +80,43 @@ object Multimodal {
       }
   }
 
+  /** Content-addressable chunk dedup across payloads (CDC-style storage
+    * dedup): chunk every payload into 16-byte frames, hash each, and report
+    * the duplicated chunks with reference counts — the inverted-index shape
+    * again (shuffle on chunk hash), chunk content never moves twice. */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    withPayload(spark, dir)
+      .withColumn("n_frames", expr("CAST((length(payload) + 15) div 16 AS LONG)"))
+      .select(col("doc_id"), col("payload"),
+        explode(expr("sequence(0L, n_frames - 1)")).as("frame_idx"))
+      .select(col("doc_id"),
+        md5(expr("substring(payload, CAST(frame_idx * 16 + 1 AS INT), 16)")).as("chunk_hash"))
+      .groupBy("chunk_hash")
+      .agg(
+        count(lit(1)).as("ref_count"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("ref_count") > 1)
+      .orderBy("chunk_hash")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> (metadata _),
-    "mm_framesample" -> (frameSample _))
+    "mm_framesample" -> (frameSample _),
+    "mm_chunk_dedup" -> (chunkDedup _))
 
   val oracle: Map[String, String] = Map(
+    "mm_chunk_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, (length(text) + 15) // 16 AS n_frames FROM documents
+        |),
+        |ch AS (
+        |  SELECT doc_id, md5(substr(text, CAST(frame_idx * 16 + 1 AS INT), 16)) AS chunk_hash
+        |  FROM (SELECT doc_id, text, unnest(range(0, n_frames)) AS frame_idx FROM d)
+        |)
+        |SELECT chunk_hash, COUNT(*) AS ref_count, COUNT(DISTINCT doc_id) AS n_docs,
+        |  MIN(doc_id) AS first_doc
+        |FROM ch GROUP BY chunk_hash HAVING COUNT(*) > 1
+        |ORDER BY chunk_hash""".stripMargin,
     "mm_metadata" ->
       """SELECT doc_id, source,
         |  CAST(length(text) AS BIGINT) AS byte_len,

@@ -218,9 +218,23 @@ object Relational {
       .orderBy("o_orderpriority", "rank")
   }
 
+  /** q16: pivot — long-to-wide reshaping with an explicit value list (an
+    * implicit list would need an extra distinct pass; at 100 TB you always
+    * pin the columns). Plans as one hash aggregate with a conditional
+    * aggregate per pivot value — the same thing the oracle SQL spells out. */
+  def q16Pivot(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sketch" -> (q13Sketch _),
     "q15_sample" -> (q15Sample _),
+    "q16_pivot" -> (q16Pivot _),
     "q1_agg" -> (q1Agg _),
     "q2_join_broadcast" -> (q2JoinBroadcast _),
     "q3_join_shuffle" -> (q3JoinShuffle _),
@@ -235,6 +249,12 @@ object Relational {
     "q12_union_dedup" -> (q12UnionDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q16_pivot" ->
+      """SELECT o_orderpriority,
+        |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+        |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+        |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q15_sample" ->
       """WITH h AS (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
