@@ -16,11 +16,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Two timed runs per query, report the min: the first run carries JIT /
-    // codegen warmup and this host shows multi-second CPU-steal spikes, so
-    // a single sample badly misattributes cost.
+    // Three timed runs per query, report the min: the first run carries JIT
+    // / codegen warmup, and this host shows multi-second CPU-steal bursts
+    // (identical plans measured 1.6s and 12.9s across runs), so a single
+    // sample badly misattributes cost.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
