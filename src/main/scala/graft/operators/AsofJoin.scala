@@ -70,10 +70,47 @@ object AsofJoin {
       .orderBy("event_id")
   }
 
+  /** q17: time-range join — clicks in the hour before each purchase, per
+    * user. Planned like the spatial join: bucket time into cells sized to
+    * the range (1h), replicate the left side onto the <=2 covering cells,
+    * equi-join on (user, cell) + exact range predicate. At 100 TB both
+    * sides shuffle on (user, cell); no inequality-only join ever runs. */
+  def purchaseClicksInWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("sec"),
+        col("event_type"), col("value"))
+    val win = 3600L
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .withColumn("cell", explode(array((col("sec") / win).cast("long") - 1,
+        (col("sec") / win).cast("long"))))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), (col("sec") / win).cast("long").as("cell"),
+        col("sec").as("c_sec"), col("value").as("c_value"))
+    purchases.join(clicks, Seq("user_id", "cell"))
+      .filter(col("c_sec") >= col("sec") - win && col("c_sec") < col("sec"))
+      .groupBy(col("event_id"), col("user_id"), col("sec").as("purchase_sec"))
+      .agg(count(lit(1)).as("n_clicks"), dsum(col("c_value")).as("sum_click_value"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q14_asof_join" -> (purchaseAsofClick _))
+    "q14_asof_join" -> (purchaseAsofClick _),
+    "q17_range_join" -> (purchaseClicksInWindow _))
 
   val oracle: Map[String, String] = Map(
+    "q17_range_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type, value
+        |  FROM events
+        |),
+        |p AS (SELECT user_id, event_id, sec FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, sec AS c_sec, value AS c_value FROM ev WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.sec AS purchase_sec,
+        |  COUNT(*) AS n_clicks,
+        |  CAST(SUM(CAST(c.c_value AS DECIMAL(18,4))) AS DOUBLE) AS sum_click_value
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.c_sec >= p.sec - 3600 AND c.c_sec < p.sec
+        |GROUP BY 1, 2, 3 ORDER BY p.event_id""".stripMargin,
     "q14_asof_join" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type, value

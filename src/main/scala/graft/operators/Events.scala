@@ -103,7 +103,25 @@ object Events {
       .orderBy("week_epoch")
   }
 
+  /** Per-user ordered event path (session path mining): collect the
+    * event-type sequence in time order. The collect is bounded per user and
+    * deterministic: sort_array over (ts, event_id)-keyed structs, joined to
+    * a string. */
+  def paths(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+        col("event_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("array_join(transform(array_sort(collect_list(struct(sec, event_id, event_type))), s -> s.event_type), '>')")
+          .as("path"))
+      .select(col("user_id"), col("n_events"),
+        expr("substring(path, 1, 100)").as("path_prefix"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_paths" -> (paths _),
     "ev_retention" -> (retention _),
     "ev_windowed_agg" -> (windowedAgg _),
     "ev_sessionize" -> (sessionize _),
@@ -111,6 +129,14 @@ object Events {
     "ev_funnel" -> (funnel _))
 
   val oracle: Map[String, String] = Map(
+    "ev_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id, event_type
+        |  FROM events
+        |)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  substr(STRING_AGG(event_type, '>' ORDER BY sec, event_id), 1, 100) AS path_prefix
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
     "ev_retention" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id, CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS wk
