@@ -60,6 +60,29 @@ class StreamingSpec extends SparkSpecBase {
       s"stream=${streamed.count()} batch=${batch.count()}")
   }
 
+  test("file-source streaming (readStream over parquet) matches batch") {
+    // the production ingest path: readStream with an explicit schema over a
+    // parquet directory, driven to completion against the memory sink
+    val batchDf = Tables.events(spark, sfDir)
+      .select(col("ts"), col("event_type"), col("value"))
+    // FileStreamSource wants a directory: stage the table file into one
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val streamed = spark.readStream
+      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("ts"), col("event_type"), col("value"))
+    val result = StreamingJobs.runToMemory(spark,
+      StreamingJobs.windowedAgg(streamed), "file_win_agg",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    val expected = Events.windowedAgg(spark, sfDir)
+    assert(result.exceptAll(expected).isEmpty && expected.exceptAll(result).isEmpty,
+      s"stream=${result.count()} batch=${expected.count()}")
+  }
+
   test("stateful per-user running agg matches batch groupBy") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
