@@ -231,10 +231,23 @@ object Relational {
       .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
       .orderBy("o_orderpriority")
 
+  /** q18: set operations — INTERSECT / EXCEPT (both plan as aggregate-based
+    * semi/anti joins, not sorts). Nations having customers vs suppliers. */
+  def q18SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val custNations = customer(spark, dir).select(col("c_nationkey").cast("int").as("nationkey"))
+    val suppNations = supplier(spark, dir).select(col("s_nationkey").cast("int").as("nationkey"))
+    val both = custNations.intersect(suppNations).withColumn("relation", lit("both"))
+    val custOnly = custNations.except(suppNations).withColumn("relation", lit("cust_only"))
+    val suppOnly = suppNations.except(custNations).withColumn("relation", lit("supp_only"))
+    both.unionByName(custOnly).unionByName(suppOnly)
+      .orderBy("relation", "nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sketch" -> (q13Sketch _),
     "q15_sample" -> (q15Sample _),
     "q16_pivot" -> (q16Pivot _),
+    "q18_setops" -> (q18SetOps _),
     "q1_agg" -> (q1Agg _),
     "q2_join_broadcast" -> (q2JoinBroadcast _),
     "q3_join_shuffle" -> (q3JoinShuffle _),
@@ -249,6 +262,15 @@ object Relational {
     "q12_union_dedup" -> (q12UnionDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q18_setops" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer),
+        |s AS (SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier)
+        |SELECT nationkey, 'both' AS relation FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+        |UNION ALL
+        |SELECT nationkey, 'cust_only' AS relation FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+        |UNION ALL
+        |SELECT nationkey, 'supp_only' AS relation FROM (SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c)
+        |ORDER BY relation, nationkey""".stripMargin,
     "q16_pivot" ->
       """SELECT o_orderpriority,
         |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
