@@ -83,6 +83,36 @@ class StreamingSpec extends SparkSpecBase {
       s"stream=${result.count()} batch=${expected.count()}")
   }
 
+  test("writeStream to a parquet file sink with checkpointing round-trips") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val rows = Tables.events(spark, sfDir)
+      .select(col("ts"), col("event_type"), col("value"))
+      .as[(Timestamp, String, Double)].collect()
+    stream.addData(rows.toSeq)
+    // append-mode file sink: project (stateless) — the durable-output path
+    val q = stream.toDF().toDF("ts", "event_type", "value")
+      .withColumn("hour_epoch", unix_timestamp(date_trunc("hour", col("ts"))))
+      .writeStream.format("parquet")
+      .option("path", s"$outDir/data")
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val back = spark.read.parquet(s"$outDir/data")
+    assert(back.count() == rows.length)
+    // exactly-once on restart: re-processing the same offsets adds nothing
+    val q2 = stream.toDF().toDF("ts", "event_type", "value")
+      .withColumn("hour_epoch", unix_timestamp(date_trunc("hour", col("ts"))))
+      .writeStream.format("parquet")
+      .option("path", s"$outDir/data")
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .outputMode("append").start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(s"$outDir/data").count() == rows.length)
+  }
+
   test("stateful per-user running agg matches batch groupBy") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
