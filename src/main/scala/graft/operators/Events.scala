@@ -120,7 +120,28 @@ object Events {
         expr("substring(path, 1, 100)").as("path_prefix"))
       .orderBy("user_id")
 
+  /** Per-type z-score anomaly detection: two-pass — tiny per-type moment
+    * table (decimal-exact sums) broadcast back over the stream, flag rows
+    * with (v-mean)^2 > 4*var (z > 2 without a sqrt: both sides derive from
+    * identical doubles, so the comparison is engine-stable). */
+  def anomalies(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("event_id"), col("event_type"), col("value"))
+    val stats = ev.groupBy("event_type").agg(
+      dmean(col("value")).as("mean_v"),
+      (sum((col("value") * col("value")).cast(org.apache.spark.sql.types.DecimalType(28, 8)))
+        .cast("double") / count(lit(1))).as("ex2"),
+      count(lit(1)).as("n"))
+      .withColumn("var_v", col("ex2") - col("mean_v") * col("mean_v"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("dev", col("value") - col("mean_v"))
+      .filter(col("dev") * col("dev") > lit(4.0) * col("var_v"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("mean_v"), 4).as("mean_v"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_anomaly" -> (anomalies _),
     "ev_paths" -> (paths _),
     "ev_retention" -> (retention _),
     "ev_windowed_agg" -> (windowedAgg _),
@@ -129,6 +150,17 @@ object Events {
     "ev_funnel" -> (funnel _))
 
   val oracle: Map[String, String] = Map(
+    "ev_anomaly" ->
+      """WITH stats AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean_v,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS ex2
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT event_id, e.event_type, value, ROUND(mean_v, 4) AS mean_v
+        |FROM events e JOIN stats s ON e.event_type = s.event_type
+        |WHERE (value - mean_v) * (value - mean_v) > 4.0 * (ex2 - mean_v * mean_v)
+        |ORDER BY event_id""".stripMargin,
     "ev_paths" ->
       """WITH e AS (
         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id, event_type

@@ -273,6 +273,58 @@ object Geo {
       .orderBy("tx", "ty", "rank")
   }
 
+  /** Triangle zones — real polygons, not boxes (the reference's zone layers
+    * are arbitrary polygons tested with ST_Intersects). Vertices are
+    * integer-derived: A = (ax, ay), B = A + (w, 0), C = A + (0, h) with
+    * w in 10..24, h in 6..13 — integer coordinates, so every cross product
+    * below is exact in doubles. */
+  def triZones(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir).select(
+      col("p_partkey").as("zone_id"),
+      ((col("p_partkey") * lit(53L)) % lit(330L)).cast("double").minus(lit(180.0)).as("ax"),
+      ((col("p_partkey") * lit(89L)) % lit(55L)).cast("double").minus(lit(35.0)).as("ay"),
+      (col("p_partkey") % lit(15L) + lit(10L)).cast("double").as("w"),
+      (col("p_partkey") % lit(8L) + lit(6L)).cast("double").as("h"))
+
+  private val triZonesSql =
+    """SELECT p_partkey AS zone_id,
+      |  CAST(p_partkey * 53 % 330 AS DOUBLE) - 180.0 AS ax,
+      |  CAST(p_partkey * 89 % 55 AS DOUBLE) - 35.0 AS ay,
+      |  CAST(p_partkey % 15 + 10 AS DOUBLE) AS w,
+      |  CAST(p_partkey % 8 + 6 AS DOUBLE) AS h
+      |FROM part""".stripMargin
+
+  /** Point-in-triangle via two exact sign tests in the triangle's local
+    * frame (right triangle A, A+(w,0), A+(0,h)): dx,dy >= 0 and
+    * h*dx + w*dy <= w*h. Products of 2-decimal points with integer extents
+    * are exact doubles — bit-identical across engines. */
+  private val triContains =
+    "dx >= 0 AND dy >= 0 AND h * dx + w * dy <= w * h"
+
+  /** Zonal statistics over TRIANGLE zones: bbox-cell candidate join (same
+    * bucketed plan as the box join — the bbox of a triangle is its hull),
+    * then the exact sign test. This is the reference's polygon path:
+    * coarse spatial index first, exact geometry predicate second. */
+  def triZonalStats(spark: SparkSession, dir: String): DataFrame = {
+    val z = triZones(spark, dir)
+      .withColumn("cx", explode(expr(
+        s"sequence(CAST(floor(ax / $CellW) AS INT), CAST(floor((ax + w) / $CellW) AS INT))")))
+      .withColumn("cy", explode(expr(
+        s"sequence(CAST(floor(ay / $CellH) AS INT), CAST(floor((ay + h) / $CellH) AS INT))")))
+    val p = points(spark, dir)
+      .withColumn("cx", floor(col("lon") / lit(CellW)).cast("int"))
+      .withColumn("cy", floor(col("lat") / lit(CellH)).cast("int"))
+    p.join(broadcast(z), Seq("cx", "cy"))
+      .withColumn("dx", col("lon") - col("ax"))
+      .withColumn("dy", col("lat") - col("ay"))
+      .filter(expr(triContains))
+      .groupBy("zone_id")
+      .agg(
+        count(lit(1)).as("n_points"),
+        dmean(col("value")).as("mean_value"))
+      .orderBy("zone_id")
+  }
+
   /** Full pyramid z10 -> z0 in step-2 levels (tippecanoe generates every
     * zoom from max down to --minimum-zoom). Each level aggregates the
     * PREVIOUS level's partials — one shuffle per level on the parent key,
@@ -334,6 +386,7 @@ object Geo {
       .orderBy("snap_lon", "snap_lat")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zs_tri_zonal" -> (triZonalStats _),
     "zs_tile_pyramid_full" -> (tilePyramidFull _),
     "zs_simplify" -> (simplify _),
     "zs_webmercator" -> (webmercator _),
@@ -356,6 +409,13 @@ object Geo {
          |FROM z10 GROUP BY 1, 2, 3""".stripMargin
     }.mkString("\nUNION ALL\n")
     Map(
+      "zs_tri_zonal" ->
+        s"""WITH pts AS ($pointsSql), z AS ($triZonesSql)
+           |SELECT zone_id, COUNT(*) AS n_points,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean_value
+           |FROM pts JOIN z ON (lon - ax) >= 0 AND (lat - ay) >= 0
+           |  AND h * (lon - ax) + w * (lat - ay) <= w * h
+           |GROUP BY zone_id ORDER BY zone_id""".stripMargin,
       "zs_tile_pyramid_full" ->
         s"""WITH pts AS ($pointsSql),
            |z10 AS (

@@ -45,6 +45,21 @@ class GeoSpec extends SparkSpecBase {
     assert(z10 == pts && z6 == pts)
   }
 
+  test("triangle zonal bbox-cell join equals the naive sign-test theta-join") {
+    val bucketed = Geo.triZonalStats(spark, sfDir)
+    val naive = Geo.points(spark, sfDir)
+      .join(Geo.triZones(spark, sfDir),
+        col("lon") - col("ax") >= 0 && col("lat") - col("ay") >= 0 &&
+          col("h") * (col("lon") - col("ax")) + col("w") * (col("lat") - col("ay"))
+            <= col("w") * col("h"))
+      .groupBy("zone_id")
+      .agg(count(lit(1)).as("n_points"),
+        graft.sources.Tables.dmean(col("value")).as("mean_value"))
+      .orderBy("zone_id")
+    assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty)
+    assert(bucketed.count() > 0)
+  }
+
   test("web-mercator tiling: equator fixed point and latitude monotonicity") {
     import spark.implicits._
     val n = 1L << Geo.MercZoom
