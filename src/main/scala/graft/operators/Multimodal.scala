@@ -59,7 +59,8 @@ object Multimodal {
     * features derived from the bytes — but the distributed shape is real:
     * typed Dataset, per-partition batching, bounded memory per batch.
     * Exercised by MultimodalSpec (no SQL oracle: not SQL-expressible). */
-  final case class DecodedFrame(docId: Long, frameIdx: Long, meanByte: Double, nBytes: Int)
+  final case class DecodedFrame(docId: Long, frameIdx: Long, meanByte: Double,
+      nBytes: Int, byteSum: Long)
 
   def decodeBatch(spark: SparkSession, dir: String): Dataset[DecodedFrame] = {
     import spark.implicits._
@@ -72,9 +73,10 @@ object Multimodal {
         // so specs can assert exact results.
         rows.flatMap { case (docId, payload) =>
           payload.grouped(16).zipWithIndex.map { case (frame, idx) =>
+            val s = frame.map(_ & 0xff).sum.toLong
             DecodedFrame(docId, idx.toLong,
-              if (frame.isEmpty) 0.0 else frame.map(_ & 0xff).sum.toDouble / frame.length,
-              frame.length)
+              if (frame.isEmpty) 0.0 else s.toDouble / frame.length,
+              frame.length, s)
           }
         }
       }
@@ -99,12 +101,35 @@ object Multimodal {
       .filter(col("ref_count") > 1)
       .orderBy("chunk_hash")
 
+  /** The typed mapPartitions decode stage as an oracle-checked query: the
+    * stub features re-aggregate to integer-exact per-doc totals (frame
+    * byte-sums are integer-valued doubles), so even the imperative tier is
+    * held to the same hash-match bar as the declarative operators. */
+  def decodeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodeBatch(spark, dir)
+      .groupBy(col("docId").as("doc_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(col("byteSum")).as("byte_sum"),
+        sum(col("nBytes").cast("long")).as("n_bytes"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> (metadata _),
     "mm_framesample" -> (frameSample _),
-    "mm_chunk_dedup" -> (chunkDedup _))
+    "mm_chunk_dedup" -> (chunkDedup _),
+    "mm_decode_stats" -> (decodeStats _))
 
   val oracle: Map[String, String] = Map(
+    "mm_decode_stats" ->
+      """SELECT doc_id,
+        |  (length(text) + 15) // 16 AS n_frames,
+        |  list_sum(list_transform(range(1, length(text) + 1),
+        |    i -> ascii(substr(text, CAST(i AS INT), 1)))) AS byte_sum,
+        |  CAST(length(text) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_chunk_dedup" ->
       """WITH d AS (
         |  SELECT doc_id, text, (length(text) + 15) // 16 AS n_frames FROM documents

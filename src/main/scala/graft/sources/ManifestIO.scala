@@ -101,11 +101,31 @@ object ManifestIO {
       .orderBy("o_orderstatus")
   }
 
+  /** JSON-lines manifest round trip (upload.py emits machine-readable
+    * manifests; JSONL is the streaming-friendly form): supplier -> jsonl ->
+    * schema'd read -> per-nation aggregate, oracle on the original parquet. */
+  def jsonManifestQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_io/supplier_json_${Integer.toHexString(dir.hashCode)}"
+    writeJson(Tables.supplier(spark, dir), tmp)
+    val schema = Tables.supplier(spark, dir).schema
+    readJson(spark, tmp, schema)
+      .groupBy(col("s_nationkey").cast("int").as("nationkey"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        Tables.dsum(col("s_acctbal")).as("sum_acctbal"))
+      .orderBy("nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "io_csv_manifest" -> (csvManifestQuery _),
+    "io_json_manifest" -> (jsonManifestQuery _),
     "io_partitioned_scan" -> (partitionedScanQuery _))
 
   val oracle: Map[String, String] = Map(
+    "io_json_manifest" ->
+      """SELECT CAST(s_nationkey AS INT) AS nationkey, COUNT(*) AS n_suppliers,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+        |FROM supplier GROUP BY 1 ORDER BY nationkey""".stripMargin,
     "io_partitioned_scan" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
