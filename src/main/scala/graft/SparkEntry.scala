@@ -23,9 +23,10 @@ object SparkEntry {
       (Multimodal.queries, Multimodal.oracle),
       (ManifestIO.queries, ManifestIO.oracle))
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Zonal statistics is the reference's core computation (stats.py). */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+    Geo.zonalStats(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

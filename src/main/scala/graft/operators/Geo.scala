@@ -273,6 +273,26 @@ object Geo {
       .orderBy("tx", "ty", "rank")
   }
 
+  /** CRS detection by value-range fingerprinting (batch/processing/
+    * raster.py:14-19 reads the source CRS; when metadata is absent, range
+    * heuristics are the standard fallback): a layer whose coords fit
+    * [-180,180]x[-90,90] is geographic; otherwise projected. Checked over
+    * the raw layer and an affine-projected copy in one union scan. */
+  def crsDetect(spark: SparkSession, dir: String): DataFrame = {
+    val raw = points(spark, dir).select(lit("raw").as("layer"), col("lon").as("x"), col("lat").as("y"))
+    val proj = points(spark, dir).select(lit("projected").as("layer"),
+      (col("lon") * lit(111320.0)).as("x"), (col("lat") * lit(110540.0)).as("y"))
+    raw.unionByName(proj)
+      .groupBy("layer")
+      .agg(min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+      .withColumn("crs_guess",
+        when(col("min_x") >= -180.0 && col("max_x") <= 180.0
+          && col("min_y") >= -90.0 && col("max_y") <= 90.0, lit("geographic"))
+          .otherwise(lit("projected")))
+      .orderBy("layer")
+  }
+
   /** Triangle zones — real polygons, not boxes (the reference's zone layers
     * are arbitrary polygons tested with ST_Intersects). Vertices are
     * integer-derived: A = (ax, ay), B = A + (w, 0), C = A + (0, h) with
@@ -386,6 +406,7 @@ object Geo {
       .orderBy("snap_lon", "snap_lat")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zs_crs_detect" -> (crsDetect _),
     "zs_tri_zonal" -> (triZonalStats _),
     "zs_tile_pyramid_full" -> (tilePyramidFull _),
     "zs_simplify" -> (simplify _),
@@ -409,6 +430,21 @@ object Geo {
          |FROM z10 GROUP BY 1, 2, 3""".stripMargin
     }.mkString("\nUNION ALL\n")
     Map(
+      "zs_crs_detect" ->
+        s"""WITH pts AS ($pointsSql),
+           |u AS (
+           |  SELECT 'raw' AS layer, lon AS x, lat AS y FROM pts
+           |  UNION ALL
+           |  SELECT 'projected' AS layer, lon * 111320.0 AS x, lat * 110540.0 AS y FROM pts
+           |),
+           |agg AS (
+           |  SELECT layer, MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+           |  FROM u GROUP BY layer
+           |)
+           |SELECT layer, min_x, max_x, min_y, max_y,
+           |  CASE WHEN min_x >= -180.0 AND max_x <= 180.0 AND min_y >= -90.0 AND max_y <= 90.0
+           |    THEN 'geographic' ELSE 'projected' END AS crs_guess
+           |FROM agg ORDER BY layer""".stripMargin,
       "zs_tri_zonal" ->
         s"""WITH pts AS ($pointsSql), z AS ($triZonesSql)
            |SELECT zone_id, COUNT(*) AS n_points,
