@@ -57,12 +57,16 @@ object ManifestIO {
     * anti-join broadcasts it when small — the reference's exists-check at
     * data.py:26-40 without a driver-side listing loop. */
   def appendMissing(spark: SparkSession, batch: DataFrame, catalogPath: String, keyCol: String): Long = {
-    val existing =
-      try spark.read.parquet(catalogPath).select(col(keyCol)).distinct()
-      catch { case _: Exception => null } // first write: no catalog yet
+    // explicit existence check: a blanket catch around the read would treat
+    // a CORRUPT catalog as "first write" and silently duplicate rows
+    val path = new org.apache.hadoop.fs.Path(catalogPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fresh =
-      if (existing == null) batch
-      else batch.join(broadcast(existing), Seq(keyCol), "left_anti")
+      if (!fs.exists(path)) batch
+      else {
+        val existing = spark.read.parquet(catalogPath).select(col(keyCol)).distinct()
+        batch.join(broadcast(existing), Seq(keyCol), "left_anti")
+      }
     val n = fresh.count()
     if (n > 0) fresh.write.mode(SaveMode.Append).parquet(catalogPath)
     n

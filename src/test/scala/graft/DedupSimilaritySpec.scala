@@ -26,6 +26,26 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(sim.intersect(jac).size * 2 >= sim.size, s"simhash<=3 pairs mostly non-dups: $sim vs $jac")
   }
 
+  test("df-cap prunes hot-shingle candidate pairs quantitatively") {
+    import spark.implicits._
+    // 60 docs all sharing one hot phrase (a stopword shingle in every doc)
+    // plus unique tails: the uncapped inverted index generates ~60*59/2
+    // pairs from the hot shingle alone; a df-cap of 20 drops it entirely
+    val docs = (0 until 60).map { i =>
+      (i.toLong, s"the quick brown fox w$i x$i y$i z$i a$i b$i")
+    }.toDF("doc_id", "text")
+    val sh = graft.operators.Dedup.shinglesOn(docs)
+    def candidatePairs(s: org.apache.spark.sql.DataFrame): Long =
+      s.as("a").join(s.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val uncapped = candidatePairs(sh)
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= 20).select("sh")
+    val capped = candidatePairs(sh.join(rare, Seq("sh")))
+    assert(uncapped == 60L * 59 / 2, s"uncapped=$uncapped")
+    assert(capped == 0, s"capped=$capped")
+  }
+
   test("exact dedup keeps exactly one doc per distinct text") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val kept = Dedup.exact(spark, sfDir)
