@@ -56,6 +56,17 @@ object Dedup {
   def exact(spark: SparkSession, dir: String): DataFrame =
     exactOn(documents(spark, dir)).orderBy("keep_id")
 
+  /** Normalized exact dedup — the standard first pass on web text: case-
+    * fold + whitespace-collapse + trim before hashing, so trivially-mutated
+    * copies land in one group. (Regex kept to a portable subset: DuckDB is
+    * RE2, Spark is java.util.regex.) */
+  def normalized(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("norm_text", trim(regexp_replace(lower(col("text")), " +", " ")))
+      .groupBy(md5(col("norm_text")).as("norm_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("group_size"))
+      .orderBy("keep_id")
+
   /** Word-3-gram Jaccard near-dup pairs (threshold 0.5): inverted index on
     * the shingle, per-bucket triangular pair generation, |A∩B| from the
     * bucket join and |A∪B| = |A|+|B|-|A∩B| from per-doc shingle counts
@@ -203,6 +214,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (exact _),
+    "dd_normalized" -> (normalized _),
     "dd_ngram_jaccard" -> (ngramJaccard _),
     "dd_jaccard_capped" -> (ngramJaccardCapped _),
     "dd_minhash" -> (minhash _),
@@ -212,6 +224,10 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "dd_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS group_size
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "dd_normalized" ->
+      """SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS norm_hash,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS group_size
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "dd_ngram_jaccard" ->
       s"""WITH sh AS ($shinglesSql),

@@ -65,6 +65,8 @@ object Multimodal {
   def decodeBatch(spark: SparkSession, dir: String): Dataset[DecodedFrame] = {
     import spark.implicits._
     withPayload(spark, dir)
+      // single-file table = one scan partition; decode must use every core
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id").as("docId"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
