@@ -200,7 +200,7 @@ object Events {
         |  SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec >= 1800 THEN 1 ELSE 0 END AS new_session
         |  FROM f
         |), h AS (
-        |  SELECT *, SUM(new_session) OVER win AS session_idx
+        |  SELECT *, CAST(SUM(new_session) OVER win AS BIGINT) AS session_idx
         |  FROM g WINDOW win AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)
         |)
         |SELECT user_id, session_idx, COUNT(*) AS n_events,
@@ -209,7 +209,7 @@ object Events {
         |FROM h GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
     "ev_json" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

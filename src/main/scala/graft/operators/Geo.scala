@@ -429,7 +429,7 @@ object Geo {
     val pyramidLevels = (Zoom to 0 by -2).map { z =>
       val shift = Zoom - z
       s"""SELECT $z AS zoom, tx >> $shift AS tx, ty >> $shift AS ty,
-         |  SUM(n) AS n_features, CAST(SUM(sum_dec) AS DOUBLE) AS sum_value
+         |  CAST(SUM(n) AS BIGINT) AS n_features, CAST(SUM(sum_dec) AS DOUBLE) AS sum_value
          |FROM z10 GROUP BY 1, 2, 3""".stripMargin
     }.mkString("\nUNION ALL\n")
     Map(
@@ -495,7 +495,7 @@ object Geo {
            |    SUM(CAST(value AS DECIMAL(18,4))) AS cell_sum_dec, COUNT(*) AS cell_n
            |  FROM pts GROUP BY 1, 2
            |)
-           |SELECT fx // 4 AS cx, fy // 4 AS cy, COUNT(*) AS n_cells, SUM(cell_n) AS n_points,
+           |SELECT fx // 4 AS cx, fy // 4 AS cy, COUNT(*) AS n_cells, CAST(SUM(cell_n) AS BIGINT) AS n_points,
            |  CAST(SUM(cell_sum_dec) AS DOUBLE) / SUM(cell_n) AS mean_value
            |FROM fine GROUP BY 1, 2 ORDER BY cx, cy""".stripMargin,
       "zs_vector_enrich" ->
@@ -525,7 +525,7 @@ object Geo {
            |  FROM pts GROUP BY 1, 2
            |)
            |SELECT tx >> 4 AS tx6, ty >> 4 AS ty6, COUNT(*) AS n_child_tiles,
-           |  SUM(n) AS n_features, CAST(SUM(sum_dec) AS DOUBLE) AS sum_value
+           |  CAST(SUM(n) AS BIGINT) AS n_features, CAST(SUM(sum_dec) AS DOUBLE) AS sum_value
            |FROM z10 GROUP BY 1, 2 ORDER BY tx6, ty6""".stripMargin,
       "zs_feature_drop" ->
         s"""WITH pts AS ($pointsSql),

@@ -128,8 +128,8 @@ object Multimodal {
     "mm_decode_stats" ->
       """SELECT doc_id,
         |  (length(text) + 15) // 16 AS n_frames,
-        |  list_sum(list_transform(range(1, length(text) + 1),
-        |    i -> ascii(substr(text, CAST(i AS INT), 1)))) AS byte_sum,
+        |  CAST(list_sum(list_transform(range(1, length(text) + 1),
+        |    i -> ascii(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS byte_sum,
         |  CAST(length(text) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_chunk_dedup" ->

@@ -164,7 +164,7 @@ object TextAnalysis {
         |  FROM scores
         |)
         |SELECT lang, COUNT(*) AS n_docs,
-        |  SUM(CASE WHEN cand = lang THEN 1 ELSE 0 END) AS n_correct
+        |  CAST(SUM(CASE WHEN cand = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
         |FROM pred WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
     "ta_quality" ->
       s"""WITH d AS (
@@ -192,9 +192,9 @@ object TextAnalysis {
         |  SELECT source, text, string_split(text, ' ') AS ws FROM documents
         |)
         |SELECT source, COUNT(*) AS n_docs,
-        |  SUM(len(ws)) AS sum_ws_tokens,
-        |  SUM(list_sum(list_transform(ws, w -> (length(w) + 3) // 4))) AS sum_bpe_tokens,
-        |  SUM(len(regexp_extract_all(text, '[a-z]+'))) AS sum_regex_tokens
+        |  CAST(SUM(len(ws)) AS BIGINT) AS sum_ws_tokens,
+        |  CAST(SUM(list_sum(list_transform(ws, w -> (length(w) + 3) // 4))) AS BIGINT) AS sum_bpe_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS sum_regex_tokens
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "ta_fingerprint" ->
       """WITH w AS (
