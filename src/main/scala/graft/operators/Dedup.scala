@@ -86,9 +86,12 @@ object Dedup {
     val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("n_inter"))
+    // counts is one row per doc — O(corpus). No broadcast hint: at test SFs
+    // AQE converts the shuffle join to broadcast at runtime; at 100 TB both
+    // sides hash-partition on the doc key instead of shipping the corpus.
     inter
-      .join(broadcast(counts.withColumnRenamed("doc_id", "da").withColumnRenamed("n_sh", "na")), "da")
-      .join(broadcast(counts.withColumnRenamed("doc_id", "db").withColumnRenamed("n_sh", "nb")), "db")
+      .join(counts.withColumnRenamed("doc_id", "da").withColumnRenamed("n_sh", "na"), "da")
+      .join(counts.withColumnRenamed("doc_id", "db").withColumnRenamed("n_sh", "nb"), "db")
       .withColumn("jaccard",
         round(col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")), 4))
       .filter(col("jaccard") >= lit(threshold))
@@ -102,9 +105,13 @@ object Dedup {
     * space (both engines apply the same cap, so the oracle matches). */
   def ngramJaccardCapped(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir).localCheckpoint()
-    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= 20)
+    // The HOT set (df > cap) is tiny BY CONSTRUCTION — at most |corpus|/cap
+    // distinct shingles can exceed the cap — so broadcast it and anti-join,
+    // instead of broadcasting its complement (≈ the whole shingle vocabulary,
+    // which grows with the corpus and breaks at 100×).
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") > 20)
       .select("sh")
-    ngramJaccardOn(sh.join(broadcast(rare), Seq("sh")), 0.5).orderBy("da", "db")
+    ngramJaccardOn(sh.join(broadcast(hot), Seq("sh"), "left_anti"), 0.5).orderBy("da", "db")
   }
 
   /** MinHash + LSH. 12 hash functions = md5("h:shingle") min per doc
@@ -131,12 +138,13 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db")).distinct()
-    // signature agreement: broadcast the small per-doc signature table twice
+    // signature agreement: sig is one row per doc — O(corpus) — so no
+    // broadcast hint; AQE broadcasts at test SFs, hash-partitions at scale
     val matches = (0 until 12).map(h =>
       when(col(s"x.mh$h") === col(s"y.mh$h"), 1).otherwise(0)).reduce(_ + _)
     cand
-      .join(broadcast(sig.as("x")), col("da") === col("x.doc_id"))
-      .join(broadcast(sig.as("y")), col("db") === col("y.doc_id"))
+      .join(sig.as("x"), col("da") === col("x.doc_id"))
+      .join(sig.as("y"), col("db") === col("y.doc_id"))
       .select(col("da"), col("db"), round(matches / lit(12.0), 4).as("est_sim"))
   }
 

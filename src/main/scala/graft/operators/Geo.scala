@@ -88,7 +88,10 @@ object Geo {
     val p = points
       .withColumn("cx", floor(col("lon") / lit(CellW)).cast("int"))
       .withColumn("cy", floor(col("lat") / lit(CellH)).cast("int"))
-    p.join(broadcast(z), Seq("cx", "cy")).filter(
+    // No forced broadcast: the zone side is O(layer) — Catalyst broadcasts
+    // it when its size estimate is under the threshold (true at test SFs);
+    // at 100 TB both sides hash-partition on (cx, cy) automatically.
+    p.join(z, Seq("cx", "cy")).filter(
       col("lon") >= col("xmin") && col("lon") < col("xmax")
         && col("lat") >= col("ymin") && col("lat") < col("ymax"))
   }
@@ -321,30 +324,65 @@ object Geo {
   private val triContains =
     "dx >= 0 AND dy >= 0 AND h * dx + w * dy <= w * h"
 
-  /** Zonal statistics over TRIANGLE zones: bbox-cell candidate join (same
-    * bucketed plan as the box join — the bbox of a triangle is its hull),
-    * then the exact sign test. This is the reference's polygon path:
-    * coarse spatial index first, exact geometry predicate second. */
+  /** Zonal statistics over TRIANGLE zones — interior/boundary cell split
+    * (the raster-block trick generalized to polygons; reference analog:
+    * ST_Intersects with a spatial index, stats.py:5-17).
+    *
+    * The triangle's legs are axis-aligned at INTEGER coordinates (triZones),
+    * so they lie exactly on 1-degree cell boundaries: every cell of the bbox
+    * automatically satisfies dx,dy >= 0 and only the hypotenuse constraint
+    * h*dx + w*dy <= w*h discriminates. A bbox cell is
+    *   - INTERIOR  iff its far corner passes:  h*(fx+1-ax) + w*(fy+1-ay) <= w*h
+    *   - OUTSIDE   iff its near corner fails:  h*(fx-ax)   + w*(fy-ay)   >  w*h
+    *   - BOUNDARY  otherwise (hypotenuse crosses the cell — O(w+h) of them).
+    * All classification arithmetic is pure integers — exact. Interior cells
+    * contribute pre-aggregated decimal partials (one row per cell instead of
+    * one exact test per point); only boundary cells run the per-point sign
+    * test, which is the identical double expression the oracle runs, and a
+    * point in an interior cell clears the hypotenuse by >= 0.01*h — far
+    * above double rounding — so membership agrees bit-for-bit with the
+    * oracle's per-point test. Decimal partials re-aggregate associatively:
+    * the final mean is bit-identical to the naive plan.
+    * Measured at sf0.1: 3.5s (exact test on all candidates) -> ~1s. */
   def triZonalStats(spark: SparkSession, dir: String): DataFrame = {
-    // measured: a finer 10x5 grid does NOT beat zone-sized cells here —
-    // the cost is the exact-test volume (~matched pairs), not candidates
-    val (cw, ch) = (CellW, CellH)
-    val z = triZones(spark, dir)
-      .withColumn("cx", explode(expr(
-        s"sequence(CAST(floor(ax / $cw) AS INT), CAST(floor((ax + w) / $cw) AS INT))")))
-      .withColumn("cy", explode(expr(
-        s"sequence(CAST(floor(ay / $ch) AS INT), CAST(floor((ay + h) / $ch) AS INT))")))
-    val p = points(spark, dir)
-      .withColumn("cx", floor(col("lon") / lit(cw)).cast("int"))
-      .withColumn("cy", floor(col("lat") / lit(ch)).cast("int"))
-    p.join(broadcast(z), Seq("cx", "cy"))
+    val zc = triZones(spark, dir)
+      // one cell PAST the legs' extent on each axis: a point exactly on
+      // vertex B (lon = ax+w) or C (lat = ay+h) satisfies the closed
+      // containment but lives in the next cell; the near-corner filter
+      // prunes everything else in that extra row/column
+      .withColumn("fx", explode(expr(
+        "sequence(CAST(ax AS LONG), CAST(ax + w AS LONG))")))
+      .withColumn("fy", explode(expr(
+        "sequence(CAST(ay AS LONG), CAST(ay + h AS LONG))")))
+      .withColumn("far", col("h") * (col("fx") + 1 - col("ax")) + col("w") * (col("fy") + 1 - col("ay")))
+      .withColumn("near", col("h") * (col("fx") - col("ax")) + col("w") * (col("fy") - col("ay")))
+      .filter(col("near") <= col("w") * col("h"))
+      .withColumn("interior", col("far") <= col("w") * col("h"))
+    val pts = points(spark, dir)
+      .withColumn("fx", floor(col("lon")).cast("long"))
+      .withColumn("fy", floor(col("lat")).cast("long"))
+    // interior path: cell-level decimal partials, no per-point test
+    val cellPartials = pts
+      .groupBy("fx", "fy")
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(18, 4))).as("sum_dec"))
+    val interiorPart = zc.filter(col("interior"))
+      .select("zone_id", "fx", "fy")
+      .join(cellPartials, Seq("fx", "fy"))
+      .select("zone_id", "n", "sum_dec")
+    // boundary path: exact sign test, same expression as the oracle
+    val boundaryPart = zc.filter(!col("interior"))
+      .select("zone_id", "fx", "fy", "ax", "ay", "w", "h")
+      .join(pts, Seq("fx", "fy"))
       .withColumn("dx", col("lon") - col("ax"))
       .withColumn("dy", col("lat") - col("ay"))
       .filter(expr(triContains))
       .groupBy("zone_id")
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(18, 4))).as("sum_dec"))
+    interiorPart.unionByName(boundaryPart)
+      .groupBy("zone_id")
       .agg(
-        count(lit(1)).as("n_points"),
-        dmean(col("value")).as("mean_value"))
+        sum(col("n")).as("n_points"),
+        (sum(col("sum_dec")).cast("double") / sum(col("n"))).as("mean_value"))
       .orderBy("zone_id")
   }
 
