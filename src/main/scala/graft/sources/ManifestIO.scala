@@ -55,7 +55,19 @@ object ManifestIO {
     * already present at `catalogPath`. Returns the number of rows written.
     * The existing-key set is a single-column scan (column pruning) and the
     * anti-join broadcasts it when small — the reference's exists-check at
-    * data.py:26-40 without a driver-side listing loop. */
+    * data.py:26-40 without a driver-side listing loop.
+    *
+    * The anti-join runs ONCE: the fresh set is persisted, the count
+    * materializes the cache, and the write reads from it (a bare
+    * count-then-write would run the whole join twice).
+    *
+    * Idempotency boundary: a crash BEFORE the write leaves the catalog
+    * untouched (safe re-run); a crash MID-write can leave a partial append —
+    * the committed part files' keys are then skipped on re-run and only the
+    * missing remainder is written, so re-running converges. What this does
+    * NOT protect against is a concurrent second writer racing the same
+    * batch (both anti-joins see the old catalog); serialize writers per
+    * catalog path. */
   def appendMissing(spark: SparkSession, batch: DataFrame, catalogPath: String, keyCol: String): Long = {
     // explicit existence check: a blanket catch around the read would treat
     // a CORRUPT catalog as "first write" and silently duplicate rows
@@ -67,9 +79,12 @@ object ManifestIO {
         val existing = spark.read.parquet(catalogPath).select(col(keyCol)).distinct()
         batch.join(broadcast(existing), Seq(keyCol), "left_anti")
       }
-    val n = fresh.count()
-    if (n > 0) fresh.write.mode(SaveMode.Append).parquet(catalogPath)
-    n
+    fresh.persist()
+    try {
+      val n = fresh.count()
+      if (n > 0) fresh.write.mode(SaveMode.Append).parquet(catalogPath)
+      n
+    } finally fresh.unpersist()
   }
 
   /** CSV manifest round-trip as a query: part -> csv manifest -> schema'd
