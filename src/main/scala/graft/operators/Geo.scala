@@ -386,6 +386,109 @@ object Geo {
       .orderBy("zone_id")
   }
 
+  // -- arbitrary-polygon zones (reference: real MultiPolygons run through
+  //    make-valid / ST_Intersects, pipeline/processing/inputs.py:46-61 +
+  //    stats.py:5-17; boxes and triangles above are the special cases) --
+
+  /** Concave pentagon zones — a box with a notch cut into the top edge, so
+    * the shape is NOT convex and only a general containment test works.
+    * All vertices are integer-derived: A=(ax,ay), B=(ax+w,ay), C=(ax+w,ay+h),
+    * D=(ax+wDIV2, ay+h-d) [the reflex notch], E=(ax,ay+h), with w in 10..24,
+    * h in 6..13, d in 2..5 < h. Geometry is an array<struct<x,y>> column —
+    * the general vertex-list form, not per-shape columns. */
+  def polyZones(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir).select(
+      col("p_partkey").as("zone_id"),
+      ((col("p_partkey") * lit(53L)) % lit(330L)).cast("double").minus(lit(180.0)).as("ax"),
+      ((col("p_partkey") * lit(89L)) % lit(55L)).cast("double").minus(lit(35.0)).as("ay"),
+      (col("p_partkey") % lit(15L) + lit(10L)).as("wl"),
+      (col("p_partkey") % lit(8L) + lit(6L)).as("hl"),
+      (col("p_partkey") % lit(4L) + lit(2L)).as("dl"))
+      .withColumn("w", col("wl").cast("double"))
+      .withColumn("h", col("hl").cast("double"))
+      .withColumn("hx", expr("CAST(wl DIV 2 AS DOUBLE)"))
+      .withColumn("nd", col("dl").cast("double"))
+      .withColumn("verts", array(
+        struct(col("ax").as("x"), col("ay").as("y")),
+        struct((col("ax") + col("w")).as("x"), col("ay").as("y")),
+        struct((col("ax") + col("w")).as("x"), (col("ay") + col("h")).as("y")),
+        struct((col("ax") + col("hx")).as("x"), (col("ay") + col("h") - col("nd")).as("y")),
+        struct(col("ax").as("x"), (col("ay") + col("h")).as("y"))))
+      .select("zone_id", "ax", "ay", "w", "h", "verts")
+
+  private val polyZonesSql =
+    """SELECT p_partkey AS zone_id,
+      |  CAST(p_partkey * 53 % 330 AS DOUBLE) - 180.0 AS ax,
+      |  CAST(p_partkey * 89 % 55 AS DOUBLE) - 35.0 AS ay,
+      |  CAST(p_partkey % 15 + 10 AS DOUBLE) AS w,
+      |  CAST(p_partkey % 8 + 6 AS DOUBLE) AS h,
+      |  CAST((p_partkey % 15 + 10) // 2 AS DOUBLE) AS hx,
+      |  CAST(p_partkey % 4 + 2 AS DOUBLE) AS nd
+      |FROM part""".stripMargin
+
+  /** General point-in-polygon: ray-cast (pnpoly) over an array<struct<x,y>>
+    * vertex list via higher-order functions — works for ANY simple polygon,
+    * convex or not, any vertex count. The crossing test is the standard
+    * pnpoly comparison with the division multiplied out (sign-branched on
+    * dy), so with integer vertices and 2-decimal points every product is an
+    * exact double — bit-identical in any engine that runs the same
+    * expression. Boundary semantics follow pnpoly's strict-> convention;
+    * both engines share it, so results hash-match regardless. */
+  def polyContains(verts: Column, px: Column, py: Column): Column = {
+    val n = size(verts)
+    val crossed = filter(sequence(lit(1), n), i => {
+      val a = element_at(verts, i)
+      val b = element_at(verts, when(i === n, lit(1)).otherwise(i + lit(1)))
+      val dy = b("y") - a("y")
+      val lhs = (px - a("x")) * dy
+      val rhs = (b("x") - a("x")) * (py - a("y"))
+      ((a("y") > py) =!= (b("y") > py)) &&
+        (((dy > lit(0)) && (lhs < rhs)) || ((dy < lit(0)) && (lhs > rhs)))
+    })
+    size(crossed) % lit(2) === lit(1)
+  }
+
+  /** One unrolled pnpoly crossing term for the oracle (same multiply-form
+    * arithmetic as polyContains). */
+  private def crossSql(xi0: String, yi0: String, xj0: String, yj0: String): String = {
+    // every vertex expression is parenthesized before substitution: "ay + h
+    // - nd" must subtract as a unit ((lat - (ay+h-nd)), not left-to-right)
+    val (xi, yi, xj, yj) = (s"($xi0)", s"($yi0)", s"($xj0)", s"($yj0)")
+    s"""CASE WHEN (($yi > lat) <> ($yj > lat)) AND (
+       |  (($yj - $yi) > 0 AND (lon - $xi) * ($yj - $yi) < ($xj - $xi) * (lat - $yi)) OR
+       |  (($yj - $yi) < 0 AND (lon - $xi) * ($yj - $yi) > ($xj - $xi) * (lat - $yi))
+       |) THEN 1 ELSE 0 END""".stripMargin
+  }
+
+  /** Zonal statistics over ARBITRARY polygons: same cell-bucketed candidate
+    * join as the box path (bbox of the polygon -> covering cells), closed
+    * bbox prefilter, then the general ray-cast containment. This is the
+    * reference's ST_Intersects plan: coarse spatial index first, exact
+    * geometry predicate second — and the exact predicate here handles any
+    * simple polygon, which boxes (zs_zonal_stats) and triangles
+    * (zs_tri_zonal) cannot. */
+  def polyZonalStats(spark: SparkSession, dir: String): DataFrame = {
+    val z = polyZones(spark, dir)
+      .withColumn("cx", explode(expr(
+        s"sequence(CAST(floor(ax / $CellW) AS INT), CAST(floor((ax + w) / $CellW) AS INT))")))
+      .withColumn("cy", explode(expr(
+        s"sequence(CAST(floor(ay / $CellH) AS INT), CAST(floor((ay + h) / $CellH) AS INT))")))
+    val p = points(spark, dir)
+      .withColumn("cx", floor(col("lon") / lit(CellW)).cast("int"))
+      .withColumn("cy", floor(col("lat") / lit(CellH)).cast("int"))
+    p.join(z, Seq("cx", "cy"))
+      .filter(col("lon") >= col("ax") && col("lon") <= col("ax") + col("w")
+        && col("lat") >= col("ay") && col("lat") <= col("ay") + col("h"))
+      .filter(polyContains(col("verts"), col("lon"), col("lat")))
+      .groupBy("zone_id")
+      .agg(
+        count(lit(1)).as("n_points"),
+        dmean(col("value")).as("mean_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("zone_id")
+  }
+
   /** Full pyramid z10 -> z0 in step-2 levels (tippecanoe generates every
     * zoom from max down to --minimum-zoom). Each level aggregates the
     * PREVIOUS level's partials — one shuffle per level on the parent key,
@@ -449,6 +552,7 @@ object Geo {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zs_crs_detect" -> (crsDetect _),
     "zs_tri_zonal" -> (triZonalStats _),
+    "zs_poly_zonal" -> (polyZonalStats _),
     "zs_tile_pyramid_full" -> (tilePyramidFull _),
     "zs_simplify" -> (simplify _),
     "zs_webmercator" -> (webmercator _),
@@ -486,6 +590,21 @@ object Geo {
            |  CASE WHEN min_x >= -180.0 AND max_x <= 180.0 AND min_y >= -90.0 AND max_y <= 90.0
            |    THEN 'geographic' ELSE 'projected' END AS crs_guess
            |FROM agg ORDER BY layer""".stripMargin,
+      "zs_poly_zonal" -> {
+        val vs = Seq(("ax", "ay"), ("ax + w", "ay"), ("ax + w", "ay + h"),
+          ("ax + hx", "ay + h - nd"), ("ax", "ay + h"))
+        val crossings = (0 until 5).map { i =>
+          val (xi, yi) = vs(i); val (xj, yj) = vs((i + 1) % 5)
+          crossSql(xi, yi, xj, yj)
+        }.mkString("(", " + ", ")")
+        s"""WITH pts AS ($pointsSql), z AS ($polyZonesSql)
+           |SELECT zone_id, COUNT(*) AS n_points,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean_value,
+           |  MIN(value) AS min_value, MAX(value) AS max_value
+           |FROM pts JOIN z ON lon >= ax AND lon <= ax + w AND lat >= ay AND lat <= ay + h
+           |  AND $crossings % 2 = 1
+           |GROUP BY zone_id ORDER BY zone_id""".stripMargin
+      },
       "zs_tri_zonal" ->
         s"""WITH pts AS ($pointsSql), z AS ($triZonesSql)
            |SELECT zone_id, COUNT(*) AS n_points,

@@ -60,6 +60,46 @@ class GeoSpec extends SparkSpecBase {
     assert(bucketed.count() > 0)
   }
 
+  test("polyContains is a true concave test: hull points in the notch are outside") {
+    import spark.implicits._
+    // pentagon: box (0,0)-(10,6) with a notch cut to (5,3) in the top edge
+    val verts = array(
+      struct(lit(0.0).as("x"), lit(0.0).as("y")),
+      struct(lit(10.0).as("x"), lit(0.0).as("y")),
+      struct(lit(10.0).as("x"), lit(6.0).as("y")),
+      struct(lit(5.0).as("x"), lit(3.0).as("y")),
+      struct(lit(0.0).as("x"), lit(6.0).as("y")))
+    val pts = Seq(
+      (5.0, 1.0, true),   // deep interior
+      (5.0, 4.0, false),  // inside the convex hull but in the notch
+      (1.0, 5.0, true),   // left lobe, above notch level
+      (9.0, 5.0, true),   // right lobe
+      (5.0, 3.5, false),  // just above the reflex vertex
+      (5.0, 2.9, true),   // just below the reflex vertex
+      (11.0, 3.0, false)  // outside the bbox entirely
+    ).toDF("px", "py", "expected")
+    val got = pts.withColumn("inside", Geo.polyContains(verts, col("px"), col("py"))).collect()
+    got.foreach(r => assert(r.getBoolean(3) == r.getBoolean(2),
+      s"(${r.getDouble(0)},${r.getDouble(1)}): got ${r.getBoolean(3)}"))
+  }
+
+  test("poly zonal bbox-cell join equals the naive ray-cast theta-join") {
+    val bucketed = Geo.polyZonalStats(spark, sfDir)
+    val z = Geo.polyZones(spark, sfDir)
+    val naive = Geo.points(spark, sfDir)
+      .join(z,
+        col("lon") >= col("ax") && col("lon") <= col("ax") + col("w")
+          && col("lat") >= col("ay") && col("lat") <= col("ay") + col("h")
+          && Geo.polyContains(col("verts"), col("lon"), col("lat")))
+      .groupBy("zone_id")
+      .agg(count(lit(1)).as("n_points"),
+        graft.sources.Tables.dmean(col("value")).as("mean_value"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .orderBy("zone_id")
+    assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty)
+    assert(bucketed.count() > 0)
+  }
+
   test("web-mercator tiling: equator fixed point and latitude monotonicity") {
     import spark.implicits._
     val n = 1L << Geo.MercZoom
