@@ -535,6 +535,82 @@ object Geo {
       .orderBy("tx", "ty")
   }
 
+  // -- raster polygonization (reference: ST_DumpAsPolygons merges contiguous
+  //    same-value pixel regions into polygons before the spatial join,
+  //    pipeline/processing/inputs.py:7-17) --
+
+  /** Rasterize points into 1-degree cells with a discrete value class
+    * (cell point-count mod 4 — integer, deterministic in any engine) and a
+    * unique integer cell label. lon in [-180,180), lat in [-35,35) =>
+    * label = (fx+180)*70 + (fy+35) is injective. */
+  private def classedCells(spark: SparkSession, dir: String): DataFrame =
+    points(spark, dir)
+      .withColumn("fx", floor(col("lon")).cast("long"))
+      .withColumn("fy", floor(col("lat")).cast("long"))
+      .groupBy("fx", "fy")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("cls", col("n") % lit(4L))
+      .withColumn("lbl", (col("fx") + lit(180L)) * lit(70L) + (col("fy") + lit(35L)))
+
+  /** Raster polygonization: merge 4-adjacent same-class cells into regions
+    * by iterative min-label propagation (hash-min connected components).
+    *
+    * Plan shape: adjacency edges come from two SHIFTED EQUI-joins (right
+    * neighbor, up neighbor — key (fx+1, fy, cls) vs (fx, fy, cls)), never a
+    * theta self-join; each round is one shuffle of O(#cells) label rows,
+    * localCheckpointed to cut lineage. Rounds needed = region graph
+    * diameter; classes are pseudo-random mod-4 so regions are subcritical
+    * (percolation p=0.25 < 0.59) and converge in a handful of rounds. At
+    * 100 TB the same loop holds (labels are one row per OCCUPIED cell, not
+    * per point); for adversarial snake-shaped regions swap in
+    * large-star/small-star pointer doubling for O(log d) rounds.
+    * The converged labeling is the unique per-region min — independent of
+    * iteration order, so deterministic and oracle-checkable (the oracle
+    * computes the same fixpoint as a recursive-CTE transitive closure). */
+  def polygonize(spark: SparkSession, dir: String): DataFrame =
+    cellRegions(spark, dir)
+      .groupBy(col("region_id"), col("cls"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(col("n")).as("n_points"),
+        min(col("fx")).as("rxmin"), max(col("fx")).as("rxmax"),
+        min(col("fy")).as("rymin"), max(col("fy")).as("rymax"))
+      .orderBy("region_id")
+
+  /** Per-cell converged region labels (the loop itself); exposed for the
+    * adjacency-invariant spec. */
+  private[graft] def cellRegions(spark: SparkSession, dir: String): DataFrame = {
+    val cells = classedCells(spark, dir).localCheckpoint()
+    val a = cells.select(col("fx"), col("fy"), col("cls"), col("lbl"))
+    val right = a.as("a").join(a.as("b"),
+      col("a.fx") + lit(1L) === col("b.fx") && col("a.fy") === col("b.fy")
+        && col("a.cls") === col("b.cls"))
+      .select(col("a.lbl").as("src"), col("b.lbl").as("dst"))
+    val up = a.as("a").join(a.as("b"),
+      col("a.fx") === col("b.fx") && col("a.fy") + lit(1L) === col("b.fy")
+        && col("a.cls") === col("b.cls"))
+      .select(col("a.lbl").as("src"), col("b.lbl").as("dst"))
+    val half = right.unionByName(up)
+    val edges = half.unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = cells.select(col("lbl").as("cell"), col("lbl").as("r")).localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 64) {
+      val msgs = edges.join(labels, col("src") === col("cell"))
+        .select(col("dst").as("cell"), col("r"))
+      val next = labels.unionByName(msgs)
+        .groupBy("cell").agg(min(col("r")).as("r"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("r", "r0"), "cell")
+        .filter(col("r") < col("r0")).isEmpty
+      labels = next
+      rounds += 1
+    }
+    cells.join(labels, cells("lbl") === labels("cell"))
+      .select(col("fx"), col("fy"), col("n"), col("cls"), col("r").as("region_id"))
+  }
+
   /** Low-zoom simplification (tiles.py feeds tippecanoe --simplification):
     * snap coordinates to a 1-degree grid and collapse coincident features,
     * keeping the representative (min event_id) + collapse count. */
@@ -553,6 +629,7 @@ object Geo {
     "zs_crs_detect" -> (crsDetect _),
     "zs_tri_zonal" -> (triZonalStats _),
     "zs_poly_zonal" -> (polyZonalStats _),
+    "zs_polygonize" -> (polygonize _),
     "zs_tile_pyramid_full" -> (tilePyramidFull _),
     "zs_simplify" -> (simplify _),
     "zs_webmercator" -> (webmercator _),
@@ -590,6 +667,35 @@ object Geo {
            |  CASE WHEN min_x >= -180.0 AND max_x <= 180.0 AND min_y >= -90.0 AND max_y <= 90.0
            |    THEN 'geographic' ELSE 'projected' END AS crs_guess
            |FROM agg ORDER BY layer""".stripMargin,
+      "zs_polygonize" ->
+        s"""WITH RECURSIVE
+           |pts AS ($pointsSql),
+           |cells AS (
+           |  SELECT CAST(floor(lon) AS BIGINT) AS fx, CAST(floor(lat) AS BIGINT) AS fy,
+           |    COUNT(*) AS n
+           |  FROM pts GROUP BY 1, 2
+           |),
+           |c AS (
+           |  SELECT fx, fy, n, n % 4 AS cls, (fx + 180) * 70 + (fy + 35) AS lbl FROM cells
+           |),
+           |e AS (
+           |  SELECT a.lbl AS src, b.lbl AS dst FROM c a JOIN c b
+           |  ON a.cls = b.cls AND
+           |    ((a.fx + 1 = b.fx AND a.fy = b.fy) OR (b.fx + 1 = a.fx AND a.fy = b.fy) OR
+           |     (a.fx = b.fx AND a.fy + 1 = b.fy) OR (a.fx = b.fx AND b.fy + 1 = a.fy))
+           |),
+           |reach AS (
+           |  SELECT lbl AS cell, lbl AS r FROM c
+           |  UNION
+           |  SELECT e.dst AS cell, reach.r FROM reach JOIN e ON reach.cell = e.src
+           |),
+           |final AS (SELECT cell, MIN(r) AS region_id FROM reach GROUP BY cell)
+           |SELECT f.region_id, c.cls, COUNT(*) AS n_cells,
+           |  CAST(SUM(c.n) AS BIGINT) AS n_points,
+           |  MIN(c.fx) AS rxmin, MAX(c.fx) AS rxmax,
+           |  MIN(c.fy) AS rymin, MAX(c.fy) AS rymax
+           |FROM c JOIN final f ON c.lbl = f.cell
+           |GROUP BY 1, 2 ORDER BY region_id""".stripMargin,
       "zs_poly_zonal" -> {
         val vs = Seq(("ax", "ay"), ("ax + w", "ay"), ("ax + w", "ay + h"),
           ("ax + hx", "ay + h - nd"), ("ax", "ay + h"))

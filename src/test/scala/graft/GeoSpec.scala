@@ -100,6 +100,28 @@ class GeoSpec extends SparkSpecBase {
     assert(bucketed.count() > 0)
   }
 
+  test("polygonize: converged labeling has no same-class adjacency across regions") {
+    // sf0.001's 1000 occupied cells have ZERO adjacent pairs (verified in
+    // DuckDB) — nothing would merge; sf0.01 has ~3.5k same-class adjacencies
+    val polyDir = "/root/testdata/sf0.01"
+    val cr = Geo.cellRegions(spark, polyDir).localCheckpoint()
+    // every 4-adjacent same-class cell pair must share a region id
+    val crossing = cr.as("a").join(cr.as("b"),
+        col("a.cls") === col("b.cls") &&
+          ((col("a.fx") + 1 === col("b.fx") && col("a.fy") === col("b.fy")) ||
+            (col("a.fx") === col("b.fx") && col("a.fy") + 1 === col("b.fy"))))
+      .filter(col("a.region_id") =!= col("b.region_id"))
+    assert(crossing.isEmpty, "adjacent same-class cells in different regions")
+    // conservation: every occupied cell in exactly one region, points add up
+    val out = Geo.polygonize(spark, polyDir)
+    val nCells = cr.count()
+    val nPts = Geo.points(spark, polyDir).count()
+    val agg = out.agg(sum("n_cells"), sum("n_points")).collect()(0)
+    assert(agg.getLong(0) == nCells && agg.getLong(1) == nPts)
+    // regions actually merge cells (multi-cell regions exist)
+    assert(out.filter(col("n_cells") > 1).count() > 0)
+  }
+
   test("web-mercator tiling: equator fixed point and latitude monotonicity") {
     import spark.implicits._
     val n = 1L << Geo.MercZoom
