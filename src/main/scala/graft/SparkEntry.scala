@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsofJoin, Dedup, Events, Geo, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, Events, Geo, Multimodal, Pipeline, Relational, Similarity, TextAnalysis}
 import graft.sources.ManifestIO
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,7 +21,8 @@ object SparkEntry {
       (Similarity.queries, Similarity.oracle),
       (TextAnalysis.queries, TextAnalysis.oracle),
       (Multimodal.queries, Multimodal.oracle),
-      (ManifestIO.queries, ManifestIO.oracle))
+      (ManifestIO.queries, ManifestIO.oracle),
+      (Pipeline.queries, Pipeline.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Zonal statistics is the reference's core computation (stats.py). */

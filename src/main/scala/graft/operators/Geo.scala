@@ -42,7 +42,7 @@ object Geo {
       ((col("event_id") * lit(104729L)) % lit(7000L)).cast("double").divide(lit(100.0))
         .minus(lit(35.0)).as("lat"))
 
-  private val pointsSql =
+  private[operators] val pointsSql =
     """SELECT event_id, event_type, value,
       |  CAST(event_id * 7919 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon,
       |  CAST(event_id * 104729 % 7000 AS DOUBLE) / 100.0 - 35.0 AS lat
@@ -57,7 +57,7 @@ object Geo {
       .withColumn("xmax", col("xmin") + lit(20.0))
       .withColumn("ymax", col("ymin") + lit(10.0))
 
-  private val zonesSql =
+  private[operators] val zonesSql =
     """SELECT p_partkey AS zone_id,
       |  CAST(p_partkey * 37 % 340 AS DOUBLE) - 180.0 AS xmin,
       |  CAST(p_partkey * 61 % 60 AS DOUBLE) - 35.0 AS ymin,
@@ -231,16 +231,19 @@ object Geo {
       s"CAST(((tx >> $i) & 1) + ((ty >> $i) & 1) * 2 AS VARCHAR)"
     }.mkString(" || ")
 
-  /** lon/lat -> XYZ tile + quadkey at zoom 10, per-tile feature counts. */
-  def tileAssign(spark: SparkSession, dir: String): DataFrame = {
+  /** Generic form over any (lon, lat, value) points DataFrame. */
+  def tileAssignOn(pts: DataFrame): DataFrame = {
     val (tx, ty) = tileCols(Zoom)
-    points(spark, dir)
+    pts
       .withColumn("tx", tx).withColumn("ty", ty)
       .withColumn("quadkey", quadkeyCol(Zoom))
       .groupBy("tx", "ty", "quadkey")
       .agg(count(lit(1)).as("n_features"), dsum(col("value")).as("sum_value"))
-      .orderBy("tx", "ty")
   }
+
+  /** lon/lat -> XYZ tile + quadkey at zoom 10, per-tile feature counts. */
+  def tileAssign(spark: SparkSession, dir: String): DataFrame =
+    tileAssignOn(points(spark, dir)).orderBy("tx", "ty")
 
   /** Tile pyramid rollup z10 -> z6: parent key is a bit shift of the child
     * key, so each level is one shuffle over pre-aggregated partials
