@@ -299,6 +299,66 @@ object Geo {
       .orderBy("layer")
   }
 
+  /** Per-layer CRS manifest (batch/processing/raster.py:14-19 reads the real
+    * source CRS via gdalsrsinfo before deciding how to standardize a
+    * layer). Layers derive from nation keys; odd keys carry a projected CRS
+    * plus integer affine params back to the common grid. */
+  def layerManifest(spark: SparkSession, dir: String): DataFrame =
+    nation(spark, dir).select(
+      col("n_nationkey").cast("long").as("layer_id"),
+      when(col("n_nationkey") % 2 === 0, lit("EPSG:4326"))
+        .otherwise(lit("EPSG:6933")).as("crs"),
+      (col("n_nationkey") % 3 + 1).cast("double").as("sx"),
+      (col("n_nationkey") % 5 + 1).cast("double").as("sy"),
+      (col("n_nationkey") * 7 % 100).cast("double").as("dx"),
+      (col("n_nationkey") * 11 % 100).cast("double").as("dy"))
+
+  private val layerManifestSql =
+    """SELECT CAST(n_nationkey AS BIGINT) AS layer_id,
+      |  CASE WHEN n_nationkey % 2 = 0 THEN 'EPSG:4326' ELSE 'EPSG:6933' END AS crs,
+      |  CAST(n_nationkey % 3 + 1 AS DOUBLE) AS sx,
+      |  CAST(n_nationkey % 5 + 1 AS DOUBLE) AS sy,
+      |  CAST(n_nationkey * 7 % 100 AS DOUBLE) AS dx,
+      |  CAST(n_nationkey * 11 % 100 AS DOUBLE) AS dy
+      |FROM nation""".stripMargin
+
+  /** Metadata-driven standardization dispatch: geographic layers pass
+    * through untouched (gdal_translate), projected layers run their
+    * per-layer affine back to the common grid (gdalwarp) — the branch the
+    * reference takes per raster at raster.py:14-19, expressed as ONE
+    * declarative plan: broadcast the manifest (genuinely O(#layers) — a
+    * justified broadcast, unlike per-row tables) and branch per row with
+    * `when`, so Catalyst sees a single scan + hash join, no driver-side
+    * per-layer loop. Integer affine params x 2-decimal coords stay exact. */
+  def crsDispatch(spark: SparkSession, dir: String): DataFrame = {
+    val m = layerManifest(spark, dir)
+    points(spark, dir)
+      .withColumn("layer_id", col("event_id") % 25)
+      .join(broadcast(m), Seq("layer_id"))
+      .withColumn("x_std",
+        when(col("crs") === "EPSG:4326", col("lon"))
+          .otherwise(col("lon") * col("sx") + col("dx")))
+      .withColumn("y_std",
+        when(col("crs") === "EPSG:4326", col("lat"))
+          .otherwise(col("lat") * col("sy") + col("dy")))
+      .groupBy("layer_id", "crs")
+      .agg(
+        count(lit(1)).as("n_points"),
+        dsum(col("x_std")).as("sum_x"),
+        dsum(col("y_std")).as("sum_y"))
+      .orderBy("layer_id")
+  }
+
+  /** Write a tile pyramid as the z/x/y directory artifact the reference
+    * produces with tippecanoe --output-to-directory (tiles.py:16-31):
+    * parquet partitioned by zoom/tx/ty — one directory per tile, so a tile
+    * server's point read prunes to a single leaf and never scans
+    * neighbors. */
+  def writeTileDirectory(pyramid: DataFrame, path: String): Unit =
+    pyramid.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("zoom", "tx", "ty")
+      .parquet(path)
+
   /** Triangle zones — real polygons, not boxes (the reference's zone layers
     * are arbitrary polygons tested with ST_Intersects). Vertices are
     * integer-derived: A = (ax, ay), B = A + (w, 0), C = A + (0, h) with
@@ -633,6 +693,7 @@ object Geo {
     "zs_tri_zonal" -> (triZonalStats _),
     "zs_poly_zonal" -> (polyZonalStats _),
     "zs_polygonize" -> (polygonize _),
+    "zs_crs_dispatch" -> (crsDispatch _),
     "zs_tile_pyramid_full" -> (tilePyramidFull _),
     "zs_simplify" -> (simplify _),
     "zs_webmercator" -> (webmercator _),
@@ -670,6 +731,16 @@ object Geo {
            |  CASE WHEN min_x >= -180.0 AND max_x <= 180.0 AND min_y >= -90.0 AND max_y <= 90.0
            |    THEN 'geographic' ELSE 'projected' END AS crs_guess
            |FROM agg ORDER BY layer""".stripMargin,
+      "zs_crs_dispatch" ->
+        s"""WITH pts AS ($pointsSql), m AS ($layerManifestSql),
+           |p AS (SELECT *, event_id % 25 AS layer_id FROM pts)
+           |SELECT p.layer_id, crs, COUNT(*) AS n_points,
+           |  CAST(SUM(CAST(CASE WHEN crs = 'EPSG:4326' THEN lon
+           |    ELSE lon * sx + dx END AS DECIMAL(18,4))) AS DOUBLE) AS sum_x,
+           |  CAST(SUM(CAST(CASE WHEN crs = 'EPSG:4326' THEN lat
+           |    ELSE lat * sy + dy END AS DECIMAL(18,4))) AS DOUBLE) AS sum_y
+           |FROM p JOIN m ON p.layer_id = m.layer_id
+           |GROUP BY 1, 2 ORDER BY p.layer_id""".stripMargin,
       "zs_polygonize" ->
         s"""WITH RECURSIVE
            |pts AS ($pointsSql),

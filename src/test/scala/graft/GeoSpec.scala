@@ -122,6 +122,24 @@ class GeoSpec extends SparkSpecBase {
     assert(out.filter(col("n_cells") > 1).count() > 0)
   }
 
+  test("tile directory sink writes the z/x/y layout and point reads prune to one leaf") {
+    val out = java.nio.file.Files.createTempDirectory("graft_tiles").toString + "/tiles"
+    val pyr = Geo.tilePyramidFull(spark, sfDir).filter(col("zoom") <= 4)
+    Geo.writeTileDirectory(pyr, out)
+    // the z/x/y directory artifact: zoom 0 is the single world tile
+    assert(new java.io.File(s"$out/zoom=0/tx=0/ty=0").isDirectory)
+    val back = spark.read.parquet(out)
+    assert(back.count() == pyr.count())
+    // a single-tile read must prune on all three partition columns
+    val p = plan(back.filter(col("zoom") === 4 && col("tx") === 3 && col("ty") === 2))
+    assert(p.contains("PartitionFilters") &&
+      p.contains("zoom") && p.contains("tx") && p.contains("ty"), p)
+    // round trip is value-lossless for one known tile
+    val z0 = back.filter(col("zoom") === 0).select("n_features").collect()
+    val pts = Geo.points(spark, sfDir).count()
+    assert(z0.length == 1 && z0(0).getLong(0) == pts)
+  }
+
   test("web-mercator tiling: equator fixed point and latitude monotonicity") {
     import spark.implicits._
     val n = 1L << Geo.MercZoom
