@@ -114,9 +114,12 @@ object Dedup {
     ngramJaccardOn(sh.join(broadcast(hot), Seq("sh"), "left_anti"), 0.5).orderBy("da", "db")
   }
 
-  /** MinHash + LSH. 12 hash functions = md5("h:shingle") min per doc
-    * (lexicographic min of the hex digest is a valid random-permutation
-    * proxy and portable); 6 bands x 2 rows; band key = md5 of the two
+  /** MinHash + LSH. 12 hash functions derived from THREE md5 digests per
+    * shingle — digest d = md5("d:shingle") splits into four 8-hex-char
+    * (32-bit) hash values, h = substr(digest(h/4), (h%4)*8+1, 8) — so the
+    * dominant per-shingle cost is 3 md5 calls, not 12 (lexicographic min
+    * of a hex substring is still a valid random-permutation proxy and
+    * portable to the oracle). 6 bands x 2 rows; band key = md5 of the two
     * signature components; pairs sharing >=1 band are candidates, scored by
     * full-signature agreement (est_sim = matching components / 12). */
   def minhash(spark: SparkSession, dir: String): DataFrame =
@@ -124,11 +127,14 @@ object Dedup {
 
   /** Generic form over any (doc_id, sh) shingle set. */
   def minhashOn(shingleSet: DataFrame): DataFrame = {
-    // One shuffle: 12 min-aggregates computed column-wise with map-side
-    // partial aggregation (vs. exploding 12 hash rows per shingle).
+    // One shuffle: digests projected ONCE per shingle (3 md5 calls), then
+    // 12 min-aggregates over substrings, column-wise with map-side partial
+    // aggregation (vs. exploding 12 hash rows per shingle).
+    val withDigests = shingleSet.select(col("doc_id") +:
+      (0 until 3).map(d => md5(concat(lit(s"$d:"), col("sh"))).as(s"dg$d")): _*)
     val sigCols = (0 until 12).map(h =>
-      min(md5(concat(lit(s"$h:"), col("sh")))).as(s"mh$h"))
-    val sig = shingleSet.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      min(substring(col(s"dg${h / 4}"), (h % 4) * 8 + 1, 8)).as(s"mh$h"))
+    val sig = withDigests.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
       .localCheckpoint() // tiny (one row per doc); used by both band sides + scoring
     val bandCols = (0 until 6).map(b =>
       md5(concat(col(s"mh${2 * b}"), lit("|"), col(s"mh${2 * b + 1}"))))
@@ -268,7 +274,9 @@ object Dedup {
     "dd_minhash" ->
       s"""WITH sh AS ($shinglesSql),
          |sig AS (
-         |  SELECT doc_id, h, MIN(md5(CAST(h AS VARCHAR) || ':' || sh)) AS mh
+         |  SELECT doc_id, h,
+         |    MIN(substr(md5(CAST(h // 4 AS VARCHAR) || ':' || sh),
+         |      CAST((h % 4) * 8 + 1 AS INT), 8)) AS mh
          |  FROM sh, UNNEST(range(0, 12)) AS t(h) GROUP BY doc_id, h
          |),
          |bands AS (

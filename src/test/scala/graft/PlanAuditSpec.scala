@@ -24,6 +24,21 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("no forced broadcast of O(corpus) tables (per-doc counts/signatures, per-row joins)") {
+    // These queries join one-row-per-doc or one-row-per-zone tables that
+    // grow with the data; a broadcast() hint there ships the corpus to every
+    // executor at 100x. Distribution choice must be left to Catalyst/AQE.
+    // (Queries with legitimately bounded broadcasts — a hot-shingle cap set,
+    // a #layers manifest, a top-k query side — are not in this list.)
+    val mustNotHint = Seq("dd_ngram_jaccard", "dd_minhash", "zs_zonal_stats",
+      "zs_tri_zonal", "zs_poly_zonal", "zs_vector_enrich", "zs_polygonize")
+    mustNotHint.foreach { name =>
+      val analyzed = SparkEntry.queries(name)(spark, sfDir).queryExecution.analyzed.toString
+      assert(!analyzed.contains("ResolvedHint"),
+        s"$name forces a broadcast of an O(corpus) table:\n$analyzed")
+    }
+  }
+
   test("every parquet scan prunes columns (no SELECT * scans of wide tables)") {
     // lineitem is the wide fact table: no lineitem query needs every column
     SparkEntry.queries.foreach { case (name, fn) =>
