@@ -74,12 +74,24 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardOn(shingles(spark, dir), 0.5).orderBy("da", "db")
 
-  /** Generic form over any (doc_id, sh) shingle set. */
-  def ngramJaccardOn(shingleSet: DataFrame, threshold: Double): DataFrame = {
+  /** Generic form over any (doc_id, sh) shingle set. `dfCap` drops shingles
+    * whose document frequency exceeds the cap BEFORE pair generation — the
+    * hot-bucket guard — computed as a WINDOW count over the same shuffle
+    * the bucket join needs anyway (a separate groupBy+anti-join costs an
+    * extra full shuffle of the shingle set and, measured at sf0.1, made the
+    * capped path 2x SLOWER than uncapped; the window form shares it). */
+  def ngramJaccardOn(shingleSet: DataFrame, threshold: Double, dfCap: Option[Int] = None): DataFrame = {
     // referenced three times below (two join sides + counts): materialize
     // eagerly so the shingle explode runs once, not per subtree (a lazy
     // persist still races when broadcast builds start concurrently)
-    val sh = shingleSet.localCheckpoint()
+    val sh0 = shingleSet.localCheckpoint()
+    val sh = dfCap match {
+      case Some(cap) =>
+        import org.apache.spark.sql.expressions.Window
+        sh0.withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+          .filter(col("df") <= cap).drop("df")
+      case None => sh0
+    }
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -103,16 +115,8 @@ object Dedup {
     * join — the standard guard against the b^2 pair blowup of hot buckets
     * at 100 TB. Jaccard is then computed consistently over the rare-shingle
     * space (both engines apply the same cap, so the oracle matches). */
-  def ngramJaccardCapped(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).localCheckpoint()
-    // The HOT set (df > cap) is tiny BY CONSTRUCTION — at most |corpus|/cap
-    // distinct shingles can exceed the cap — so broadcast it and anti-join,
-    // instead of broadcasting its complement (≈ the whole shingle vocabulary,
-    // which grows with the corpus and breaks at 100×).
-    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") > 20)
-      .select("sh")
-    ngramJaccardOn(sh.join(broadcast(hot), Seq("sh"), "left_anti"), 0.5).orderBy("da", "db")
-  }
+  def ngramJaccardCapped(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardOn(shingles(spark, dir), 0.5, dfCap = Some(20)).orderBy("da", "db")
 
   /** MinHash + LSH. 12 hash functions derived from THREE md5 digests per
     * shingle — digest d = md5("d:shingle") splits into four 8-hex-char

@@ -113,6 +113,18 @@ object StreamingJobs {
       }
   }
 
+  /** Streaming exact dedup — the streaming twin of Dedup.exactOn for a
+    * continuously-ingested corpus: drop duplicate texts by md5 content
+    * hash with dropDuplicatesWithinWatermark, so the hash-key state is
+    * EVICTED once the watermark passes (plain dropDuplicates on a stream
+    * keys state forever — the unbounded-state trap at 100 TB ingest).
+    * First arrival wins within the dedup horizon. */
+  def dedupDocs(docs: DataFrame, horizon: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("text_hash", md5(col("text")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Convenience: run a streaming DataFrame to completion against an
     * in-memory sink and return the result table. Test/dev harness only. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String, mode: OutputMode): DataFrame = {

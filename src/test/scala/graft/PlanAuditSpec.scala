@@ -24,19 +24,40 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
-  test("no forced broadcast of O(corpus) tables (per-doc counts/signatures, per-row joins)") {
-    // These queries join one-row-per-doc or one-row-per-zone tables that
-    // grow with the data; a broadcast() hint there ships the corpus to every
-    // executor at 100x. Distribution choice must be left to Catalyst/AQE.
-    // (Queries with legitimately bounded broadcasts — a hot-shingle cap set,
-    // a #layers manifest, a top-k query side — are not in this list.)
-    val mustNotHint = Seq("dd_ngram_jaccard", "dd_minhash", "zs_zonal_stats",
-      "zs_tri_zonal", "zs_poly_zonal", "zs_vector_enrich", "zs_polygonize")
+  test("no forced broadcast of O(corpus) tables (per-doc counts/signatures)") {
+    // These queries join one-row-per-doc tables that grow with the data; a
+    // broadcast() hint there ships the corpus to every executor at 100x.
+    // Distribution choice must be left to Catalyst/AQE. (The spatial joins
+    // use a SIZE-GATED hint instead — audited in the next test; queries
+    // with legitimately bounded broadcasts — a #layers manifest, a top-k
+    // query side — are not in this list.)
+    val mustNotHint = Seq("dd_ngram_jaccard", "dd_minhash", "dd_jaccard_capped", "zs_polygonize")
     mustNotHint.foreach { name =>
       val analyzed = SparkEntry.queries(name)(spark, sfDir).queryExecution.analyzed.toString
       assert(!analyzed.contains("ResolvedHint"),
         s"$name forces a broadcast of an O(corpus) table:\n$analyzed")
     }
+  }
+
+  test("spatial-join broadcast is size-gated: refuses an oversized zone side") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a zone layer whose optimizer estimate exceeds the 64 MB gate (x4
+    // cell fan-out): range stats are exact, 8 bytes/row x 4M rows x 4 > 64MB
+    val big = spark.range(4L * 1000 * 1000).select(
+      col("id").as("zone_id"),
+      (col("id") % 18 * 20 - 180).cast("double").as("xmin"),
+      (col("id") % 7 * 10 - 35).cast("double").as("ymin"))
+      .withColumn("xmax", col("xmin") + 20.0)
+      .withColumn("ymax", col("ymin") + 10.0)
+    val pts = graft.operators.Geo.points(spark, sfDir)
+    val gated = graft.operators.Geo.pointZoneJoinOn(pts, big)
+    assert(!gated.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "oversized zone side must not be broadcast")
+    // the real (dimension-sized) zone layer passes the gate and hints
+    val small = graft.operators.Geo.pointZoneJoin(spark, sfDir)
+    assert(small.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "dimension-sized zone side should broadcast")
   }
 
   test("every parquet scan prunes columns (no SELECT * scans of wide tables)") {

@@ -113,6 +113,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$outDir/data").count() == rows.length)
   }
 
+  test("streaming exact dedup keeps one row per distinct text, state watermark-bounded") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // docs fed in doc_id order so streaming first-arrival == batch min(doc_id)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).orderBy("doc_id")
+      .as[(Long, String)].collect()
+    val base = new Timestamp(1700000000000L)
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamingJobs.dedupDocs(stream.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.format("memory").queryName("dedup_docs")
+      .outputMode("append").start()
+    // micro-batch 1: the corpus; micro-batch 2: every text again under new
+    // ids, 1 min later (inside the horizon) — all must be dropped as dups
+    stream.addData(docs.map { case (id, t) => (base, id, t) }.toSeq)
+    q.processAllAvailable()
+    stream.addData(docs.map { case (id, t) =>
+      (new Timestamp(base.getTime + 60000L), id + 1000000L, t) }.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val result = spark.table("dedup_docs")
+      .select(col("text_hash"), col("doc_id").as("keep_id"))
+    val batch = graft.operators.Dedup.exact(spark, sfDir)
+      .select("text_hash", "keep_id")
+    assert(result.exceptAll(batch).isEmpty && batch.exceptAll(result).isEmpty,
+      s"stream=${result.count()} batch=${batch.count()}")
+  }
+
   test("stateful per-user running agg matches batch groupBy") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
