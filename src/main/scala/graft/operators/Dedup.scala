@@ -201,6 +201,29 @@ object Dedup {
       .select("da", "db", "hamming")
   }
 
+  /** Near-dup CLUSTERING — pair lists are not yet a dedup decision: a
+    * production pipeline merges pairs into clusters and keeps ONE canonical
+    * doc per cluster (transitively: if A~B and B~C, all three are one
+    * cluster even when A~C scores below threshold). Connected components of
+    * the jaccard>=0.5 pair graph via hash-min label propagation
+    * (GraphOps.minLabelComponents — same loop as raster polygonization);
+    * canonical = the component's min doc_id, which IS the converged label.
+    * Every doc is emitted with its cluster id and size; singletons keep
+    * their own id, so the keep-set is `is_canonical`. */
+  def cluster(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccardOn(shingles(spark, dir), 0.5)
+      .select(col("da"), col("db")).localCheckpoint()
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
+    val nodes = documents(spark, dir).select(col("doc_id").as("id"))
+    val comp = GraphOps.minLabelComponents(nodes, edges)
+    val sizes = comp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, Seq("comp"))
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+        col("cluster_size"), (col("id") === col("comp")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   /** Embedding-cosine near-dup pairs. Scale path: 8-bit random-hyperplane
     * sign bucket (see Similarity.bucketExpr) FIRST, exact cosine only inside
     * the bucket — the corpus never full-self-joins. Threshold 0.4 (this
@@ -237,6 +260,7 @@ object Dedup {
     "dd_jaccard_capped" -> (ngramJaccardCapped _),
     "dd_minhash" -> (minhash _),
     "dd_simhash" -> (simhash _),
+    "dd_cluster" -> (cluster _),
     "dd_embed_cosine" -> (embedCosine _))
 
   val oracle: Map[String, String] = Map(
@@ -323,6 +347,30 @@ object Dedup {
          |)
          |SELECT da, db, hamming(ha, hb) AS hamming
          |FROM cand WHERE hamming(ha, hb) <= 12 ORDER BY da, db""".stripMargin,
+    "dd_cluster" ->
+      s"""WITH RECURSIVE sh AS ($shinglesSql),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |pairs AS (
+         |  SELECT da, db FROM inter
+         |  JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+         |  WHERE ROUND(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 4) >= 0.5
+         |),
+         |e AS (SELECT da AS src, db AS dst FROM pairs UNION ALL SELECT db, da FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS comp FROM documents
+         |  UNION
+         |  SELECT e.dst AS id, reach.comp FROM reach JOIN e ON reach.id = e.src
+         |),
+         |c AS (SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+         |s AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM c GROUP BY cluster_id)
+         |SELECT c.id AS doc_id, c.cluster_id, s.cluster_size,
+         |  c.id = c.cluster_id AS is_canonical
+         |FROM c JOIN s USING (cluster_id) ORDER BY doc_id""".stripMargin,
     "dd_embed_cosine" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding, ${Similarity.bucketSql("embedding")} AS bucket,

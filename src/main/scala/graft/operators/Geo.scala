@@ -733,22 +733,9 @@ object Geo {
     val half = right.unionByName(up)
     val edges = half.unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    var labels = cells.select(col("lbl").as("cell"), col("lbl").as("r")).localCheckpoint()
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 64) {
-      val msgs = edges.join(labels, col("src") === col("cell"))
-        .select(col("dst").as("cell"), col("r"))
-      val next = labels.unionByName(msgs)
-        .groupBy("cell").agg(min(col("r")).as("r"))
-        .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("r", "r0"), "cell")
-        .filter(col("r") < col("r0")).isEmpty
-      labels = next
-      rounds += 1
-    }
-    cells.join(labels, cells("lbl") === labels("cell"))
-      .select(col("fx"), col("fy"), col("n"), col("cls"), col("r").as("region_id"))
+    val labels = GraphOps.minLabelComponents(cells.select(col("lbl").as("id")), edges)
+    cells.join(labels, cells("lbl") === labels("id"))
+      .select(col("fx"), col("fy"), col("n"), col("cls"), col("comp").as("region_id"))
   }
 
   /** Low-zoom simplification (tiles.py feeds tippecanoe --simplification):

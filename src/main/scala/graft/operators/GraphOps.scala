@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative min-label propagation — hash-min connected components — shared
+  * by raster polygonization (region merge) and near-dup clustering.
+  *
+  * Each round is ONE shuffle of O(#nodes) label rows plus an equi-join with
+  * the edge list; localCheckpoint cuts lineage so round N's plan does not
+  * replay rounds 1..N-1. Rounds needed = component graph diameter; the
+  * converged labeling (per-component min node id) is independent of
+  * iteration order — deterministic, so oracle-checkable against a
+  * recursive-CTE transitive closure. For adversarially deep components swap
+  * in large-star/small-star pointer doubling (O(log d) rounds); the
+  * per-round shape is identical.
+  */
+object GraphOps {
+
+  /** `nodes`: one row per node with a unique LONG `id`; `edges`: directed
+    * (src, dst) pairs — pass both directions for undirected graphs.
+    * Returns (id, comp) where comp = min node id reachable. */
+  def minLabelComponents(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val msgs = edges.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.unionByName(msgs)
+        .groupBy("id").agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("comp", "c0"), "id")
+        .filter(col("comp") < col("c0")).isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+}

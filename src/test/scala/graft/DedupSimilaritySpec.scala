@@ -26,6 +26,26 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(sim.intersect(jac).size * 2 >= sim.size, s"simhash<=3 pairs mostly non-dups: $sim vs $jac")
   }
 
+  test("near-dup clustering: pair endpoints share a cluster, one canonical per cluster") {
+    val clusters = Dedup.cluster(spark, sfDir).localCheckpoint()
+    val byDoc = clusters.select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every >=0.5 pair is transitively merged
+    val pairs = Dedup.ngramJaccard(spark, sfDir).select("da", "db").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(byDoc(r.getLong(0)) == byDoc(r.getLong(1)),
+        s"pair (${r.getLong(0)},${r.getLong(1)}) split across clusters")
+    }
+    // canonical = cluster id = min member; exactly one per cluster
+    val canon = clusters.filter(col("is_canonical")).count()
+    val nClusters = clusters.select("cluster_id").distinct().count()
+    assert(canon == nClusters)
+    // multi-doc clusters exist (planted dups) and sizes add up to the corpus
+    assert(clusters.filter(col("cluster_size") > 1).count() > 0)
+    assert(clusters.count() == graft.sources.Tables.documents(spark, sfDir).count())
+  }
+
   test("df-cap prunes hot-shingle candidate pairs quantitatively") {
     import spark.implicits._
     // 60 docs all sharing one hot phrase (a stopword shingle in every doc)
