@@ -60,6 +60,35 @@ class PlanAuditSpec extends SparkSpecBase {
       "dimension-sized zone side should broadcast")
   }
 
+  test("AQE splits a skewed join partition at runtime (the hot-key escape hatch)") {
+    import org.apache.spark.sql.functions._
+    // one key owns ~98% of the fact side — the shape salting guards against;
+    // AQE's skew-join split is the runtime fallback and must actually engage
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> util.Try(conf.get(k)).toOption)
+    try {
+      conf.set(keys(0), "1m"); conf.set(keys(1), "2")
+      conf.set(keys(2), "1m"); conf.set(keys(3), "-1")
+      val fact = spark.range(3000000L).select(
+        when(col("id") % 50 === 0, col("id")).otherwise(lit(0L)).as("k"), col("id").as("v"))
+      val dim = spark.range(60000L).select(col("id").as("k"), (col("id") * 2).as("w"))
+      // the collect-shrinking filter references BOTH sides so it cannot be
+      // pushed below the join (a fact-only filter would drain the shuffle)
+      val joined = fact.join(dim, "k").filter((col("v") + col("w")) % 10000 === 0)
+      joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), s"skew join did not engage:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("every parquet scan prunes columns (no SELECT * scans of wide tables)") {
     // lineitem is the wide fact table: no lineitem query needs every column
     SparkEntry.queries.foreach { case (name, fn) =>
