@@ -120,7 +120,50 @@ object TextAnalysis {
       .orderBy("lang", "rank")
   }
 
+  /** End-to-end corpus cleaning — the C4-style keep/drop pipeline a
+    * training-data run applies per document, composed from the suite's own
+    * primitives: scaled-integer quality gate (>= 0.55), language gate
+    * (en/fr), then near-dup removal by winnowing fingerprint (min window
+    * md5 — the planted near-dups collide; keep = min doc_id among passing
+    * docs). Every doc is emitted with its quality score and the FIRST
+    * failing verdict, so the output is an auditable decision log, not just
+    * the survivor set. One explode+groupBy for fingerprints, one corpus
+    * join back (AQE-planned, no hints), no driver-side loops. */
+  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
+    val scored = documents(spark, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_stop", expr(
+        s"aggregate(ws, 0L, (acc, w) -> acc + IF(w IN $stopwordsSqlList, 1L, 0L))"))
+      .withColumn("score",
+        lit(400L) * least(col("n_words"), lit(100L))
+          + expr("(30000 * (n_words - n_stop)) div n_words")
+          + least(expr("(30000 * (n_chars - n_words + 1)) div (8 * n_words)"), lit(30000L)))
+    val fp = documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 4)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws)-4), i -> md5(concat(ws[i], ' ', ws[i+1], ' ', ws[i+2], ' ', ws[i+3])))"))
+        .as("wh"))
+      .groupBy("doc_id").agg(min(col("wh")).as("fp"))
+    val docs = scored.join(fp, Seq("doc_id"), "left_outer")
+      .withColumn("fp", coalesce(col("fp"), md5(col("text"))))
+      .withColumn("q_ok", col("score") >= 55000L)
+      .withColumn("l_ok", col("lang").isin("en", "fr"))
+    val keep = docs.filter(col("q_ok") && col("l_ok"))
+      .groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
+    docs.join(keep, Seq("fp"), "left_outer")
+      .select(col("doc_id"),
+        (col("score").cast("double") / lit(100000.0)).as("quality"),
+        when(!col("q_ok"), lit("low_quality"))
+          .when(!col("l_ok"), lit("wrong_lang"))
+          .when(col("doc_id") === col("keep_id"), lit("kept"))
+          .otherwise(lit("duplicate")).as("verdict"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_corpus_clean" -> (corpusClean _),
     "ta_topterms" -> (topterms _),
     "ta_langid" -> (langid _),
     "ta_quality" -> (quality _),
@@ -128,6 +171,45 @@ object TextAnalysis {
     "ta_fingerprint" -> (fingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "ta_corpus_clean" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, lang, text, n_chars,
+         |    len(string_split(text, ' ')) AS n_words,
+         |    len(list_filter(string_split(text, ' '), w -> w IN $stopwordsSqlList)) AS n_stop
+         |  FROM documents
+         |),
+         |s AS (
+         |  SELECT doc_id, lang, text,
+         |    400 * LEAST(n_words, 100)
+         |      + (30000 * (n_words - n_stop)) // n_words
+         |      + LEAST((30000 * (n_chars - n_words + 1)) // (8 * n_words), 30000) AS score
+         |  FROM m
+         |),
+         |w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 4
+         |),
+         |fpw AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 2),
+         |    i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) AS wh
+         |  FROM w
+         |),
+         |fpt AS (SELECT doc_id, MIN(wh) AS fp FROM fpw GROUP BY doc_id),
+         |d AS (
+         |  SELECT s.doc_id, s.lang, s.score, COALESCE(fpt.fp, md5(s.text)) AS fp,
+         |    s.score >= 55000 AS q_ok, s.lang IN ('en', 'fr') AS l_ok
+         |  FROM s LEFT JOIN fpt ON s.doc_id = fpt.doc_id
+         |),
+         |keep AS (
+         |  SELECT fp, MIN(doc_id) AS keep_id FROM d WHERE q_ok AND l_ok GROUP BY fp
+         |)
+         |SELECT d.doc_id, CAST(d.score AS DOUBLE) / 100000.0 AS quality,
+         |  CASE WHEN NOT d.q_ok THEN 'low_quality'
+         |       WHEN NOT d.l_ok THEN 'wrong_lang'
+         |       WHEN d.doc_id = k.keep_id THEN 'kept'
+         |       ELSE 'duplicate' END AS verdict
+         |FROM d LEFT JOIN keep k ON d.fp = k.fp
+         |ORDER BY d.doc_id""".stripMargin,
     "ta_topterms" ->
       """WITH words AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
