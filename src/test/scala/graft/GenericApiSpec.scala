@@ -38,6 +38,41 @@ class GenericApiSpec extends SparkSpecBase {
     assert(ex.length == 3 && ex.exists(r => r.getLong(1) == 1L && r.getLong(2) == 2L))
   }
 
+  test("df-capped jaccard core drops hot shingles on an arbitrary corpus") {
+    import spark.implicits._
+    // 25 docs share one hot phrase; two docs are real near-dups
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = ((1 to 25).map(i => (i.toLong, s"hot phrase shared $i one two three four five six")) ++
+      Seq((100L, base), (101L, base + " tail"))).toDF("id", "body")
+    val sh = Dedup.shinglesOn(docs, "id", "body")
+    val capped = Dedup.ngramJaccardOn(sh, 0.5, dfCap = Some(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the real dup pair survives; no pair exists solely via the hot phrase
+    assert(capped.contains((100L, 101L)), capped.toString)
+    assert(!capped.exists(p => p._1 <= 25 && p._2 <= 25), capped.toString)
+  }
+
+  test("connected components core labels an arbitrary graph") {
+    import spark.implicits._
+    // two components {1,2,3} (path) and {10,11}; 20 is a singleton
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
+    val half = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val edges = half.unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
+    val comp = graft.operators.GraphOps.minLabelComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L), comp.toString)
+  }
+
+  test("tile assignment core runs on an arbitrary point frame") {
+    import spark.implicits._
+    val pts = Seq((0.0, 0.0, 1.0), (0.0, 0.1, 2.0), (-179.9, 0.0, 3.0))
+      .toDF("lon", "lat", "value")
+    val out = Geo.tileAssignOn(pts).collect()
+    // zoom 10: lon 0 -> tx 512 (lat 0 and 0.1 straddle ty 512/511); lon -179.9 -> tx 0
+    assert(out.count(r => r.getLong(0) == 512L) == 2, out.mkString(","))
+    assert(out.exists(r => r.getLong(0) == 0L && r.getLong(3) == 1L), out.mkString(","))
+  }
+
   test("ANN cores run on an arbitrary embedding frame") {
     import spark.implicits._
     GraftFunctions.register(spark)
