@@ -113,6 +113,39 @@ object StreamingJobs {
       }
   }
 
+  /** Streaming twin of the FLAGSHIP query — zonal statistics over a point
+    * stream, per event-time window: the reference's core computation
+    * (stats.py) on the ingest path. The zone join runs BEFORE the
+    * aggregation: cell-bucketed equi-join (same plan as the batch
+    * Geo.pointZoneJoinOn, stateless) then ONE watermarked stateful
+    * aggregation keyed (window, zone) — state is bounded by
+    * #zones x watermark horizon. Counts and exact long-cents sums match
+    * the batch operator bit for bit (same accumulation discipline).
+    * At 100 TB ingest the pre-join cell partials variant (chained
+    * stateful aggs, Spark >= 3.4 append mode) cuts the join volume; the
+    * single-agg form is the portable baseline. */
+  def zonalStats(points: DataFrame, zones: DataFrame): DataFrame = {
+    val z = zones
+      .withColumn("cx", explode(expr(
+        "sequence(CAST(floor(xmin / 20.0) AS INT), CAST(floor(xmax / 20.0) AS INT))")))
+      .withColumn("cy", explode(expr(
+        "sequence(CAST(floor(ymin / 10.0) AS INT), CAST(floor(ymax / 10.0) AS INT))")))
+    points
+      .withWatermark("ts", "2 hours")
+      .withColumn("cx", floor(col("lon") / lit(20.0)).cast("int"))
+      .withColumn("cy", floor(col("lat") / lit(10.0)).cast("int"))
+      .join(broadcast(z), Seq("cx", "cy"))
+      .filter(col("lon") >= col("xmin") && col("lon") < col("xmax")
+        && col("lat") >= col("ymin") && col("lat") < col("ymax"))
+      .groupBy(window(col("ts"), "1 hour"), col("zone_id"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        (sum(round(col("value") * lit(100)).cast("long")).cast("double") / lit(100.0)
+          / count(lit(1))).as("mean_value"))
+      .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("zone_id"), col("n_points"), col("mean_value"))
+  }
+
   /** Streaming exact dedup — the streaming twin of Dedup.exactOn for a
     * continuously-ingested corpus: drop duplicate texts by md5 content
     * hash with dropDuplicatesWithinWatermark, so the hash-key state is

@@ -113,6 +113,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$outDir/data").count() == rows.length)
   }
 
+  test("streaming zonal stats (flagship twin) matches the batch plan per window") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = graft.operators.Geo.points(spark, sfDir)
+      .join(Tables.events(spark, sfDir).select("event_id", "ts"), "event_id")
+      .select(col("ts"), col("lon"), col("lat"), col("value"))
+      .as[(Timestamp, Double, Double, Double)].collect()
+    val stream = MemoryStream[(Timestamp, Double, Double, Double)]
+    val (a, b) = rows.splitAt(rows.length / 2)
+    stream.addData(a.toSeq); stream.addData(b.toSeq)
+    val streamed = StreamingJobs.zonalStats(
+      stream.toDF().toDF("ts", "lon", "lat", "value"),
+      graft.operators.Geo.zones(spark, sfDir))
+    val result = StreamingJobs.runToMemory(spark, streamed, "zs_stream", OutputMode.Complete())
+    val batch = graft.operators.Geo.pointZoneJoin(spark, sfDir)
+      .join(Tables.events(spark, sfDir).select("event_id", "ts"), "event_id")
+      .groupBy(window(col("ts"), "1 hour"), col("zone_id"))
+      .agg(count(lit(1)).as("n_points"),
+        (sum(round(col("value") * lit(100)).cast("long")).cast("double") / lit(100.0)
+          / count(lit(1))).as("mean_value"))
+      .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("zone_id"), col("n_points"), col("mean_value"))
+    assert(result.count() > 0)
+    assert(result.exceptAll(batch).isEmpty && batch.exceptAll(result).isEmpty,
+      s"stream=${result.count()} batch=${batch.count()}")
+  }
+
   test("streaming exact dedup keeps one row per distinct text, state watermark-bounded") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
