@@ -84,6 +84,68 @@ object Multimodal {
       }
   }
 
+  /** The batched model-inference stage shape: payloads are fed to the
+    * "model" in explicit batches (`grouped(batchSize)`) exactly as a
+    * mapInPandas / Triton-client stage would batch at scale — per-batch
+    * memory is bounded and the codec/model call sites are per-batch, not
+    * per-row. The embedding itself is STUBBED deterministically: an 8-dim
+    * byte-stride sum (dim d = sum of bytes at positions ≡ d mod 8), so the
+    * oracle reproduces it exactly. */
+  final case class PayloadEmb(doc_id: Long, emb: Array[Double], byte_len: Int)
+
+  def embedBatch(spark: SparkSession, dir: String, batchSize: Int = 64): Dataset[PayloadEmb] = {
+    import spark.implicits._
+    withPayload(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // a real stage hands `batch` to the model in one call; the stub
+          // computes per-row stride sums inside the batch
+          batch.iterator.map { case (id, bytes) =>
+            val acc = new Array[Double](8)
+            var i = 0
+            while (i < bytes.length) { acc(i % 8) += (bytes(i) & 0xff).toDouble; i += 1 }
+            PayloadEmb(id, acc, bytes.length)
+          }
+        }
+      }
+  }
+
+  /** ANN over the payload embeddings: bounded query set (doc_id < 10),
+    * candidates share an (argmax-dim, length-bucket) signature — positive
+    * vectors defeat sign-bucket LSH, so the coarse quantizer is the
+    * dominant dimension plus a 256-byte length octave — exact fold-dot
+    * cosine + top-3 inside the bucket. Same plan as Similarity
+    * .bucketedAnnOn; the approximate RESULT is exact and oracle-checked
+    * because both engines apply the identical bucketing. */
+  def embedKnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dot8 = (a: String, b: String) =>
+      expr(s"aggregate(sequence(0, 7), CAST(0.0 AS DOUBLE), " +
+        s"(acc, i) -> acc + element_at($a, i + 1) * element_at($b, i + 1))")
+    val e = embedBatch(spark, dir).toDF()
+      .withColumn("nrm", sqrt(dot8("emb", "emb")))
+      .withColumn("bucket", concat(
+        array_position(col("emb"), array_max(col("emb"))).cast("string"),
+        lit("|"), expr("CAST(byte_len DIV 256 AS INT)").cast("string")))
+      .localCheckpoint() // embed stage runs once for query + corpus sides
+    val q = e.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("qid"), col("emb").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    e.select(col("doc_id").as("cid"), col("emb").as("cv"), col("nrm").as("cn"), col("bucket"))
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", dot8("qv", "cv") / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("qid", "rank")
+  }
+
   /** Content-addressable chunk dedup across payloads (CDC-style storage
     * dedup): chunk every payload into 16-byte frames, hash each, and report
     * the duplicated chunks with reference counts — the inverted-index shape
@@ -122,9 +184,40 @@ object Multimodal {
     "mm_metadata" -> (metadata _),
     "mm_framesample" -> (frameSample _),
     "mm_chunk_dedup" -> (chunkDedup _),
-    "mm_decode_stats" -> (decodeStats _))
+    "mm_decode_stats" -> (decodeStats _),
+    "mm_embed_knn" -> (embedKnn _))
 
   val oracle: Map[String, String] = Map(
+    "mm_embed_knn" -> {
+      val dot8 = (a: String, b: String) =>
+        s"list_reduce(list_transform(range(1, 9), i -> $a[i] * $b[i]), (acc, v) -> acc + v)"
+      s"""WITH e0 AS (
+         |  SELECT doc_id, length(text) AS byte_len,
+         |    list_transform(range(0, 8), d -> COALESCE(list_sum(
+         |      list_transform(range(CAST(d + 1 AS INT), length(text) + 1, 8),
+         |        i -> ascii(substr(text, CAST(i AS INT), 1)))), 0)::DOUBLE) AS emb
+         |  FROM documents
+         |),
+         |e AS (
+         |  SELECT doc_id, emb, byte_len, sqrt(${dot8("emb", "emb")}) AS nrm,
+         |    CAST(list_position(emb, list_max(emb)) AS VARCHAR) || '|' ||
+         |      CAST(byte_len // 256 AS VARCHAR) AS bucket
+         |  FROM e0
+         |),
+         |cand AS (
+         |  SELECT q.doc_id AS qid, c.doc_id AS cid,
+         |    ${dot8("q.emb", "c.emb")} / (q.nrm * c.nrm) AS cos
+         |  FROM e q JOIN e c ON q.bucket = c.bucket
+         |    AND q.doc_id < 10 AND q.doc_id <> c.doc_id
+         |),
+         |ranked AS (
+         |  SELECT qid, cid, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+         |  FROM cand
+         |)
+         |SELECT qid, rank, cid, ROUND(cos, 4) AS cos_sim
+         |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+    },
     "mm_decode_stats" ->
       """SELECT doc_id,
         |  (length(text) + 15) // 16 AS n_frames,
