@@ -21,7 +21,15 @@ object GraphOps {
     * (src, dst) pairs — pass both directions for undirected graphs.
     * Returns (id, comp) where comp = min node id reachable. */
   def minLabelComponents(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // convergence check: labels only ever DECREASE, so the label sum is
+    // strictly monotone until the fixpoint — comparing sums is one tiny
+    // aggregate job per round instead of a labels⋈labels diff join
+    // (decimal sum: a long sum of 64-bit ids can silently wrap)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast(DecimalType(38, 0)))).collect()(0).getDecimal(0)
     var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -30,8 +38,9 @@ object GraphOps {
       val next = labels.unionByName(msgs)
         .groupBy("id").agg(min(col("comp")).as("comp"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("comp", "c0"), "id")
-        .filter(col("comp") < col("c0")).isEmpty
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       rounds += 1
     }
