@@ -522,24 +522,14 @@ object Geo {
         struct(col("ax").as("x"), (col("ay") + col("h")).as("y"))))
       .select("zone_id", "ax", "ay", "w", "h", "hx", "nd", "verts")
 
-  private val polyZonesSql =
-    """SELECT p_partkey AS zone_id,
-      |  CAST(p_partkey * 53 % 330 AS DOUBLE) - 180.0 AS ax,
-      |  CAST(p_partkey * 89 % 55 AS DOUBLE) - 35.0 AS ay,
-      |  CAST(p_partkey % 15 + 10 AS DOUBLE) AS w,
-      |  CAST(p_partkey % 8 + 6 AS DOUBLE) AS h,
-      |  CAST((p_partkey % 15 + 10) // 2 AS DOUBLE) AS hx,
-      |  CAST(p_partkey % 4 + 2 AS DOUBLE) AS nd
-      |FROM part""".stripMargin
-
   /** General point-in-polygon: ray-cast (pnpoly) over an array<struct<x,y>>
     * vertex list via higher-order functions — works for ANY simple polygon,
-    * convex or not, any vertex count. The crossing test is the standard
-    * pnpoly comparison with the division multiplied out (sign-branched on
-    * dy), so with integer vertices and 2-decimal points every product is an
-    * exact double — bit-identical in any engine that runs the same
-    * expression. Boundary semantics follow pnpoly's strict-> convention;
-    * both engines share it, so results hash-match regardless. */
+    * convex or not, any vertex count. This is the GENERIC float API; note
+    * that for points lying mathematically ON an edge the verdict depends on
+    * double rounding of the crossing comparison (2-decimal coords are not
+    * exact doubles), so the oracle-checked zs_poly_zonal uses the exact
+    * integer half-plane formulation instead. Two engines running THIS SAME
+    * expression shape still agree bit-for-bit. */
   def polyContains(verts: Column, px: Column, py: Column): Column = {
     val n = size(verts)
     val crossed = filter(sequence(lit(1), n), i => {
@@ -552,18 +542,6 @@ object Geo {
         (((dy > lit(0)) && (lhs < rhs)) || ((dy < lit(0)) && (lhs > rhs)))
     })
     size(crossed) % lit(2) === lit(1)
-  }
-
-  /** One unrolled pnpoly crossing term for the oracle (same multiply-form
-    * arithmetic as polyContains). */
-  private def crossSql(xi0: String, yi0: String, xj0: String, yj0: String): String = {
-    // every vertex expression is parenthesized before substitution: "ay + h
-    // - nd" must subtract as a unit ((lat - (ay+h-nd)), not left-to-right)
-    val (xi, yi, xj, yj) = (s"($xi0)", s"($yi0)", s"($xj0)", s"($yj0)")
-    s"""CASE WHEN (($yi > lat) <> ($yj > lat)) AND (
-       |  (($yj - $yi) > 0 AND (lon - $xi) * ($yj - $yi) < ($xj - $xi) * (lat - $yi)) OR
-       |  (($yj - $yi) < 0 AND (lon - $xi) * ($yj - $yi) > ($xj - $xi) * (lat - $yi))
-       |) THEN 1 ELSE 0 END""".stripMargin
   }
 
   /** Zonal statistics over ARBITRARY polygons, interior/boundary cell split.
@@ -585,13 +563,21 @@ object Geo {
     * boundary conventions, verified edge by edge: points on open E-D are
     * outside, on open D-C inside, vertex D inside, box right/top edges
     * outside — which is why candidate cells span only [ax,ax+w-1] x
-    * [ay,ay+h-1].) All operands are integers x 2-decimal coords: exact
-    * doubles, so the split agrees bit-for-bit with the oracle's unrolled
-    * pnpoly. f1/f2 are linear, so cell classification needs only the
-    * extreme corners (f1 grows in +x+y; f2 in -x+y):
+    * [ay,ay+h-1].)
+    *
+    * The per-point test runs in EXACT 64-bit INTEGER arithmetic: 2-decimal
+    * coords are not exact doubles (0.2 isn't representable), so points
+    * lying mathematically ON a notch line get rounding-noise verdicts that
+    * differ between float expression shapes — ~5k such points exist per
+    * axis at sf0.1 (verified by exact integer count). round(coord*100)
+    * recovers the exact integer numerator, f1/f2 become pure long
+    * arithmetic, and the oracle computes the identical integers, so
+    * membership is the exact rational answer on both engines for every
+    * input — no boundary luck. f1/f2 are linear, so cell classification
+    * needs only the extreme corners (f1 grows in +x+y; f2 in -x+y):
     *   drop      iff f1min >= 0 AND f2min > 0   (cell inside the notch)
     *   interior  iff f1max < 0 OR  f2max <= 0   (cell clear of the notch)
-    *   boundary  otherwise — per-point f1/f2 test. */
+    *   boundary  otherwise — per-point exact integer f1/f2 test. */
   def polyZonalStats(spark: SparkSession, dir: String): DataFrame = {
     val zc = polyZones(spark, dir)
       .withColumn("fx", explode(expr("sequence(CAST(ax AS LONG), CAST(ax + w - 1 AS LONG))")))
@@ -620,16 +606,22 @@ object Geo {
       .join(sizeGated(points(spark, dir), cellPartials, 1L), Seq("fx", "fy"))
       .select("zone_id", "n", "cents", "min_v", "max_v")
     val boundaryPart = pts
+      .withColumn("a", round(col("lon") * lit(100)).cast("long"))
+      .withColumn("b", round(col("lat") * lit(100)).cast("long"))
       .join(sizeGated(part(spark, dir),
         zc.filter(!col("interior"))
-          .select("zone_id", "fx", "fy", "ax", "ay", "w", "h", "hx", "nd"),
+          .select(col("zone_id"), col("fx"), col("fy"),
+            (col("ax") * 100).cast("long").as("ax100"),
+            ((col("ay") + col("h")) * 100).cast("long").as("top100"),
+            col("hx").cast("long").as("hxl"), col("nd").cast("long").as("ndl"),
+            (col("w") - col("hx")).cast("long").as("rwl")),
         32L), Seq("fx", "fy"))
-      .withColumn("f1p",
-        (col("lat") - col("ay") - col("h")) * col("hx") + col("nd") * (col("lon") - col("ax")))
-      .withColumn("f2p",
-        (col("lat") - col("ay") - col("h") + col("nd")) * (col("w") - col("hx"))
-          - col("nd") * (col("lon") - col("ax") - col("hx")))
-      .filter(!(col("f1p") >= 0 && col("f2p") > 0))
+      .withColumn("f1i",
+        (col("b") - col("top100")) * col("hxl") + col("ndl") * (col("a") - col("ax100")))
+      .withColumn("f2i",
+        (col("b") - col("top100") + col("ndl") * 100L) * col("rwl")
+          - col("ndl") * (col("a") - col("ax100") - col("hxl") * 100L))
+      .filter(!(col("f1i") >= 0 && col("f2i") > 0))
       .groupBy("zone_id")
       .agg(count(lit(1)).as("n"), sum(valueCents).as("cents"),
         min(col("value")).as("min_v"), max(col("value")).as("max_v"))
@@ -848,21 +840,34 @@ object Geo {
            |  MIN(c.fy) AS rymin, MAX(c.fy) AS rymax
            |FROM c JOIN final f ON c.lbl = f.cell
            |GROUP BY 1, 2 ORDER BY region_id""".stripMargin,
-      "zs_poly_zonal" -> {
-        val vs = Seq(("ax", "ay"), ("ax + w", "ay"), ("ax + w", "ay + h"),
-          ("ax + hx", "ay + h - nd"), ("ax", "ay + h"))
-        val crossings = (0 until 5).map { i =>
-          val (xi, yi) = vs(i); val (xj, yj) = vs((i + 1) % 5)
-          crossSql(xi, yi, xj, yj)
-        }.mkString("(", " + ", ")")
-        s"""WITH pts AS ($pointsSql), z AS ($polyZonesSql)
+      "zs_poly_zonal" ->
+        // exact INTEGER containment — the same f1/f2 longs the Spark side
+        // computes, so on-line points are deterministic on both engines
+        s"""WITH pts AS (
+           |  SELECT value,
+           |    CAST(event_id * 7919 % 36000 AS BIGINT) - 18000 AS a100,
+           |    CAST(event_id * 104729 % 7000 AS BIGINT) - 3500 AS b100
+           |  FROM events
+           |),
+           |z AS (
+           |  SELECT p_partkey AS zone_id,
+           |    CAST(p_partkey * 53 % 330 AS BIGINT) * 100 - 18000 AS ax100,
+           |    CAST(p_partkey * 89 % 55 AS BIGINT) * 100 - 3500 AS ay100,
+           |    p_partkey % 15 + 10 AS w, p_partkey % 8 + 6 AS h,
+           |    (p_partkey % 15 + 10) // 2 AS hx, p_partkey % 4 + 2 AS nd
+           |  FROM part
+           |)
            |SELECT zone_id, COUNT(*) AS n_points,
            |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean_value,
            |  MIN(value) AS min_value, MAX(value) AS max_value
-           |FROM pts JOIN z ON lon >= ax AND lon <= ax + w AND lat >= ay AND lat <= ay + h
-           |  AND $crossings % 2 = 1
-           |GROUP BY zone_id ORDER BY zone_id""".stripMargin
-      },
+           |FROM pts JOIN z
+           |  ON a100 >= ax100 AND a100 < ax100 + w * 100
+           |  AND b100 >= ay100 AND b100 < ay100 + h * 100
+           |  AND NOT (
+           |    (b100 - (ay100 + h * 100)) * hx + nd * (a100 - ax100) >= 0
+           |    AND (b100 - (ay100 + h * 100) + nd * 100) * (w - hx)
+           |      - nd * (a100 - ax100 - hx * 100) > 0)
+           |GROUP BY zone_id ORDER BY zone_id""".stripMargin,
       "zs_tri_zonal" ->
         s"""WITH pts AS ($pointsSql), z AS ($triZonesSql)
            |SELECT zone_id, COUNT(*) AS n_points,

@@ -83,14 +83,62 @@ class GeoSpec extends SparkSpecBase {
       s"(${r.getDouble(0)},${r.getDouble(1)}): got ${r.getBoolean(3)}"))
   }
 
-  test("poly zonal bbox-cell join equals the naive ray-cast theta-join") {
+  test("integer half-plane decomposition equals integer pnpoly on the FULL 0.01 grid") {
+    // pentagon ax=0, ay=0, w=11 (odd -> hx=5), h=7, nd=3; every representable
+    // 2-decimal point in the closed bbox — all edges, vertices, both notch
+    // lines — in EXACT x100 integer arithmetic on both formulations. Both
+    // are exact, so equality here PROVES the region equivalence the
+    // polyZonalStats split relies on (a float version of this spec fails:
+    // on-line points get rounding-noise verdicts, which is why the query
+    // and its oracle run the integer forms).
+    val (w, h, hx, nd) = (11L, 7L, 5L, 3L)
+    // vertices x100: A(0,0) B(1100,0) C(1100,700) D(500,400) E(0,700)
+    val vs = Seq((0L, 0L), (1100L, 0L), (1100L, 700L), (500L, 400L), (0L, 700L))
+    val grid = spark.range(0L, 1101L).select(col("id").as("a"))
+      .crossJoin(spark.range(0L, 701L).select(col("id").as("b")))
+    // integer pnpoly: crossing parity with multiply-form comparisons
+    val crossings = (0 until 5).map { i =>
+      val (xi, yi) = vs(i); val (xj, yj) = vs((i + 1) % 5)
+      val dy = yj - yi
+      val cross =
+        if (dy == 0) lit(false)
+        else {
+          val lhs = (col("a") - lit(xi)) * lit(dy)
+          val rhs = lit(xj - xi) * (col("b") - lit(yi))
+          ((lit(yi) > col("b")) =!= (lit(yj) > col("b"))) &&
+            (if (dy > 0) lhs < rhs else lhs > rhs)
+        }
+      when(cross, 1).otherwise(0)
+    }.reduce(_ + _)
+    val pnpoly = crossings % 2 === 1
+    val f1 = (col("b") - lit(h * 100)) * lit(hx) + lit(nd) * col("a")
+    val f2 = (col("b") - lit((h - nd) * 100)) * lit(w - hx) - lit(nd) * (col("a") - lit(hx * 100))
+    val split = col("a") >= 0L && col("a") < w * 100 && col("b") >= 0L && col("b") < h * 100 &&
+      !(f1 >= 0 && f2 > 0)
+    val diff = grid.withColumn("pn", pnpoly).withColumn("sp", split)
+      .filter(col("pn") =!= col("sp"))
+    assert(diff.isEmpty, diff.limit(5).collect().mkString(","))
+  }
+
+  test("poly zonal bbox-cell split equals the naive exact-integer theta-join") {
     val bucketed = Geo.polyZonalStats(spark, sfDir)
-    val z = Geo.polyZones(spark, sfDir)
-    val naive = Geo.points(spark, sfDir)
-      .join(z,
-        col("lon") >= col("ax") && col("lon") <= col("ax") + col("w")
-          && col("lat") >= col("ay") && col("lat") <= col("ay") + col("h")
-          && Geo.polyContains(col("verts"), col("lon"), col("lat")))
+    val z = Geo.polyZones(spark, sfDir).select(
+      col("zone_id"),
+      (col("ax") * 100).cast("long").as("ax100"),
+      (col("ay") * 100).cast("long").as("ay100"),
+      col("w").cast("long").as("wl"), col("h").cast("long").as("hl"),
+      col("hx").cast("long").as("hxl"), col("nd").cast("long").as("ndl"))
+    val p = Geo.points(spark, sfDir)
+      .withColumn("a", round(col("lon") * 100).cast("long"))
+      .withColumn("b", round(col("lat") * 100).cast("long"))
+    val f1 = (col("b") - col("ay100") - col("hl") * 100) * col("hxl") +
+      col("ndl") * (col("a") - col("ax100"))
+    val f2 = (col("b") - col("ay100") - col("hl") * 100 + col("ndl") * 100) * (col("wl") - col("hxl")) -
+      col("ndl") * (col("a") - col("ax100") - col("hxl") * 100)
+    val naive = p.join(z,
+        col("a") >= col("ax100") && col("a") < col("ax100") + col("wl") * 100
+          && col("b") >= col("ay100") && col("b") < col("ay100") + col("hl") * 100
+          && !(f1 >= 0 && f2 > 0))
       .groupBy("zone_id")
       .agg(count(lit(1)).as("n_points"),
         graft.sources.Tables.dmean(col("value")).as("mean_value"),
