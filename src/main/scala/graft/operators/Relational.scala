@@ -243,7 +243,27 @@ object Relational {
       .orderBy("relation", "nationkey")
   }
 
+  /** q19: correlated scalar subquery through the SQL surface — orders
+    * beating their own customer's mean price. Catalyst decorrelates the
+    * subquery into an aggregate + join; the mean is the decimal-exact form
+    * written IDENTICALLY in the oracle, so a single-order customer's tie
+    * (price == own mean, strict > false) resolves the same way on both
+    * engines — the same-expression determinism rule (SURVEY §4). */
+  def q19ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    orders(spark, dir).createOrReplaceTempView("orders_sq")
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n_above,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_above
+        |FROM orders_sq o
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        |  FROM orders_sq o2 WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_scalar_subquery" -> (q19ScalarSubquery _),
     "q13_sketch" -> (q13Sketch _),
     "q15_sample" -> (q15Sample _),
     "q16_pivot" -> (q16Pivot _),
@@ -262,6 +282,15 @@ object Relational {
     "q12_union_dedup" -> (q12UnionDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q19_scalar_subquery" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_above,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_above
+        |FROM orders o
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q18_setops" ->
       """WITH c AS (SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer),
         |s AS (SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier)
