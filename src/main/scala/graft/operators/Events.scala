@@ -31,6 +31,21 @@ object Events {
         dsum(col("value")).as("sum_value"))
       .orderBy("hour_epoch", "event_type")
 
+  /** HOPPING (sliding) windows — 1-hour window, 30-minute hop — via Spark's
+    * native sliding `window()`: every event lands in exactly two windows.
+    * Window boundaries are whole multiples of 1800s, so Spark's
+    * microsecond-precision assignment and the oracle's floor-second
+    * arithmetic (unnest of the two starts) agree exactly. */
+  def hoppingAgg(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
   /** Gap-based sessionization (30-min inactivity): lag + cumulative flag —
     * the classic two-window plan; both windows share the (user_id, ts)
     * partitioning so Catalyst sorts once per user partition. */
@@ -145,11 +160,24 @@ object Events {
     "ev_paths" -> (paths _),
     "ev_retention" -> (retention _),
     "ev_windowed_agg" -> (windowedAgg _),
+    "ev_hopping" -> (hoppingAgg _),
     "ev_sessionize" -> (sessionize _),
     "ev_json" -> (jsonExtract _),
     "ev_funnel" -> (funnel _))
 
   val oracle: Map[String, String] = Map(
+    "ev_hopping" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 AS s0
+        |  FROM events
+        |),
+        |w AS (
+        |  SELECT event_type, value, unnest([s0, s0 - 1800]) AS win_start FROM e
+        |)
+        |SELECT win_start, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "ev_anomaly" ->
       """WITH stats AS (
         |  SELECT event_type,
