@@ -40,8 +40,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
-      .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) =>
+      // strip control chars too — a tab inside an exception message must
+      // not break the single-JSON-line output contract
+      val safe = v.replace("\\", "\\\\").replace("\"", "\\\"").filter(_ >= ' ')
+      "\"" + k + "\":\"" + safe + "\""
+    }.mkString("{", ",", "}")
     // any errored query poisons the headline total to -1: a broken bench
     // must never read as a fast one
     val total = if (errors.nonEmpty) -1.0 else results.map(_._2).sum

@@ -105,7 +105,7 @@ object Dedup {
       .join(counts.withColumnRenamed("doc_id", "da").withColumnRenamed("n_sh", "na"), "da")
       .join(counts.withColumnRenamed("doc_id", "db").withColumnRenamed("n_sh", "nb"), "db")
       .withColumn("jaccard",
-        round(col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")), 4))
+        r4(col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter"))))
       .filter(col("jaccard") >= lit(threshold))
       .select("da", "db", "n_inter", "jaccard")
   }
@@ -250,7 +250,7 @@ object Dedup {
         (Similarity.dot("x.embedding", "y.embedding")
           / (col("x.nrm") * col("y.nrm"))).as("cos"))
     pairs.filter(col("cos") >= lit(threshold))
-      .select(col("va"), col("vb"), round(col("cos"), 4).as("cos_sim"))
+      .select(col("va"), col("vb"), r4(col("cos")).as("cos_sim"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -280,9 +280,9 @@ object Dedup {
          |  GROUP BY 1, 2
          |)
          |SELECT da, db, n_inter,
-         |  ROUND(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
+         |  floor((CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
          |FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
-         |WHERE ROUND(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 4) >= 0.5
+         |WHERE floor((CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter)) * 10000.0 + 0.5) / 10000.0 >= 0.5
          |ORDER BY da, db""".stripMargin,
     "dd_jaccard_capped" ->
       s"""WITH sh0 AS ($shinglesSql),
@@ -295,9 +295,9 @@ object Dedup {
          |  GROUP BY 1, 2
          |)
          |SELECT da, db, n_inter,
-         |  ROUND(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
+         |  floor((CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
          |FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
-         |WHERE ROUND(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 4) >= 0.5
+         |WHERE floor((CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter)) * 10000.0 + 0.5) / 10000.0 >= 0.5
          |ORDER BY da, db""".stripMargin,
     "dd_minhash" ->
       s"""WITH sh AS ($shinglesSql),
@@ -358,7 +358,7 @@ object Dedup {
          |pairs AS (
          |  SELECT da, db FROM inter
          |  JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
-         |  WHERE ROUND(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 4) >= 0.5
+         |  WHERE floor((CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter)) * 10000.0 + 0.5) / 10000.0 >= 0.5
          |),
          |e AS (SELECT da AS src, db AS dst FROM pairs UNION ALL SELECT db, da FROM pairs),
          |reach AS (
@@ -378,7 +378,7 @@ object Dedup {
          |  FROM embeddings
          |)
          |SELECT x.vec_id AS va, y.vec_id AS vb,
-         |  ROUND(${Similarity.dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 4) AS cos_sim
+         |  floor((${Similarity.dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm)) * 10000.0 + 0.5) / 10000.0 AS cos_sim
          |FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
          |WHERE ${Similarity.dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= 0.4
          |ORDER BY va, vb""".stripMargin)

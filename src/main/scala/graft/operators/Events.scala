@@ -151,7 +151,7 @@ object Events {
       .withColumn("dev", col("value") - col("mean_v"))
       .filter(col("dev") * col("dev") > lit(4.0) * col("var_v"))
       .select(col("event_id"), col("event_type"), col("value"),
-        round(col("mean_v"), 4).as("mean_v"))
+        r4(col("mean_v")).as("mean_v"))
       .orderBy("event_id")
   }
 
@@ -185,7 +185,7 @@ object Events {
         |    CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS ex2
         |  FROM events GROUP BY event_type
         |)
-        |SELECT event_id, e.event_type, value, ROUND(mean_v, 4) AS mean_v
+        |SELECT event_id, e.event_type, value, floor(mean_v * 10000.0 + 0.5) / 10000.0 AS mean_v
         |FROM events e JOIN stats s ON e.event_type = s.event_type
         |WHERE (value - mean_v) * (value - mean_v) > 4.0 * (ex2 - mean_v * mean_v)
         |ORDER BY event_id""".stripMargin,

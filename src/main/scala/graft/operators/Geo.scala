@@ -163,8 +163,8 @@ object Geo {
     * correctly-rounded double of K/100 — the SAME double the oracle's
     * CAST(SUM(DECIMAL(18,4)) AS DOUBLE) produces. Queries summing values
     * that are not fixed-point stay on the decimal path. */
-  private val valueCents: Column = round(col("value") * lit(100)).cast("long")
-  private def centsToDouble(centsSum: Column): Column =
+  private[graft] val valueCents: Column = round(col("value") * lit(100)).cast("long")
+  private[graft] def centsToDouble(centsSum: Column): Column =
     centsSum.cast("double") / lit(100.0)
 
   def zonalStats(spark: SparkSession, dir: String): DataFrame = {

@@ -44,6 +44,11 @@ object GraphOps {
       labels = next
       rounds += 1
     }
+    // a silent truncation would return a component split in two and fail
+    // only at the (distant) oracle — refuse loudly instead
+    if (!converged) throw new IllegalStateException(
+      s"minLabelComponents did not converge in $maxRounds rounds " +
+        "(component diameter exceeds the cap; raise maxRounds or switch to pointer doubling)")
     labels
   }
 }

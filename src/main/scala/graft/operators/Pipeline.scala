@@ -92,14 +92,20 @@ object Pipeline {
     }.toMap
   }
 
-  /** Driver-checked query: run the pipeline into a scratch root, run it
-    * AGAIN (the second pass must skip every layer — idempotence is exercised
-    * on every Verify), then serve the enriched output back from parquet.
-    * The oracle recomputes the same union of per-layer enrich queries
-    * directly, so the round trip through the partitioned layout must be
-    * value-lossless. */
+  /** Driver-checked query: run the pipeline into a FRESH scratch root, run
+    * it AGAIN (the second pass must skip every layer — idempotence is
+    * exercised on every Verify), then serve the enriched output back from
+    * parquet. The scratch root is wiped first: a catalog persisted across
+    * sessions would serve output from a PREVIOUS code version — stale
+    * results that could mask a new bug or fail a correct build — and would
+    * let Bench time the heavy query as a cached read. The oracle recomputes
+    * the same union of per-layer enrich queries directly, so the round trip
+    * through the partitioned layout must be value-lossless. */
   def pipeQuery(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"/tmp/graft_pipe/v1_${Integer.toHexString(dir.hashCode)}"
+    val out = s"/tmp/graft_pipe/run_${Integer.toHexString(dir.hashCode)}"
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
     runIncremental(spark, dir, out)
     runIncremental(spark, dir, out)
     spark.read.parquet(s"$out/enriched")

@@ -152,9 +152,9 @@ object Relational {
         dmean(col("l_quantity")).as("mean_qty"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"),
-        round(dstddev(col("l_quantity")), 4).as("stddev_qty"),
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
-        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"))
+        r4(dstddev(col("l_quantity"))).as("stddev_qty"),
+        r4(expr("percentile(l_quantity, 0.5)")).as("median_qty"),
+        r4(expr("percentile(l_quantity, 0.9)")).as("p90_qty"))
       .orderBy("l_returnflag")
 
   /** q11: conditional aggregates — per-class stats in one scan (the
@@ -387,12 +387,12 @@ object Relational {
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean_qty,
         |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
-        |  ROUND(SQRT((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE)
+        |  floor(SQRT((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE)
         |    - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
         |      * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
-        |    / (CAST(COUNT(*) AS DOUBLE) - 1.0)), 4) AS stddev_qty,
-        |  ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
-        |  ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+        |    / (CAST(COUNT(*) AS DOUBLE) - 1.0)) * 10000.0 + 0.5) / 10000.0 AS stddev_qty,
+        |  floor(quantile_cont(l_quantity, 0.5) * 10000.0 + 0.5) / 10000.0 AS median_qty,
+        |  floor(quantile_cont(l_quantity, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q11_conditional_agg" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables._
@@ -43,26 +43,33 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
-  /** Quality scoring: doc length, average word length, stopword ratio ->
-    * one bounded score per doc, aggregated per source. The score is
-    * computed entirely in scaled-integer arithmetic (x100000) so both
-    * engines agree exactly — double ROUND half-way behavior differs
-    * between Spark (HALF_UP) and DuckDB (HALF_EVEN). */
-  def quality(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+  /** Adds `ws`, `n_words`, `n_stop` and the scaled-integer quality `score`
+    * (x100000) to a documents frame — ONE definition shared by ta_quality
+    * and ta_corpus_clean, so the formula cannot silently fork between two
+    * oracle-checked queries. Scaled-integer because double ROUND half-way
+    * behavior differs between Spark (HALF_UP) and DuckDB (HALF_EVEN). */
+  private def withQualityScore(docs: DataFrame): DataFrame =
+    docs
       .withColumn("ws", split(col("text"), " "))
       .withColumn("n_words", size(col("ws")).cast("long"))
       .withColumn("n_stop", expr(
         s"aggregate(ws, 0L, (acc, w) -> acc + IF(w IN $stopwordsSqlList, 1L, 0L))"))
-      // length component: 0.4 * min(n_words/100, 1)  -> 400 * min(n_words, 100)
-      .withColumn("c_len", lit(400L) * least(col("n_words"), lit(100L)))
-      // non-stopword component: 0.3 * (1 - n_stop/n_words), floored at 1e-5
-      .withColumn("c_stop", expr("(30000 * (n_words - n_stop)) div n_words"))
-      // word-length component: 0.3 * min(avg_word_len/8, 1); avg_word_len =
-      // (n_chars - (n_words-1)) / n_words for single-space-joined text
-      .withColumn("c_wlen", least(
-        expr("(30000 * (n_chars - n_words + 1)) div (8 * n_words)"), lit(30000L)))
-      .withColumn("score", col("c_len") + col("c_stop") + col("c_wlen"))
+      .withColumn("score",
+        // 0.4 * min(n_words/100, 1) + 0.3 * (1 - n_stop/n_words)
+        //   + 0.3 * min(avg_word_len/8, 1), avg_word_len over
+        //   single-space-joined text
+        lit(400L) * least(col("n_words"), lit(100L))
+          + expr("(30000 * (n_words - n_stop)) div n_words")
+          + least(expr("(30000 * (n_chars - n_words + 1)) div (8 * n_words)"), lit(30000L)))
+
+  /** md5 window hashes of the doc's word 4-grams as an ARRAY column —
+    * row-wise, shared by ta_fingerprint and ta_corpus_clean. */
+  private def windowHashArr: Column = expr(
+    "transform(sequence(0, size(ws)-4), i -> md5(concat(ws[i], ' ', ws[i+1], ' ', ws[i+2], ' ', ws[i+3])))")
+
+  /** Quality scoring aggregated per source. */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    withQualityScore(documents(spark, dir))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -89,16 +96,15 @@ object TextAnalysis {
 
   /** Document fingerprint (winnowing-style): the minimum md5 over the doc's
     * word 4-gram windows — a Karp-Rabin rolling window with md5 standing in
-    * for the rolling hash so both engines agree. */
+    * for the rolling hash so both engines agree. Fully ROW-WISE
+    * (array_min over the window-hash array): no explode, no shuffle. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 4)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(ws)-4), i -> md5(concat(ws[i], ' ', ws[i+1], ' ', ws[i+2], ' ', ws[i+3])))"))
-        .as("wh"))
-      .groupBy("doc_id")
-      .agg(min(col("wh")).as("fingerprint"), count(lit(1)).as("n_windows"))
+      .select(col("doc_id"),
+        array_min(windowHashArr).as("fingerprint"),
+        (size(col("ws")) - 3).cast("long").as("n_windows"))
       .orderBy("doc_id")
 
   /** Top terms per language by a TF/DF salience score (TF-IDF with the log
@@ -127,27 +133,16 @@ object TextAnalysis {
     * md5 — the planted near-dups collide; keep = min doc_id among passing
     * docs). Every doc is emitted with its quality score and the FIRST
     * failing verdict, so the output is an auditable decision log, not just
-    * the survivor set. One explode+groupBy for fingerprints, one corpus
-    * join back (AQE-planned, no hints), no driver-side loops. */
+    * the survivor set. Score and fingerprint are row-wise (one scan); the
+    * only shuffles are the keep-set groupBy and the corpus join back
+    * (AQE-planned, no hints); no driver-side loops. */
   def corpusClean(spark: SparkSession, dir: String): DataFrame = {
-    val scored = documents(spark, dir)
-      .withColumn("ws", split(col("text"), " "))
-      .withColumn("n_words", size(col("ws")).cast("long"))
-      .withColumn("n_stop", expr(
-        s"aggregate(ws, 0L, (acc, w) -> acc + IF(w IN $stopwordsSqlList, 1L, 0L))"))
-      .withColumn("score",
-        lit(400L) * least(col("n_words"), lit(100L))
-          + expr("(30000 * (n_words - n_stop)) div n_words")
-          + least(expr("(30000 * (n_chars - n_words + 1)) div (8 * n_words)"), lit(30000L)))
-    val fp = documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 4)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(ws)-4), i -> md5(concat(ws[i], ' ', ws[i+1], ' ', ws[i+2], ' ', ws[i+3])))"))
-        .as("wh"))
-      .groupBy("doc_id").agg(min(col("wh")).as("fp"))
-    val docs = scored.join(fp, Seq("doc_id"), "left_outer")
-      .withColumn("fp", coalesce(col("fp"), md5(col("text"))))
+    // score and fingerprint come from the SHARED row-wise definitions
+    // (withQualityScore / windowHashArr) — one scan, no extra join, and
+    // the formulas cannot fork from ta_quality / ta_fingerprint
+    val docs = withQualityScore(documents(spark, dir))
+      .withColumn("fp",
+        when(size(col("ws")) >= 4, array_min(windowHashArr)).otherwise(md5(col("text"))))
       .withColumn("q_ok", col("score") >= 55000L)
       .withColumn("l_ok", col("lang").isin("en", "fr"))
     val keep = docs.filter(col("q_ok") && col("l_ok"))

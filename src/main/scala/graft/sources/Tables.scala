@@ -35,6 +35,16 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
 
+  /** Deterministic 4dp rounding: floor(x*10000 + 0.5)/10000 — the SAME
+    * expression both engines run (see r4Sql), so it is immune to the
+    * Spark-HALF_UP vs DuckDB-HALF_EVEN divergence of native ROUND on exact
+    * 5-decimal midpoints, which dyadic quotients (e.g. a 17/32 jaccard)
+    * CAN hit. Use for any displayed double that is a quotient/sqrt. */
+  def r4(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+
+  /** The identical expression in DuckDB SQL. */
+  def r4Sql(e: String): String = s"floor(($e) * 10000.0 + 0.5) / 10000.0"
+
   /** Exact sum of a double column: decimal-accumulated, returned as double. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
 

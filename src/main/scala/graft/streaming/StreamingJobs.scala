@@ -125,23 +125,26 @@ object StreamingJobs {
     * stateful aggs, Spark >= 3.4 append mode) cuts the join volume; the
     * single-agg form is the portable baseline. */
   def zonalStats(points: DataFrame, zones: DataFrame): DataFrame = {
+    // cell size and the exact-cents accumulator are SHARED with the batch
+    // operator (graft.operators.Geo) — a divergence there must break
+    // compilation or the parity spec, never silently fork the semantics
+    import graft.operators.Geo.{CellW, CellH, valueCents, centsToDouble}
     val z = zones
       .withColumn("cx", explode(expr(
-        "sequence(CAST(floor(xmin / 20.0) AS INT), CAST(floor(xmax / 20.0) AS INT))")))
+        s"sequence(CAST(floor(xmin / $CellW) AS INT), CAST(floor(xmax / $CellW) AS INT))")))
       .withColumn("cy", explode(expr(
-        "sequence(CAST(floor(ymin / 10.0) AS INT), CAST(floor(ymax / 10.0) AS INT))")))
+        s"sequence(CAST(floor(ymin / $CellH) AS INT), CAST(floor(ymax / $CellH) AS INT))")))
     points
       .withWatermark("ts", "2 hours")
-      .withColumn("cx", floor(col("lon") / lit(20.0)).cast("int"))
-      .withColumn("cy", floor(col("lat") / lit(10.0)).cast("int"))
+      .withColumn("cx", floor(col("lon") / lit(CellW)).cast("int"))
+      .withColumn("cy", floor(col("lat") / lit(CellH)).cast("int"))
       .join(broadcast(z), Seq("cx", "cy"))
       .filter(col("lon") >= col("xmin") && col("lon") < col("xmax")
         && col("lat") >= col("ymin") && col("lat") < col("ymax"))
       .groupBy(window(col("ts"), "1 hour"), col("zone_id"))
       .agg(
         count(lit(1)).as("n_points"),
-        (sum(round(col("value") * lit(100)).cast("long")).cast("double") / lit(100.0)
-          / count(lit(1))).as("mean_value"))
+        (centsToDouble(sum(valueCents)) / count(lit(1))).as("mean_value"))
       .select(unix_timestamp(col("window.start")).as("hour_epoch"),
         col("zone_id"), col("n_points"), col("mean_value"))
   }
