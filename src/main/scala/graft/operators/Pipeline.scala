@@ -36,12 +36,22 @@ object Pipeline {
 
   /** Stages 1-3: standardized points of one event class -> zonal stats ->
     * stats merged onto every zone feature (vector.py:6-13 LEFT JOIN keeps
-    * empty zones with NULL stats). */
+    * empty zones with NULL stats). Same aligned cell-partials fast path as
+    * Geo.vectorEnrich: the spatial join moves one exact-cents partial per
+    * occupied 1-degree cell of the layer, not raw points. */
   def enrichLayer(spark: SparkSession, dir: String, spec: LayerSpec): DataFrame = {
-    val pts = Geo.points(spark, dir).filter(col("event_type") === spec.eventType)
-    val stats = Geo.pointZoneJoinOn(pts, Geo.zones(spark, dir))
+    val cellPartials = Geo.points(spark, dir)
+      .filter(col("event_type") === spec.eventType)
+      .withColumn("fx", floor(col("lon")).cast("long"))
+      .withColumn("fy", floor(col("lat")).cast("long"))
+      .groupBy("fx", "fy")
+      .agg(count(lit(1)).as("cell_n"), sum(Geo.valueCents).as("cell_cents"))
+      .withColumn("lon", col("fx").cast("double") + lit(0.5))
+      .withColumn("lat", col("fy").cast("double") + lit(0.5))
+    val stats = Geo.pointZoneJoinOn(cellPartials, Geo.zones(spark, dir))
       .groupBy("zone_id")
-      .agg(count(lit(1)).as("n_points"), Tables.dmean(col("value")).as("mean_value"))
+      .agg(sum(col("cell_n")).as("n_points"),
+        (Geo.centsToDouble(sum(col("cell_cents"))) / sum(col("cell_n"))).as("mean_value"))
     Geo.zones(spark, dir)
       .join(stats, Seq("zone_id"), "left_outer")
       .select(col("zone_id"), col("xmin"), col("ymin"),

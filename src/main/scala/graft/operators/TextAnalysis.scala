@@ -145,6 +145,10 @@ object TextAnalysis {
         when(size(col("ws")) >= 4, array_min(windowHashArr)).otherwise(md5(col("text"))))
       .withColumn("q_ok", col("score") >= 55000L)
       .withColumn("l_ok", col("lang").isin("en", "fr"))
+      .select("doc_id", "score", "fp", "q_ok", "l_ok")
+      // referenced by the keep-set AND the final join: materialize so the
+      // md5 window hashing runs once, not once per subtree
+      .localCheckpoint()
     val keep = docs.filter(col("q_ok") && col("l_ok"))
       .groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
     docs.join(keep, Seq("fp"), "left_outer")
