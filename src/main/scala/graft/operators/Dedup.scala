@@ -280,9 +280,9 @@ object Dedup {
          |  GROUP BY 1, 2
          |)
          |SELECT da, db, n_inter,
-         |  floor((CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+         |  ${graft.sources.Tables.r4Sql("CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter)")} AS jaccard
          |FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
-         |WHERE floor((CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter)) * 10000.0 + 0.5) / 10000.0 >= 0.5
+         |WHERE ${graft.sources.Tables.r4Sql("CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter)")} >= 0.5
          |ORDER BY da, db""".stripMargin,
     "dd_jaccard_capped" ->
       s"""WITH sh0 AS ($shinglesSql),
@@ -295,9 +295,9 @@ object Dedup {
          |  GROUP BY 1, 2
          |)
          |SELECT da, db, n_inter,
-         |  floor((CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+         |  ${graft.sources.Tables.r4Sql("CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter)")} AS jaccard
          |FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
-         |WHERE floor((CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter)) * 10000.0 + 0.5) / 10000.0 >= 0.5
+         |WHERE ${graft.sources.Tables.r4Sql("CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter)")} >= 0.5
          |ORDER BY da, db""".stripMargin,
     "dd_minhash" ->
       s"""WITH sh AS ($shinglesSql),
@@ -358,7 +358,7 @@ object Dedup {
          |pairs AS (
          |  SELECT da, db FROM inter
          |  JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
-         |  WHERE floor((CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter)) * 10000.0 + 0.5) / 10000.0 >= 0.5
+         |  WHERE ${graft.sources.Tables.r4Sql("CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter)")} >= 0.5
          |),
          |e AS (SELECT da AS src, db AS dst FROM pairs UNION ALL SELECT db, da FROM pairs),
          |reach AS (
@@ -378,7 +378,7 @@ object Dedup {
          |  FROM embeddings
          |)
          |SELECT x.vec_id AS va, y.vec_id AS vb,
-         |  floor((${Similarity.dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm)) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+         |  ${graft.sources.Tables.r4Sql(Similarity.dotSql("x.embedding", "y.embedding") + " / (x.nrm * y.nrm)")} AS cos_sim
          |FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
          |WHERE ${Similarity.dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= 0.4
          |ORDER BY va, vb""".stripMargin)

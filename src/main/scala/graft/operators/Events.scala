@@ -179,13 +179,13 @@ object Events {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "ev_anomaly" ->
-      """WITH stats AS (
+      s"""WITH stats AS (
         |  SELECT event_type,
         |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean_v,
         |    CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS ex2
         |  FROM events GROUP BY event_type
         |)
-        |SELECT event_id, e.event_type, value, floor(mean_v * 10000.0 + 0.5) / 10000.0 AS mean_v
+        |SELECT event_id, e.event_type, value, ${graft.sources.Tables.r4Sql("mean_v")} AS mean_v
         |FROM events e JOIN stats s ON e.event_type = s.event_type
         |WHERE (value - mean_v) * (value - mean_v) > 4.0 * (ex2 - mean_v * mean_v)
         |ORDER BY event_id""".stripMargin,

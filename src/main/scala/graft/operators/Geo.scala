@@ -219,23 +219,27 @@ object Geo {
     * spatial join moves one decimal PARTIAL row per occupied 1-degree cell
     * instead of raw points (~13x fewer probe pairs at sf0.1, measured
     * 21s -> ~2s), and partial sums re-aggregate to bit-identical means. */
-  def vectorEnrich(spark: SparkSession, dir: String): DataFrame = {
-    val cellPartials = points(spark, dir)
+  def vectorEnrich(spark: SparkSession, dir: String): DataFrame =
+    vectorEnrichOn(points(spark, dir), zones(spark, dir)).orderBy("zone_id")
+
+  /** Generic form: any (lon, lat, value) points frame against any
+    * integer-aligned box zones frame — the ONE place the aligned-fast-path
+    * reasoning lives (Pipeline.enrichLayer reuses it per layer). */
+  def vectorEnrichOn(pts: DataFrame, zs: DataFrame): DataFrame = {
+    val cellPartials = pts
       .withColumn("fx", floor(col("lon")).cast("long"))
       .withColumn("fy", floor(col("lat")).cast("long"))
       .groupBy("fx", "fy")
       .agg(count(lit(1)).as("cell_n"), sum(valueCents).as("cell_cents"))
       .withColumn("lon", col("fx").cast("double") + lit(0.5))
       .withColumn("lat", col("fy").cast("double") + lit(0.5))
-    val stats = pointZoneJoinOn(cellPartials, zones(spark, dir))
+    val stats = pointZoneJoinOn(cellPartials, zs)
       .groupBy("zone_id")
       .agg(sum(col("cell_n")).as("n_points"),
         (centsToDouble(sum(col("cell_cents"))) / sum(col("cell_n"))).as("mean_value"))
-    zones(spark, dir)
-      .join(stats, Seq("zone_id"), "left_outer")
+    zs.join(stats, Seq("zone_id"), "left_outer")
       .select(col("zone_id"), col("xmin"), col("ymin"),
         coalesce(col("n_points"), lit(0L)).as("n_points"), col("mean_value"))
-      .orderBy("zone_id")
   }
 
   // -- tiling (tippecanoe re-expression, plate-carree XYZ grid: 2^z x 2^z,

@@ -32,7 +32,9 @@ object GraphOps {
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < maxRounds) {
+    // <= : a graph of diameter EXACTLY maxRounds finishes changing on round
+    // maxRounds and needs one extra no-change round to be DETECTED
+    while (!converged && rounds <= maxRounds) {
       val msgs = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("comp"))
       val next = labels.unionByName(msgs)

@@ -142,7 +142,7 @@ object Multimodal {
       .withColumn("cos", dot8("qv", "cv") / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
-      .select(col("qid"), col("rank"), col("cid"), graft.sources.Tables.r4(col("cos")).as("cos_sim"))
+      .select(col("qid"), col("rank"), col("cid"), r4(col("cos")).as("cos_sim"))
       .orderBy("qid", "rank")
   }
 
@@ -215,7 +215,7 @@ object Multimodal {
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
          |  FROM cand
          |)
-         |SELECT qid, rank, cid, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos_sim
+         |SELECT qid, rank, cid, ${graft.sources.Tables.r4Sql("cos")} AS cos_sim
          |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
     },
     "mm_decode_stats" ->

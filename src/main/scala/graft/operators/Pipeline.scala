@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.{ManifestIO, Tables}
+import graft.sources.ManifestIO
 
 /** End-to-end incremental pipeline runner (SURVEY.md §2.H).
   *
@@ -39,25 +39,11 @@ object Pipeline {
     * empty zones with NULL stats). Same aligned cell-partials fast path as
     * Geo.vectorEnrich: the spatial join moves one exact-cents partial per
     * occupied 1-degree cell of the layer, not raw points. */
-  def enrichLayer(spark: SparkSession, dir: String, spec: LayerSpec): DataFrame = {
-    val cellPartials = Geo.points(spark, dir)
-      .filter(col("event_type") === spec.eventType)
-      .withColumn("fx", floor(col("lon")).cast("long"))
-      .withColumn("fy", floor(col("lat")).cast("long"))
-      .groupBy("fx", "fy")
-      .agg(count(lit(1)).as("cell_n"), sum(Geo.valueCents).as("cell_cents"))
-      .withColumn("lon", col("fx").cast("double") + lit(0.5))
-      .withColumn("lat", col("fy").cast("double") + lit(0.5))
-    val stats = Geo.pointZoneJoinOn(cellPartials, Geo.zones(spark, dir))
-      .groupBy("zone_id")
-      .agg(sum(col("cell_n")).as("n_points"),
-        (Geo.centsToDouble(sum(col("cell_cents"))) / sum(col("cell_n"))).as("mean_value"))
-    Geo.zones(spark, dir)
-      .join(stats, Seq("zone_id"), "left_outer")
-      .select(col("zone_id"), col("xmin"), col("ymin"),
-        coalesce(col("n_points"), lit(0L)).as("n_points"), col("mean_value"),
-        lit(spec.name).as("layer"))
-  }
+  def enrichLayer(spark: SparkSession, dir: String, spec: LayerSpec): DataFrame =
+    Geo.vectorEnrichOn(
+      Geo.points(spark, dir).filter(col("event_type") === spec.eventType),
+      Geo.zones(spark, dir))
+      .withColumn("layer", lit(spec.name))
 
   /** Stage 4: XYZ tiles of the layer's points (tiles.py / tippecanoe). */
   def tileLayer(spark: SparkSession, dir: String, spec: LayerSpec): DataFrame =
@@ -112,7 +98,11 @@ object Pipeline {
     * the same union of per-layer enrich queries directly, so the round trip
     * through the partitioned layout must be value-lossless. */
   def pipeQuery(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"/tmp/graft_pipe/run_${Integer.toHexString(dir.hashCode)}"
+    // pid suffix: the wipe must never destroy a CONCURRENT process's run
+    // (two JVMs on the same sfDir would otherwise share — and delete —
+    // one scratch root mid-write)
+    val pid = ProcessHandle.current().pid()
+    val out = s"/tmp/graft_pipe/run_${pid}_${Integer.toHexString(dir.hashCode)}"
     val p = new org.apache.hadoop.fs.Path(out)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)

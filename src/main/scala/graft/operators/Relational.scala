@@ -384,15 +384,16 @@ object Relational {
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY region_name ASC NULLS FIRST, nation_name ASC NULLS FIRST""".stripMargin,
     "q10_stats_suite" ->
-      """SELECT l_returnflag, COUNT(*) AS n,
+      s"""SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean_qty,
         |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
-        |  floor(SQRT((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE)
-        |    - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
-        |      * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
-        |    / (CAST(COUNT(*) AS DOUBLE) - 1.0)) * 10000.0 + 0.5) / 10000.0 AS stddev_qty,
-        |  floor(quantile_cont(l_quantity, 0.5) * 10000.0 + 0.5) / 10000.0 AS median_qty,
-        |  floor(quantile_cont(l_quantity, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90_qty
+        |  ${graft.sources.Tables.r4Sql(
+        """SQRT((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE)
+          | - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+          |   * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+          | / (CAST(COUNT(*) AS DOUBLE) - 1.0))""".stripMargin)} AS stddev_qty,
+        |  ${graft.sources.Tables.r4Sql("quantile_cont(l_quantity, 0.5)")} AS median_qty,
+        |  ${graft.sources.Tables.r4Sql("quantile_cont(l_quantity, 0.9)")} AS p90_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q11_conditional_agg" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,

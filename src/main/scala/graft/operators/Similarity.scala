@@ -115,7 +115,7 @@ object Similarity {
       .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("cid"), graft.sources.Tables.r4(col("cos")).as("cos_sim"))
+      .select(col("qid"), col("rank"), col("cid"), r4(col("cos")).as("cos_sim"))
   }
 
   /** Random-hyperplane LSH ANN: candidates share the 8-bit sign bucket;
@@ -139,7 +139,7 @@ object Similarity {
       .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("cid"), graft.sources.Tables.r4(col("cos")).as("cos_sim"))
+      .select(col("qid"), col("rank"), col("cid"), r4(col("cos")).as("cos_sim"))
   }
 
   /** IVF-style ANN: corpus partitioned into 16 coarse cells by the sign
@@ -165,7 +165,7 @@ object Similarity {
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
        |  FROM cand
        |)
-       |SELECT qid, rank, cid, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos_sim
+       |SELECT qid, rank, cid, ${graft.sources.Tables.r4Sql("cos")} AS cos_sim
        |FROM ranked WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
