@@ -73,6 +73,34 @@ class GenericApiSpec extends SparkSpecBase {
     assert(out.exists(r => r.getLong(0) == 0L && r.getLong(3) == 1L), out.mkString(","))
   }
 
+  test("vector enrich core runs on arbitrary point/zone frames (empty zones kept)") {
+    import spark.implicits._
+    val pts = Seq((5.0, 5.0, 10.0), (5.5, 5.5, 20.0), (15.0, 5.0, 30.0))
+      .toDF("lon", "lat", "value")
+    val zs = Seq((100L, 0.0, 0.0, 10.0, 10.0), (200L, 10.0, 0.0, 30.0, 10.0),
+      (300L, -40.0, 0.0, -20.0, 10.0)) // empty zone
+      .toDF("zone_id", "xmin", "ymin", "xmax", "ymax")
+    val out = Geo.vectorEnrichOn(pts, zs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), Option(r.get(4)))).toMap
+    assert(out(100L) == (2L, Some(15.0)))
+    assert(out(200L) == (1L, Some(30.0)))
+    assert(out(300L) == (0L, None)) // LEFT JOIN keeps the empty zone, stats NULL
+  }
+
+  test("r4 deterministic rounding: exact 5-decimal midpoints round half-up in both engines") {
+    import spark.implicits._
+    // 17/32 = 0.53125 is a dyadic rational — exactly representable, so
+    // native ROUND diverges across engines (Spark HALF_UP -> .5313,
+    // DuckDB HALF_EVEN -> .5312). r4 is floor(x*1e4+0.5)/1e4 written
+    // identically in r4Sql, pinning half-up on BOTH sides.
+    val vals = Seq(17.0 / 32.0, -17.0 / 32.0, 0.12345, 1.0 / 3.0).toDF("x")
+    val got = vals.select(graft.sources.Tables.r4(org.apache.spark.sql.functions.col("x")))
+      .collect().map(_.getDouble(0))
+    assert(got(0) == 0.5313, got.mkString(","))  // midpoint: half-up
+    assert(got(1) == -0.5312, got.mkString(",")) // floor form: toward +inf
+    assert(got(2) == 0.1235 && got(3) == 0.3333, got.mkString(","))
+  }
+
   test("ANN cores run on an arbitrary embedding frame") {
     import spark.implicits._
     GraftFunctions.register(spark)
