@@ -38,7 +38,7 @@ object Dedup {
       // out before the expensive explode/hash stages so they use every core
       .repartition(spark.sparkContext.defaultParallelism))
 
-  private val shinglesSql =
+  private[operators] val shinglesSql =
     """SELECT doc_id, sh FROM (
       |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)-1),
       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh

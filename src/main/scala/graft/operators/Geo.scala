@@ -762,7 +762,77 @@ object Geo {
         dsum(col("value")).as("sum_value"))
       .orderBy("snap_lon", "snap_lat")
 
+  /** Polygon measures — ST_Area / ST_Centroid analog (the reference stores
+    * real polygon layers; any vector pipeline reports feature area and
+    * centroid). Shoelace over the generic array<struct<x,y>> vertex list:
+    * vertices are integer-valued (polyZones), so the doubled signed area
+    * and the centroid numerators are EXACT 64-bit integers on both engines,
+    * and the centroid is one double division of identical integers —
+    * deterministic with no rounding discipline needed (SURVEY §4 rule (b)).
+    * Per-feature O(n_verts) map work, no shuffle at all until the ORDER BY:
+    * at 100 TB this is embarrassingly parallel scan work. */
+  def polyArea(spark: SparkSession, dir: String): DataFrame = {
+    def ringSum(term: String) = expr(
+      s"""aggregate(sequence(1, size(verts)), CAST(0 AS LONG), (acc, i) -> acc + ($term))"""
+        .replace("X1", "CAST(element_at(verts, i).x AS LONG)")
+        .replace("Y1", "CAST(element_at(verts, i).y AS LONG)")
+        .replace("X2", "CAST(element_at(verts, i % size(verts) + 1).x AS LONG)")
+        .replace("Y2", "CAST(element_at(verts, i % size(verts) + 1).y AS LONG)"))
+    polyZones(spark, dir)
+      .withColumn("area2", ringSum("X1 * Y2 - X2 * Y1"))
+      .withColumn("cxn", ringSum("(X1 + X2) * (X1 * Y2 - X2 * Y1)"))
+      .withColumn("cyn", ringSum("(Y1 + Y2) * (X1 * Y2 - X2 * Y1)"))
+      .select(col("zone_id"), col("area2"),
+        (col("cxn").cast("double") / (col("area2") * 3).cast("double")).as("cx"),
+        (col("cyn").cast("double") / (col("area2") * 3).cast("double")).as("cy"))
+      .orderBy("zone_id")
+  }
+
+  /** Nearest-zone-centroid join — the kNN (k=1) spatial join every
+    * enrichment pipeline needs ("attach each point to its closest admin
+    * centroid"). Semantics: nearest centroid among the 3x3 grid cells
+    * around the point (bounded-radius nearest neighbor — the standard
+    * scale formulation; an unbounded nearest would be a cross join).
+    * Distance is squared euclidean in exact x100 integers; the argmin is
+    * min(struct(d2, zone_id)) — lexicographic struct min, map-side
+    * combinable, so the shuffle carries ONE row per point, not the ~9-cell
+    * candidate fan-in (a row_number window would shuffle every candidate).
+    * Points whose 3x3 window holds no centroid are dropped (inner join). */
+  def nearestZone(spark: SparkSession, dir: String): DataFrame = {
+    val cellW = 2000L // x100 integer degrees: 20-degree cells, as elsewhere
+    val cellH = 1000L
+    val z = zones(spark, dir).select(col("zone_id"),
+        ((col("xmin") + lit(10.0)) * 100).cast("long").as("zcx"),
+        ((col("ymin") + lit(5.0)) * 100).cast("long").as("zcy"))
+    val zc = z
+      .withColumn("dx", explode(array(lit(-1), lit(0), lit(1))))
+      .withColumn("dy", explode(array(lit(-1), lit(0), lit(1))))
+      .select(col("zone_id"), col("zcx"), col("zcy"),
+        (floorDiv(col("zcx"), cellW) + col("dx")).as("cx"),
+        (floorDiv(col("zcy"), cellH) + col("dy")).as("cy"))
+    // x100 coords rebuilt from the key in INTEGER arithmetic — lon*100 of
+    // the double lon is 3566.999... for some keys and truncates wrong
+    val p = events(spark, dir).select(col("event_id"),
+        ((col("event_id") * lit(7919L)) % lit(36000L) - lit(18000L)).as("a100"),
+        ((col("event_id") * lit(104729L)) % lit(7000L) - lit(3500L)).as("b100"))
+      .withColumn("cx", floorDiv(col("a100"), cellW))
+      .withColumn("cy", floorDiv(col("b100"), cellH))
+    p.join(sizeGated(z, zc, 9L), Seq("cx", "cy"))
+      .withColumn("d2",
+        (col("a100") - col("zcx")) * (col("a100") - col("zcx"))
+          + (col("b100") - col("zcy")) * (col("b100") - col("zcy")))
+      .groupBy("event_id")
+      .agg(min(struct(col("d2"), col("zone_id"))).as("m"))
+      .select(col("event_id"), col("m.zone_id").as("zone_id"), col("m.d2").as("d2"))
+      .orderBy("event_id")
+  }
+
+  private def floorDiv(c: Column, d: Long): Column =
+    floor(c.cast("double") / lit(d.toDouble)).cast("long")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zs_poly_area" -> (polyArea _),
+    "zs_nearest_zone" -> (nearestZone _),
     "zs_crs_detect" -> (crsDetect _),
     "zs_tri_zonal" -> (triZonalStats _),
     "zs_poly_zonal" -> (polyZonalStats _),
@@ -790,6 +860,69 @@ object Geo {
          |FROM z10 GROUP BY 1, 2, 3""".stripMargin
     }.mkString("\nUNION ALL\n")
     Map(
+      "zs_poly_area" ->
+        // exact-integer shoelace over the pentagon ring; same integers as
+        // the Spark HOF, so area2/cxn/cyn match bit for bit and the
+        // centroid is one double division of identical integers
+        """WITH z AS (
+          |  SELECT p_partkey AS zone_id,
+          |    CAST(p_partkey * 53 % 330 AS BIGINT) - 180 AS ax,
+          |    CAST(p_partkey * 89 % 55 AS BIGINT) - 35 AS ay,
+          |    p_partkey % 15 + 10 AS w, p_partkey % 8 + 6 AS h,
+          |    CAST(FLOOR((p_partkey % 15 + 10) / 2.0) AS BIGINT) AS hx,
+          |    p_partkey % 4 + 2 AS nd
+          |  FROM part
+          |),
+          |v AS (
+          |  SELECT zone_id, 1 AS i, ax AS x, ay AS y FROM z
+          |  UNION ALL SELECT zone_id, 2, ax + w, ay FROM z
+          |  UNION ALL SELECT zone_id, 3, ax + w, ay + h FROM z
+          |  UNION ALL SELECT zone_id, 4, ax + hx, ay + h - nd FROM z
+          |  UNION ALL SELECT zone_id, 5, ax, ay + h FROM z
+          |),
+          |pairs AS (
+          |  SELECT a.zone_id, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+          |  FROM v a JOIN v b ON a.zone_id = b.zone_id AND b.i = a.i % 5 + 1
+          |)
+          |SELECT zone_id,
+          |  CAST(SUM(x1 * y2 - x2 * y1) AS BIGINT) AS area2,
+          |  CAST(SUM((x1 + x2) * (x1 * y2 - x2 * y1)) AS DOUBLE)
+          |    / CAST(CAST(SUM(x1 * y2 - x2 * y1) AS BIGINT) * 3 AS DOUBLE) AS cx,
+          |  CAST(SUM((y1 + y2) * (x1 * y2 - x2 * y1)) AS DOUBLE)
+          |    / CAST(CAST(SUM(x1 * y2 - x2 * y1) AS BIGINT) * 3 AS DOUBLE) AS cy
+          |FROM pairs GROUP BY zone_id ORDER BY zone_id""".stripMargin,
+      "zs_nearest_zone" ->
+        // identical candidate generation (3x3 cell window, x100 ints) +
+        // the same lexicographic (d2, zone_id) argmin, via row_number
+        """WITH p AS (
+          |  SELECT event_id,
+          |    CAST(event_id * 7919 % 36000 AS BIGINT) - 18000 AS a100,
+          |    CAST(event_id * 104729 % 7000 AS BIGINT) - 3500 AS b100
+          |  FROM events
+          |),
+          |z AS (
+          |  SELECT p_partkey AS zone_id,
+          |    (CAST(p_partkey * 37 % 340 AS BIGINT) - 170) * 100 AS zcx,
+          |    (CAST(p_partkey * 61 % 60 AS BIGINT) - 30) * 100 AS zcy
+          |  FROM part
+          |),
+          |cand AS (
+          |  SELECT p.event_id, z.zone_id,
+          |    (a100 - zcx) * (a100 - zcx) + (b100 - zcy) * (b100 - zcy) AS d2
+          |  FROM p JOIN z
+          |    ON CAST(FLOOR(zcx / 2000.0) AS BIGINT)
+          |      BETWEEN CAST(FLOOR(a100 / 2000.0) AS BIGINT) - 1
+          |          AND CAST(FLOOR(a100 / 2000.0) AS BIGINT) + 1
+          |   AND CAST(FLOOR(zcy / 1000.0) AS BIGINT)
+          |      BETWEEN CAST(FLOOR(b100 / 1000.0) AS BIGINT) - 1
+          |          AND CAST(FLOOR(b100 / 1000.0) AS BIGINT) + 1
+          |),
+          |r AS (
+          |  SELECT event_id, zone_id, d2,
+          |    ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY d2, zone_id) AS rk
+          |  FROM cand
+          |)
+          |SELECT event_id, zone_id, d2 FROM r WHERE rk = 1 ORDER BY event_id""".stripMargin,
       "zs_crs_detect" ->
         s"""WITH pts AS ($pointsSql),
            |u AS (

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables._
 
 /** Multimodal (opaque binary) column handling (SURVEY.md §2.F).
@@ -180,7 +181,42 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Shard packing — the webdataset/tar-shard layout step of a training
+    * run: assign payloads (ordered by doc_id) to fixed-size shards by their
+    * cumulative byte offset (a doc belongs to shard floor(start/4096)).
+    *
+    * The prefix sum is DISTRIBUTED, not a single global window: per-range
+    * subtotals (doc_id div 100) are prefix-summed on the tiny range table,
+    * the per-range start offsets join back (broadcast — O(#ranges) rows),
+    * and the within-range running sum is a window PARTITIONED by range. At
+    * 100 TB a global ORDER BY window would serialize on one task; this
+    * shape scales with the range count while producing byte-identical
+    * offsets. */
+  def shardPack(spark: SparkSession, dir: String): DataFrame = {
+    val ShardBytes = 4096L
+    val RangeDocs = 100L
+    val sized = withPayload(spark, dir)
+      .select(col("doc_id"), length(col("payload")).cast("long").as("nb"))
+      .withColumn("rng", expr(s"doc_id div $RangeDocs"))
+    val rangeTot = sized.groupBy("rng").agg(sum(col("nb")).as("tot"))
+    val wRanges = Window.orderBy("rng")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = rangeTot
+      .withColumn("range_off", sum(col("tot")).over(wRanges) - col("tot"))
+      .select("rng", "range_off")
+    val wInRange = Window.partitionBy("rng").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sized.join(broadcast(offsets), Seq("rng"))
+      .withColumn("start", col("range_off") + sum(col("nb")).over(wInRange) - col("nb"))
+      .withColumn("shard_id", expr(s"start div $ShardBytes"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nb")).as("shard_bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("shard_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_shard_pack" -> (shardPack _),
     "mm_metadata" -> (metadata _),
     "mm_framesample" -> (frameSample _),
     "mm_chunk_dedup" -> (chunkDedup _),
@@ -237,6 +273,20 @@ object Multimodal {
         |  MIN(doc_id) AS first_doc
         |FROM ch GROUP BY chunk_hash HAVING COUNT(*) > 1
         |ORDER BY chunk_hash""".stripMargin,
+    "mm_shard_pack" ->
+      // the oracle's single global window computes the same offsets the
+      // distributed two-phase prefix sum produces
+      """WITH s AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS nb FROM documents),
+        |c AS (
+        |  SELECT doc_id, nb,
+        |    CAST(SUM(nb) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nb AS BIGINT) AS start
+        |  FROM s
+        |)
+        |SELECT start // 4096 AS shard_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(nb) AS BIGINT) AS shard_bytes,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin,
     "mm_metadata" ->
       """SELECT doc_id, source,
         |  CAST(length(text) AS BIGINT) AS byte_len,

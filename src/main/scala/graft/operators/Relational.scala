@@ -262,7 +262,71 @@ object Relational {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** q20: CUBE — all four grouping-set combinations of (returnflag,
+    * linestatus) in ONE pass: Catalyst expands the cube map-side and a
+    * single shuffle aggregates every grouping set (vs. 4 scans + union for
+    * the naive form — the win grows with input size, exactly what matters
+    * at 100 TB). Group keys are coalesced to 'ALL' so the output carries no
+    * NULLs (Spark sorts NULLS FIRST, DuckDB NULLS LAST — a sentinel keeps
+    * the total ORDER BY portable); gid disambiguates a real 'ALL' value. */
+  def q20GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("gid"), col("n"), col("sum_qty"))
+      .orderBy("gid", "returnflag", "linestatus")
+
+  /** q21: EXACT distributed percentiles (p25/p50/p75) via the value-count
+    * histogram: groupBy (group, value) first — the shuffle moves O(distinct
+    * values) rows, not O(rows), the standard exact-median plan for
+    * bounded-domain columns (raster bands, quantities, scores). A window
+    * cumulative count then picks the smallest value whose running count
+    * reaches ceil(p·n), all in exact integer arithmetic (cum*100 >= p*n —
+    * no float percentile, no interpolation, no approx sketch). */
+  def q21ExactMedian(spark: SparkSession, dir: String): DataFrame = {
+    val hist = lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity").as("qty"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("l_returnflag").orderBy("qty")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("l_returnflag")
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(tot))
+    def pick(pct: Int) = min(when(col("cum") * 100 >= lit(pct) * col("n"), col("qty")))
+    cum.groupBy("l_returnflag")
+      .agg(max(col("n")).as("n"),
+        pick(25).as("p25"), pick(50).as("p50"), pick(75).as("p75"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q22: ordered list aggregation — top-3 orders per priority packed into
+    * one deterministic comma-joined string column (the collect side of an
+    * export row). collect_list is order-unstable under parallel merge, so
+    * the list is rank-filtered FIRST (3 rows per group) and sort_array
+    * imposes the total order after collection — never a sorted collect. */
+  def q22ListAgg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_top"),
+        array_join(expr("transform(sort_array(collect_list(o_orderkey)), k -> CAST(k AS STRING))"), ",")
+          .as("top_keys"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_grouping_sets" -> (q20GroupingSets _),
+    "q21_exact_median" -> (q21ExactMedian _),
+    "q22_list_agg" -> (q22ListAgg _),
     "q19_scalar_subquery" -> (q19ScalarSubquery _),
     "q13_sketch" -> (q13Sketch _),
     "q15_sample" -> (q15Sample _),
@@ -282,6 +346,42 @@ object Relational {
     "q12_union_dedup" -> (q12UnionDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q20_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, returnflag, linestatus""".stripMargin,
+    "q21_exact_median" ->
+      """WITH hist AS (
+        |  SELECT l_returnflag, l_quantity AS qty, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2
+        |),
+        |c AS (
+        |  SELECT l_returnflag, qty, cnt,
+        |    SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY qty
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM hist
+        |)
+        |SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+        |  MIN(CASE WHEN cum * 100 >= 25 * n THEN qty END) AS p25,
+        |  MIN(CASE WHEN cum * 100 >= 50 * n THEN qty END) AS p50,
+        |  MIN(CASE WHEN cum * 100 >= 75 * n THEN qty END) AS p75
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q22_list_agg" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders
+        |)
+        |SELECT o_orderpriority, COUNT(*) AS n_top,
+        |  array_to_string(list(CAST(o_orderkey AS VARCHAR) ORDER BY o_orderkey), ',') AS top_keys
+        |FROM r WHERE rk <= 3
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q19_scalar_subquery" ->
       """SELECT o_orderpriority, COUNT(*) AS n_above,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_above

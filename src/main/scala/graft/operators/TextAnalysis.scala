@@ -161,7 +161,50 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Cross-doc boilerplate detection — the fraction of a document's word
+    * 3-gram shingles that are corpus-common (df >= 5 distinct docs): nav
+    * bars, license headers and template text score high and get dropped or
+    * down-weighted by a cleaning run. Reuses the dedup suite's shingle
+    * definition (one inverted-index shuffle on the shingle key — the df is
+    * a WINDOW count over that same shuffle, no second pass), then one
+    * per-doc aggregate. Docs under 3 words have no shingles and are
+    * excluded, same as the dedup family. */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shinglesOn(
+      documents(spark, dir).repartition(spark.sparkContext.defaultParallelism))
+    val w = Window.partitionBy("sh")
+    sh.withColumn("df", count(lit(1)).over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") >= 5, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_frac", r4(col("n_boiler").cast("double") / col("n_sh")))
+      .orderBy("doc_id")
+  }
+
+  /** Within-doc repetition score — the max word-bigram frequency over the
+    * total bigram count: degenerate generated text ("the the the ...") and
+    * boilerplate loops score near 1, natural text near 1/n. A standard
+    * C4/Gopher-style quality gate. Bigrams are NOT deduped (repetition is
+    * the signal); one shuffle on (doc_id, bigram), one per-doc aggregate,
+    * all counts integer-exact. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1]))")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("max_bigram"))
+      .withColumn("rep_score", r4(col("max_bigram").cast("double") / col("n_bigrams")))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_boilerplate" -> (boilerplate _),
+    "ta_repetition" -> (repetition _),
     "ta_corpus_clean" -> (corpusClean _),
     "ta_topterms" -> (topterms _),
     "ta_langid" -> (langid _),
@@ -170,6 +213,28 @@ object TextAnalysis {
     "ta_fingerprint" -> (fingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "ta_boilerplate" ->
+      s"""WITH sh AS (${Dedup.shinglesSql}),
+         |d AS (
+         |  SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM sh
+         |)
+         |SELECT doc_id, COUNT(*) AS n_sh,
+         |  CAST(SUM(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         |  ${graft.sources.Tables.r4Sql(
+             "CAST(SUM(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")} AS boiler_frac
+         |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ta_repetition" ->
+      s"""WITH bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         |    i -> ws[i] || ' ' || ws[i+1])) AS bg
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |        WHERE len(string_split(text, ' ')) >= 2)
+         |),
+         |c AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM bg GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+         |  COUNT(*) AS n_distinct, CAST(MAX(cnt) AS BIGINT) AS max_bigram,
+         |  ${graft.sources.Tables.r4Sql("CAST(MAX(cnt) AS DOUBLE) / SUM(cnt)")} AS rep_score
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ta_corpus_clean" ->
       s"""WITH m AS (
          |  SELECT doc_id, lang, text, n_chars,

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Geo, Multimodal, Relational, TextAnalysis}
+
+/** Specs for the round-3 operators. Value correctness is owned by the
+  * DuckDB oracle gate; these pin the invariants and plan shapes the oracle
+  * can't see (distributed-prefix parity, geometric identities, exact-
+  * percentile semantics). */
+class Round3Spec extends SparkSpecBase {
+
+  test("q20 cube emits all four grouping sets and gid is consistent") {
+    val rows = Relational.q20GroupingSets(spark, sfDir).collect()
+    val gids = rows.map(_.getAs[Int]("gid")).toSet
+    assert(gids == Set(0, 1, 2, 3), gids)
+    // gid bit semantics: bit set <=> that key is aggregated away ('ALL')
+    rows.foreach { r =>
+      val gid = r.getAs[Int]("gid")
+      assert((r.getAs[String]("linestatus") == "ALL") == ((gid & 1) == 1), r)
+      assert((r.getAs[String]("returnflag") == "ALL") == ((gid & 2) == 2), r)
+    }
+    // the grand total row equals the sum of the leaf rows
+    val leafN = rows.filter(_.getAs[Int]("gid") == 0).map(_.getAs[Long]("n")).sum
+    val totalN = rows.filter(_.getAs[Int]("gid") == 3).map(_.getAs[Long]("n")).sum
+    assert(leafN == totalN, s"$leafN != $totalN")
+  }
+
+  test("q21 exact percentiles match a brute-force sorted pick") {
+    val rows = Relational.q21ExactMedian(spark, sfDir).collect()
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_returnflag", "l_quantity").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    rows.foreach { r =>
+      val vs = li(r.getAs[String]("l_returnflag"))
+      val n = vs.length
+      assert(r.getAs[Long]("n") == n.toLong, r)
+      // smallest v with rank*100 >= p*n  ==  element at ceil(p*n/100) - 1
+      def pick(p: Int) = vs((p * n + 99) / 100 - 1)
+      assert(r.getAs[Double]("p25") == pick(25), r)
+      assert(r.getAs[Double]("p50") == pick(50), r)
+      assert(r.getAs[Double]("p75") == pick(75), r)
+    }
+  }
+
+  test("q21 shuffles the histogram, not the rows (groupBy before window)") {
+    val p = plan(Relational.q21ExactMedian(spark, sfDir))
+    // the first aggregate keys on (group, value) so the window input is
+    // O(distinct values); a plan that windows the raw scan would sort 6k
+    // rows instead of ~300 histogram rows
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0, p)
+    // formatted plans list operators leaves-last: scan..agg..window upward
+    assert(p.contains("l_quantity"), p)
+  }
+
+  test("q22 top-keys strings are sorted, comma-joined, 3 keys per group") {
+    Relational.q22ListAgg(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Long]("n_top") == 3L, r)
+      val ks = r.getAs[String]("top_keys").split(",").map(_.toLong)
+      assert(ks.length == 3 && (ks sameElements ks.sorted), r)
+    }
+  }
+
+  test("zs_poly_area equals the closed-form pentagon area (box minus notch)") {
+    val zones = Geo.polyZones(spark, sfDir)
+      .select("zone_id", "w", "h", "nd").collect()
+      .map(r => r.getAs[Long]("zone_id") ->
+        (r.getAs[Double]("w"), r.getAs[Double]("h"), r.getAs[Double]("nd"))).toMap
+    val rows = Geo.polyArea(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h, nd) = zones(r.getAs[Long]("zone_id"))
+      // CCW ring: 2*area = 2*w*h - w*nd (notch triangle area = w*nd/2)
+      assert(r.getAs[Long]("area2") == (2 * w * h - w * nd).toLong, r)
+    }
+  }
+
+  test("zs_poly_area centroid lies inside the zone bbox") {
+    val z = Geo.polyZones(spark, sfDir).select("zone_id", "ax", "ay", "w", "h")
+    val joined = Geo.polyArea(spark, sfDir).join(z, "zone_id").collect()
+    joined.foreach { r =>
+      val (ax, ay) = (r.getAs[Double]("ax"), r.getAs[Double]("ay"))
+      val (w, h) = (r.getAs[Double]("w"), r.getAs[Double]("h"))
+      val (cx, cy) = (r.getAs[Double]("cx"), r.getAs[Double]("cy"))
+      assert(cx > ax && cx < ax + w && cy > ay && cy < ay + h, r)
+    }
+  }
+
+  test("zs_nearest_zone agrees with a brute-force argmin when in-window") {
+    val zones = Geo.zones(spark, sfDir).select("zone_id", "xmin", "ymin").collect()
+      .map(r => (r.getAs[Long]("zone_id"),
+        ((r.getAs[Double]("xmin") + 10) * 100).toLong,
+        ((r.getAs[Double]("ymin") + 5) * 100).toLong))
+    val got = Geo.nearestZone(spark, sfDir).filter(col("event_id") < 200).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getAs[Long]("event_id")
+      val a = id * 7919 % 36000 - 18000
+      val b = id * 104729 % 7000 - 3500
+      val best = zones.map { case (zid, zx, zy) =>
+        ((a - zx) * (a - zx) + (b - zy) * (b - zy), zid) }.min
+      // the 3x3 cell window guarantees the true nearest is a candidate
+      // whenever it lies within one cell (2000x1000) of the point; guard
+      // on that so the spec asserts only where the semantics promise it
+      if (best._1 <= 1000L * 1000L)
+        assert(r.getAs[Long]("zone_id") == best._2 && r.getAs[Long]("d2") == best._1, r)
+    }
+  }
+
+  test("ta_boilerplate fractions are consistent and bounded") {
+    val rows = TextAnalysis.boilerplate(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, b) = (r.getAs[Long]("n_sh"), r.getAs[Long]("n_boiler"))
+      assert(b >= 0 && b <= n, r)
+      val frac = r.getAs[Double]("boiler_frac")
+      assert(frac >= 0.0 && frac <= 1.0, r)
+    }
+  }
+
+  test("ta_repetition pins a brute-force max-bigram count") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextAnalysis.repetition(spark, sfDir)
+      .filter(col("doc_id") < 20).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ws = docs(r.getAs[Long]("doc_id")).split(" ")
+      val bgs = ws.sliding(2).map(_.mkString(" ")).toSeq
+      val counts = bgs.groupBy(identity).view.mapValues(_.size)
+      assert(r.getAs[Long]("n_bigrams") == bgs.size.toLong, r)
+      assert(r.getAs[Long]("max_bigram") == counts.values.max.toLong, r)
+    }
+  }
+
+  test("mm_shard_pack two-phase prefix sum matches a global sequential scan") {
+    val docs = Multimodal.withPayload(spark, sfDir)
+      .select(col("doc_id"), length(col("payload")).cast("long").as("nb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // sequential reference: one pass, byte-accurate starts
+    var off = 0L
+    val expect = docs.map { case (id, nb) =>
+      val s = off; off += nb; (id, s / 4096)
+    }.groupBy(_._2).view.mapValues(g => (g.length.toLong, g.map(_._1).min, g.map(_._1).max)).toMap
+    val rows = Multimodal.shardPack(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.length.toLong)
+    rows.foreach { r =>
+      val (n, first, last) = expect(r.getAs[Long]("shard_id"))
+      assert(r.getAs[Long]("n_docs") == n, r)
+      assert(r.getAs[Long]("first_doc") == first && r.getAs[Long]("last_doc") == last, r)
+    }
+    // totals conserve bytes
+    assert(rows.map(_.getAs[Long]("shard_bytes")).sum == docs.map(_._2).sum)
+  }
+}
