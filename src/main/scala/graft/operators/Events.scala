@@ -155,7 +155,33 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Per-user trajectory summary — total L1 (Manhattan) displacement over
+    * the user's time-ordered event positions, plus hop count and max
+    * single hop. Movement mining over the same synthetic geometry the geo
+    * suite uses; L1 instead of euclidean keeps every distance an EXACT
+    * integer (x100 coords — no sqrt, no float drift, SURVEY §4 rule (b)).
+    * One window shuffle on user_id; order within user is (ts, event_id) so
+    * same-timestamp events are deterministic on both engines. */
+  def trajectory(spark: SparkSession, dir: String): DataFrame = {
+    val pts = events(spark, dir).select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"),
+        ((col("event_id") * lit(7919L)) % lit(36000L) - lit(18000L)).as("a100"),
+        ((col("event_id") * lit(104729L)) % lit(7000L) - lit(3500L)).as("b100"))
+    val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+    pts
+      .withColumn("pa", lag(col("a100"), 1).over(w))
+      .withColumn("pb", lag(col("b100"), 1).over(w))
+      .filter(col("pa").isNotNull)
+      .withColumn("hop", abs(col("a100") - col("pa")) + abs(col("b100") - col("pb")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_hops"),
+        sum(col("hop")).as("l1_total_x100"),
+        max(col("hop")).as("max_hop_x100"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_trajectory" -> (trajectory _),
     "ev_anomaly" -> (anomalies _),
     "ev_paths" -> (paths _),
     "ev_retention" -> (retention _),
@@ -166,6 +192,25 @@ object Events {
     "ev_funnel" -> (funnel _))
 
   val oracle: Map[String, String] = Map(
+    "ev_trajectory" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(event_id * 7919 % 36000 AS BIGINT) - 18000 AS a100,
+        |    CAST(event_id * 104729 % 7000 AS BIGINT) - 3500 AS b100
+        |  FROM events
+        |),
+        |h AS (
+        |  SELECT user_id,
+        |    LAG(a100) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS pa,
+        |    LAG(b100) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS pb,
+        |    a100, b100
+        |  FROM p
+        |)
+        |SELECT user_id, COUNT(*) AS n_hops,
+        |  CAST(SUM(abs(a100 - pa) + abs(b100 - pb)) AS BIGINT) AS l1_total_x100,
+        |  CAST(MAX(abs(a100 - pa) + abs(b100 - pb)) AS BIGINT) AS max_hop_x100
+        |FROM h WHERE pa IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "ev_hopping" ->
       """WITH e AS (
         |  SELECT event_type, value,

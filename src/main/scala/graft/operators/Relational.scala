@@ -262,6 +262,27 @@ object Relational {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** q23: EXISTS / NOT EXISTS through the SQL surface — Catalyst rewrites
+    * the correlated predicates into a LeftSemi and a LeftAnti join (never a
+    * per-row subquery execution): customers with an open order but no
+    * finished one, counted per nation. The semi/anti pair shuffles on
+    * c_custkey once each; dedup of the subquery side is free (semi-join
+    * semantics), which is exactly what you want when orders is the 100 TB
+    * side. */
+  def q23Exists(spark: SparkSession, dir: String): DataFrame = {
+    customer(spark, dir).createOrReplaceTempView("customer_ex")
+    orders(spark, dir).createOrReplaceTempView("orders_ex")
+    spark.sql(
+      """SELECT c_nationkey, COUNT(*) AS n_cust
+        |FROM customer_ex c
+        |WHERE EXISTS (SELECT 1 FROM orders_ex o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        |  AND NOT EXISTS (SELECT 1 FROM orders_ex o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin)
+  }
+
   /** q20: CUBE — all four grouping-set combinations of (returnflag,
     * linestatus) in ONE pass: Catalyst expands the cube map-side and a
     * single shuffle aggregates every grouping set (vs. 4 scans + union for
@@ -324,6 +345,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_exists" -> (q23Exists _),
     "q20_grouping_sets" -> (q20GroupingSets _),
     "q21_exact_median" -> (q21ExactMedian _),
     "q22_list_agg" -> (q22ListAgg _),
@@ -346,6 +368,15 @@ object Relational {
     "q12_union_dedup" -> (q12UnionDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q23_exists" ->
+      """SELECT c_nationkey, COUNT(*) AS n_cust
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
     "q20_grouping_sets" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS linestatus,

@@ -87,6 +87,31 @@ object ManifestIO {
     } finally fresh.unpersist()
   }
 
+  /** Small-file compaction — the maintenance pass every long-running
+    * ingest needs: a directory accumulated from many micro-batch appends
+    * scans as thousands of tiny tasks; rewrite it into files of roughly
+    * `targetBytes` each. The output file count derives from the CURRENT
+    * on-disk byte size (not a guess): repartition(n) is one round-robin
+    * shuffle and preserves every row. Returns (filesBefore, filesAfter).
+    * At 100 TB this runs per partition directory, not globally — pass the
+    * partition path. */
+  def compact(spark: SparkSession, path: String, targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).filter(f => f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = parts.map(_.getLen).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(path)
+    // rewrite via a temp dir then swap: a direct overwrite of the dir we
+    // are reading would delete the input under the scan
+    val tmp = path.stripSuffix("/") + "_compact_tmp"
+    df.repartition(n).write.mode(SaveMode.Overwrite).parquet(tmp)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    val after = fs.listStatus(p).count(f => f.getPath.getName.endsWith(".parquet"))
+    (parts.length, after)
+  }
+
   /** CSV manifest round-trip as a query: part -> csv manifest -> schema'd
     * read -> per-brand aggregate. The oracle aggregates the parquet
     * directly, so the round-trip must be value-lossless (doubles survive

@@ -161,6 +161,28 @@ object StreamingJobs {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Stream-stream interval join — the streaming twin of the batch
+    * time-range join (AsofJoin.purchaseClicksInWindow): purchases matched
+    * to the same user's clicks in the preceding hour, both sides live
+    * streams. The join condition is time-BOUNDED on watermarked columns,
+    * so Spark evicts click state once `c_ts` falls behind the purchase
+    * watermark minus the interval — bounded state at ingest scale, where
+    * an unbounded-condition stream join would buffer every click forever.
+    * Emitted unaggregated (append mode); the windowed aggregation is a
+    * chained stateful op downstream when needed. */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("value").as("c_value"))
+      .withWatermark("c_ts", "2 hours")
+    val p = purchases
+      .select(col("user_id"), col("event_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    p.join(c, col("user_id") === col("c_user")
+        && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+        && col("c_ts") < col("p_ts"))
+      .select(col("event_id"), col("user_id"), col("p_ts"), col("c_ts"), col("c_value"))
+  }
+
   /** Convenience: run a streaming DataFrame to completion against an
     * in-memory sink and return the result table. Test/dev harness only. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String, mode: OutputMode): DataFrame = {

@@ -135,6 +135,46 @@ class Round3Spec extends SparkSpecBase {
     }
   }
 
+  test("io_compact rewrites many small files into the computed target count, lossless") {
+    import graft.sources.ManifestIO
+    val path = s"/tmp/graft_io/compact_spec_${System.nanoTime()}"
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    src.repartition(37).write.parquet(path) // deliberately fragmented
+    val before = src.count()
+    val (nBefore, nAfter) = ManifestIO.compact(spark, path, targetBytes = 256L * 1024)
+    assert(nBefore == 37, s"expected 37 input files, got $nBefore")
+    assert(nAfter < nBefore, s"compaction did not reduce files: $nBefore -> $nAfter")
+    val out = spark.read.parquet(path)
+    assert(out.count() == before)
+    // row-level losslessness, not just counts
+    assert(out.exceptAll(src).isEmpty && src.exceptAll(out).isEmpty)
+  }
+
+  test("q23 exists/not-exists plans as semi+anti joins, never a subquery loop") {
+    val p = plan(Relational.q23Exists(spark, sfDir))
+    assert(p.contains("LeftSemi") || p.contains("ExistenceJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("ev_trajectory L1 totals match a brute-force per-user walk") {
+    import graft.operators.Events
+    val evs = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000000000").as("sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = evs.groupBy(_._1).view.mapValues(_.sortBy(e => (e._3, e._2))).toMap
+    def pos(id: Long) = (id * 7919 % 36000 - 18000, id * 104729 % 7000 - 3500)
+    val rows = Events.trajectory(spark, sfDir).filter(col("user_id") < 30).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val walk = byUser(r.getAs[Long]("user_id")).map(e => pos(e._2))
+      val hops = walk.sliding(2).collect { case Array((ax, ay), (bx, by)) =>
+        math.abs(bx - ax) + math.abs(by - ay) }.toSeq
+      assert(r.getAs[Long]("n_hops") == hops.length.toLong, r)
+      assert(r.getAs[Long]("l1_total_x100") == hops.sum, r)
+      assert(r.getAs[Long]("max_hop_x100") == hops.max, r)
+    }
+  }
+
   test("mm_shard_pack two-phase prefix sum matches a global sequential scan") {
     val docs = Multimodal.withPayload(spark, sfDir)
       .select(col("doc_id"), length(col("payload")).cast("long").as("nb"))

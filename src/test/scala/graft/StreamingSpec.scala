@@ -187,4 +187,43 @@ class StreamingSpec extends SparkSpecBase {
     assert(result.exceptAll(expected).isEmpty && expected.exceptAll(result).isEmpty,
       s"stream=${result.count()} batch=${expected.count()}")
   }
+
+  test("stream-stream interval join matches the batch range join pair set") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, Timestamp, Double)].collect()
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[(Long, Long, Timestamp)].collect()
+
+    val cs = MemoryStream[(Long, Timestamp, Double)]
+    val ps = MemoryStream[(Long, Long, Timestamp)]
+    // split into two micro-batches each so join state carries across
+    val (c1, c2) = clicks.splitAt(clicks.length / 2)
+    val (p1, p2) = purchases.splitAt(purchases.length / 2)
+    cs.addData(c1.toSeq); ps.addData(p1.toSeq)
+    cs.addData(c2.toSeq); ps.addData(p2.toSeq)
+
+    val streamed = StreamingJobs.intervalJoin(
+      cs.toDF().toDF("user_id", "ts", "value"),
+      ps.toDF().toDF("user_id", "event_id", "ts"))
+    val result = StreamingJobs.runToMemory(spark, streamed, "ivl_join", OutputMode.Append())
+
+    // batch reference: the same pair set, unaggregated
+    val expected = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts").as("p_ts"))
+      .join(ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("value").as("c_value")),
+        col("user_id") === col("c_user")
+          && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+          && col("c_ts") < col("p_ts"))
+      .select(col("event_id"), col("user_id"), col("p_ts"), col("c_ts"), col("c_value"))
+    assert(result.count() > 0, "no joined pairs — spec data broken")
+    assert(result.exceptAll(expected).isEmpty && expected.exceptAll(result).isEmpty,
+      s"stream=${result.count()} batch=${expected.count()}")
+  }
 }
