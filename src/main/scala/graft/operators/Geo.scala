@@ -213,6 +213,35 @@ object Geo {
       .orderBy("cx", "cy")
   }
 
+  /** Focal (neighborhood) statistics — the raster convolution the GDAL
+    * toolchain runs as focal mean / kernel smoothing: each 1-degree cell's
+    * smoothed value is the 3x3-weighted sum of its neighbors' point counts
+    * (binomial kernel 1-2-1 ⊗ 1-2-1: corners 1, edges 2, center 4, /16).
+    * Plan: aggregate the sparse cell grid ONCE, then each source cell
+    * SCATTERS its contribution to its 9 covering targets (explode of the
+    * 3x3 offsets — a gather would need an outer join per neighbor) and one
+    * groupBy on the target key re-aggregates. Two shuffles total, both on
+    * the compact cell table, never on raw points; weights are integer so
+    * the weighted sum is exact (the /16 mean stays a single double
+    * division of exact integers). Empty neighborhoods simply don't exist:
+    * only cells reachable from an occupied cell appear — same sparse
+    * semantics as a sparse-matrix convolution. */
+  def focalMean(spark: SparkSession, dir: String): DataFrame = {
+    val cells = points(spark, dir)
+      .withColumn("fx", floor(col("lon")).cast("long"))
+      .withColumn("fy", floor(col("lat")).cast("long"))
+      .groupBy("fx", "fy").agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select((col("fx") + col("dx")).as("tx"), (col("fy") + col("dy")).as("ty"),
+        (col("n") * (lit(2L) - abs(col("dx"))) * (lit(2L) - abs(col("dy")))).as("w"))
+      .groupBy("tx", "ty")
+      .agg(sum(col("w")).as("wsum"), count(lit(1)).as("n_contrib"))
+      .withColumn("smooth", col("wsum").cast("double") / lit(16.0))
+      .orderBy("tx", "ty")
+  }
+
   /** Stats joined back onto every zone feature (vector.py query_1 is a LEFT
     * JOIN so empty zones keep their geometry, stats NULL). Same aligned
     * fast path as zonalStats: zones are integer-degree boxes, so the
@@ -831,6 +860,7 @@ object Geo {
     floor(c.cast("double") / lit(d.toDouble)).cast("long")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zs_focal_mean" -> (focalMean _),
     "zs_poly_area" -> (polyArea _),
     "zs_nearest_zone" -> (nearestZone _),
     "zs_crs_detect" -> (crsDetect _),
@@ -860,6 +890,21 @@ object Geo {
          |FROM z10 GROUP BY 1, 2, 3""".stripMargin
     }.mkString("\nUNION ALL\n")
     Map(
+      "zs_focal_mean" ->
+        s"""WITH pts AS ($pointsSql),
+           |cells AS (
+           |  SELECT CAST(floor(lon) AS BIGINT) AS fx, CAST(floor(lat) AS BIGINT) AS fy,
+           |    COUNT(*) AS n
+           |  FROM pts GROUP BY 1, 2
+           |),
+           |sc AS (
+           |  SELECT fx + dx AS tx, fy + dy AS ty,
+           |    n * (2 - abs(dx)) * (2 - abs(dy)) AS w
+           |  FROM cells, (VALUES (-1), (0), (1)) dxs(dx), (VALUES (-1), (0), (1)) dys(dy)
+           |)
+           |SELECT tx, ty, CAST(SUM(w) AS BIGINT) AS wsum, COUNT(*) AS n_contrib,
+           |  CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) / 16.0 AS smooth
+           |FROM sc GROUP BY 1, 2 ORDER BY tx, ty""".stripMargin,
       "zs_poly_area" ->
         // exact-integer shoelace over the pentagon ring; same integers as
         // the Spark HOF, so area2/cxn/cyn match bit for bit and the

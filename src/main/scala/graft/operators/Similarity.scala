@@ -150,7 +150,30 @@ object Similarity {
     bucketedAnnOn(e.filter(col("vec_id") < 10), e, "cell", 3).orderBy("qid", "rank")
   }
 
+  /** Recall@3 of the LSH index against the exact baseline — the evaluation
+    * query every ANN deployment runs before trusting the index: for each
+    * query vector, how many of the true top-3 neighbors did the bucketed
+    * search return? Both rankings share one corpus scan (localCheckpoint);
+    * the overlap is a (qid, cid) equi-join of two 3-row-per-query sets —
+    * negligible compared to the searches themselves. Queries whose bucket
+    * missed every true neighbor still appear (left join, recall 0). */
+  def recall(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir).withColumn("bucket", bucket("embedding"))
+      .localCheckpoint() // shared by the exact pass + both bucketed sides
+    val q = c.filter(col("vec_id") < 10)
+    val exact = bruteforceOn(q, c, 3).select(col("qid"), col("cid"))
+    val approx = bucketedAnnOn(q, c, "bucket", 3)
+      .select(col("qid"), col("cid"), lit(1L).as("hit"))
+    exact.join(approx, Seq("qid", "cid"), "left_outer")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_at_3", r4(col("n_hits").cast("double") / col("n_exact")))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall" -> (recall _),
     "ann_bruteforce" -> (bruteforce _),
     "ann_lsh" -> (lsh _),
     "ann_ivf" -> (ivf _))
@@ -169,6 +192,34 @@ object Similarity {
        |FROM ranked WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ann_recall" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings
+         |),
+         |b AS (SELECT *, ${bucketSql("embedding")} AS bucket FROM e),
+         |exact AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+         |        c.vec_id ASC) AS rank
+         |    FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+         |  ) WHERE rank <= 3
+         |),
+         |approx AS (
+         |  SELECT qid, cid, 1 AS hit FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+         |        c.vec_id ASC) AS rank
+         |    FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+         |  ) WHERE rank <= 3
+         |)
+         |SELECT exact.qid, COUNT(*) AS n_exact,
+         |  CAST(SUM(COALESCE(hit, 0)) AS BIGINT) AS n_hits,
+         |  ${graft.sources.Tables.r4Sql("CAST(SUM(COALESCE(hit, 0)) AS DOUBLE) / COUNT(*)")} AS recall_at_3
+         |FROM exact LEFT JOIN approx ON exact.qid = approx.qid AND exact.cid = approx.cid
+         |GROUP BY exact.qid ORDER BY exact.qid""".stripMargin,
     "ann_bruteforce" -> annSql(
       s"""cand AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS cid,

@@ -6,7 +6,9 @@ package graft
   * broadcast query set is the intended exact baseline. */
 class PlanAuditSpec extends SparkSpecBase {
 
-  private val allowNestedLoop = Set("ann_bruteforce")
+  // ann_recall embeds the same bounded-broadcast exact pass as its ground
+  // truth — the nested loop there is the sanctioned baseline, not a plan bug
+  private val allowNestedLoop = Set("ann_bruteforce", "ann_recall")
 
   test("no query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -135,6 +135,61 @@ class Round3Spec extends SparkSpecBase {
     }
   }
 
+  test("zs_focal_mean conserves kernel mass: wsums total 16x the point count") {
+    val rows = Geo.focalMean(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totalW = rows.map(_.getAs[Long]("wsum")).sum
+    val nPoints = spark.read.parquet(s"$sfDir/events.parquet").count()
+    // every point contributes its full 1-2-1 ⊗ 1-2-1 kernel (sum 16) spread
+    // over 9 target cells — nothing clipped, nothing double-counted
+    assert(totalW == 16L * nPoints, s"$totalW != 16*$nPoints")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_contrib") >= 1 && r.getAs[Long]("n_contrib") <= 9, r)
+      assert(r.getAs[Double]("smooth") == r.getAs[Long]("wsum").toDouble / 16.0, r)
+    }
+  }
+
+  test("ann_recall is bounded and consistent with the lsh result set") {
+    import graft.operators.Similarity
+    val rows = Similarity.recall(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, h) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_hits"))
+      assert(n == 3L && h >= 0L && h <= n, r)
+      val rec = r.getAs[Double]("recall_at_3")
+      assert(rec >= 0.0 && rec <= 1.0, r)
+    }
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective fact-fact join") {
+    // 100 TB feature check: a selective dim-side predicate should inject a
+    // runtime bloom filter into the big side's scan, cutting shuffle input
+    // before the join. Thresholds are lowered to make the tiny test tables
+    // eligible; the assertion is that the INJECTION fires, which is what
+    // matters at scale where the defaults apply.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.get(k)).toMap
+    try {
+      // app-side minimum to 0 so the tiny probe table is eligible
+      // (creationSideThreshold is a MAXIMUM — defaults already admit the
+      // small build side); broadcast off because the rule only guards
+      // SHUFFLE joins (a broadcast join needs no runtime filter — at
+      // 100 TB fact-fact joins shuffle, so it fires there by default)
+      conf.set(keys(0), "0"); conf.set(keys(1), "-1")
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(col("o_orderstatus") === "P") // selective build side
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val joined = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") || optimized.contains("bloom_filter"),
+        optimized.take(4000))
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("io_compact rewrites many small files into the computed target count, lossless") {
     import graft.sources.ManifestIO
     val path = s"/tmp/graft_io/compact_spec_${System.nanoTime()}"
