@@ -19,26 +19,39 @@ object Bench {
     // Three timed runs per query, report the min: the first run carries JIT
     // / codegen warmup, and this host shows multi-second CPU-steal bursts
     // (identical plans measured 1.6s and 12.9s across runs), so a single
-    // sample badly misattributes cost. The noop sink executes the FULL plan
-    // (count() lets EliminateSorts drop top-level ORDER BYs, under-billing
-    // sorted queries). A failing query is recorded by name and poisons the
-    // total — never silently timed as near-zero.
+    // sample badly misattributes cost. Samples are taken ROUND-ROBIN (three
+    // full passes over the query list, not three back-to-back runs per
+    // query): a multi-second steal burst then inflates one sample of many
+    // queries instead of all three samples of one — BENCH_r03 showed 3-9x
+    // inflation on queries whose code had not changed, consistent with
+    // bursts outlasting a back-to-back triple. The noop sink executes the
+    // FULL plan (count() lets EliminateSorts drop top-level ORDER BYs,
+    // under-billing sorted queries). A failing query is recorded by name
+    // and poisons the total — never silently timed as near-zero.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 3).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            errors.getOrElseUpdate(name, e.toString.linesIterator.next().take(200))
-            None
-        }
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (_ <- 1 to 3; name <- names) {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+        samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples.getOrElse(name, Nil)
+      } catch {
+        case e: Throwable =>
+          errors.getOrElseUpdate(name, e.toString.linesIterator.next().take(200))
       }
-      name -> (if (times.isEmpty) -1.0 else times.min)
+      // localCheckpoint blocks persist past their query; dropping them
+      // between queries keeps one query's cache from squeezing the next
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val results = names.map(n => n -> samples.get(n).map(_.min).getOrElse(-1.0))
+    // 3-decimal (ms) precision: full doubles made the ~80-query JSON line
+    // big enough to overflow the driver's output-tail capture (BENCH_r03
+    // recorded parsed:null with the line's head cut off mid-JSON)
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) =>
       // strip control chars too — a tab inside an exception message must
@@ -49,7 +62,7 @@ object Bench {
     // any errored query poisons the headline total to -1: a broken bench
     // must never read as a fast one
     val total = if (errors.nonEmpty) -1.0 else results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

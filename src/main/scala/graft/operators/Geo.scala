@@ -826,10 +826,18 @@ object Geo {
     * min(struct(d2, zone_id)) — lexicographic struct min, map-side
     * combinable, so the shuffle carries ONE row per point, not the ~9-cell
     * candidate fan-in (a row_number window would shuffle every candidate).
-    * Points whose 3x3 window holds no centroid are dropped (inner join). */
+    * Points whose 3x3 window holds no centroid are dropped (inner join).
+    *
+    * Cell size is the kNN tuning knob and must track NEIGHBOR DENSITY, not
+    * the zonal-join cell size: with the zonal 20x10-degree cells a 3x3
+    * window held ~1,400 of the sf0.1 centroids, so the candidate join
+    * materialized ~140M pairs (74.8s in BENCH_r03 — the round-3 outlier).
+    * 2x1-degree cells hold ~2 centroids each (~18 candidates per point,
+    * ~100x fewer pairs) at the same argmin plan shape. At 100 TB the rule
+    * stands: pick the cell so the expected window population is O(10). */
   def nearestZone(spark: SparkSession, dir: String): DataFrame = {
-    val cellW = 2000L // x100 integer degrees: 20-degree cells, as elsewhere
-    val cellH = 1000L
+    val cellW = 200L // x100 integer degrees: 2x1-degree cells (see above)
+    val cellH = 100L
     val z = zones(spark, dir).select(col("zone_id"),
         ((col("xmin") + lit(10.0)) * 100).cast("long").as("zcx"),
         ((col("ymin") + lit(5.0)) * 100).cast("long").as("zcy"))
@@ -955,12 +963,12 @@ object Geo {
           |  SELECT p.event_id, z.zone_id,
           |    (a100 - zcx) * (a100 - zcx) + (b100 - zcy) * (b100 - zcy) AS d2
           |  FROM p JOIN z
-          |    ON CAST(FLOOR(zcx / 2000.0) AS BIGINT)
-          |      BETWEEN CAST(FLOOR(a100 / 2000.0) AS BIGINT) - 1
-          |          AND CAST(FLOOR(a100 / 2000.0) AS BIGINT) + 1
-          |   AND CAST(FLOOR(zcy / 1000.0) AS BIGINT)
-          |      BETWEEN CAST(FLOOR(b100 / 1000.0) AS BIGINT) - 1
-          |          AND CAST(FLOOR(b100 / 1000.0) AS BIGINT) + 1
+          |    ON CAST(FLOOR(zcx / 200.0) AS BIGINT)
+          |      BETWEEN CAST(FLOOR(a100 / 200.0) AS BIGINT) - 1
+          |          AND CAST(FLOOR(a100 / 200.0) AS BIGINT) + 1
+          |   AND CAST(FLOOR(zcy / 100.0) AS BIGINT)
+          |      BETWEEN CAST(FLOOR(b100 / 100.0) AS BIGINT) - 1
+          |          AND CAST(FLOOR(b100 / 100.0) AS BIGINT) + 1
           |),
           |r AS (
           |  SELECT event_id, zone_id, d2,

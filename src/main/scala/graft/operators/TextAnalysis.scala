@@ -140,7 +140,8 @@ object TextAnalysis {
     // score and fingerprint come from the SHARED row-wise definitions
     // (withQualityScore / windowHashArr) — one scan, no extra join, and
     // the formulas cannot fork from ta_quality / ta_fingerprint
-    val docs = withQualityScore(documents(spark, dir))
+    val docs = withQualityScore(
+      documents(spark, dir).repartition(spark.sparkContext.defaultParallelism))
       .withColumn("fp",
         when(size(col("ws")) >= 4, array_min(windowHashArr)).otherwise(md5(col("text"))))
       .withColumn("q_ok", col("score") >= 55000L)

@@ -101,9 +101,10 @@ class Round3Spec extends SparkSpecBase {
       val best = zones.map { case (zid, zx, zy) =>
         ((a - zx) * (a - zx) + (b - zy) * (b - zy), zid) }.min
       // the 3x3 cell window guarantees the true nearest is a candidate
-      // whenever it lies within one cell (2000x1000) of the point; guard
-      // on that so the spec asserts only where the semantics promise it
-      if (best._1 <= 1000L * 1000L)
+      // whenever it lies within one cell (200x100 in x100 ints) of the
+      // point; guard on that so the spec asserts only where the
+      // semantics promise it
+      if (best._1 <= 100L * 100L)
         assert(r.getAs[Long]("zone_id") == best._2 && r.getAs[Long]("d2") == best._1, r)
     }
   }
