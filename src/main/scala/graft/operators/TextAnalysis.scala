@@ -166,15 +166,19 @@ object TextAnalysis {
     * 3-gram shingles that are corpus-common (df >= 5 distinct docs): nav
     * bars, license headers and template text score high and get dropped or
     * down-weighted by a cleaning run. Reuses the dedup suite's shingle
-    * definition (one inverted-index shuffle on the shingle key — the df is
-    * a WINDOW count over that same shuffle, no second pass), then one
-    * per-doc aggregate. Docs under 3 words have no shingles and are
+    * definition. The df is a groupBy(sh).count() joined back on the shingle
+    * key — NOT a window partitioned by sh: a corpus-common shingle (the
+    * exact rows this operator targets) would land its whole partition in
+    * ONE window task, a skew hotspot at scale, while the groupBy's map-side
+    * combine collapses hot shingles before the shuffle and the join
+    * redistributes normally. Docs under 3 words have no shingles and are
     * excluded, same as the dedup family. */
   def boilerplate(spark: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shinglesOn(
       documents(spark, dir).repartition(spark.sparkContext.defaultParallelism))
-    val w = Window.partitionBy("sh")
-    sh.withColumn("df", count(lit(1)).over(w))
+      .localCheckpoint() // shared by the df agg and the join-back side
+    val dfCounts = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(dfCounts, Seq("sh"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"),
         sum(when(col("df") >= 5, 1L).otherwise(0L)).as("n_boiler"))

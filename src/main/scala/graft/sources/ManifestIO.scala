@@ -98,16 +98,38 @@ object ManifestIO {
   def compact(spark: SparkSession, path: String, targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(p).filter(f => f.getPath.getName.endsWith(".parquet"))
+    val listing = fs.listStatus(p)
+    val parts = listing.filter(f => f.getPath.getName.endsWith(".parquet"))
+    // guard: a Hive-partitioned ROOT (subdirectories, no top-level .parquet)
+    // would read as totalBytes=0 -> n=1 and the rewrite would FLATTEN the
+    // partition layout into one unpartitioned file — fail fast instead; the
+    // contract is "pass the leaf partition directory"
+    val subdirs = listing.filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    require(subdirs.isEmpty,
+      s"compact($path): contains subdirectories ${subdirs.mkString(",")} — " +
+        "pass a leaf partition directory, compacting a partitioned root would flatten it")
+    require(parts.nonEmpty, s"compact($path): no .parquet files to compact")
     val totalBytes = parts.map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(path)
     // rewrite via a temp dir then swap: a direct overwrite of the dir we
-    // are reading would delete the input under the scan
-    val tmp = path.stripSuffix("/") + "_compact_tmp"
-    df.repartition(n).write.mode(SaveMode.Overwrite).parquet(tmp)
-    fs.delete(p, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    // are reading would delete the input under the scan. The swap keeps the
+    // old data as a BACKUP until the new data is in place (rename old aside,
+    // rename tmp in, then drop the backup) — a crash between steps leaves
+    // either the original or the compacted copy at a recoverable path,
+    // never an empty canonical path; every rename is checked (rename
+    // returns false e.g. across filesystems) and aborts loudly.
+    val tmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "_compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "_compact_old")
+    df.repartition(n).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true) // leftover from a prior crash
+    require(fs.rename(p, old), s"compact($path): rename to backup $old failed")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // restore; best-effort — the backup stays if this fails
+      throw new IllegalStateException(s"compact($path): rename $tmp into place failed; original restored")
+    }
+    require(fs.delete(old, true), s"compact($path): backup cleanup $old failed")
     val after = fs.listStatus(p).count(f => f.getPath.getName.endsWith(".parquet"))
     (parts.length, after)
   }
