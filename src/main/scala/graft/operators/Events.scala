@@ -180,7 +180,27 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Top-3 event types per hour — the windowed heavy-hitters report every
+    * event dashboard runs. Two-level plan: the (hour, type) count is a
+    * map-side-combined groupBy (shuffle carries one row per pair, never
+    * per event), then the rank window partitions by hour — bounded fan-in
+    * (|types| rows per hour-partition), so no skew hotspot at any scale.
+    * Rank ties break on event_type for a total deterministic order. */
+  def topkPerWindow(spark: SparkSession, dir: String): DataFrame = {
+    val counts = events(spark, dir)
+      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .groupBy("hour_epoch", "event_type")
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("hour_epoch")
+      .orderBy(col("n_events").desc, col("event_type"))
+    counts.withColumn("rk", rank().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .orderBy("hour_epoch", "rk", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_topk_per_window" -> (topkPerWindow _),
     "ev_trajectory" -> (trajectory _),
     "ev_anomaly" -> (anomalies _),
     "ev_paths" -> (paths _),
@@ -192,6 +212,18 @@ object Events {
     "ev_funnel" -> (funnel _))
 
   val oracle: Map[String, String] = Map(
+    "ev_topk_per_window" ->
+      """WITH c AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        |    event_type, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, RANK() OVER (PARTITION BY hour_epoch
+        |    ORDER BY n_events DESC, event_type) AS rk
+        |  FROM c
+        |)
+        |SELECT hour_epoch, event_type, n_events, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3 ORDER BY hour_epoch, rk, event_type""".stripMargin,
     "ev_trajectory" ->
       """WITH p AS (
         |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,

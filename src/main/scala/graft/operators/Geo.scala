@@ -867,7 +867,103 @@ object Geo {
   private def floorDiv(c: Column, d: Long): Column =
     floor(c.cast("double") / lit(d.toDouble)).cast("long")
 
+  /** Area-weighted zonal statistics — the refinement real zonal-stats
+    * engines (exactextract, rasterstats) apply over the reference's
+    * ST_Intersects join (pipeline/processing/stats.py:5-17): a raster cell
+    * straddling the zone border contributes in proportion to the OVERLAP
+    * AREA, not all-or-nothing. Points aggregate once into 3x2-degree raster
+    * cells (decimal sum + count — the raster-block trick zs_zonal_stats
+    * uses); zones explode onto their covering cells (fanout <= 48) with an
+    * exact integer overlap weight (zone corners and the cell pitch are both
+    * integer degrees, so overlap widths are exact integers); one equi-join
+    * on the cell key; one per-zone aggregate. Weighted mean = exact decimal
+    * numerator / exact long denominator, one double division.
+    * At 100 TB: cells and zones hash-partition on (gx, gy); the weight is
+    * computed map-side, so the shuffle carries one row per (zone, cell)
+    * overlap — O(zone area / cell area), never O(points). */
+  def areaWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val cw = 3L; val ch = 2L // cell pitch in integer degrees
+    val cells = points(spark, dir)
+      .withColumn("gx", floor((col("lon") + lit(180.0)) / lit(cw.toDouble)).cast("long"))
+      .withColumn("gy", floor((col("lat") + lit(35.0)) / lit(ch.toDouble)).cast("long"))
+      .groupBy("gx", "gy")
+      .agg(sum(col("value").cast(DecimalType(18, 4))).as("cell_sum"),
+        count(lit(1)).as("cell_n"))
+    val z = zones(spark, dir).select(col("zone_id"),
+        (col("xmin") + lit(180.0)).cast("long").as("zx0"),
+        (col("ymin") + lit(35.0)).cast("long").as("zy0"))
+      .withColumn("zx1", col("zx0") + lit(20L))
+      .withColumn("zy1", col("zy0") + lit(10L))
+    val zc = z
+      .withColumn("gx", explode(expr(s"sequence(zx0 div $cw, zx1 div $cw)")))
+      .withColumn("gy", explode(expr(s"sequence(zy0 div $ch, zy1 div $ch)")))
+      .withColumn("wx", least(col("zx1"), (col("gx") + 1) * cw) - greatest(col("zx0"), col("gx") * cw))
+      .withColumn("wy", least(col("zy1"), (col("gy") + 1) * ch) - greatest(col("zy0"), col("gy") * ch))
+      .withColumn("w", col("wx") * col("wy"))
+      .filter(col("w") > 0) // zone edges aligned to the cell pitch yield w=0 slivers
+      .select(col("zone_id"), col("gx"), col("gy"), col("w"))
+    cells.join(sizeGated(z, zc, 48L), Seq("gx", "gy"))
+      .groupBy("zone_id")
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(col("w")).as("tot_w"),
+        sum(col("w") * col("cell_n")).as("wn"),
+        sum(col("cell_sum") * col("w")).as("wsum_dec"))
+      .select(col("zone_id"), col("n_cells"), col("tot_w"), col("wn"),
+        r4(col("wsum_dec").cast("double") / col("wn").cast("double")).as("wmean"))
+      .orderBy("zone_id")
+  }
+
+  /** Bilinear raster resampling at query points — the interpolation kernel
+    * of the reference's gdalwarp standardization (batch/processing/
+    * raster.py:22-38, `-r bilinear` family): the value at an arbitrary
+    * point is the 2x2-neighbor weighted mean of the surrounding cell
+    * CENTERS. The raster is the 1-degree point-density grid (decimal cell
+    * means quantized to exact 1e-4 integers, so the weighted sum is exact
+    * long arithmetic — order-free and oracle-portable); query points are
+    * supplier-derived at half-degree offsets so the x100 fractional
+    * distances are exact integers. Each query point explodes to its <=4
+    * neighbors, equi-joins the grid on the cell key, and aggregates num =
+    * SUM(w * v10k) / den = SUM(w) — missing neighbors renormalize, the
+    * GDAL nodata convention. At 100 TB the grid hash-partitions on (fx,
+    * fy) and the query side shuffles once — never a crossJoin. */
+  def bilinear(spark: SparkSession, dir: String): DataFrame = {
+    val grid = points(spark, dir)
+      .withColumn("fx", (floor(col("lon")).cast("long") + lit(180L)))
+      .withColumn("fy", (floor(col("lat")).cast("long") + lit(35L)))
+      .groupBy("fx", "fy")
+      .agg(sum(col("value").cast(DecimalType(18, 4))).as("cell_sum"),
+        count(lit(1)).as("cell_n"))
+      .withColumn("v10k",
+        floor((col("cell_sum").cast("double") / col("cell_n").cast("double"))
+          * lit(10000.0) + lit(0.5)).cast("long"))
+      .select("fx", "fy", "v10k")
+    val q = supplier(spark, dir).select(col("s_suppkey").as("q_id"),
+        ((col("s_suppkey") * lit(7919L)) % lit(35900L)).as("a100"),
+        ((col("s_suppkey") * lit(104729L)) % lit(6900L)).as("b100"))
+      .withColumn("gx0", expr("a100 div 100")).withColumn("dx", col("a100") % lit(100L))
+      .withColumn("gy0", expr("b100 div 100")).withColumn("dy", col("b100") % lit(100L))
+    val nbrs = q
+      .withColumn("di", explode(array(lit(0L), lit(1L))))
+      .withColumn("dj", explode(array(lit(0L), lit(1L))))
+      .select(col("q_id"),
+        (col("gx0") + col("di")).as("fx"), (col("gy0") + col("dj")).as("fy"),
+        (when(col("di") === 0L, lit(100L) - col("dx")).otherwise(col("dx"))
+          * when(col("dj") === 0L, lit(100L) - col("dy")).otherwise(col("dy"))).as("w"))
+      .filter(col("w") > 0)
+    nbrs.join(grid, Seq("fx", "fy"))
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_nbrs"),
+        sum(col("w")).as("den"),
+        sum(col("w") * col("v10k")).as("num"))
+      .select(col("q_id"), col("n_nbrs"), col("den"),
+        r4(col("num").cast("double") / (col("den") * lit(10000L)).cast("double")).as("interp"))
+      .orderBy("q_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zs_area_weighted" -> (areaWeighted _),
+    "zs_bilinear" -> (bilinear _),
     "zs_focal_mean" -> (focalMean _),
     "zs_poly_area" -> (polyArea _),
     "zs_nearest_zone" -> (nearestZone _),
@@ -898,6 +994,69 @@ object Geo {
          |FROM z10 GROUP BY 1, 2, 3""".stripMargin
     }.mkString("\nUNION ALL\n")
     Map(
+      "zs_area_weighted" ->
+        // integer zone corners x integer cell pitch => exact integer
+        // overlap widths; the kx/ky VALUES cross-join enumerates the
+        // bounded covering-cell window (<=8x6), same as the Spark explode
+        s"""WITH pts AS ($pointsSql),
+           |cells AS (
+           |  SELECT CAST(floor((lon + 180.0) / 3.0) AS BIGINT) AS gx,
+           |    CAST(floor((lat + 35.0) / 2.0) AS BIGINT) AS gy,
+           |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS cell_sum,
+           |    COUNT(*) AS cell_n
+           |  FROM pts GROUP BY 1, 2
+           |),
+           |z AS (
+           |  SELECT p_partkey AS zone_id,
+           |    CAST(p_partkey * 37 % 340 AS BIGINT) AS zx0,
+           |    CAST(p_partkey * 61 % 60 AS BIGINT) AS zy0
+           |  FROM part
+           |),
+           |zc AS (
+           |  SELECT zone_id, zx0 // 3 + kx AS gx, zy0 // 2 + ky AS gy,
+           |    (LEAST(zx0 + 20, (zx0 // 3 + kx + 1) * 3) - GREATEST(zx0, (zx0 // 3 + kx) * 3))
+           |      * (LEAST(zy0 + 10, (zy0 // 2 + ky + 1) * 2) - GREATEST(zy0, (zy0 // 2 + ky) * 2)) AS w
+           |  FROM z,
+           |    (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) kxs(kx),
+           |    (VALUES (0),(1),(2),(3),(4),(5)) kys(ky)
+           |  WHERE zx0 // 3 + kx <= (zx0 + 20) // 3 AND zy0 // 2 + ky <= (zy0 + 10) // 2
+           |)
+           |SELECT zone_id, COUNT(*) AS n_cells, CAST(SUM(w) AS BIGINT) AS tot_w,
+           |  CAST(SUM(w * cell_n) AS BIGINT) AS wn,
+           |  ${graft.sources.Tables.r4Sql(
+               "CAST(SUM(cell_sum * w) AS DOUBLE) / CAST(SUM(w * cell_n) AS DOUBLE)")} AS wmean
+           |FROM zc JOIN cells USING (gx, gy)
+           |WHERE w > 0
+           |GROUP BY zone_id ORDER BY zone_id""".stripMargin,
+      "zs_bilinear" ->
+        // cell means quantized to exact 1e-4 integers (v10k) so the
+        // weighted sum is exact integer arithmetic on both engines
+        s"""WITH pts AS ($pointsSql),
+           |grid AS (
+           |  SELECT CAST(floor(lon) AS BIGINT) + 180 AS fx,
+           |    CAST(floor(lat) AS BIGINT) + 35 AS fy,
+           |    CAST(floor((CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+           |      / CAST(COUNT(*) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS v10k
+           |  FROM pts GROUP BY 1, 2
+           |),
+           |q AS (
+           |  SELECT s_suppkey AS q_id,
+           |    CAST(s_suppkey * 7919 % 35900 AS BIGINT) AS a100,
+           |    CAST(s_suppkey * 104729 % 6900 AS BIGINT) AS b100
+           |  FROM supplier
+           |),
+           |n AS (
+           |  SELECT q_id, a100 // 100 + di AS fx, b100 // 100 + dj AS fy,
+           |    (CASE WHEN di = 0 THEN 100 - a100 % 100 ELSE a100 % 100 END)
+           |      * (CASE WHEN dj = 0 THEN 100 - b100 % 100 ELSE b100 % 100 END) AS w
+           |  FROM q, (VALUES (0),(1)) dis(di), (VALUES (0),(1)) djs(dj)
+           |)
+           |SELECT q_id, COUNT(*) AS n_nbrs, CAST(SUM(w) AS BIGINT) AS den,
+           |  ${graft.sources.Tables.r4Sql(
+               "CAST(SUM(w * v10k) AS DOUBLE) / CAST(SUM(w) * 10000 AS DOUBLE)")} AS interp
+           |FROM n JOIN grid USING (fx, fy)
+           |WHERE w > 0
+           |GROUP BY q_id ORDER BY q_id""".stripMargin,
       "zs_focal_mean" ->
         s"""WITH pts AS ($pointsSql),
            |cells AS (

@@ -215,7 +215,37 @@ object Multimodal {
       .orderBy("shard_id")
   }
 
+  /** Deterministic modality rebalancing — cap each modality (source) at K
+    * docs, chosen by md5 order (KMV-style, reproducible across runs and
+    * engines): the training-mix step every multimodal corpus build runs
+    * before packing shards. TWO-PHASE bottom-k, never one window per
+    * modality: phase 1 ranks within (modality, salt) — 16 bounded
+    * partitions per modality, each keeping its local bottom-K, a superset
+    * of the global bottom-K — and phase 2 ranks only the <=16K survivors.
+    * A single window partitioned by modality would funnel a whole modality
+    * (billions of rows at corpus scale) into ONE task; the salted phase
+    * caps every window partition at 1/16 of a modality and the final
+    * window at 16K rows. n_total joins back from a map-side-combined
+    * groupBy (broadcast — modality cardinality is tiny). */
+  def modalityBalance(spark: SparkSession, dir: String): DataFrame = {
+    val K = 40
+    val docs = documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("hk"),
+        (col("doc_id") % 16L).as("salt"))
+    val totals = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+    val w1 = Window.partitionBy("source", "salt").orderBy(col("hk"), col("doc_id"))
+    val w2 = Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))
+    docs
+      .withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= K)
+      .withColumn("rank", row_number().over(w2).cast("long")).filter(col("rank") <= K)
+      .join(broadcast(totals), Seq("source"))
+      .select(col("source"), col("rank"), col("doc_id"), col("n_total"))
+      .orderBy("source", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_modality_balance" -> (modalityBalance _),
     "mm_shard_pack" -> (shardPack _),
     "mm_metadata" -> (metadata _),
     "mm_framesample" -> (frameSample _),
@@ -224,6 +254,20 @@ object Multimodal {
     "mm_embed_knn" -> (embedKnn _))
 
   val oracle: Map[String, String] = Map(
+    "mm_modality_balance" ->
+      // single window in the oracle — equivalent because phase 1 keeps a
+      // superset of the global bottom-K per modality (each salt slice
+      // keeps its local bottom-K)
+      """WITH t AS (SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        |  FROM documents
+        |)
+        |SELECT r.source, CAST(rank AS BIGINT) AS rank, doc_id, n_total
+        |FROM r JOIN t ON r.source = t.source
+        |WHERE rank <= 40 ORDER BY r.source, rank""".stripMargin,
     "mm_embed_knn" -> {
       val dot8 = (a: String, b: String) =>
         s"list_reduce(list_transform(range(1, 9), i -> $a[i] * $b[i]), (acc, v) -> acc + v)"

@@ -344,7 +344,30 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** q24: the ranking-window suite — ntile / percent_rank / cume_dist /
+    * lead — over a UNIQUE sort key (o_totalprice, o_orderkey), so every
+    * function is tie-free deterministic (ntile is positional: under ties
+    * its assignment is engine-dependent; the unique tiebreak removes the
+    * ambiguity on both engines). One shuffle on the partition key; window
+    * partitions are per-priority (bounded fraction of the table) — at
+    * larger scale the partition key would carry a date component, same
+    * plan. percent_rank and cume_dist are single double divisions of
+    * identical integers; the lead gap subtracts two 2-decimal doubles —
+    * all r4-rounded for the oracle hash. */
+  def q24WindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        r4(percent_rank().over(w)).as("pct_rank"),
+        r4(cume_dist().over(w)).as("cume"),
+        r4(lead(col("o_totalprice"), 1).over(w) - col("o_totalprice")).as("gap_next"))
+      .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_window_suite" -> (q24WindowSuite _),
     "q23_exists" -> (q23Exists _),
     "q20_grouping_sets" -> (q20GroupingSets _),
     "q21_exact_median" -> (q21ExactMedian _),
@@ -368,6 +391,23 @@ object Relational {
     "q12_union_dedup" -> (q12UnionDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q24_window_suite" ->
+      s"""WITH w AS (
+         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         |    NTILE(4) OVER win AS quartile,
+         |    PERCENT_RANK() OVER win AS pr,
+         |    CUME_DIST() OVER win AS cd,
+         |    LEAD(o_totalprice, 1) OVER win - o_totalprice AS gap
+         |  FROM orders
+         |  WINDOW win AS (PARTITION BY o_orderpriority
+         |    ORDER BY o_totalprice ASC, o_orderkey ASC)
+         |)
+         |SELECT o_orderpriority, o_orderkey, o_totalprice,
+         |  CAST(quartile AS BIGINT) AS quartile,
+         |  ${graft.sources.Tables.r4Sql("pr")} AS pct_rank,
+         |  ${graft.sources.Tables.r4Sql("cd")} AS cume,
+         |  ${graft.sources.Tables.r4Sql("gap")} AS gap_next
+         |FROM w ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin,
     "q23_exists" ->
       """SELECT c_nationkey, COUNT(*) AS n_cust
         |FROM customer c

@@ -207,7 +207,38 @@ object TextAnalysis {
       .withColumn("rep_score", r4(col("max_bigram").cast("double") / col("n_bigrams")))
       .orderBy("doc_id")
 
+  /** PII scrub — regex redaction of emails and phone-like tokens with
+    * per-doc audit counts, the compliance pass every training-data
+    * pipeline runs before release. The corpus has no organic PII, so a
+    * deterministic fraction of docs gets synthetic PII APPENDED (same
+    * expression on both engines) and the scrub must find and redact
+    * exactly those. Row-parallel scan, no shuffle; patterns are
+    * RE2-compatible character classes so Java and DuckDB regex agree.
+    * At 100 TB this is a pure map stage — partition count is the only
+    * knob. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phonePat = "555-[0-9]{4}"
+    documents(spark, dir)
+      .withColumn("text2", concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-"), lpad((col("doc_id") % 10000L).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("text2"), emailPat, "<EMAIL>"), phonePat, "<PHONE>"))
+      .select(col("doc_id"),
+        regexp_count(col("text2"), lit(emailPat)).cast("long").as("n_email"),
+        regexp_count(col("text2"), lit(phonePat)).cast("long").as("n_phone"),
+        length(col("redacted")).cast("long").as("red_len"),
+        md5(col("redacted")).as("red_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_pii_scrub" -> (piiScrub _),
     "ta_boilerplate" -> (boilerplate _),
     "ta_repetition" -> (repetition _),
     "ta_corpus_clean" -> (corpusClean _),
@@ -218,6 +249,30 @@ object TextAnalysis {
     "ta_fingerprint" -> (fingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "ta_pii_scrub" ->
+      // single-quoted SQL strings: backslash is literal in DuckDB, so the
+      // \. in the email pattern needs no doubling here
+      """WITH t AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    AS text2
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, text2,
+        |    regexp_replace(regexp_replace(text2,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text2, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text2, '555-[0-9]{4}')) AS BIGINT) AS n_phone,
+        |  CAST(len(redacted) AS BIGINT) AS red_len,
+        |  md5(redacted) AS red_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
     "ta_boilerplate" ->
       s"""WITH sh AS (${Dedup.shinglesSql}),
          |d AS (

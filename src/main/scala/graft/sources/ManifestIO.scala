@@ -182,12 +182,50 @@ object ManifestIO {
       .orderBy("nationkey")
   }
 
+  /** Schema evolution across parquet batches — a long-lived ingest dir
+    * accumulates files written under successive schema versions; readers
+    * must see the union schema with nulls for pre-evolution rows. Batch v1
+    * (even order keys) lacks the later `o_tax` column; batch v2 (odd keys)
+    * carries it; the mergeSchema read unions them and the aggregate proves
+    * both the null-fill and the value path. At 100 TB mergeSchema's footer
+    * sampling is the cost knob — production pins the merged schema in a
+    * catalog instead of re-inferring; the read path (union schema + null
+    * fill) is identical. */
+  def schemaEvolutionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_io/evolve_${Integer.toHexString(dir.hashCode)}"
+    val orders = Tables.orders(spark, dir)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$base/v1")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        (col("o_orderkey") % 7).as("o_tax"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$base/v2")
+    spark.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count(col("o_tax")).as("n_with_tax"),
+        sum(coalesce(col("o_tax"), lit(0L))).as("sum_tax"),
+        Tables.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_schema_evolution" -> (schemaEvolutionQuery _),
     "io_csv_manifest" -> (csvManifestQuery _),
     "io_json_manifest" -> (jsonManifestQuery _),
     "io_partitioned_scan" -> (partitionedScanQuery _))
 
   val oracle: Map[String, String] = Map(
+    "io_schema_evolution" ->
+      // recomputed from the source table with the same even/odd split the
+      // two batch writes used: odd keys carry o_tax = key % 7, even are null
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_tax,
+        |  CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey % 7 ELSE 0 END) AS BIGINT) AS sum_tax,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "io_json_manifest" ->
       """SELECT CAST(s_nationkey AS INT) AS nationkey, COUNT(*) AS n_suppliers,
         |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal

@@ -183,6 +183,50 @@ object StreamingJobs {
       .select(col("event_id"), col("user_id"), col("p_ts"), col("c_ts"), col("c_value"))
   }
 
+  /** foreachBatch keyed UPSERT into a bucket-partitioned parquet table —
+    * the streaming sink pattern when the store is plain parquet (no
+    * transactional table format in this environment): merge each
+    * micro-batch into ONLY the bucket partitions it touches via dynamic
+    * partition overwrite. Latest (ts, value) wins per key — a map-side-
+    * combinable struct-max, no per-key window. The merge is a pure
+    * function of (current partition contents, batch), so REPLAYING a
+    * micro-batch after a sink-side crash rewrites identical contents —
+    * effectively-once semantics without a transactional store. The merged
+    * frame is eagerly localCheckpoint-ed before the overwrite because its
+    * lineage reads the very files the write replaces. At scale the bucket
+    * count bounds write amplification: a batch touching any number of keys
+    * rewrites at most nBuckets partitions, never the whole table. */
+  def upsertBatch(spark: SparkSession, batch: DataFrame, tablePath: String, nBuckets: Int = 16): Unit = {
+    if (batch.isEmpty) return
+    val upd = batch.select(col("user_id"), col("ts"), col("value"))
+      .withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))
+    // bounded driver-side list (<= nBuckets entries, never O(rows))
+    val touched = upd.select("bucket").distinct().collect().map(_.getLong(0))
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current =
+      if (fs.exists(p))
+        spark.read.parquet(tablePath).filter(col("bucket").isin(touched: _*))
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], upd.schema)
+    val merged = current.unionByName(upd)
+      .groupBy("bucket", "user_id")
+      .agg(max(struct(col("ts"), col("value"))).as("m"))
+      .select(col("bucket"), col("user_id"), col("m.ts").as("ts"), col("m.value").as("value"))
+      .localCheckpoint() // eager: cut lineage off the files the write replaces
+    val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy("bucket").parquet(tablePath)
+    finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Wire upsertBatch as a streaming sink. */
+  def upsertStream(spark: SparkSession, updates: DataFrame, tablePath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream.outputMode(OutputMode.Update())
+      .foreachBatch((b: DataFrame, _: Long) => upsertBatch(spark, b, tablePath))
+
   /** Convenience: run a streaming DataFrame to completion against an
     * in-memory sink and return the result table. Test/dev harness only. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String, mode: OutputMode): DataFrame = {

@@ -30,6 +30,151 @@ class Round4Spec extends SparkSpecBase {
     assert(spark.read.parquet(path).count() > 0)
   }
 
+  test("foreachBatch upsert merges per key, replay is idempotent, stale ts never regresses") {
+    import graft.streaming.StreamingJobs
+    val path = s"/tmp/graft_upsert_${System.nanoTime()}"
+    def batch(rows: Seq[(Long, Long, Double)]) = {
+      import spark.implicits._
+      rows.toDF("user_id", "sec", "value")
+        .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"), col("value"))
+    }
+    def state(): Map[Long, (Long, Double)] =
+      spark.read.parquet(path).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[java.sql.Timestamp]("ts").getTime / 1000, r.getAs[Double]("value"))).toMap
+    // users 1 and 17 share bucket 1 (mod 16): the partition-level merge is keyed
+    StreamingJobs.upsertBatch(spark, batch(Seq((1L, 10L, 1.0), (2L, 10L, 2.0), (17L, 11L, 3.0))), path)
+    StreamingJobs.upsertBatch(spark, batch(Seq((1L, 20L, 9.0), (3L, 5L, 4.0))), path)
+    val expect = Map(1L -> (20L, 9.0), 2L -> (10L, 2.0), 17L -> (11L, 3.0), 3L -> (5L, 4.0))
+    assert(state() == expect)
+    // replaying a micro-batch (restart after sink-side crash) changes nothing
+    StreamingJobs.upsertBatch(spark, batch(Seq((1L, 20L, 9.0), (3L, 5L, 4.0))), path)
+    assert(state() == expect)
+    // a LATE update (older ts) must not regress the key
+    StreamingJobs.upsertBatch(spark, batch(Seq((1L, 15L, 5.0))), path)
+    assert(state() == expect)
+    // untouched buckets are not rewritten: bucket 2's file set is stable
+    val b2files = new java.io.File(path, "bucket=2").list().toSet
+    StreamingJobs.upsertBatch(spark, batch(Seq((1L, 30L, 7.0))), path)
+    assert(new java.io.File(path, "bucket=2").list().toSet == b2files)
+    assert(state() == expect + (1L -> (30L, 7.0)))
+  }
+
+  test("zs_area_weighted matches a brute-force overlap recompute") {
+    val cells = Geo.points(spark, sfDir).collect().groupBy { r =>
+      (math.floor((r.getAs[Double]("lon") + 180.0) / 3.0).toLong,
+        math.floor((r.getAs[Double]("lat") + 35.0) / 2.0).toLong)
+    }.map { case (k, rs) =>
+      k -> (rs.map(r => BigDecimal(r.getAs[Double]("value")).setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum, rs.length.toLong)
+    }
+    val zones = Geo.zones(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("zone_id"), (r.getAs[Double]("xmin") + 180).toLong, (r.getAs[Double]("ymin") + 35).toLong))
+    val expected = zones.flatMap { case (zid, zx0, zy0) =>
+      val over = for {
+        gx <- (zx0 / 3) to ((zx0 + 20) / 3)
+        gy <- (zy0 / 2) to ((zy0 + 10) / 2)
+        w = (math.min(zx0 + 20, (gx + 1) * 3) - math.max(zx0, gx * 3)) *
+          (math.min(zy0 + 10, (gy + 1) * 2) - math.max(zy0, gy * 2))
+        if w > 0
+        c <- cells.get((gx, gy))
+      } yield (w, c._1, c._2)
+      if (over.isEmpty) None
+      else {
+        val wn = over.map(o => o._1 * o._3).sum
+        val wsum = over.map(o => o._2 * o._1).sum
+        Some(zid -> (over.size.toLong, over.map(_._1).sum, wn,
+          math.floor((wsum.toDouble / wn.toDouble) * 10000.0 + 0.5) / 10000.0))
+      }
+    }.toMap
+    val got = Geo.areaWeighted(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("zone_id") -> (r.getAs[Long]("n_cells"),
+        r.getAs[Long]("tot_w"), r.getAs[Long]("wn"), r.getAs[Double]("wmean"))).toMap
+    assert(got == expected)
+  }
+
+  test("zs_bilinear matches a pointwise 2x2 recompute") {
+    val grid = Geo.points(spark, sfDir).collect().groupBy { r =>
+      (math.floor(r.getAs[Double]("lon")).toLong + 180, math.floor(r.getAs[Double]("lat")).toLong + 35)
+    }.map { case (k, rs) =>
+      val s = rs.map(r => BigDecimal(r.getAs[Double]("value")).setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum
+      k -> math.floor((s.toDouble / rs.length.toDouble) * 10000.0 + 0.5).toLong
+    }
+    val expected = graft.sources.Tables.supplier(spark, sfDir).collect().flatMap { r =>
+      val s = r.getAs[Long]("s_suppkey")
+      val a100 = s * 7919 % 35900; val b100 = s * 104729 % 6900
+      val nbrs = for {
+        di <- 0L to 1L; dj <- 0L to 1L
+        w = (if (di == 0) 100 - a100 % 100 else a100 % 100) * (if (dj == 0) 100 - b100 % 100 else b100 % 100)
+        if w > 0
+        v <- grid.get((a100 / 100 + di, b100 / 100 + dj))
+      } yield (w, v)
+      if (nbrs.isEmpty) None
+      else {
+        val den = nbrs.map(_._1).sum
+        val num = nbrs.map(n => n._1 * n._2).sum
+        Some(s -> (nbrs.size.toLong, den,
+          math.floor((num.toDouble / (den * 10000L).toDouble) * 10000.0 + 0.5) / 10000.0))
+      }
+    }.toMap
+    val got = Geo.bilinear(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("q_id") -> (r.getAs[Long]("n_nbrs"), r.getAs[Long]("den"), r.getAs[Double]("interp"))).toMap
+    assert(got == expected)
+  }
+
+  test("mm_modality_balance keeps exactly the md5-bottom-K per modality") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")))
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, rs) =>
+      rs.map(_._2).sortBy(id => (org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString), id))
+        .take(40).zipWithIndex.map { case (id, i) => (src, i + 1L, id, rs.length.toLong) }
+    }.toSet
+    val got = Multimodal.modalityBalance(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("n_total"))).toSet
+    assert(got == expected)
+  }
+
+  test("ta_pii_scrub finds exactly the planted PII and the redaction hash matches") {
+    val byId = TextAnalysis.piiScrub(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+    docs.foreach { d =>
+      val id = d.getAs[Long]("doc_id"); val r = byId(id)
+      assert(r.getAs[Long]("n_email") == (if (id % 7 == 0) 1L else 0L), id)
+      assert(r.getAs[Long]("n_phone") == (if (id % 5 == 0) 1L else 0L), id)
+      val text2 = d.getAs[String]("text") +
+        (if (id % 7 == 0) s" contact user$id@example.com" else "") +
+        (if (id % 5 == 0) s" call 555-${"%04d".format(id % 10000)}" else "")
+      val red = text2
+        .replaceAll("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>")
+        .replaceAll("555-[0-9]{4}", "<PHONE>")
+      assert(r.getAs[Long]("red_len") == red.length.toLong, id)
+      assert(r.getAs[String]("red_md5") == org.apache.commons.codec.digest.DigestUtils.md5Hex(red), id)
+    }
+  }
+
+  test("ev_topk_per_window: at most 3 types per hour, counts non-increasing in rank") {
+    val rows = Events.topkPerWindow(spark, sfDir).collect()
+    rows.groupBy(_.getAs[Long]("hour_epoch")).foreach { case (h, rs) =>
+      assert(rs.length <= 3, h)
+      val byRank = rs.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("n_events"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, h)
+    }
+  }
+
+  test("q24 window suite: quartiles bounded, pct_rank/cume monotone per partition") {
+    val rows = Relational.q24WindowSuite(spark, sfDir).collect()
+    rows.groupBy(_.getAs[String]("o_orderpriority")).foreach { case (p, rs) =>
+      assert(rs.forall(r => { val q = r.getAs[Long]("quartile"); q >= 1 && q <= 4 }), p)
+      val sorted = rs.sortBy(r => (r.getAs[Double]("o_totalprice"), r.getAs[Long]("o_orderkey")))
+      def mono(xs: Seq[Double]) = xs.zip(xs.tail).forall { case (a, b) => a <= b }
+      assert(mono(sorted.map(_.getAs[Double]("pct_rank")).toSeq), p)
+      assert(mono(sorted.map(_.getAs[Double]("cume")).toSeq), p)
+    }
+  }
+
   test("ta_boilerplate df comes from a groupBy join, never a shingle-partitioned window") {
     val p = plan(TextAnalysis.boilerplate(spark, sfDir))
     // a window partitioned by the shingle key would serialize every
