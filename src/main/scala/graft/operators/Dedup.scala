@@ -253,7 +253,36 @@ object Dedup {
       .select(col("va"), col("vb"), r4(col("cos")).as("cos_sim"))
   }
 
+  /** URL-canonicalization dedup — web-crawl corpora dedup on the
+    * CANONICAL URL before touching content: protocol upgraded, host
+    * lowercased, www. stripped, query string / fragment / trailing slash
+    * dropped. The corpus has no URL column, so each doc gets a synthetic
+    * one (deterministic casing / tracking-param / fragment noise keyed on
+    * doc_id — same expression on both engines) and the canonicalizer must
+    * collapse exactly the noise. One hash-groupBy on the canonical key —
+    * the same single-shuffle shape as dd_exact; the regex chain is a pure
+    * map stage. */
+  def urlCanon(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("url", concat(
+        when(col("doc_id") % 3 === 0, lit("http://")).otherwise(lit("https://")),
+        when(col("doc_id") % 4 === 0, lit("WWW.")).otherwise(lit("")),
+        col("source"), lit(".Example.COM/page/"), (col("doc_id") % 50L).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("?utm_source=x&ref=y")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit("#top")).otherwise(lit(""))))
+      .withColumn("canon",
+        regexp_replace(regexp_replace(regexp_replace(
+          lower(regexp_replace(col("url"), "[?#].*$", "")),
+          "^http://", "https://"), "^https://www\\.", "https://"), "/$", ""))
+      .groupBy("canon")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_forms"),
+        min(col("doc_id")).as("keep_id"))
+      .orderBy("canon")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_url_canon" -> (urlCanon _),
     "dd_exact" -> (exact _),
     "dd_normalized" -> (normalized _),
     "dd_ngram_jaccard" -> (ngramJaccard _),
@@ -264,6 +293,26 @@ object Dedup {
     "dd_embed_cosine" -> (embedCosine _))
 
   val oracle: Map[String, String] = Map(
+    "dd_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'http://' ELSE 'https://' END)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END)
+        |    || source || '.Example.COM/page/' || CAST(doc_id % 50 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x&ref=y' ELSE '' END)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END) AS url
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      lower(regexp_replace(url, '[?#].*$', '')),
+        |      '^http://', 'https://'), '^https://www\.', 'https://'), '/$', '') AS canon
+        |  FROM u
+        |)
+        |SELECT canon, COUNT(*) AS n_docs, COUNT(DISTINCT url) AS n_forms,
+        |  MIN(doc_id) AS keep_id
+        |FROM c GROUP BY canon ORDER BY canon""".stripMargin,
     "dd_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS group_size
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,

@@ -961,7 +961,43 @@ object Geo {
       .orderBy("q_id")
   }
 
+  /** Polyline clipping to a bbox — the VECTOR form of the reference's clip
+    * standardization (batch clips rasters with gdalwarp -te; ogr2ogr
+    * -clipsrc is the line/polygon analog): Liang–Barsky parametric
+    * clipping of each segment to [-60,60]x[-20,20], emitting the clipped
+    * endpoints and clipped length. Pure map stage — no shuffle, no UDF:
+    * the t-interval is GREATEST/LEAST over per-axis CASE ratios, written
+    * as the IDENTICAL expression in the oracle so every double (and every
+    * boundary accept/reject compare) matches bit for bit (SURVEY §4
+    * same-expression rule). Degenerate axis-parallel segments take the
+    * dx=0 / dy=0 branches. At 100 TB: partition count is the only knob. */
+  def lineClip(spark: SparkSession, dir: String): DataFrame = {
+    val t0 = "GREATEST(CAST(0 AS DOUBLE), " +
+      "CASE WHEN dx > 0 THEN (-60.0 - x0) / dx WHEN dx < 0 THEN (60.0 - x0) / dx ELSE CAST(0 AS DOUBLE) END, " +
+      "CASE WHEN dy > 0 THEN (-20.0 - y0) / dy WHEN dy < 0 THEN (20.0 - y0) / dy ELSE CAST(0 AS DOUBLE) END)"
+    val t1 = "LEAST(CAST(1 AS DOUBLE), " +
+      "CASE WHEN dx > 0 THEN (60.0 - x0) / dx WHEN dx < 0 THEN (-60.0 - x0) / dx ELSE CAST(1 AS DOUBLE) END, " +
+      "CASE WHEN dy > 0 THEN (20.0 - y0) / dy WHEN dy < 0 THEN (-20.0 - y0) / dy ELSE CAST(1 AS DOUBLE) END)"
+    orders(spark, dir).select(col("o_orderkey").as("seg_id"),
+        (((col("o_orderkey") * 7919L) % 36000L).cast("double") / 100.0 - 180.0).as("x0"),
+        (((col("o_orderkey") * 104729L) % 7000L).cast("double") / 100.0 - 35.0).as("y0"),
+        (((col("o_orderkey") * 131L) % 2000L).cast("double") / 100.0 - 10.0).as("dx"),
+        (((col("o_orderkey") * 241L) % 1000L).cast("double") / 100.0 - 5.0).as("dy"))
+      .filter(expr(
+        "NOT (dx = 0 AND (x0 < -60.0 OR x0 > 60.0)) AND NOT (dy = 0 AND (y0 < -20.0 OR y0 > 20.0))"))
+      .withColumn("t0", expr(t0)).withColumn("t1", expr(t1))
+      .filter(col("t0") <= col("t1"))
+      .select(col("seg_id"),
+        r4(col("x0") + col("t0") * col("dx")).as("cx0"),
+        r4(col("y0") + col("t0") * col("dy")).as("cy0"),
+        r4(col("x0") + col("t1") * col("dx")).as("cx1"),
+        r4(col("y0") + col("t1") * col("dy")).as("cy1"),
+        r4((col("t1") - col("t0")) * sqrt(col("dx") * col("dx") + col("dy") * col("dy"))).as("clip_len"))
+      .orderBy("seg_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zs_line_clip" -> (lineClip _),
     "zs_area_weighted" -> (areaWeighted _),
     "zs_bilinear" -> (bilinear _),
     "zs_focal_mean" -> (focalMean _),
@@ -994,6 +1030,39 @@ object Geo {
          |FROM z10 GROUP BY 1, 2, 3""".stripMargin
     }.mkString("\nUNION ALL\n")
     Map(
+      "zs_line_clip" ->
+        // IDENTICAL Liang–Barsky expressions to the Spark side — every
+        // double and boundary compare matches bit for bit
+        s"""WITH segs AS (
+           |  SELECT o_orderkey AS seg_id,
+           |    CAST(o_orderkey * 7919 % 36000 AS DOUBLE) / 100.0 - 180.0 AS x0,
+           |    CAST(o_orderkey * 104729 % 7000 AS DOUBLE) / 100.0 - 35.0 AS y0,
+           |    CAST(o_orderkey * 131 % 2000 AS DOUBLE) / 100.0 - 10.0 AS dx,
+           |    CAST(o_orderkey * 241 % 1000 AS DOUBLE) / 100.0 - 5.0 AS dy
+           |  FROM orders
+           |),
+           |f AS (
+           |  SELECT * FROM segs
+           |  WHERE NOT (dx = 0 AND (x0 < -60.0 OR x0 > 60.0))
+           |    AND NOT (dy = 0 AND (y0 < -20.0 OR y0 > 20.0))
+           |),
+           |t AS (
+           |  SELECT *,
+           |    GREATEST(CAST(0 AS DOUBLE),
+           |      CASE WHEN dx > 0 THEN (-60.0 - x0) / dx WHEN dx < 0 THEN (60.0 - x0) / dx ELSE CAST(0 AS DOUBLE) END,
+           |      CASE WHEN dy > 0 THEN (-20.0 - y0) / dy WHEN dy < 0 THEN (20.0 - y0) / dy ELSE CAST(0 AS DOUBLE) END) AS t0,
+           |    LEAST(CAST(1 AS DOUBLE),
+           |      CASE WHEN dx > 0 THEN (60.0 - x0) / dx WHEN dx < 0 THEN (-60.0 - x0) / dx ELSE CAST(1 AS DOUBLE) END,
+           |      CASE WHEN dy > 0 THEN (20.0 - y0) / dy WHEN dy < 0 THEN (-20.0 - y0) / dy ELSE CAST(1 AS DOUBLE) END) AS t1
+           |  FROM f
+           |)
+           |SELECT seg_id,
+           |  ${graft.sources.Tables.r4Sql("x0 + t0 * dx")} AS cx0,
+           |  ${graft.sources.Tables.r4Sql("y0 + t0 * dy")} AS cy0,
+           |  ${graft.sources.Tables.r4Sql("x0 + t1 * dx")} AS cx1,
+           |  ${graft.sources.Tables.r4Sql("y0 + t1 * dy")} AS cy1,
+           |  ${graft.sources.Tables.r4Sql("(t1 - t0) * sqrt(dx * dx + dy * dy)")} AS clip_len
+           |FROM t WHERE t0 <= t1 ORDER BY seg_id""".stripMargin,
       "zs_area_weighted" ->
         // integer zone corners x integer cell pitch => exact integer
         // overlap widths; the kx/ky VALUES cross-join enumerates the

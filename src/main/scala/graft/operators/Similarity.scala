@@ -172,7 +172,44 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** Scalar-quantized ANN with exact rerank — the FAISS-SQ pattern: corpus
+    * vectors compress to 4-bit codes (floor(v*16) clamped to [-8,7] — 8x
+    * smaller than float32), the first pass ranks by the dot product against
+    * the DEQUANTIZED codes ((code+0.5)/16, an exact dyadic double, so the
+    * fold is bit-portable), and only the top-10 approximate candidates per
+    * query pay the exact-cosine rerank. At 100 TB the scan reads the code
+    * column (1/8 the bytes) and the full-precision vectors are fetched for
+    * ~10 rows per query — the memory/bandwidth economics that make
+    * quantized indexes the production default. approx_rank is kept in the
+    * output so the reordering done by the rerank is visible. */
+  def sqCodes(v: String): Column = expr(
+    s"transform($v, x -> CAST(GREATEST(-8D, LEAST(7D, floor(CAST(x AS DOUBLE) * 16D))) AS BIGINT))")
+
+  private def reconDot(q: String, codes: String): Column = expr(
+    s"aggregate(sequence(0, ${Dim - 1}), CAST(0.0 AS DOUBLE), (acc, i) -> " +
+      s"acc + CAST(element_at($q, i + 1) AS DOUBLE) * ((CAST(element_at($codes, i + 1) AS DOUBLE) + 0.5) / 16D))")
+
+  def sq(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir).withColumn("codes", sqCodes("embedding"))
+      .localCheckpoint() // codes + norms computed once for query + corpus sides
+    val q = c.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val wA = Window.partitionBy("qid").orderBy(col("approx").desc, col("cid").asc)
+    val wE = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    c.select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cn"), col("codes"))
+      .join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("approx", reconDot("qv", "codes") / (col("qn") * col("cn")))
+      .withColumn("approx_rank", row_number().over(wA).cast("long"))
+      .filter(col("approx_rank") <= 10)
+      .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wE).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"), r4(col("cos")).as("cos_sim"), col("approx_rank"))
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_sq" -> (sq _),
     "ann_recall" -> (recall _),
     "ann_bruteforce" -> (bruteforce _),
     "ann_lsh" -> (lsh _),
@@ -191,7 +228,39 @@ object Similarity {
        |SELECT qid, rank, cid, ${graft.sources.Tables.r4Sql("cos")} AS cos_sim
        |FROM ranked WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  private def codesSql(v: String): String =
+    s"list_transform($v, x -> CAST(GREATEST(CAST(-8 AS DOUBLE), LEAST(CAST(7 AS DOUBLE), floor(x::DOUBLE * 16.0))) AS BIGINT))"
+
+  private def reconDotSql(q: String, codes: String): String =
+    s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> " +
+      s"$q[i]::DOUBLE * (($codes[i]::DOUBLE + 0.5) / 16.0)), (acc, v) -> acc + v)"
+
   val oracle: Map[String, String] = Map(
+    "ann_sq" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+         |    ${codesSql("embedding")} AS codes
+         |  FROM embeddings
+         |),
+         |cand AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid, c.embedding AS cv,
+         |    q.embedding AS qv, q.nrm AS qn, c.nrm AS cn,
+         |    ${reconDotSql("q.embedding", "c.codes")} / (q.nrm * c.nrm) AS approx
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+         |),
+         |a AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx DESC, cid ASC) AS approx_rank
+         |  FROM cand
+         |),
+         |r AS (
+         |  SELECT qid, cid, approx_rank, ${dotSql("qv", "cv")} / (qn * cn) AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ${dotSql("qv", "cv")} / (qn * cn) DESC, cid ASC) AS rank
+         |  FROM a WHERE approx_rank <= 10
+         |)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, cid,
+         |  ${graft.sources.Tables.r4Sql("cos")} AS cos_sim,
+         |  CAST(approx_rank AS BIGINT) AS approx_rank
+         |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "ann_recall" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings

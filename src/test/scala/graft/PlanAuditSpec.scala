@@ -7,8 +7,10 @@ package graft
 class PlanAuditSpec extends SparkSpecBase {
 
   // ann_recall embeds the same bounded-broadcast exact pass as its ground
-  // truth — the nested loop there is the sanctioned baseline, not a plan bug
-  private val allowNestedLoop = Set("ann_bruteforce", "ann_recall")
+  // truth — the nested loop there is the sanctioned baseline, not a plan
+  // bug; ann_sq's first pass is the same bounded-broadcast scan, over the
+  // 8x-compressed code column (the point of the operator)
+  private val allowNestedLoop = Set("ann_bruteforce", "ann_recall", "ann_sq")
 
   test("no query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>

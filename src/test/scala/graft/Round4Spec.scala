@@ -175,6 +175,72 @@ class Round4Spec extends SparkSpecBase {
     }
   }
 
+  test("ann_sq codes are 4-bit bounded and the rerank beats or ties the approx ordering") {
+    val rows = Similarity.sq(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
+      // final ranking is by exact cosine, descending
+      val byRank = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, q)
+      // every survivor came from the approx top-10
+      assert(rs.forall(_.getAs[Long]("approx_rank") <= 10), q)
+    }
+    // the quantizer itself: codes bounded, reconstruction within 1/32
+    val e = graft.sources.Tables.embeddings(spark, sfDir).limit(50)
+      .withColumn("codes", Similarity.sqCodes("embedding")).collect()
+    e.foreach { r =>
+      val v = r.getSeq[Float](r.fieldIndex("embedding"))
+      val c = r.getSeq[Long](r.fieldIndex("codes"))
+      c.foreach(x => assert(x >= -8 && x <= 7))
+      v.zip(c).foreach { case (x, code) =>
+        val recon = (code + 0.5) / 16.0
+        // off-range values clamp; in-range quantization error is <= 1/32
+        if (x >= -0.5 && x < 0.5) assert(math.abs(x - recon) <= 1.0 / 32 + 1e-12, s"$x $code")
+      }
+    }
+  }
+
+  test("zs_line_clip matches a pointwise Liang-Barsky recompute, including the kept-row set") {
+    val got = Geo.lineClip(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("seg_id") -> (r.getAs[Double]("cx0"), r.getAs[Double]("cy0"),
+        r.getAs[Double]("cx1"), r.getAs[Double]("cy1"), r.getAs[Double]("clip_len"))).toMap
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val keys = graft.sources.Tables.orders(spark, sfDir).select("o_orderkey").collect().map(_.getLong(0))
+    val expected = keys.flatMap { k =>
+      val x0 = (k * 7919 % 36000).toDouble / 100.0 - 180.0
+      val y0 = (k * 104729 % 7000).toDouble / 100.0 - 35.0
+      val dx = (k * 131 % 2000).toDouble / 100.0 - 10.0
+      val dy = (k * 241 % 1000).toDouble / 100.0 - 5.0
+      if ((dx == 0 && (x0 < -60.0 || x0 > 60.0)) || (dy == 0 && (y0 < -20.0 || y0 > 20.0))) None
+      else {
+        val tx0 = if (dx > 0) (-60.0 - x0) / dx else if (dx < 0) (60.0 - x0) / dx else 0.0
+        val tx1 = if (dx > 0) (60.0 - x0) / dx else if (dx < 0) (-60.0 - x0) / dx else 1.0
+        val ty0 = if (dy > 0) (-20.0 - y0) / dy else if (dy < 0) (20.0 - y0) / dy else 0.0
+        val ty1 = if (dy > 0) (20.0 - y0) / dy else if (dy < 0) (-20.0 - y0) / dy else 1.0
+        val t0 = math.max(0.0, math.max(tx0, ty0)); val t1 = math.min(1.0, math.min(tx1, ty1))
+        if (t0 <= t1)
+          Some(k -> (r4(x0 + t0 * dx), r4(y0 + t0 * dy), r4(x0 + t1 * dx), r4(y0 + t1 * dy),
+            r4((t1 - t0) * math.sqrt(dx * dx + dy * dy))))
+        else None
+      }
+    }.toMap
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < keys.length) // clip both keeps and drops
+  }
+
+  test("dd_url_canon canonical keys carry no noise and cover every doc") {
+    val rows = Dedup.urlCanon(spark, sfDir).collect()
+    rows.foreach { r =>
+      val c = r.getAs[String]("canon")
+      assert(c.startsWith("https://") && !c.contains("?") && !c.contains("#"), c)
+      assert(!c.endsWith("/") && !c.contains("www.") && c == c.toLowerCase, c)
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      graft.sources.Tables.documents(spark, sfDir).count())
+    // the casing/tracking noise actually collapsed something
+    assert(rows.exists(_.getAs[Long]("n_forms") > 1))
+  }
+
   test("ta_boilerplate df comes from a groupBy join, never a shingle-partitioned window") {
     val p = plan(TextAnalysis.boilerplate(spark, sfDir))
     // a window partitioned by the shingle key would serialize every
