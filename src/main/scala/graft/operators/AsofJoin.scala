@@ -93,11 +93,44 @@ object AsofJoin {
       .orderBy("event_id")
   }
 
+  /** q14 on the NATIVE merge operator (graft.plans.AsofJoinExec): same
+    * semantics, but the physical plan streams both sorted sides once with
+    * a forward merge pointer instead of sorting a tagged union — one
+    * shuffle per side, O(1) merge state per partition. The oracle is the
+    * same DuckDB ASOF LEFT JOIN. */
+  def purchaseAsofClickNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("sec"),
+        col("event_type"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("sec"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("sec"), col("value"))
+    graft.plans.AsofJoinNative.asof(purchases, clicks, "user_id", "sec", Seq("value"))
+      .select(col("event_id"), col("user_id"), col("sec").as("purchase_sec"),
+        col("asof_time").as("last_click_sec"), col("asof_value").as("last_click_value"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_asof_join" -> (purchaseAsofClick _),
+    "q14_asof_native" -> (purchaseAsofClickNative _),
     "q17_range_join" -> (purchaseClicksInWindow _))
 
+  private val asofOracleSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type, value
+      |  FROM events
+      |),
+      |p AS (SELECT user_id, sec, event_id FROM ev WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, sec AS c_sec, value FROM ev WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.sec AS purchase_sec,
+      |  c.c_sec AS last_click_sec, c.value AS last_click_value
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.c_sec <= p.sec
+      |ORDER BY p.event_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q14_asof_native" -> asofOracleSql,
     "q17_range_join" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type, value
@@ -111,15 +144,5 @@ object AsofJoin {
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c.c_sec >= p.sec - 3600 AND c.c_sec < p.sec
         |GROUP BY 1, 2, 3 ORDER BY p.event_id""".stripMargin,
-    "q14_asof_join" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type, value
-        |  FROM events
-        |),
-        |p AS (SELECT user_id, sec, event_id FROM ev WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id, sec AS c_sec, value FROM ev WHERE event_type = 'click')
-        |SELECT p.event_id, p.user_id, p.sec AS purchase_sec,
-        |  c.c_sec AS last_click_sec, c.value AS last_click_value
-        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.c_sec <= p.sec
-        |ORDER BY p.event_id""".stripMargin)
+    "q14_asof_join" -> asofOracleSql)
 }

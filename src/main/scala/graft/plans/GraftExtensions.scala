@@ -20,5 +20,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       (children: Seq[Expression]) => VectorDot(children(0), children(1))))
     ext.injectOptimizerRule(_ => NativeDotRule)
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }
