@@ -199,7 +199,29 @@ object Events {
       .orderBy("hour_epoch", "rk", "event_type")
   }
 
+  /** Nested-JSON ingestion: parse an array-of-structs payload with an
+    * explicit schema (from_json — never schema inference, which is a
+    * second full scan at 100 TB), explode the array, and project typed
+    * fields. The JSON text is SYNTHESIZED from doc_id arithmetic, so the
+    * oracle can verify the whole parse+explode path against
+    * first-principles integer arithmetic without a JSON engine in the
+    * loop — if from_json mis-parsed anything, the hash diverges. */
+  def jsonNested(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), expr(
+        """concat('{"items":[',
+          |  concat_ws(',', transform(sequence(0L, doc_id % 3),
+          |    i -> concat('{"id":', CAST(doc_id * 10 + i AS STRING),
+          |                ',"v":', CAST((doc_id * 7 + i) % 100 AS STRING), '}'))),
+          |']}')""".stripMargin.replace("\n", " ")).as("js"))
+      .select(col("doc_id"),
+        from_json(col("js"), lit("STRUCT<items: ARRAY<STRUCT<id: BIGINT, v: BIGINT>>>")).as("p"))
+      .select(col("doc_id"), explode(col("p.items")).as("item"))
+      .select(col("doc_id"), col("item.id").as("item_id"), col("item.v").as("v"))
+      .orderBy("doc_id", "item_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_json_nested" -> (jsonNested _),
     "ev_topk_per_window" -> (topkPerWindow _),
     "ev_trajectory" -> (trajectory _),
     "ev_anomaly" -> (anomalies _),
@@ -212,6 +234,15 @@ object Events {
     "ev_funnel" -> (funnel _))
 
   val oracle: Map[String, String] = Map(
+    "ev_json_nested" ->
+      // no JSON on the oracle side: the parse+explode must reproduce the
+      // same rows the generating arithmetic defines
+      """WITH n AS (
+        |  SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS i FROM documents
+        |)
+        |SELECT doc_id, CAST(doc_id * 10 + i AS BIGINT) AS item_id,
+        |  CAST((doc_id * 7 + i) % 100 AS BIGINT) AS v
+        |FROM n ORDER BY doc_id, item_id""".stripMargin,
     "ev_topk_per_window" ->
       """WITH c AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,

@@ -244,7 +244,31 @@ object Multimodal {
       .orderBy("source", "rank")
   }
 
+  /** Audio/video stream alignment — every audio chunk (30ms cadence) picks
+    * up the latest video frame at-or-before it (40ms cadence): the
+    * point-in-time alignment a multimodal training pipeline runs before
+    * fusing modalities. Runs on the NATIVE as-of merge operator
+    * (graft.plans.AsofJoinExec): both sides hash-partition on doc_id,
+    * sort by (doc_id, ts), and stream once — no tagged-union window, no
+    * candidate explosion. Frame/chunk timelines derive from payload byte
+    * length, so the DuckDB ASOF JOIN oracle rebuilds them exactly. */
+  def avSync(spark: SparkSession, dir: String): DataFrame = {
+    val d = withPayload(spark, dir)
+      .select(col("doc_id"), length(col("payload")).cast("long").as("len"))
+    val frames = d
+      .select(col("doc_id"), explode(expr("sequence(0L, (len + 15) div 16 - 1)")).as("fi"))
+      .select(col("doc_id"), (col("fi") * 40L).as("ts"), col("fi"))
+    val chunks = d
+      .select(col("doc_id"), explode(expr("sequence(0L, (len + 23) div 24 - 1)")).as("ci"))
+      .select(col("doc_id"), (col("ci") * 30L).as("ts"), col("ci"))
+    graft.plans.AsofJoinNative.asof(chunks, frames, "doc_id", "ts", Seq("fi"))
+      .select(col("doc_id"), col("ci"), col("ts").as("chunk_ts"),
+        col("asof_time").as("frame_ts"), col("asof_fi").as("frame_idx"))
+      .orderBy("doc_id", "ci")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_av_sync" -> (avSync _),
     "mm_modality_balance" -> (modalityBalance _),
     "mm_shard_pack" -> (shardPack _),
     "mm_metadata" -> (metadata _),
@@ -254,6 +278,15 @@ object Multimodal {
     "mm_embed_knn" -> (embedKnn _))
 
   val oracle: Map[String, String] = Map(
+    "mm_av_sync" ->
+      """WITH d AS (SELECT doc_id, length(text) AS len FROM documents),
+        |f0 AS (SELECT doc_id, unnest(range(0, (len + 15) // 16)) AS fi FROM d),
+        |f AS (SELECT doc_id, fi, fi * 40 AS ts FROM f0),
+        |c0 AS (SELECT doc_id, unnest(range(0, (len + 23) // 24)) AS ci FROM d),
+        |c AS (SELECT doc_id, ci, ci * 30 AS ts FROM c0)
+        |SELECT c.doc_id, c.ci, c.ts AS chunk_ts, f.ts AS frame_ts, f.fi AS frame_idx
+        |FROM c ASOF LEFT JOIN f ON c.doc_id = f.doc_id AND f.ts <= c.ts
+        |ORDER BY c.doc_id, c.ci""".stripMargin,
     "mm_modality_balance" ->
       // single window in the oracle — equivalent because phase 1 keeps a
       // superset of the global bottom-K per modality (each salt slice

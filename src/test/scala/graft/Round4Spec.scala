@@ -241,6 +241,23 @@ class Round4Spec extends SparkSpecBase {
     assert(rows.exists(_.getAs[Long]("n_forms") > 1))
   }
 
+  test("mm_av_sync: every chunk aligns to the latest frame within one frame period") {
+    val rows = Multimodal.avSync(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val gap = r.getAs[Long]("chunk_ts") - r.getAs[Long]("frame_ts")
+      assert(gap >= 0 && gap < 40, r)
+      assert(r.getAs[Long]("frame_ts") == r.getAs[Long]("frame_idx") * 40, r)
+    }
+  }
+
+  test("ev_json_nested explode count matches the generating arithmetic") {
+    val n = Events.jsonNested(spark, sfDir).count()
+    val expect = graft.sources.Tables.documents(spark, sfDir)
+      .select(sum(col("doc_id") % 3 + 1)).collect()(0).getLong(0)
+    assert(n == expect)
+  }
+
   test("ta_boilerplate df comes from a groupBy join, never a shingle-partitioned window") {
     val p = plan(TextAnalysis.boilerplate(spark, sfDir))
     // a window partitioned by the shingle key would serialize every
