@@ -220,7 +220,40 @@ object Events {
       .select(col("doc_id"), col("item.id").as("item_id"), col("item.v").as("v"))
       .orderBy("doc_id", "item_id")
 
+  /** Time-series gap filling + LOCF — regularize the hourly event series
+    * onto a dense (hour x type) spine: hours with no events appear with
+    * zero counts and the last observed sum carried forward (the resample/
+    * fill step before any windowed model training). The spine bounds are
+    * one tiny global aggregate (broadcast); the spine itself is
+    * sequence-generated, never collected. The LOCF window partitions by
+    * type over the DENSE spine — its size is the time range, not the data
+    * volume, so the partition stays bounded at 100 TB (a year is <9k
+    * hourly slots; partition further by (type, month) beyond that). */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val counts = events(spark, dir)
+      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"), col("value"))
+      .groupBy("hour_epoch", "event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    val bounds = counts.agg(min("hour_epoch").as("mn"), max("hour_epoch").as("mx"))
+    val types = counts.select("event_type").distinct()
+    val spine = bounds
+      .select(explode(expr("sequence(mn, mx, 3600L)")).as("hour_epoch"))
+      .crossJoin(broadcast(types))
+    val w = Window.partitionBy("event_type").orderBy("hour_epoch")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(counts, Seq("hour_epoch", "event_type"), "left_outer")
+      .select(col("hour_epoch"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        when(col("n").isNull, 1L).otherwise(0L).as("filled"),
+        col("sum_value"))
+      .withColumn("locf_sum", last(col("sum_value"), ignoreNulls = true).over(w))
+      .drop("sum_value")
+      .orderBy("hour_epoch", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_gap_fill" -> (gapFill _),
     "ev_json_nested" -> (jsonNested _),
     "ev_topk_per_window" -> (topkPerWindow _),
     "ev_trajectory" -> (trajectory _),
@@ -234,6 +267,23 @@ object Events {
     "ev_funnel" -> (funnel _))
 
   val oracle: Map[String, String] = Map(
+    "ev_gap_fill" ->
+      """WITH c AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+        |    COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2
+        |),
+        |b AS (SELECT MIN(hour_epoch) AS mn, MAX(hour_epoch) AS mx FROM c),
+        |s AS (SELECT unnest(range(mn, mx + 1, 3600)) AS hour_epoch FROM b),
+        |t AS (SELECT DISTINCT event_type FROM c),
+        |g AS (SELECT hour_epoch, event_type FROM s CROSS JOIN t)
+        |SELECT g.hour_epoch, g.event_type,
+        |  CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+        |  CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled,
+        |  last_value(sum_value IGNORE NULLS) OVER (PARTITION BY g.event_type
+        |    ORDER BY g.hour_epoch ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_sum
+        |FROM g LEFT JOIN c ON g.hour_epoch = c.hour_epoch AND g.event_type = c.event_type
+        |ORDER BY g.hour_epoch, g.event_type""".stripMargin,
     "ev_json_nested" ->
       // no JSON on the oracle side: the parse+explode must reproduce the
       // same rows the generating arithmetic defines

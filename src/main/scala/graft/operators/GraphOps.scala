@@ -32,6 +32,7 @@ object GraphOps {
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
+    val dbg = sys.env.contains("GRAFT_DEBUG_ROUNDS")
     // <= : a graph of diameter EXACTLY maxRounds finishes changing on round
     // maxRounds and needs one extra no-change round to be DETECTED
     while (!converged && rounds <= maxRounds) {
@@ -45,6 +46,7 @@ object GraphOps {
       prevSum = s
       labels = next
       rounds += 1
+      if (dbg) System.err.println(s"[graphops] round $rounds sum=$s")
     }
     // a silent truncation would return a component split in two and fail
     // only at the (distant) oracle — refuse loudly instead

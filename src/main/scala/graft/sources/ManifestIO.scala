@@ -211,13 +211,67 @@ object ManifestIO {
       .orderBy("o_orderpriority")
   }
 
+  /** Catalog snapshot diff — the reconciliation report every incremental
+    * ingest needs: which manifest rows were added, removed, or changed
+    * between two snapshots. One full outer join on the key; the verdict is
+    * a null-pattern CASE. Snapshot v2 is derived from v1 with
+    * deterministic edits (drops, price changes, synthetic additions) so
+    * the oracle rebuilds both sides exactly. Unchanged rows are filtered
+    * out BEFORE the ORDER BY, so the output is O(churn), not O(catalog) —
+    * at 100 TB the join shuffles once on the key and the report stays
+    * small. */
+  def manifestDiffQuery(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.part(spark, dir)
+      .select(col("p_partkey").as("key"), col("p_retailprice").as("price"), col("p_size").as("size"))
+    val v2 = v1.filter(col("key") % 97 =!= 0)
+      .select(col("key"),
+        when(col("key") % 13 === 0, col("price") + 1.0).otherwise(col("price")).as("price"),
+        col("size"))
+      .unionByName(v1.filter(col("key") % 89 === 0)
+        .select((col("key") + 1000000L).as("key"), col("price"), col("size")))
+    v1.select(col("key"), col("price").as("old_price"), col("size").as("old_size"))
+      .join(v2.select(col("key"), col("price").as("new_price"), col("size").as("new_size")),
+        Seq("key"), "full_outer")
+      .withColumn("status",
+        when(col("old_price").isNull, "added")
+          .when(col("new_price").isNull, "removed")
+          .when(col("old_price") =!= col("new_price") || col("old_size") =!= col("new_size"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .select(col("key"), col("status"), col("old_price"), col("new_price"))
+      .orderBy("status", "key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_manifest_diff" -> (manifestDiffQuery _),
     "io_schema_evolution" -> (schemaEvolutionQuery _),
     "io_csv_manifest" -> (csvManifestQuery _),
     "io_json_manifest" -> (jsonManifestQuery _),
     "io_partitioned_scan" -> (partitionedScanQuery _))
 
   val oracle: Map[String, String] = Map(
+    "io_manifest_diff" ->
+      """WITH v1 AS (
+        |  SELECT p_partkey AS key, p_retailprice AS price, p_size AS size FROM part
+        |),
+        |v2 AS (
+        |  SELECT key,
+        |    CASE WHEN key % 13 = 0 THEN price + 1.0 ELSE price END AS price, size
+        |  FROM v1 WHERE key % 97 <> 0
+        |  UNION ALL
+        |  SELECT key + 1000000 AS key, price, size FROM v1 WHERE key % 89 = 0
+        |),
+        |d AS (
+        |  SELECT COALESCE(v1.key, v2.key) AS key,
+        |    v1.price AS old_price, v2.price AS new_price,
+        |    CASE WHEN v1.price IS NULL THEN 'added'
+        |         WHEN v2.price IS NULL THEN 'removed'
+        |         WHEN v1.price <> v2.price OR v1.size <> v2.size THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.key = v2.key
+        |)
+        |SELECT key, status, old_price, new_price
+        |FROM d WHERE status <> 'unchanged' ORDER BY status, key""".stripMargin,
     "io_schema_evolution" ->
       // recomputed from the source table with the same even/odd split the
       // two batch writes used: odd keys carry o_tax = key % 7, even are null

@@ -9,8 +9,10 @@ class PlanAuditSpec extends SparkSpecBase {
   // ann_recall embeds the same bounded-broadcast exact pass as its ground
   // truth — the nested loop there is the sanctioned baseline, not a plan
   // bug; ann_sq's first pass is the same bounded-broadcast scan, over the
-  // 8x-compressed code column (the point of the operator)
-  private val allowNestedLoop = Set("ann_bruteforce", "ann_recall", "ann_sq")
+  // 8x-compressed code column (the point of the operator); ev_gap_fill's
+  // spine is a 1-row bounds frame cross-joined with the tiny distinct-type
+  // set — O(|types|) broadcast, not a data-sized nested loop
+  private val allowNestedLoop = Set("ann_bruteforce", "ann_recall", "ann_sq", "ev_gap_fill")
 
   test("no query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -258,6 +258,35 @@ class Round4Spec extends SparkSpecBase {
     assert(n == expect)
   }
 
+  test("ev_gap_fill spine is dense and filled slots are zero-count with carried-forward sums") {
+    val rows = Events.gapFill(spark, sfDir).collect()
+    val hours = rows.map(_.getAs[Long]("hour_epoch")).distinct.sorted
+    val types = rows.map(_.getAs[String]("event_type")).distinct
+    assert(rows.length == hours.length * types.length) // dense grid
+    assert(hours.zip(hours.tail).forall { case (a, b) => b - a == 3600 }) // no gaps
+    rows.filter(_.getAs[Long]("filled") == 1L)
+      .foreach(r => assert(r.getAs[Long]("n_events") == 0L, r))
+    // LOCF: null only before a type's first observation
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("hour_epoch"))
+      val firstObs = sorted.indexWhere(_.getAs[Long]("filled") == 0L)
+      sorted.drop(firstObs).foreach(r => assert(r.getAs[Double]("locf_sum") != null, (t, r)))
+    }
+  }
+
+  test("io_manifest_diff statuses match the snapshot edit rules exactly") {
+    val rows = ManifestIO.manifestDiffQuery(spark, sfDir).collect()
+    val keys = graft.sources.Tables.part(spark, sfDir)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val expectRemoved = keys.filter(_ % 97 == 0)
+    val expectChanged = keys.filter(k => k % 13 == 0 && k % 97 != 0)
+    val expectAdded = keys.filter(_ % 89 == 0).map(_ + 1000000L)
+    def got(s: String) = rows.filter(_.getAs[String]("status") == s).map(_.getAs[Long]("key")).toSet
+    assert(got("removed") == expectRemoved)
+    assert(got("changed") == expectChanged)
+    assert(got("added") == expectAdded)
+  }
+
   test("ta_boilerplate df comes from a groupBy join, never a shingle-partitioned window") {
     val p = plan(TextAnalysis.boilerplate(spark, sfDir))
     // a window partitioned by the shingle key would serialize every
