@@ -264,6 +264,8 @@ object Dedup {
     * map stage. */
   def urlCanon(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
+      // fan out off the one-partition scan before the regex chain
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("url", concat(
         when(col("doc_id") % 3 === 0, lit("http://")).otherwise(lit("https://")),
         when(col("doc_id") % 4 === 0, lit("WWW.")).otherwise(lit("")),

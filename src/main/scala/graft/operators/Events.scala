@@ -208,6 +208,8 @@ object Events {
     * loop — if from_json mis-parsed anything, the hash diverges. */
   def jsonNested(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
+      // fan out off the one-partition scan before the JSON build + parse
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), expr(
         """concat('{"items":[',
           |  concat_ws(',', transform(sequence(0L, doc_id % 3),

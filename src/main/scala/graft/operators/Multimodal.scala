@@ -253,8 +253,13 @@ object Multimodal {
     * candidate explosion. Frame/chunk timelines derive from payload byte
     * length, so the DuckDB ASOF JOIN oracle rebuilds them exactly. */
   def avSync(spark: SparkSession, dir: String): DataFrame = {
+    // len > 0: Spark's sequence(0, -1) would emit a DESCENDING [0, -1]
+    // for an empty payload where the oracle's range(0, 0) is empty —
+    // zero-length docs have no frames or chunks on either engine
     val d = withPayload(spark, dir)
       .select(col("doc_id"), length(col("payload")).cast("long").as("len"))
+      .filter(col("len") > 0)
+      .repartition(spark.sparkContext.defaultParallelism)
     val frames = d
       .select(col("doc_id"), explode(expr("sequence(0L, (len + 15) div 16 - 1)")).as("fi"))
       .select(col("doc_id"), (col("fi") * 40L).as("ts"), col("fi"))
@@ -279,7 +284,7 @@ object Multimodal {
 
   val oracle: Map[String, String] = Map(
     "mm_av_sync" ->
-      """WITH d AS (SELECT doc_id, length(text) AS len FROM documents),
+      """WITH d AS (SELECT doc_id, length(text) AS len FROM documents WHERE length(text) > 0),
         |f0 AS (SELECT doc_id, unnest(range(0, (len + 15) // 16)) AS fi FROM d),
         |f AS (SELECT doc_id, fi, fi * 40 AS ts FROM f0),
         |c0 AS (SELECT doc_id, unnest(range(0, (len + 23) // 24)) AS ci FROM d),

@@ -220,6 +220,9 @@ object TextAnalysis {
     val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
     val phonePat = "555-[0-9]{4}"
     documents(spark, dir)
+      // single-file scan -> one partition; fan out before the per-row
+      // regex + md5 stage (CLAUDE.md heavy-map-stage rule)
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("text2", concat(col("text"),
         when(col("doc_id") % 7 === 0,
           concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))

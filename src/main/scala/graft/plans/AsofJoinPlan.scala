@@ -84,9 +84,13 @@ case class AsofJoinExec(
   // satisfies, e.g. off a bucketed table)
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+  // the right side also sorts by the carried attributes: among right rows
+  // TIED on (key, time) the merge holds the last one it sees, so without
+  // this the choice would be shuffle-fetch-order nondeterministic — with
+  // it, ties resolve to the greatest attribute tuple, deterministically
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+      (rightKey +: rightTime +: rightAttrs).map(a => SortOrder(a, Ascending)))
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
   override def producedAttributes: AttributeSet = AttributeSet(output.drop(left.output.length))
@@ -155,8 +159,12 @@ object AsofJoinNative {
   def asof(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
       rightAttrs: Seq[String]): DataFrame = {
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
-      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsofJoinStrategy
+    // synchronized: a racy check-then-append from two threads could lose
+    // one side's registration (strategies is a plain var on the session)
+    AsofJoinNative.synchronized {
+      if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+        spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsofJoinStrategy
+    }
     // re-alias every right column: fresh exprIds keep the two sides
     // disjoint even when both derive from the same scan (self-join shape)
     val rightPrep = right.select((Seq(keyCol, timeCol) ++ rightAttrs).map(c => col(c).as(c)): _*)

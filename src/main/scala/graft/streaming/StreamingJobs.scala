@@ -204,8 +204,15 @@ object StreamingJobs {
     val touched = upd.select("bucket").distinct().collect().map(_.getLong(0))
     val p = new org.apache.hadoop.fs.Path(tablePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // probe for COMMITTED data, not mere directory existence: a crash
+    // during the very first write leaves tablePath with only _temporary —
+    // treating that as "table exists" would crash-loop the replay on an
+    // unreadable read (bucket=* dirs and data files count; _temporary /
+    // _SUCCESS do not)
+    val hasData = fs.exists(p) &&
+      fs.listStatus(p).exists(st => !st.getPath.getName.startsWith("_"))
     val current =
-      if (fs.exists(p))
+      if (hasData)
         spark.read.parquet(tablePath).filter(col("bucket").isin(touched: _*))
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], upd.schema)
     val merged = current.unionByName(upd)

@@ -266,11 +266,14 @@ class Round4Spec extends SparkSpecBase {
     assert(hours.zip(hours.tail).forall { case (a, b) => b - a == 3600 }) // no gaps
     rows.filter(_.getAs[Long]("filled") == 1L)
       .foreach(r => assert(r.getAs[Long]("n_events") == 0L, r))
-    // LOCF: null only before a type's first observation
+    // LOCF: non-null from the first observation onward, null strictly before
     rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
       val sorted = rs.sortBy(_.getAs[Long]("hour_epoch"))
       val firstObs = sorted.indexWhere(_.getAs[Long]("filled") == 0L)
-      sorted.drop(firstObs).foreach(r => assert(r.getAs[Double]("locf_sum") != null, (t, r)))
+      assert(firstObs >= 0, s"type $t has no observed slot")
+      val (before, after) = sorted.splitAt(firstObs)
+      before.foreach(r => assert(r.isNullAt(r.fieldIndex("locf_sum")), (t, r)))
+      after.foreach(r => assert(!r.isNullAt(r.fieldIndex("locf_sum")), (t, r)))
     }
   }
 
