@@ -283,7 +283,42 @@ object Dedup {
         min(col("doc_id")).as("keep_id"))
       .orderBy("canon")
 
+  /** Chunk-level exact-substring dedup fraction (the RefinedWeb /
+    * exact-substring pass at span granularity): cut each doc into
+    * consecutive 10-word spans, md5 each span, count corpus-wide span
+    * occurrences, and report per doc how many of its spans occur anywhere
+    * else (including repeated within the doc itself). Docs shorter than
+    * one span are dropped — no spans, nothing to judge.
+    *
+    * Scale: spans per doc are O(len/10), so the exploded table is ~1/10th
+    * the corpus token count; one shuffle on the span hash for the df
+    * count, a co-partitioned join back (same key), one groupBy(doc).
+    * Hot spans (boilerplate) are exactly the skewed keys — AQE skew-split
+    * applies; the df table is corpus-sized so it is NEVER broadcast. */
+  def spanDedupOn(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", spanWords: Int = 10): DataFrame = {
+    val spans = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= spanWords)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(ws) div $spanWords - 1), " +
+          s"g -> md5(concat_ws(' ', slice(ws, g * $spanWords + 1, $spanWords))))")).as("h"))
+    val df = spans.groupBy("h").agg(count(lit(1)).as("df"))
+    spans.join(df, Seq("h"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_x10000", expr("n_dup_spans * 10000 div n_spans"))
+      .orderBy("doc_id")
+  }
+
+  def spanDedup(spark: SparkSession, dir: String): DataFrame =
+    spanDedupOn(documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_span" -> (spanDedup _),
     "dd_url_canon" -> (urlCanon _),
     "dd_exact" -> (exact _),
     "dd_normalized" -> (normalized _),
@@ -295,6 +330,22 @@ object Dedup {
     "dd_embed_cosine" -> (embedCosine _))
 
   val oracle: Map[String, String] = Map(
+    "dd_span" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_slice(ws, g * 10 + 1, g * 10 + 10), ' ')) AS h
+        |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) // 10)) AS g
+        |        FROM d WHERE len(ws) >= 10)
+        |), f AS (
+        |  SELECT h, COUNT(*) AS df FROM s GROUP BY h
+        |)
+        |SELECT s.doc_id, COUNT(*) AS n_spans,
+        |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        |  CAST((SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 10000) // COUNT(*) AS BIGINT) AS dup_x10000
+        |FROM s JOIN f ON s.h = f.h
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "dd_url_canon" ->
       """WITH u AS (
         |  SELECT doc_id,

@@ -254,7 +254,35 @@ object Events {
       .orderBy("hour_epoch", "event_type")
   }
 
+  /** CDC changelog → SCD2 dimension: treat each event as an upsert of
+    * `value` for key (user_id, event_type) and materialize type-2 history
+    * rows with [valid_from, valid_to) intervals; the open row (valid_to
+    * NULL) is the current snapshot — the batch form of MERGE INTO /
+    * foreachBatch upsert (StreamingJobs' keyed upsert holds only the
+    * latest row; this keeps full history).
+    *
+    * One shuffle: a single window over the key ordered by the unique
+    * (ts_sec, event_id) — per-key state at 100 TB is bounded by that key's
+    * change count, and AQE skew-split handles hot keys. No self-join, no
+    * driver-side state. */
+  def cdcScd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts_sec").asc, col("event_id").asc)
+    events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_sec"), col("event_id"), col("value"))
+      .select(
+        col("user_id"), col("event_type"),
+        row_number().over(w).cast("long").as("version"),
+        col("value"),
+        col("ts_sec").as("valid_from_sec"),
+        lead(col("ts_sec"), 1).over(w).as("valid_to_sec"))
+      .withColumn("is_current", col("valid_to_sec").isNull)
+      .orderBy("user_id", "event_type", "version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_cdc_scd2" -> (cdcScd2 _),
     "ev_gap_fill" -> (gapFill _),
     "ev_json_nested" -> (jsonNested _),
     "ev_topk_per_window" -> (topkPerWindow _),
@@ -269,6 +297,20 @@ object Events {
     "ev_funnel" -> (funnel _))
 
   val oracle: Map[String, String] = Map(
+    "ev_cdc_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |    event_id, value
+        |  FROM events
+        |)
+        |SELECT user_id, event_type,
+        |  CAST(ROW_NUMBER() OVER win AS BIGINT) AS version,
+        |  value,
+        |  ts_sec AS valid_from_sec,
+        |  LEAD(ts_sec, 1) OVER win AS valid_to_sec,
+        |  LEAD(ts_sec, 1) OVER win IS NULL AS is_current
+        |FROM e WINDOW win AS (PARTITION BY user_id, event_type ORDER BY ts_sec, event_id)
+        |ORDER BY user_id, event_type, version""".stripMargin,
     "ev_gap_fill" ->
       """WITH c AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,

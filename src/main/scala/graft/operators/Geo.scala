@@ -996,7 +996,58 @@ object Geo {
       .orderBy("seg_id")
   }
 
+  /** Inverse-distance-weighted interpolation (gdal_grid invdist analog):
+    * estimate the field at a fixed query grid (20x7 points over the clip
+    * band) from the stations inside the query point's 3x3 window of
+    * 2x1-degree cells. Fully exact until the final division: coordinates
+    * live in x200 integer space (stations on even, query points on odd
+    * coordinates — d2 can never be 0, no self-match branch), the weight is
+    * the integer quotient 10^12 div d2, and numerator/denominator
+    * accumulate as DECIMAL(38,0) (a long sum of 10^16-scale terms could
+    * overflow silently in Spark while DuckDB promotes to HUGEINT). One
+    * double division + shared r4 rounding at the end.
+    *
+    * Plan: the exploded query-cell table is a few thousand rows —
+    * broadcast; stations are scanned once, keyed to their cell map-side,
+    * and aggregated per query point. At 100 TB with a large query grid
+    * both sides hash-partition on the cell key instead (same shape as
+    * zs_nearest_zone). */
+  def idw(spark: SparkSession, dir: String): DataFrame = {
+    val q = spark.range(1)
+      .select(explode(expr("sequence(0, 19)")).as("ga"))
+      .select(col("ga"), explode(expr("sequence(0, 6)")).as("gb"))
+      .select(
+        (col("ga") * 10 + col("gb")).cast("long").as("qid"),
+        (col("ga") * 3600L - 36000L + 1L).as("qa200"),
+        (col("gb") * 2000L - 7000L + 1L).as("qb200"))
+      .withColumn("dx", explode(array(lit(-1), lit(0), lit(1))))
+      .withColumn("dy", explode(array(lit(-1), lit(0), lit(1))))
+      .select(col("qid"), col("qa200"), col("qb200"),
+        (floorDiv(col("qa200"), 400L) + col("dx")).as("cx"),
+        (floorDiv(col("qb200"), 200L) + col("dy")).as("cy"))
+    val s = events(spark, dir).select(
+        (((col("event_id") * lit(7919L)) % lit(36000L) - lit(18000L)) * lit(2L)).as("sa200"),
+        (((col("event_id") * lit(104729L)) % lit(7000L) - lit(3500L)) * lit(2L)).as("sb200"),
+        valueCents.as("v100"))
+      .withColumn("cx", floorDiv(col("sa200"), 400L))
+      .withColumn("cy", floorDiv(col("sb200"), 200L))
+    s.join(broadcast(q), Seq("cx", "cy"))
+      .withColumn("d2",
+        (col("sa200") - col("qa200")) * (col("sa200") - col("qa200"))
+          + (col("sb200") - col("qb200")) * (col("sb200") - col("qb200")))
+      .withColumn("w", expr("CAST(1000000000000 AS BIGINT) div d2"))
+      .groupBy("qid", "qa200", "qb200")
+      .agg(
+        count(lit(1)).as("n_stations"),
+        sum((col("v100") * col("w")).cast(DecimalType(38, 0))).as("num"),
+        sum(col("w").cast(DecimalType(38, 0))).as("den"))
+      .select(col("qid"), col("qa200"), col("qb200"), col("n_stations"),
+        r4(col("num").cast("double") / col("den").cast("double") / lit(100.0)).as("idw_value"))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zs_idw" -> (idw _),
     "zs_line_clip" -> (lineClip _),
     "zs_area_weighted" -> (areaWeighted _),
     "zs_bilinear" -> (bilinear _),
@@ -1030,6 +1081,38 @@ object Geo {
          |FROM z10 GROUP BY 1, 2, 3""".stripMargin
     }.mkString("\nUNION ALL\n")
     Map(
+      "zs_idw" ->
+        s"""WITH g AS (
+          |  SELECT CAST(ga * 10 + gb AS BIGINT) AS qid,
+          |    CAST(ga * 3600 - 36000 + 1 AS BIGINT) AS qa200,
+          |    CAST(gb * 2000 - 7000 + 1 AS BIGINT) AS qb200
+          |  FROM range(0, 20) t1(ga), range(0, 7) t2(gb)
+          |), q AS (
+          |  SELECT qid, qa200, qb200,
+          |    CAST(floor(CAST(qa200 AS DOUBLE) / 400.0) AS BIGINT) + dx AS cx,
+          |    CAST(floor(CAST(qb200 AS DOUBLE) / 200.0) AS BIGINT) + dy AS cy
+          |  FROM g, (SELECT unnest([-1, 0, 1]) AS dx), (SELECT unnest([-1, 0, 1]) AS dy)
+          |), s AS (
+          |  SELECT
+          |    2 * (CAST(event_id * 7919 % 36000 AS BIGINT) - 18000) AS sa200,
+          |    2 * (CAST(event_id * 104729 % 7000 AS BIGINT) - 3500) AS sb200,
+          |    CAST(round(value * 100) AS BIGINT) AS v100
+          |  FROM events
+          |), sc AS (
+          |  SELECT *,
+          |    CAST(floor(CAST(sa200 AS DOUBLE) / 400.0) AS BIGINT) AS cx,
+          |    CAST(floor(CAST(sb200 AS DOUBLE) / 200.0) AS BIGINT) AS cy
+          |  FROM s
+          |), j AS (
+          |  SELECT qid, qa200, qb200, v100,
+          |    (sa200 - qa200) * (sa200 - qa200) + (sb200 - qb200) * (sb200 - qb200) AS d2
+          |  FROM sc JOIN q ON sc.cx = q.cx AND sc.cy = q.cy
+          |), k AS (
+          |  SELECT qid, qa200, qb200, v100, 1000000000000 // d2 AS w FROM j
+          |)
+          |SELECT qid, qa200, qb200, COUNT(*) AS n_stations,
+          |  ${r4Sql("CAST(SUM(CAST(v100 * w AS DECIMAL(38,0))) AS DOUBLE) / CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DOUBLE) / 100.0")} AS idw_value
+          |FROM k GROUP BY qid, qa200, qb200 ORDER BY qid""".stripMargin,
       "zs_line_clip" ->
         // IDENTICAL Liang–Barsky expressions to the Spark side — every
         // double and boundary compare matches bit for bit

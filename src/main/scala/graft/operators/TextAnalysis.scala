@@ -240,7 +240,31 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Lexical-diversity quality gate: per-doc type-token ratio and hapax
+    * (frequency-1 word) fraction — the integer-exact stand-in for the
+    * entropy/perplexity gates (transcendentals are engine-divergent;
+    * SURVEY.md §4). Degenerate machine text scores low on both.
+    *
+    * Plan: explode words, ONE map-side-combined groupBy (doc, word), one
+    * groupBy(doc). Per-doc vocabulary bounds the first shuffle; nothing
+    * is corpus-keyed, so it scales linearly. */
+  def diversity(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("cnt")).as("n_words"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr_x10000", expr("n_types * 10000 div n_words"))
+      .withColumn("hapax_x10000", expr("n_hapax * 10000 div n_words"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_diversity" -> (diversity _),
     "ta_pii_scrub" -> (piiScrub _),
     "ta_boilerplate" -> (boilerplate _),
     "ta_repetition" -> (repetition _),
@@ -252,6 +276,19 @@ object TextAnalysis {
     "ta_fingerprint" -> (fingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "ta_diversity" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |), c AS (
+        |  SELECT doc_id, word, COUNT(*) AS cnt FROM w GROUP BY doc_id, word
+        |)
+        |SELECT doc_id,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_words,
+        |  COUNT(*) AS n_types,
+        |  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  CAST((COUNT(*) * 10000) // SUM(cnt) AS BIGINT) AS ttr_x10000,
+        |  CAST((SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 10000) // SUM(cnt) AS BIGINT) AS hapax_x10000
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ta_pii_scrub" ->
       // single-quoted SQL strings: backslash is literal in DuckDB, so the
       // \. in the email pattern needs no doubling here

@@ -242,7 +242,48 @@ object ManifestIO {
       .orderBy("status", "key")
   }
 
+  /** 16-bit-per-axis Morton (z-order) interleave of two non-negative grid
+    * coordinates — the multi-dimensional clustering key behind Delta's
+    * OPTIMIZE ZORDER / Hudi space-filling layouts: sorting by zkey keeps
+    * rows close in BOTH x and y close in the file order, so per-file
+    * min/max statistics prune 2-D range predicates that a lexicographic
+    * (x, y) sort only prunes on x. Unrolled to a flat 64-term codegen
+    * expression (a fold over bit positions; HOFs would interpret). */
+  def mortonKey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .plus(shiftright(x, i).bitwiseAND(lit(1L)).multiply(lit(1L << (2 * i))))
+        .plus(shiftright(y, i).bitwiseAND(lit(1L)).multiply(lit(1L << (2 * i + 1))))
+    }
+
+  private[graft] val mortonSql: String =
+    (0 until 16).map(i =>
+      s"(((gx >> $i) & 1) * ${1L << (2 * i)}) + (((gy >> $i) & 1) * ${1L << (2 * i + 1)})")
+      .mkString(" + ")
+
+  /** Z-order clustering audit query: derive each event's integer grid
+    * coordinates, interleave them into the Morton key, and report per
+    * zkey-prefix bucket (top 16 bits) the row count and key range — the
+    * layout summary a clustered writer would produce (ZOrderSpec proves
+    * the write side: repartitionByRange(zkey) + sortWithinPartitions gives
+    * pairwise-disjoint per-file key ranges, which is what makes min/max
+    * skipping effective). Pure map stage + one groupBy shuffle. */
+  def zorderQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        ((col("event_id") * lit(7919L)) % lit(36000L)).as("gx"),
+        ((col("event_id") * lit(104729L)) % lit(7000L)).as("gy"))
+      .select(col("event_id"), mortonKey(col("gx"), col("gy")).as("zkey"))
+      .groupBy(shiftright(col("zkey"), 16).as("zbucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("zkey")).as("min_zkey"),
+        max(col("zkey")).as("max_zkey"),
+        min(col("event_id")).as("min_event_id"))
+      .orderBy("zbucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_zorder" -> (zorderQuery _),
     "io_manifest_diff" -> (manifestDiffQuery _),
     "io_schema_evolution" -> (schemaEvolutionQuery _),
     "io_csv_manifest" -> (csvManifestQuery _),
@@ -250,6 +291,19 @@ object ManifestIO {
     "io_partitioned_scan" -> (partitionedScanQuery _))
 
   val oracle: Map[String, String] = Map(
+    "io_zorder" ->
+      s"""WITH p AS (
+        |  SELECT event_id,
+        |    CAST(event_id * 7919 % 36000 AS BIGINT) AS gx,
+        |    CAST(event_id * 104729 % 7000 AS BIGINT) AS gy
+        |  FROM events
+        |), z AS (
+        |  SELECT event_id, $mortonSql AS zkey FROM p
+        |)
+        |SELECT zkey >> 16 AS zbucket, COUNT(*) AS n_rows,
+        |  MIN(zkey) AS min_zkey, MAX(zkey) AS max_zkey,
+        |  MIN(event_id) AS min_event_id
+        |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin,
     "io_manifest_diff" ->
       """WITH v1 AS (
         |  SELECT p_partkey AS key, p_retailprice AS price, p_size AS size FROM part

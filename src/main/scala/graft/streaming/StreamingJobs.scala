@@ -31,6 +31,26 @@ object StreamingJobs {
         unix_timestamp(col("window.start")).as("hour_epoch"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Gap-based sessionization on the NATIVE session_window function — the
+    * declarative twin of the flatMapGroupsWithState job below (same 1800s
+    * gap rule: an event exactly gap seconds after the last one starts a
+    * new session, because session windows span [first, last + gap) with an
+    * exclusive end). Spark merges/expires session state under the
+    * watermark; no hand-rolled state machine. Output schema matches
+    * Events.sessionize minus the per-user session index (window identity
+    * replaces it). */
+  def sessionWindowAgg(events: DataFrame, gapSec: Long = 1800L): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapSec seconds"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_timestamp(col("ts"))).as("start_sec"),
+        max(unix_timestamp(col("ts"))).as("end_sec"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+      .select(col("user_id"), col("n_events"), col("start_sec"), col("end_sec"),
+        col("sum_value"))
+
   final case class Ev(user_id: Long, ts_sec: Long, value: Double)
   final case class UserAgg(user_id: Long, n_events: Long, sum_value: Double, max_ts_sec: Long)
 

@@ -226,4 +226,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(result.exceptAll(expected).isEmpty && expected.exceptAll(result).isEmpty,
       s"stream=${result.count()} batch=${expected.count()}")
   }
+
+  test("native session_window sessionization matches the batch gap rule") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[StreamingJobs.SessEv].collect()
+    val maxTs = rows.map(_.ts.getTime).max
+    val stream = MemoryStream[StreamingJobs.SessEv]
+    val q = StreamingJobs.sessionWindowAgg(stream.toDF())
+      .writeStream.format("memory").queryName("native_sess")
+      .outputMode("append").start()
+    // all real events in one micro-batch (a split batch could strand
+    // before-watermark rows), then a far-future sentinel (user -1) so the
+    // watermark passes every real session's close and append emits them
+    stream.addData(rows.toSeq); q.processAllAvailable()
+    stream.addData(StreamingJobs.SessEv(-1L, new Timestamp(maxTs + 86400000L), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("native_sess").filter(col("user_id") >= 0)
+      .select("user_id", "start_sec", "end_sec", "n_events", "sum_value")
+    val batch = Events.sessionize(spark, sfDir)
+      .select("user_id", "start_sec", "end_sec", "n_events", "sum_value")
+    assert(streamed.count() > 0, "no sessions emitted")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      s"stream=${streamed.count()} batch=${batch.count()}")
+  }
 }
