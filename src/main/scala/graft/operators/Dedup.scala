@@ -317,7 +317,42 @@ object Dedup {
     spanDedupOn(documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism))
 
+  /** Benchmark decontamination — the train/test-overlap pass every LLM
+    * training pipeline runs before shipping data: flag corpus docs that
+    * share any 8-word sequence with a held-out benchmark set (here the
+    * deterministic doc_id % 7 == 0 slice stands in for the benchmark).
+    * Reports per contaminated doc how many of its distinct 8-grams hit
+    * the benchmark index.
+    *
+    * The plan is the ASYMMETRIC inverted-index shape, different from the
+    * pairwise dd_ngram_jaccard: benchmarks are small and bounded, so
+    * their distinct-gram index BROADCASTS (a benchmark set stays ~10^6
+    * grams no matter how big the corpus gets) and the corpus streams
+    * through map-side — no shuffle of corpus grams at all; only the
+    * per-doc hit aggregation shuffles, and only for docs with >= 1 hit. */
+  def contaminationOn(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", benchMod: Int = 7, n: Int = 8): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(ws) - $n), " +
+          s"i -> md5(concat_ws(' ', slice(ws, i + 1, $n))))"))).as("sh"))
+    val benchIndex = grams.filter(col("doc_id") % benchMod === 0)
+      .select("sh").distinct()
+    grams.filter(col("doc_id") % benchMod =!= 0)
+      .join(broadcast(benchIndex), Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_grams"))
+      .orderBy("doc_id")
+  }
+
+  def contamination(spark: SparkSession, dir: String): DataFrame =
+    contaminationOn(documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_contamination" -> (contamination _),
     "dd_span" -> (spanDedup _),
     "dd_url_canon" -> (urlCanon _),
     "dd_exact" -> (exact _),
@@ -330,6 +365,21 @@ object Dedup {
     "dd_embed_cosine" -> (embedCosine _))
 
   val oracle: Map[String, String] = Map(
+    "dd_contamination" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(list_slice(ws, i, i + 7), ' ')) AS sh
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+        |        FROM d WHERE len(ws) >= 8)
+        |), bench AS (
+        |  SELECT DISTINCT sh FROM g WHERE doc_id % 7 = 0
+        |)
+        |SELECT g.doc_id, COUNT(*) AS n_hit_grams
+        |FROM g JOIN bench USING (sh)
+        |WHERE g.doc_id % 7 <> 0
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     "dd_span" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents

@@ -1046,7 +1046,51 @@ object Geo {
       .orderBy("qid")
   }
 
+  /** Kernel density estimate at the same query grid zs_idw uses — the
+    * heatmap-surface form of tippecanoe's density output. Epanechnikov
+    * kernel K(u) = 1 - u^2 (u = d/h, bandwidth h = 1.5 deg): POLYNOMIAL,
+    * so each station's contribution is the exact integer quotient
+    * (h2 - d2) * 10^6 div h2 and the density sum is exact — no
+    * transcendental, unlike a Gaussian kernel (engine-divergent exp()).
+    * Window: dx -1..1 x dy -2..2 cells (x200 cells are 400x200 units;
+    * +-1 cell guarantees 400 >= h=300 horizontally, vertically +-2 cells
+    * guarantee 400 >= 300 — a 3x3 window would only guarantee 200).
+    * Same broadcast-query-cells plan as zs_idw; at 100 TB both sides
+    * hash-partition on the cell key. */
+  def kde(spark: SparkSession, dir: String): DataFrame = {
+    val h2 = 300L * 300L // bandwidth 1.5 deg = 300 x200-units, squared
+    val q = spark.range(1)
+      .select(explode(expr("sequence(0, 19)")).as("ga"))
+      .select(col("ga"), explode(expr("sequence(0, 6)")).as("gb"))
+      .select(
+        (col("ga") * 10 + col("gb")).cast("long").as("qid"),
+        (col("ga") * 3600L - 36000L + 1L).as("qa200"),
+        (col("gb") * 2000L - 7000L + 1L).as("qb200"))
+      .withColumn("dx", explode(array(lit(-1), lit(0), lit(1))))
+      .withColumn("dy", explode(array(lit(-2), lit(-1), lit(0), lit(1), lit(2))))
+      .select(col("qid"), col("qa200"), col("qb200"),
+        (floorDiv(col("qa200"), 400L) + col("dx")).as("cx"),
+        (floorDiv(col("qb200"), 200L) + col("dy")).as("cy"))
+    val s = events(spark, dir).select(
+        (((col("event_id") * lit(7919L)) % lit(36000L) - lit(18000L)) * lit(2L)).as("sa200"),
+        (((col("event_id") * lit(104729L)) % lit(7000L) - lit(3500L)) * lit(2L)).as("sb200"))
+      .withColumn("cx", floorDiv(col("sa200"), 400L))
+      .withColumn("cy", floorDiv(col("sb200"), 200L))
+    s.join(broadcast(q), Seq("cx", "cy"))
+      .withColumn("d2",
+        (col("sa200") - col("qa200")) * (col("sa200") - col("qa200"))
+          + (col("sb200") - col("qb200")) * (col("sb200") - col("qb200")))
+      .filter(col("d2") < lit(h2))
+      .withColumn("contrib", expr(s"(($h2 - d2) * 1000000) div $h2"))
+      .groupBy("qid", "qa200", "qb200")
+      .agg(
+        count(lit(1)).as("n_in_bw"),
+        sum(col("contrib")).as("density_x1e6"))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zs_kde" -> (kde _),
     "zs_idw" -> (idw _),
     "zs_line_clip" -> (lineClip _),
     "zs_area_weighted" -> (areaWeighted _),
@@ -1081,6 +1125,26 @@ object Geo {
          |FROM z10 GROUP BY 1, 2, 3""".stripMargin
     }.mkString("\nUNION ALL\n")
     Map(
+      "zs_kde" ->
+        """WITH g AS (
+          |  SELECT CAST(ga * 10 + gb AS BIGINT) AS qid,
+          |    CAST(ga * 3600 - 36000 + 1 AS BIGINT) AS qa200,
+          |    CAST(gb * 2000 - 7000 + 1 AS BIGINT) AS qb200
+          |  FROM range(0, 20) t1(ga), range(0, 7) t2(gb)
+          |), s AS (
+          |  SELECT
+          |    2 * (CAST(event_id * 7919 % 36000 AS BIGINT) - 18000) AS sa200,
+          |    2 * (CAST(event_id * 104729 % 7000 AS BIGINT) - 3500) AS sb200
+          |  FROM events
+          |), j AS (
+          |  SELECT qid, qa200, qb200,
+          |    (sa200 - qa200) * (sa200 - qa200) + (sb200 - qb200) * (sb200 - qb200) AS d2
+          |  FROM g JOIN s ON (sa200 - qa200) * (sa200 - qa200)
+          |    + (sb200 - qb200) * (sb200 - qb200) < 90000
+          |)
+          |SELECT qid, qa200, qb200, COUNT(*) AS n_in_bw,
+          |  CAST(SUM(((90000 - d2) * 1000000) // 90000) AS BIGINT) AS density_x1e6
+          |FROM j GROUP BY qid, qa200, qb200 ORDER BY qid""".stripMargin,
       "zs_idw" ->
         s"""WITH g AS (
           |  SELECT CAST(ga * 10 + gb AS BIGINT) AS qid,

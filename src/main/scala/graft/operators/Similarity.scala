@@ -208,7 +208,57 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** MMR-diversified top-k (maximal marginal relevance, lambda = 0.5) —
+    * the rerank stage that turns a similarity hit list into a DIVERSE
+    * sample (retrieval diversification / diverse data selection). Stage 1
+    * is distributed: broadcast the query vector, one corpus pass, global
+    * top-12 by relevance (TakeOrdered — never a full sort), plus the
+    * 12x12 pairwise sims. Stage 2 is the greedy argmax over the BOUNDED
+    * candidate set, driver-side — the standard retrieve-then-rerank
+    * split; the rerank is O(k * n_cand) on 12 rows no matter the corpus
+    * size. Determinism: every similarity is the same left-fold dot both
+    * engines run, the MMR score is the same two-multiply-one-subtract
+    * double expression, and every argmax tie-breaks by vec_id (the
+    * oracle unrolls the same 5 greedy steps in SQL). */
+  def mmr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (nCand, k) = (12, 5)
+    val c = corpus(spark, dir).localCheckpoint() // shared: query row + corpus pass
+    val q = c.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    val cands = c.filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        (dot("embedding", "qv") / (col("nrm") * col("qn"))).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id").asc).limit(nCand)
+      .localCheckpoint() // reused by both pairwise-sim sides + the collect
+    val rel = cands.select(col("vec_id"), col("rel")).as[(Long, Double)].collect().toMap
+    val sim = cands.as("a").join(cands.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        (dot("a.embedding", "b.embedding") / (col("a.nrm") * col("b.nrm"))).as("sim"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    var selected = Vector.empty[(Long, Long, Double)] // (step, vec_id, score)
+    var remaining = rel.keySet.toList.sorted
+    for (step <- 1 to k) {
+      val best = remaining
+        .map { id =>
+          val score =
+            if (selected.isEmpty) rel(id)
+            else 0.5 * rel(id) - 0.5 * selected.map(s => sim((id, s._2))).max
+          (id, score)
+        }
+        .sortBy { case (id, s) => (-s, id) }.head
+      selected :+= ((step.toLong, best._1, best._2))
+      remaining = remaining.filterNot(_ == best._1)
+    }
+    selected.toDF("step", "vec_id", "score")
+      .select(col("step"), col("vec_id"), r4(col("score")).as("mmr_score"))
+      .orderBy("step")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_mmr" -> (mmr _),
     "ann_sq" -> (sq _),
     "ann_recall" -> (recall _),
     "ann_bruteforce" -> (bruteforce _),
@@ -235,7 +285,49 @@ object Similarity {
     s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> " +
       s"$q[i]::DOUBLE * (($codes[i]::DOUBLE + 0.5) / 16.0)), (acc, v) -> acc + v)"
 
+  /** The oracle unrolls the 5 greedy MMR steps as chained CTEs (a
+    * recursive CTE with per-step argmax is not portable): step i scores
+    * every unselected candidate against sel(i-1) and takes the
+    * (score DESC, vec_id) head — exactly the driver loop. */
+  private def mmrSql: String = {
+    val steps = (2 to 5).map { i =>
+      s"""m$i AS (
+         |  SELECT c.vec_id,
+         |    0.5 * c.rel - 0.5 * (SELECT MAX(p.sim) FROM p
+         |      WHERE p.va = c.vec_id AND p.vb IN (SELECT vec_id FROM sel${i - 1})) AS score
+         |  FROM c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+         |),
+         |s$i AS (SELECT vec_id, score FROM m$i ORDER BY score DESC, vec_id LIMIT 1),
+         |sel$i AS (SELECT vec_id FROM sel${i - 1} UNION ALL SELECT vec_id FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to 5).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, vec_id, ${graft.sources.Tables.r4Sql("score")} AS mmr_score FROM s$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings
+       |),
+       |qv AS (SELECT embedding AS v, nrm AS qn FROM e WHERE vec_id = 0),
+       |c AS (
+       |  SELECT vec_id, embedding, nrm, rel FROM (
+       |    SELECT e.vec_id, e.embedding, e.nrm,
+       |      ${dotSql("e.embedding", "qv.v")} / (e.nrm * qv.qn) AS rel
+       |    FROM e, qv WHERE e.vec_id <> 0)
+       |  ORDER BY rel DESC, vec_id LIMIT 12
+       |),
+       |p AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+       |  FROM c a JOIN c b ON a.vec_id <> b.vec_id
+       |),
+       |s1 AS (SELECT vec_id, rel AS score FROM c ORDER BY rel DESC, vec_id LIMIT 1),
+       |sel1 AS (SELECT vec_id FROM s1),
+       |$steps
+       |$union
+       |ORDER BY step""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "ann_mmr" -> mmrSql,
     "ann_sq" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
