@@ -281,7 +281,50 @@ object Events {
       .orderBy("user_id", "event_type", "version")
   }
 
+  /** Arrival-lateness profile — the diagnostic that picks a watermark
+    * horizon: treating event_id as arrival order, how far behind the
+    * already-seen event-time high-water mark does each event arrive?
+    * Computed with the scalable two-phase prefix shape (mm_shard_pack's):
+    * arrival chunks of 1000 aggregate their max event time (full-volume
+    * pass, map-side combine), a prefix-max window runs over the TINY
+    * chunk table only, and the per-event lateness is a map-side join
+    * back on the chunk key. Lateness is quantized against the PRIOR
+    * chunks' high-water mark — within-chunk reordering is invisible,
+    * which is the right granularity: a watermark only needs to cover
+    * cross-batch lateness. Never a global row-ordered window (one task
+    * owning every row).
+    *
+    * The event table's ts is almost perfectly ordered by event_id, so the
+    * raw arrival order would report everything on time; a deterministic
+    * 0..49-position arrival jitter ((id * 7919) % 50 — kept non-negative:
+    * Spark div truncates where DuckDB // floors, so a negative arrival
+    * position would diverge) simulates the bounded reordering a real
+    * ingest shows and populates every lateness bucket. */
+  def lateness(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select(
+      col("event_type"),
+      unix_timestamp(col("ts")).as("ts_sec"),
+      expr("(event_id + (event_id * 7919) % 50) div 1000").as("chunk"))
+    val chunkMax = e.groupBy("chunk").agg(max("ts_sec").as("mx"))
+    val prefix = chunkMax
+      .withColumn("hwm", max(col("mx")).over(
+        Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("chunk"), col("hwm"))
+    e.join(broadcast(prefix), Seq("chunk"))
+      .withColumn("late_sec", greatest(coalesce(col("hwm") - col("ts_sec"), lit(0L)), lit(0L)))
+      .withColumn("bucket",
+        when(col("late_sec") === 0L, "0_on_time")
+          .when(col("late_sec") < 60L, "1_under_1m")
+          .when(col("late_sec") < 600L, "2_under_10m")
+          .when(col("late_sec") < 3600L, "3_under_1h")
+          .otherwise("4_over_1h"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n_events"), max(col("late_sec")).as("max_late_sec"))
+      .orderBy("event_type", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_lateness" -> (lateness _),
     "ev_cdc_scd2" -> (cdcScd2 _),
     "ev_gap_fill" -> (gapFill _),
     "ev_json_nested" -> (jsonNested _),
@@ -297,6 +340,30 @@ object Events {
     "ev_funnel" -> (funnel _))
 
   val oracle: Map[String, String] = Map(
+    "ev_lateness" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |    (event_id + (event_id * 7919) % 50) // 1000 AS chunk
+        |  FROM events
+        |), cm AS (
+        |  SELECT chunk, MAX(ts_sec) AS mx FROM e GROUP BY chunk
+        |), pf AS (
+        |  SELECT chunk, MAX(mx) OVER (ORDER BY chunk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM cm
+        |), l AS (
+        |  SELECT event_type,
+        |    GREATEST(COALESCE(hwm - ts_sec, 0), 0) AS late_sec
+        |  FROM e JOIN pf ON e.chunk = pf.chunk
+        |)
+        |SELECT event_type,
+        |  CASE WHEN late_sec = 0 THEN '0_on_time'
+        |       WHEN late_sec < 60 THEN '1_under_1m'
+        |       WHEN late_sec < 600 THEN '2_under_10m'
+        |       WHEN late_sec < 3600 THEN '3_under_1h'
+        |       ELSE '4_over_1h' END AS bucket,
+        |  COUNT(*) AS n_events, MAX(late_sec) AS max_late_sec
+        |FROM l GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
     "ev_cdc_scd2" ->
       """WITH e AS (
         |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,

@@ -1089,7 +1089,35 @@ object Geo {
       .orderBy("qid")
   }
 
+  /** Dissolve / ST_Union area: the union area of each group's overlapping
+    * zone boxes, EXACTLY, by integer-cell decomposition — zone corners are
+    * integer degrees, so a zone is exactly its 20x10 = 200 unit cells and
+    * union area = COUNT(DISTINCT cell). The classic rasterized-dissolve
+    * plan: explode covered cells map-side, one distinct shuffle keyed by
+    * (group, cell), one group rollup. Also reports the overlap factor
+    * (summed area vs union area). At 100 TB the distinct is the only
+    * full-volume shuffle and it partitions on the cell key — no geometry
+    * ever meets another geometry (contrast PostGIS ST_Union's pairwise
+    * polygon merging, which cannot shard). */
+  def dissolve(spark: SparkSession, dir: String): DataFrame = {
+    val cells = zones(spark, dir).select(
+        (col("zone_id") % 16).as("grp"),
+        col("xmin").cast("long").as("x0"),
+        col("ymin").cast("long").as("y0"))
+      .withColumn("cx", explode(expr("sequence(x0, x0 + 19)")))
+      .withColumn("cy", explode(expr("sequence(y0, y0 + 9)")))
+      // injective single-column cell key: |cy| <= 35 < 500
+      .select(col("grp"), (col("cx") * 1000L + col("cy")).as("cell"))
+    cells.groupBy("grp")
+      .agg(
+        count(lit(1)).as("summed_cells"),
+        countDistinct(col("cell")).as("union_cells"))
+      .withColumn("overlap_x100", expr("summed_cells * 100 div union_cells"))
+      .orderBy("grp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zs_dissolve" -> (dissolve _),
     "zs_kde" -> (kde _),
     "zs_idw" -> (idw _),
     "zs_line_clip" -> (lineClip _),
@@ -1125,6 +1153,20 @@ object Geo {
          |FROM z10 GROUP BY 1, 2, 3""".stripMargin
     }.mkString("\nUNION ALL\n")
     Map(
+      "zs_dissolve" ->
+        """WITH z AS (
+          |  SELECT p_partkey % 16 AS grp,
+          |    CAST(CAST(p_partkey * 37 % 340 AS DOUBLE) - 180.0 AS BIGINT) AS x0,
+          |    CAST(CAST(p_partkey * 61 % 60 AS DOUBLE) - 35.0 AS BIGINT) AS y0
+          |  FROM part
+          |), c AS (
+          |  SELECT grp, (x0 + dx) * 1000 + (y0 + dy) AS cell
+          |  FROM z, (SELECT unnest(range(0, 20)) AS dx), (SELECT unnest(range(0, 10)) AS dy)
+          |)
+          |SELECT grp, COUNT(*) AS summed_cells,
+          |  COUNT(DISTINCT cell) AS union_cells,
+          |  CAST((COUNT(*) * 100) // COUNT(DISTINCT cell) AS BIGINT) AS overlap_x100
+          |FROM c GROUP BY grp ORDER BY grp""".stripMargin,
       "zs_kde" ->
         """WITH g AS (
           |  SELECT CAST(ga * 10 + gb AS BIGINT) AS qid,

@@ -283,6 +283,31 @@ object Relational {
         |ORDER BY c_nationkey""".stripMargin)
   }
 
+  /** q25: WITH RECURSIVE through the SQL surface (Spark 4 recursive CTE) —
+    * the hierarchy traversal (BOM explosion / org rollup) a flat SQL
+    * surface cannot express: every part walks its binary-heap ancestor
+    * chain (parent = key div 2) to the root, then rolls up chain depth
+    * and decimal-exact chain cost per node. The recursion produces
+    * O(N log N) closure rows in log N self-join rounds — each round is
+    * one co-partitioned join, the same iterate-until-empty shape as
+    * GraphOps.components (which is the non-SQL form of this plan).
+    * Integer division is portable here because every key is
+    * non-negative (Spark div truncates toward zero, DuckDB // floors —
+    * identical on non-negatives only). */
+  def q25Recursive(spark: SparkSession, dir: String): DataFrame = {
+    part(spark, dir).createOrReplaceTempView("part_rec")
+    spark.sql(
+      """WITH RECURSIVE anc(node, anc, d) AS (
+        |  SELECT p_partkey, p_partkey, 0 FROM part_rec
+        |  UNION ALL
+        |  SELECT node, anc div 2, d + 1 FROM anc WHERE anc > 1
+        |)
+        |SELECT node, CAST(MAX(d) AS BIGINT) AS depth, COUNT(*) AS n_anc,
+        |  CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS chain_cost
+        |FROM anc JOIN part_rec p ON anc.anc = p.p_partkey
+        |GROUP BY node ORDER BY node""".stripMargin)
+  }
+
   /** q20: CUBE — all four grouping-set combinations of (returnflag,
     * linestatus) in ONE pass: Catalyst expands the cube map-side and a
     * single shuffle aggregates every grouping set (vs. 4 scans + union for
@@ -367,6 +392,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_recursive_cte" -> (q25Recursive _),
     "q24_window_suite" -> (q24WindowSuite _),
     "q23_exists" -> (q23Exists _),
     "q20_grouping_sets" -> (q20GroupingSets _),
@@ -391,6 +417,16 @@ object Relational {
     "q12_union_dedup" -> (q12UnionDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q25_recursive_cte" ->
+      """WITH RECURSIVE anc(node, anc, d) AS (
+        |  SELECT p_partkey, p_partkey, 0 FROM part
+        |  UNION ALL
+        |  SELECT node, anc // 2, d + 1 FROM anc WHERE anc > 1
+        |)
+        |SELECT node, CAST(MAX(d) AS BIGINT) AS depth, COUNT(*) AS n_anc,
+        |  CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS chain_cost
+        |FROM anc JOIN part p ON anc.anc = p.p_partkey
+        |GROUP BY node ORDER BY node""".stripMargin,
     "q24_window_suite" ->
       s"""WITH w AS (
          |  SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -12,7 +12,10 @@ class PlanAuditSpec extends SparkSpecBase {
   // 8x-compressed code column (the point of the operator); ev_gap_fill's
   // spine is a 1-row bounds frame cross-joined with the tiny distinct-type
   // set — O(|types|) broadcast, not a data-sized nested loop
-  private val allowNestedLoop = Set("ann_bruteforce", "ann_recall", "ann_sq", "ev_gap_fill")
+  // ann_mmr's two nested loops are both bounded: the 1-row query vector
+  // broadcast against the corpus (stage-1 retrieve) and the 12x12
+  // candidate pairwise-sim join (stage-2 rerank input)
+  private val allowNestedLoop = Set("ann_bruteforce", "ann_recall", "ann_sq", "ev_gap_fill", "ann_mmr")
 
   test("no query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -37,7 +40,9 @@ class PlanAuditSpec extends SparkSpecBase {
     // use a SIZE-GATED hint instead — audited in the next test; queries
     // with legitimately bounded broadcasts — a #layers manifest, a top-k
     // query side — are not in this list.)
-    val mustNotHint = Seq("dd_ngram_jaccard", "dd_minhash", "dd_jaccard_capped", "zs_polygonize")
+    val mustNotHint = Seq("dd_ngram_jaccard", "dd_minhash", "dd_jaccard_capped", "zs_polygonize",
+      // dd_span's span-df table is one row per distinct span — corpus-sized
+      "dd_span")
     mustNotHint.foreach { name =>
       val analyzed = SparkEntry.queries(name)(spark, sfDir).queryExecution.analyzed.toString
       assert(!analyzed.contains("ResolvedHint"),
@@ -92,6 +97,24 @@ class PlanAuditSpec extends SparkSpecBase {
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("decontamination broadcasts the benchmark index, never the corpus") {
+    // the asymmetric inverted-index shape: the bench-gram index is bounded
+    // (a benchmark stays small no matter the corpus), so it must broadcast
+    // and the corpus grams must stream map-side with no shuffle of their own
+    val p = plan(SparkEntry.queries("dd_contamination")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"bench index not broadcast:\n$p")
+  }
+
+  test("interpolation queries broadcast the exploded query-cell grid") {
+    // zs_idw / zs_kde: the query grid (and its cell explosion) is a bounded
+    // constant — the station side must not shuffle for the join
+    Seq("zs_idw", "zs_kde").foreach { name =>
+      val p = plan(SparkEntry.queries(name)(spark, sfDir))
+      assert(p.contains("BroadcastHashJoin"), s"$name query grid not broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$name shuffles the station side:\n$p")
     }
   }
 
