@@ -351,7 +351,40 @@ object Dedup {
     contaminationOn(documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism))
 
+  /** LSH calibration report — the evaluation a pipeline runs BEFORE
+    * trusting minhash bands at scale: for every pair that shares at least
+    * one shingle, bucket the TRUE n-gram jaccard and report what fraction
+    * of each bucket the 6x2 band index detected (the empirical s-curve;
+    * detection should be ~0 for background similarity and ~1 for real
+    * near-dups — a drifting middle bucket says re-tune bands/rows).
+    *
+    * Reuses the two production cores verbatim on ONE shared shingle scan
+    * (localCheckpoint): the truth side is the dd_ngram_jaccard inverted
+    * index, the detected side the dd_minhash band join. The report join
+    * is on the (da, db) pair key both cores already emit. */
+  def lshTune(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).localCheckpoint()
+    val truth = ngramJaccardOn(sh, 0.0)
+      .select(col("da"), col("db"), floor(col("jaccard") * 100).cast("long").as("pct"))
+    val detected = minhashOn(sh).select(col("da"), col("db"), lit(1L).as("hit"))
+    truth.join(detected, Seq("da", "db"), "left_outer")
+      .withColumn("bucket",
+        when(col("pct") === 0L, "0_under_1pct")
+          .when(col("pct") < 2L, "1_under_2pct")
+          .when(col("pct") < 5L, "2_under_5pct")
+          .when(col("pct") < 10L, "3_under_10pct")
+          .when(col("pct") < 50L, "4_under_50pct")
+          .otherwise("5_near_dup"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_detected"))
+      .withColumn("det_rate", r4(col("n_detected").cast("double") / col("n_pairs")))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_lsh_tune" -> (lshTune _),
     "dd_contamination" -> (contamination _),
     "dd_span" -> (spanDedup _),
     "dd_url_canon" -> (urlCanon _),
@@ -365,6 +398,44 @@ object Dedup {
     "dd_embed_cosine" -> (embedCosine _))
 
   val oracle: Map[String, String] = Map(
+    "dd_lsh_tune" ->
+      s"""WITH sh AS ($shinglesSql),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2
+         |),
+         |truth AS (
+         |  SELECT da, db,
+         |    CAST(floor(${graft.sources.Tables.r4Sql("CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter)")} * 100) AS BIGINT) AS pct
+         |  FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+         |),
+         |sig AS (
+         |  SELECT doc_id, h,
+         |    MIN(substr(md5(CAST(h // 4 AS VARCHAR) || ':' || sh),
+         |      CAST((h % 4) * 8 + 1 AS INT), 8)) AS mh
+         |  FROM sh, UNNEST(range(0, 12)) AS t(h) GROUP BY doc_id, h
+         |),
+         |bands AS (
+         |  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+         |    md5(MIN(CASE WHEN h % 2 = 0 THEN mh END) || '|' || MIN(CASE WHEN h % 2 = 1 THEN mh END)) AS band_key
+         |  FROM sig GROUP BY doc_id, h // 2
+         |),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+         |),
+         |j AS (
+         |  SELECT truth.pct, CASE WHEN cand.da IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM truth LEFT JOIN cand ON truth.da = cand.da AND truth.db = cand.db
+         |)
+         |SELECT CASE WHEN pct = 0 THEN '0_under_1pct' WHEN pct < 2 THEN '1_under_2pct'
+         |    WHEN pct < 5 THEN '2_under_5pct' WHEN pct < 10 THEN '3_under_10pct'
+         |    WHEN pct < 50 THEN '4_under_50pct' ELSE '5_near_dup' END AS bucket,
+         |  COUNT(*) AS n_pairs, CAST(SUM(hit) AS BIGINT) AS n_detected,
+         |  ${graft.sources.Tables.r4Sql("CAST(SUM(hit) AS DOUBLE) / COUNT(*)")} AS det_rate
+         |FROM j GROUP BY 1 ORDER BY bucket""".stripMargin,
     "dd_contamination" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents

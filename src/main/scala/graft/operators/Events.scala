@@ -310,7 +310,11 @@ object Events {
       .withColumn("hwm", max(col("mx")).over(
         Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)))
       .select(col("chunk"), col("hwm"))
-    e.join(broadcast(prefix), Seq("chunk"))
+    // prefix is O(#chunks) = O(rows / chunkSize): tiny here, but it GROWS
+    // with volume, so no broadcast hint (AQE broadcasts while it fits; at
+    // 100 TB scale the chunk size up so #chunks stays bounded and the
+    // single-task prefix window stays trivial)
+    e.join(prefix, Seq("chunk"))
       .withColumn("late_sec", greatest(coalesce(col("hwm") - col("ts_sec"), lit(0L)), lit(0L)))
       .withColumn("bucket",
         when(col("late_sec") === 0L, "0_on_time")

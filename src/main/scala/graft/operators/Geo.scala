@@ -85,10 +85,15 @@ object Geo {
     * fails the gate and hash-partitions instead — measured: the ungated
     * hint broke at 100x (round-1 verdict), the unhinted SMJ on ~126 cell
     * keys was 4-25x slower at sf0.1 (round-2 bench). */
+  /** Gate threshold is a runtime conf so a deployment (or the parity spec)
+    * can force the hash-partitioned path: graft.broadcastGateBytes=0 turns
+    * every size-gated hint off. */
   private val BroadcastGateBytes = 64L * 1024 * 1024
-  private[operators] def sizeGated(base: DataFrame, derived: DataFrame, fanout: Long = 4L): DataFrame = {
+  private[graft] def sizeGated(base: DataFrame, derived: DataFrame, fanout: Long = 4L): DataFrame = {
+    val gate = base.sparkSession.conf
+      .get("graft.broadcastGateBytes", BroadcastGateBytes.toString).toLong
     val est = base.queryExecution.optimizedPlan.stats.sizeInBytes * fanout
-    if (est <= BroadcastGateBytes) broadcast(derived) else derived
+    if (est <= gate) broadcast(derived) else derived
   }
 
   /** Generic form: any points DataFrame with (lon, lat) columns against any

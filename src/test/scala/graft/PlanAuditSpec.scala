@@ -100,6 +100,29 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("the 100 TB shuffle path: gate off + no auto-broadcast = same zonal results via SMJ") {
+    // at scale the zone side stops fitting the broadcast gate and the join
+    // must hash-partition both sides on the cell key — prove the shuffle
+    // plan engages AND produces row-identical results
+    val conf = spark.conf
+    val savedThreshold = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val expected = graft.operators.Geo.zonalStats(spark, sfDir).collect()
+    try {
+      conf.set("graft.broadcastGateBytes", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val shuffled = graft.operators.Geo.zonalStats(spark, sfDir)
+      val p = plan(shuffled)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"gate off should force a shuffle join:\n$p")
+      assert(!p.contains("BroadcastHashJoin"), s"broadcast survived the gate:\n$p")
+      assert(shuffled.collect().toSeq == expected.toSeq,
+        "shuffle-path results differ from broadcast-path results")
+    } finally {
+      conf.unset("graft.broadcastGateBytes")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
+    }
+  }
+
   test("decontamination broadcasts the benchmark index, never the corpus") {
     // the asymmetric inverted-index shape: the bench-gram index is bounded
     // (a benchmark stays small no matter the corpus), so it must broadcast
