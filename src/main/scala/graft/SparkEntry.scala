@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsofJoin, Dedup, Events, Geo, Multimodal, Pipeline, Relational, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, Events, Geo, GraphOps, Multimodal, Pipeline, Relational, Similarity, TextAnalysis}
 import graft.sources.ManifestIO
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,6 +22,7 @@ object SparkEntry {
       (TextAnalysis.queries, TextAnalysis.oracle),
       (Multimodal.queries, Multimodal.oracle),
       (ManifestIO.queries, ManifestIO.oracle),
+      (GraphOps.queries, GraphOps.oracle),
       (Pipeline.queries, Pipeline.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -76,9 +76,14 @@ object GraftFunctions {
   /** Idempotently register graft's native functions on a session (the
     * programmatic path; spark.sql.extensions=graft.plans.GraftExtensions is
     * the config path). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       (children: Seq[Expression]) => VectorDot(children(0), children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("morton_interleave"),
+      new ExpressionInfo(classOf[MortonInterleave].getName, "morton_interleave"),
+      (children: Seq[Expression]) => MortonInterleave(children(0), children(1)))
+  }
 }

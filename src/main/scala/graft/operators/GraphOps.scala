@@ -55,4 +55,84 @@ object GraphOps {
         "(component diameter exceeds the cap; raise maxRounds or switch to pointer doubling)")
     labels
   }
+
+  /** Triangle counting + global clustering coefficient over the user
+    * co-activity graph (users active in the same (event_type, hour)
+    * bucket are connected). The canonical ordered-edge algorithm: edges
+    * kept as a < b once (distinct), length-2 paths a<b<c from the b=a'
+    * self-join, closed by an equi-join on the (a, c) edge — every
+    * triangle counted exactly once, never a per-node neighborhood
+    * materialization. Buckets over 20 users are dropped BEFORE pair
+    * generation (the same hot-bucket cap as the dedup indexes — pair
+    * fan-out is quadratic in bucket size). gcc = 3 * triangles / wedges
+    * in exact scaled integers.
+    *
+    * At 100 TB: edge generation shuffles on the bucket key, the triangle
+    * closure on edge endpoints — both AQE-skew-splittable; degree-ordered
+    * orientation (point each edge at the higher-degree endpoint) is the
+    * standard next step if degree skew appears. The final stat assembly
+    * cross-joins four ONE-ROW aggregates (bounded, audit-sanctioned). */
+  def triangleStats(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .distinct()
+    val sizes = act.groupBy("event_type", "hr").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= 20)
+    val ok = act.join(sizes.select("event_type", "hr"), Seq("event_type", "hr"))
+    val edges = ok.as("x").join(ok.as("y"),
+        col("x.event_type") === col("y.event_type") && col("x.hr") === col("y.hr")
+          && col("x.user_id") < col("y.user_id"))
+      .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
+      .distinct()
+      .localCheckpoint() // reused by degree + all three triangle sides
+    val deg = edges.select(col("a").as("u"))
+      .unionAll(edges.select(col("b").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("d"))
+    val nodesWedges = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("ta"), col("e2.b").as("tc"))
+      .join(edges.as("e3"), col("ta") === col("e3.a") && col("tc") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nodesWedges.crossJoin(nEdges).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"))
+      .withColumn("gcc_x10000", expr("n_triangles * 30000 div n_wedges"))
+      .orderBy("n_nodes")
+  }
+
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "gr_triangles" -> (triangleStats _))
+
+  val oracle: Map[String, String] = Map(
+    "gr_triangles" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr FROM events
+        |), sizes AS (
+        |  SELECT event_type, hr FROM (
+        |    SELECT event_type, hr, COUNT(*) AS n FROM act GROUP BY 1, 2) WHERE n <= 20
+        |), ok AS (
+        |  SELECT act.* FROM act JOIN sizes USING (event_type, hr)
+        |), edges AS (
+        |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+        |  FROM ok x JOIN ok y ON x.event_type = y.event_type AND x.hr = y.hr
+        |    AND x.user_id < y.user_id
+        |), deg AS (
+        |  SELECT u, COUNT(*) AS d
+        |  FROM (SELECT a AS u FROM edges UNION ALL SELECT b AS u FROM edges) GROUP BY u
+        |), s AS (
+        |  SELECT
+        |    (SELECT COUNT(*) FROM deg) AS n_nodes,
+        |    (SELECT COUNT(*) FROM edges) AS n_edges,
+        |    (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+        |    (SELECT COUNT(*) FROM edges e1
+        |       JOIN edges e2 ON e1.b = e2.a
+        |       JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b) AS n_triangles
+        |)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  CAST((n_triangles * 30000) // n_wedges AS BIGINT) AS gcc_x10000
+        |FROM s ORDER BY n_nodes""".stripMargin)
 }

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.VectorDot
+import graft.functions.{MortonInterleave, VectorDot}
 
 /** SparkSessionExtensions entry point: enable with
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       (children: Seq[Expression]) => VectorDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("morton_interleave"),
+      new ExpressionInfo(classOf[MortonInterleave].getName, "morton_interleave"),
+      (children: Seq[Expression]) => MortonInterleave(children(0), children(1))))
     ext.injectOptimizerRule(_ => NativeDotRule)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }

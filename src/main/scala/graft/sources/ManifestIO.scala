@@ -268,12 +268,15 @@ object ManifestIO {
     * the write side: repartitionByRange(zkey) + sortWithinPartitions gives
     * pairwise-disjoint per-file key ranges, which is what makes min/max
     * skipping effective). Pure map stage + one groupBy shuffle. */
-  def zorderQuery(spark: SparkSession, dir: String): DataFrame =
+  def zorderQuery(spark: SparkSession, dir: String): DataFrame = {
+    // native mask-spread expression (graft.functions.MortonInterleave);
+    // bit-for-bit equal to the portable fold — ZOrderSpec asserts parity
+    graft.functions.GraftFunctions.register(spark)
     Tables.events(spark, dir)
       .select(col("event_id"),
         ((col("event_id") * lit(7919L)) % lit(36000L)).as("gx"),
         ((col("event_id") * lit(104729L)) % lit(7000L)).as("gy"))
-      .select(col("event_id"), mortonKey(col("gx"), col("gy")).as("zkey"))
+      .select(col("event_id"), expr("morton_interleave(gx, gy)").as("zkey"))
       .groupBy(shiftright(col("zkey"), 16).as("zbucket"))
       .agg(
         count(lit(1)).as("n_rows"),
@@ -281,8 +284,45 @@ object ManifestIO {
         max(col("zkey")).as("max_zkey"),
         min(col("event_id")).as("min_event_id"))
       .orderBy("zbucket")
+  }
+
+  /** Catalog time travel (iceberg-lite on plain parquet): an append-only
+    * log of (version, key, op, payload) rows — inserts/updates as 'u',
+    * deletes as 'd' — reconstructs EVERY historical snapshot in one pass:
+    * each log row fans out to the versions it is visible in, a (v, key)
+    * window keeps the newest op (delete-beats-update on a same-version
+    * tie, deterministically), and surviving 'u' rows aggregate per
+    * version. The log here is derived from `part` with deterministic
+    * v2/v3 edits so the oracle rebuilds it exactly.
+    *
+    * Scale: the fan-out is bounded by the retained version count (a real
+    * catalog compacts old versions); the only full shuffle is the
+    * (v, key) window — the same one a single as-of read would pay. */
+  def timeTravelQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.part(spark, dir)
+      .select(col("p_partkey").as("key"), col("p_retailprice").as("price"))
+    val log = base.select(lit(1L).as("version"), col("key"), lit("u").as("op"), col("price"))
+      .union(base.filter(col("key") % 13 === 0)
+        .select(lit(2L), col("key"), lit("u"), col("price") + 1.0))
+      .union(base.filter(col("key") % 97 === 0)
+        .select(lit(2L), col("key"), lit("d"), lit(0.0)))
+      .union(base.filter(col("key") % 89 === 0)
+        .select(lit(3L), col("key") + 1000000L, lit("u"), col("price")))
+      .union(base.filter(col("key") % 7 === 0)
+        .select(lit(3L), col("key"), lit("u"), col("price") + 2.0))
+      .toDF("version", "key", "op", "price")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("v", "key").orderBy(col("version").desc, col("op").asc)
+    log.withColumn("v", explode(expr("sequence(version, 3L)")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") === "u")
+      .groupBy("v")
+      .agg(count(lit(1)).as("n_keys"), Tables.dsum(col("price")).as("sum_price"))
+      .orderBy("v")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_time_travel" -> (timeTravelQuery _),
     "io_zorder" -> (zorderQuery _),
     "io_manifest_diff" -> (manifestDiffQuery _),
     "io_schema_evolution" -> (schemaEvolutionQuery _),
@@ -291,6 +331,25 @@ object ManifestIO {
     "io_partitioned_scan" -> (partitionedScanQuery _))
 
   val oracle: Map[String, String] = Map(
+    "io_time_travel" ->
+      """WITH base AS (
+        |  SELECT p_partkey AS key, p_retailprice AS price FROM part
+        |), log AS (
+        |  SELECT 1 AS version, key, 'u' AS op, price FROM base
+        |  UNION ALL SELECT 2, key, 'u', price + 1.0 FROM base WHERE key % 13 = 0
+        |  UNION ALL SELECT 2, key, 'd', 0.0 FROM base WHERE key % 97 = 0
+        |  UNION ALL SELECT 3, key + 1000000, 'u', price FROM base WHERE key % 89 = 0
+        |  UNION ALL SELECT 3, key, 'u', price + 2.0 FROM base WHERE key % 7 = 0
+        |), x AS (
+        |  SELECT l.*, unnest(range(version, 4)) AS v FROM log l
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY v, key
+        |    ORDER BY version DESC, op ASC) AS rn
+        |  FROM x
+        |)
+        |SELECT CAST(v AS BIGINT) AS v, COUNT(*) AS n_keys,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM r WHERE rn = 1 AND op = 'u' GROUP BY v ORDER BY v""".stripMargin,
     "io_zorder" ->
       s"""WITH p AS (
         |  SELECT event_id,

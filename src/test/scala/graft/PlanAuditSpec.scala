@@ -14,8 +14,10 @@ class PlanAuditSpec extends SparkSpecBase {
   // set — O(|types|) broadcast, not a data-sized nested loop
   // ann_mmr's two nested loops are both bounded: the 1-row query vector
   // broadcast against the corpus (stage-1 retrieve) and the 12x12
-  // candidate pairwise-sim join (stage-2 rerank input)
-  private val allowNestedLoop = Set("ann_bruteforce", "ann_recall", "ann_sq", "ev_gap_fill", "ann_mmr")
+  // candidate pairwise-sim join (stage-2 rerank input); gr_triangles
+  // cross-joins four ONE-ROW aggregates for its final stat row
+  private val allowNestedLoop = Set("ann_bruteforce", "ann_recall", "ann_sq", "ev_gap_fill",
+    "ann_mmr", "gr_triangles")
 
   test("no query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -32,6 +32,18 @@ class ZOrderSpec extends SparkSpecBase {
     }
   }
 
+  test("native morton_interleave expression is bit-for-bit equal to the fold") {
+    graft.functions.GraftFunctions.register(spark)
+    val diff = keyed
+      .withColumn("zn", expr("morton_interleave(gx, gy)"))
+      .filter(col("zn") =!= col("zkey"))
+    assert(diff.isEmpty, "mask-spread diverges from the portable fold")
+    // codegen actually engages: formatted plans star codegen'd stages, so
+    // the projection computing the key must be starred
+    val p = plan(keyed.withColumn("zn", expr("morton_interleave(gx, gy)")))
+    assert(p.contains("* Project"), p)
+  }
+
   test("range-clustered write yields disjoint per-file zkey ranges and exact reads") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
     keyed
