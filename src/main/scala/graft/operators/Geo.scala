@@ -1121,7 +1121,41 @@ object Geo {
       .orderBy("grp")
   }
 
+  /** Hexagonal binning (H3-style density map, one resolution): pointy-top
+    * axial coordinates + cube rounding assign each point to a hex of
+    * size 3 deg; per-hex count + exact mean. EVERY float step — the
+    * axial projection (sqrt(3) is a single correctly-rounded IEEE op),
+    * the floor(v + 0.5) rounding (native round() half-way rules differ
+    * between engines; this form doesn't), and the tie-fix comparisons —
+    * is the IDENTICAL expression text on both engines (the same-
+    * expression rule, SURVEY §4): the strings below are spliced verbatim
+    * into the Spark plan AND the DuckDB oracle. Pure map stage + one
+    * groupBy, same scale shape as zs_tile_assign. */
+  private val hexSteps: Seq[(String, String)] = Seq(
+    "qf" -> "(lon * (sqrt(3.0) / 3.0) - lat / 3.0) / 3.0",
+    "rf" -> "(lat * (2.0 / 3.0)) / 3.0",
+    "rq" -> "floor(qf + 0.5)",
+    "rr" -> "floor(rf + 0.5)",
+    "rs" -> "floor(-qf - rf + 0.5)",
+    "dq" -> "abs(rq - qf)",
+    "dr" -> "abs(rr - rf)",
+    "ds" -> "abs(rs - (-qf - rf))",
+    "hq" -> "CAST(CASE WHEN dq > dr AND dq > ds THEN -rr - rs ELSE rq END AS BIGINT)",
+    "hr" -> "CAST(CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds THEN -rq - rs ELSE rr END AS BIGINT)")
+
+  def hexbin(spark: SparkSession, dir: String): DataFrame = {
+    val withHex = hexSteps.foldLeft(points(spark, dir)) {
+      case (df, (name, sql)) => df.withColumn(name, expr(sql))
+    }
+    withHex.groupBy("hq", "hr")
+      .agg(
+        count(lit(1)).as("n_points"),
+        (centsToDouble(sum(valueCents)) / count(lit(1))).as("mean_value"))
+      .orderBy("hq", "hr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zs_hexbin" -> (hexbin _),
     "zs_dissolve" -> (dissolve _),
     "zs_kde" -> (kde _),
     "zs_idw" -> (idw _),
@@ -1158,6 +1192,20 @@ object Geo {
          |FROM z10 GROUP BY 1, 2, 3""".stripMargin
     }.mkString("\nUNION ALL\n")
     Map(
+      "zs_hexbin" -> {
+        // chain the same expression steps as nested CTE selects so each
+        // name is computed ONCE with the identical text the Spark plan ran
+        val chained = hexSteps.zipWithIndex.map { case ((n, e), i) =>
+          val prev = if (i == 0) "pts" else s"h${i - 1}"
+          s"h$i AS (SELECT *, $e AS $n FROM $prev)"
+        }.mkString(",\n")
+        s"""WITH pts AS ($pointsSql),
+           |$chained
+           |SELECT hq, hr, COUNT(*) AS n_points,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean_value
+           |FROM h${hexSteps.size - 1}
+           |GROUP BY hq, hr ORDER BY hq, hr""".stripMargin
+      },
       "zs_dissolve" ->
         """WITH z AS (
           |  SELECT p_partkey % 16 AS grp,

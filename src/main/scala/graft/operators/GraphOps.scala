@@ -100,7 +100,10 @@ object GraphOps {
       .agg(count(lit(1)).as("n_triangles"))
     nodesWedges.crossJoin(nEdges).crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"))
-      .withColumn("gcc_x10000", expr("n_triangles * 30000 div n_wedges"))
+      // wedge-free graph: gcc is 0 by convention, not a division error
+      // (Spark ANSI raises on div 0 where DuckDB // returns NULL)
+      .withColumn("gcc_x10000",
+        expr("CASE WHEN n_wedges = 0 THEN 0L ELSE n_triangles * 30000 div n_wedges END"))
       .orderBy("n_nodes")
   }
 
@@ -133,6 +136,7 @@ object GraphOps {
         |       JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b) AS n_triangles
         |)
         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
-        |  CAST((n_triangles * 30000) // n_wedges AS BIGINT) AS gcc_x10000
+        |  CAST(CASE WHEN n_wedges = 0 THEN 0
+        |       ELSE (n_triangles * 30000) // n_wedges END AS BIGINT) AS gcc_x10000
         |FROM s ORDER BY n_nodes""".stripMargin)
 }

@@ -306,8 +306,13 @@ object ManifestIO {
         .select(lit(2L), col("key"), lit("u"), col("price") + 1.0))
       .union(base.filter(col("key") % 97 === 0)
         .select(lit(2L), col("key"), lit("d"), lit(0.0)))
+      // synthetic v3 inserts use NEGATIVE keys: p_partkey is non-negative
+      // at every scale factor, so the new keys can never collide with a
+      // real key (a fixed positive offset would collide once the key
+      // space outgrows it, making the dedup window's tie pick
+      // shuffle-order-dependent)
       .union(base.filter(col("key") % 89 === 0)
-        .select(lit(3L), col("key") + 1000000L, lit("u"), col("price")))
+        .select(lit(3L), -(col("key") + 1L), lit("u"), col("price")))
       .union(base.filter(col("key") % 7 === 0)
         .select(lit(3L), col("key"), lit("u"), col("price") + 2.0))
       .toDF("version", "key", "op", "price")
@@ -338,7 +343,7 @@ object ManifestIO {
         |  SELECT 1 AS version, key, 'u' AS op, price FROM base
         |  UNION ALL SELECT 2, key, 'u', price + 1.0 FROM base WHERE key % 13 = 0
         |  UNION ALL SELECT 2, key, 'd', 0.0 FROM base WHERE key % 97 = 0
-        |  UNION ALL SELECT 3, key + 1000000, 'u', price FROM base WHERE key % 89 = 0
+        |  UNION ALL SELECT 3, -(key + 1), 'u', price FROM base WHERE key % 89 = 0
         |  UNION ALL SELECT 3, key, 'u', price + 2.0 FROM base WHERE key % 7 = 0
         |), x AS (
         |  SELECT l.*, unnest(range(version, 4)) AS v FROM log l
