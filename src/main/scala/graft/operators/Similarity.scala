@@ -257,7 +257,84 @@ object Similarity {
       .orderBy("step")
   }
 
+  /** Product quantization + exact rerank — the remaining member of the
+    * FAISS family (next to ann_sq / ann_lsh / ann_ivf): each vector is
+    * coded as TWO centroid ids (one per 32-dim subspace, here the
+    * per-label subvector centroids as the deterministic stand-in for a
+    * k-means codebook), queries score against the 64-dim reconstruction
+    * (asymmetric distance), and the top-10 are reranked exactly.
+    *
+    * Everything before the final double division is exact integer
+    * arithmetic, so the DuckDB oracle hash-matches: coordinates quantize
+    * to milli-units via floor(x*1000+0.5) (native round() half-way rules
+    * diverge); the nearest-centroid argmin compares d_j = p_j / n_j^2
+    * where p_j = sum_i (xq_i*n_j - S_ij)^2 — p and n^2 are exact
+    * integers below 2^53 (holds to ~15k vectors per label; past that a
+    * real deployment trains the codebook on a sample anyway), so the
+    * single division is the same correctly-rounded double on both
+    * engines, ties broken by label. Reconstruction values are exact
+    * quotients S/n; the query-side score is the same left-fold both
+    * engines run.
+    *
+    * Scale: the codebook is O(labels x dims) — broadcast; assignment is
+    * one groupBy over |corpus| x |labels| x dims partial products with
+    * map-side combine; the scan side never self-joins. */
+  def pq(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e0 = embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("label"), col("embedding"), norm("embedding").as("nrm"))
+      .localCheckpoint() // reused: dims, corpus norms, query side, rerank
+    val dims = e0.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .withColumn("s", expr("i div 32"))
+      .withColumn("xq", expr("CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)"))
+    val cb = dims.groupBy(col("label").as("cb_label"), col("s"), col("i"))
+      .agg(sum("xq").as("cS"), count(lit(1)).as("n"))
+      .localCheckpoint() // labels x 64 rows; probed by every corpus dim
+    val assign = dims.join(broadcast(cb), Seq("s", "i"))
+      .withColumn("t", expr("xq * n - cS"))
+      .groupBy("vec_id", "s", "cb_label")
+      .agg(sum(expr("t * t")).as("p"), max(col("n")).as("n"))
+      .withColumn("d", col("p").cast("double") / (col("n") * col("n")).cast("double"))
+    val wAsg = Window.partitionBy("vec_id", "s").orderBy(col("d").asc, col("cb_label").asc)
+    val codes = assign.withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("cb_label").as("code"))
+    val recon = cb.groupBy("cb_label", "s")
+      .agg(expr("transform(array_sort(collect_list(struct(i, " +
+        "CAST(cS AS DOUBLE) / CAST(n AS DOUBLE) AS r))), e -> e.r)").as("rvec"))
+    val rec = codes.as("cd").join(recon.as("rc"),
+        col("cd.s") === col("rc.s") && col("cd.code") === col("rc.cb_label"))
+      .select(col("cd.vec_id").as("vec_id"), col("cd.s").as("s"), col("rc.rvec").as("rvec"))
+      .groupBy("vec_id")
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(s, rvec))), e -> e.rvec))").as("rec"))
+      .join(e0.select(col("vec_id"), col("nrm").as("cn")), Seq("vec_id"))
+    val q = e0.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val wA = Window.partitionBy("qid").orderBy(col("approx").desc, col("cid").asc)
+    val firstPass = rec.withColumnRenamed("vec_id", "cid")
+      .join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("approx", expr(
+        "aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), " +
+          "(acc, k) -> acc + CAST(element_at(qv, k + 1) AS DOUBLE) * element_at(rec, k + 1))")
+        / (col("qn") * col("cn")))
+      .withColumn("approx_rank", row_number().over(wA).cast("long"))
+      .filter(col("approx_rank") <= 10)
+    val wE = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    firstPass
+      .join(e0.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("nrm").as("cn2")), Seq("cid"))
+      .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn2")))
+      .withColumn("rank", row_number().over(wE).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"), r4(col("cos")).as("cos_sim"),
+        col("approx_rank"))
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_pq" -> (pq _),
     "ann_mmr" -> (mmr _),
     "ann_sq" -> (sq _),
     "ann_recall" -> (recall _),
@@ -326,7 +403,72 @@ object Similarity {
        |ORDER BY step""".stripMargin
   }
 
+  private def pqSql: String =
+    s"""WITH e0 AS (
+       |  SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm FROM embeddings
+       |),
+       |dims AS (
+       |  SELECT vec_id, label, j - 1 AS i, (j - 1) // 32 AS s,
+       |    CAST(floor(embedding[j]::DOUBLE * 1000.0 + 0.5) AS BIGINT) AS xq
+       |  FROM e0, (SELECT unnest(range(1, 65)) AS j)
+       |),
+       |cb AS (
+       |  SELECT label AS cb_label, s, i, CAST(SUM(xq) AS BIGINT) AS cS, COUNT(*) AS n
+       |  FROM dims GROUP BY 1, 2, 3
+       |),
+       |asg AS (
+       |  SELECT d.vec_id, d.s, c.cb_label,
+       |    CAST(SUM((d.xq * c.n - c.cS) * (d.xq * c.n - c.cS)) AS BIGINT) AS p,
+       |    MAX(c.n) AS n
+       |  FROM dims d JOIN cb c ON d.s = c.s AND d.i = c.i
+       |  GROUP BY 1, 2, 3
+       |),
+       |codes AS (
+       |  SELECT vec_id, s, cb_label AS code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+       |      ORDER BY CAST(p AS DOUBLE) / CAST(n * n AS DOUBLE) ASC, cb_label ASC) AS rn
+       |    FROM asg) WHERE rn = 1
+       |),
+       |recon AS (
+       |  SELECT cb_label, s, list(CAST(cS AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY i) AS rvec
+       |  FROM cb GROUP BY 1, 2
+       |),
+       |rec AS (
+       |  SELECT c0.vec_id, r0.rvec || r1.rvec AS rec
+       |  FROM codes c0
+       |  JOIN recon r0 ON c0.s = 0 AND r0.s = 0 AND c0.code = r0.cb_label
+       |  JOIN codes c1 ON c1.vec_id = c0.vec_id AND c1.s = 1
+       |  JOIN recon r1 ON r1.s = 1 AND c1.code = r1.cb_label
+       |),
+       |cand AS (
+       |  SELECT q.vec_id AS qid, x.vec_id AS cid,
+       |    list_reduce(list_transform(range(1, 65),
+       |      k -> q.embedding[k]::DOUBLE * x.rec[k]), (acc, v) -> acc + v)
+       |      / (q.nrm * e.nrm) AS approx
+       |  FROM e0 q JOIN rec x ON q.vec_id < 10 AND q.vec_id <> x.vec_id
+       |  JOIN e0 e ON e.vec_id = x.vec_id
+       |),
+       |a AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY approx DESC, cid ASC) AS approx_rank
+       |  FROM cand
+       |),
+       |r AS (
+       |  SELECT a.qid, a.cid, a.approx_rank,
+       |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY a.qid
+       |      ORDER BY ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+       |        a.cid ASC) AS rank
+       |  FROM a JOIN e0 q ON q.vec_id = a.qid JOIN e0 c ON c.vec_id = a.cid
+       |  WHERE a.approx_rank <= 10
+       |)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, cid,
+       |  ${graft.sources.Tables.r4Sql("cos")} AS cos_sim,
+       |  CAST(approx_rank AS BIGINT) AS approx_rank
+       |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "ann_pq" -> pqSql,
     "ann_mmr" -> mmrSql,
     "ann_sq" ->
       s"""WITH e AS (

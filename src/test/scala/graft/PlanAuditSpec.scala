@@ -16,8 +16,10 @@ class PlanAuditSpec extends SparkSpecBase {
   // broadcast against the corpus (stage-1 retrieve) and the 12x12
   // candidate pairwise-sim join (stage-2 rerank input); gr_triangles
   // cross-joins four ONE-ROW aggregates for its final stat row
+  // ann_pq's first pass scans reconstructions against the bounded
+  // broadcast query set — same sanctioned shape as ann_sq's code scan
   private val allowNestedLoop = Set("ann_bruteforce", "ann_recall", "ann_sq", "ev_gap_fill",
-    "ann_mmr", "gr_triangles")
+    "ann_mmr", "gr_triangles", "ann_pq")
 
   test("no query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
