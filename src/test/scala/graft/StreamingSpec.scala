@@ -227,6 +227,37 @@ class StreamingSpec extends SparkSpecBase {
       s"stream=${result.count()} batch=${expected.count()}")
   }
 
+  test("stream-static dimension enrich matches the batch join") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the common ingest-enrichment shape not covered by the zonal-stats
+    // twin: a keyed equi-join from the stream to a STATIC dimension
+    // (broadcast per micro-batch; the dimension is re-read each batch, so
+    // a catalog refresh is picked up without restarting the query)
+    val dim = Tables.nation(spark, sfDir).select(col("n_nationkey").as("nk"), col("n_name"))
+    def enrich(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("nk", col("user_id") % 25)
+      .join(broadcast(dim), Seq("nk"))
+      .groupBy(window(col("ts"), "1 hour"), col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("n_name"), col("n"), col("sum_value"))
+    val rows = Tables.events(spark, sfDir)
+      .select(col("ts"), col("user_id"), col("value"))
+      .as[(Timestamp, Long, Double)].collect()
+    val stream = MemoryStream[(Timestamp, Long, Double)]
+    val (a, b) = rows.splitAt(rows.length / 2)
+    stream.addData(a.toSeq); stream.addData(b.toSeq)
+    val streamed = enrich(stream.toDF().toDF("ts", "user_id", "value")
+      .withWatermark("ts", "2 hours"))
+    val result = StreamingJobs.runToMemory(spark, streamed, "ss_enrich", OutputMode.Complete())
+    val batch = enrich(Tables.events(spark, sfDir).select(col("ts"), col("user_id"), col("value")))
+    assert(result.count() > 0)
+    assert(result.exceptAll(batch).isEmpty && batch.exceptAll(result).isEmpty,
+      s"stream=${result.count()} batch=${batch.count()}")
+  }
+
   test("native session_window sessionization matches the batch gap rule") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
