@@ -333,7 +333,61 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** EXACT distributed k-means (two Lloyd rounds, k = 10, label-seeded) —
+    * the trained-codebook upgrade §9 queued for the IVF/PQ quantizers.
+    * The usual reason k-means can't be oracle-checked is float centroid
+    * drift; here EVERY round stays in exact integer arithmetic: with
+    * milli-unit coordinates xq and a centroid held as (sum S, count n),
+    * the distance comparison d_j = p_j / n_j^2, p_j = sum_i
+    * (xq_i*n_j - S_ij)^2, needs only ONE correctly-rounded double
+    * division per candidate (both operands exact integers under 2^53) —
+    * so assignments, and therefore the next round's integer centroid
+    * sums, are bit-identical on both engines, round after round. The
+    * oracle unrolls the same two rounds as chained CTEs.
+    *
+    * Plan shape per round: one co-partitioned join (dims x assignment)
+    * + groupBy for centroids (k x 64 rows, broadcast back), one probe
+    * + groupBy for reassignment, one per-vector argmin window over k
+    * candidates. Rounds are a fixed small constant — the driver loop
+    * carries no data, only plan construction. */
+  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val dims = embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .withColumn("xq", expr("CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)"))
+      .select("vec_id", "label", "i", "xq")
+      .localCheckpoint() // reused by every round's centroid + probe side
+    def centroids(assign: DataFrame): DataFrame =
+      dims.join(assign, Seq("vec_id"))
+        .groupBy(col("c"), col("i"))
+        .agg(sum("xq").as("cS"), count(lit(1)).as("n"))
+    def reassign(cb: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(
+        (col("p").cast("double") / (col("n") * col("n")).cast("double")).asc,
+        col("c").asc)
+      dims.join(broadcast(cb), Seq("i"))
+        .withColumn("t", expr("xq * n - cS"))
+        .groupBy("vec_id", "c")
+        .agg(sum(expr("t * t")).as("p"), max(col("n")).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("vec_id", "c", "p", "n")
+    }
+    val seed = dims.select(col("vec_id"), col("label").cast("long").as("c")).distinct()
+    val as1 = reassign(centroids(seed))
+    val as2 = reassign(centroids(as1.select("vec_id", "c")))
+    as2.withColumn("pf", expr("p div (n * n)"))
+      .groupBy(col("c").as("cluster"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        min(col("vec_id")).as("min_member"),
+        sum(col("pf")).as("inertia_floor"))
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_kmeans" -> (kmeans _),
     "ann_pq" -> (pq _),
     "ann_mmr" -> (mmr _),
     "ann_sq" -> (sq _),
@@ -467,7 +521,39 @@ object Similarity {
        |  CAST(approx_rank AS BIGINT) AS approx_rank
        |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  private def kmeansSql: String = {
+    def round(cbIn: String, asgOut: String, prev: String) =
+      s"""cb_$asgOut AS (
+         |  SELECT $prev.c, d.i, CAST(SUM(d.xq) AS BIGINT) AS cS, COUNT(*) AS n
+         |  FROM dims d JOIN $prev ON d.vec_id = $prev.vec_id GROUP BY 1, 2
+         |),
+         |a_$asgOut AS (
+         |  SELECT d.vec_id, c.c,
+         |    CAST(SUM((d.xq * c.n - c.cS) * (d.xq * c.n - c.cS)) AS BIGINT) AS p,
+         |    MAX(c.n) AS n
+         |  FROM dims d JOIN cb_$asgOut c ON d.i = c.i GROUP BY 1, 2
+         |),
+         |$asgOut AS (
+         |  SELECT vec_id, c, p, n FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY CAST(p AS DOUBLE) / CAST(n * n AS DOUBLE) ASC, c ASC) AS rn
+         |    FROM a_$asgOut) WHERE rn = 1
+         |)""".stripMargin
+    s"""WITH dims AS (
+       |  SELECT vec_id, label, j - 1 AS i,
+       |    CAST(floor(embedding[j]::DOUBLE * 1000.0 + 0.5) AS BIGINT) AS xq
+       |  FROM embeddings, (SELECT unnest(range(1, 65)) AS j)
+       |),
+       |seed AS (SELECT DISTINCT vec_id, CAST(label AS BIGINT) AS c FROM dims),
+       |${round("seed", "as1", "seed")},
+       |${round("as1", "as2", "as1")}
+       |SELECT c AS cluster, COUNT(*) AS n_members, MIN(vec_id) AS min_member,
+       |  CAST(SUM(p // (n * n)) AS BIGINT) AS inertia_floor
+       |FROM as2 GROUP BY c ORDER BY cluster""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "ann_kmeans" -> kmeansSql,
     "ann_pq" -> pqSql,
     "ann_mmr" -> mmrSql,
     "ann_sq" ->
