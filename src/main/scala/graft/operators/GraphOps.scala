@@ -89,14 +89,34 @@ object GraphOps {
     val deg = edges.select(col("a").as("u"))
       .unionAll(edges.select(col("b").as("u")))
       .groupBy("u").agg(count(lit(1)).as("d"))
+      .localCheckpoint() // reused: stats + both orientation lookups
     val nodesWedges = deg.agg(
       count(lit(1)).as("n_nodes"),
       sum(expr("d * (d - 1) div 2")).as("n_wedges"))
     val nEdges = edges.agg(count(lit(1)).as("n_edges"))
-    val tri = edges.as("e1")
-      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
-      .select(col("e1.a").as("ta"), col("e2.b").as("tc"))
-      .join(edges.as("e3"), col("ta") === col("e3.a") && col("tc") === col("e3.b"))
+    // DEGREE-ORDERED orientation: point each edge at its higher-(degree,
+    // id) endpoint, so path enumeration fans out from the LOWER-degree
+    // endpoint only — out-degrees are O(sqrt(m)) (arboricity bound) and a
+    // hub's quadratic wedge blowup cannot occur, which is what keeps the
+    // closure join bounded under degree skew at scale. Total is identical
+    // to the naive a<b closure (each triangle has exactly one source
+    // whose two partners both outrank it).
+    val o = edges
+      .join(deg.select(col("u").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("u").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst"), col("db").as("dd")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"), col("da").as("dd")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
+      .localCheckpoint() // three join sides below
+    val tri = o.as("e1")
+      .join(o.as("e2"), col("e1.src") === col("e2.src")
+        && (col("e1.dd") < col("e2.dd")
+          || (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.dst").as("tv"), col("e2.dst").as("tw"))
+      .join(o.as("e3"), col("tv") === col("e3.src") && col("tw") === col("e3.dst"))
       .agg(count(lit(1)).as("n_triangles"))
     nodesWedges.crossJoin(nEdges).crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"))

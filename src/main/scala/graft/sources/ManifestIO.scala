@@ -326,6 +326,67 @@ object ManifestIO {
       .orderBy("v")
   }
 
+  /** Incremental z-order maintenance (OPTIMIZE's incremental form): merge
+    * an incoming batch into a zkey-clustered table by rewriting ONLY the
+    * files whose key ranges the batch touches — the point of z-order
+    * locality is precisely that a localized batch overlaps few files.
+    *
+    * Selection runs to a FIXPOINT on the tiny per-file range list: the
+    * rewrite span grows to swallow any file it intersects, so after the
+    * swap the rewritten files' ranges cannot straddle an untouched file's
+    * range and global per-file disjointness is RESTORED, not just
+    * approximated (ZOrderMaintainSpec asserts it, plus byte-identical
+    * untouched files). Per-file min/max comes from a zkey-only column
+    * scan here; a production deployment reads parquet footer stats — the
+    * selection logic is identical.
+    *
+    * Crash safety mirrors compact: the merged rewrite lands in a temp
+    * dir first; only after a complete write are the inputs deleted and
+    * the new parts renamed in (each rename checked). A crash between
+    * delete and rename can lose the DELETED inputs' visibility but never
+    * corrupts untouched files; recover from _zmaint_tmp. */
+  def zorderMaintain(spark: SparkSession, path: String, newData: DataFrame,
+      filesPerRewrite: Int = 4): Unit = {
+    val ranges = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("zkey").as("lo"), max("zkey").as("hi"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bounds = newData.agg(min("zkey"), max("zkey")).collect()(0)
+    var lo = bounds.getLong(0)
+    var hi = bounds.getLong(1)
+    var selected = Set.empty[String]
+    var changed = true
+    while (changed) {
+      val s = ranges.filter { case (_, flo, fhi) => fhi >= lo && flo <= hi }
+      changed = s.map(_._1).toSet != selected
+      selected = s.map(_._1).toSet
+      if (s.nonEmpty) {
+        lo = math.min(lo, s.map(_._2).min)
+        hi = math.max(hi, s.map(_._3).max)
+      }
+    }
+    val merged =
+      if (selected.isEmpty) newData
+      else spark.read.parquet(selected.toSeq: _*).unionByName(newData)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_zmaint_tmp")
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    merged.repartitionByRange(filesPerRewrite, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    selected.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(f).getPath)
+      require(fs.delete(p, false), s"failed to delete rewritten input $p")
+    }
+    val stamp = System.nanoTime()
+    fs.listStatus(tmp).filter(_.getPath.getName.startsWith("part-")).zipWithIndex.foreach {
+      case (st, i) =>
+        val dest = new org.apache.hadoop.fs.Path(target, s"zmaint-$stamp-$i.parquet")
+        require(fs.rename(st.getPath, dest), s"failed to move ${st.getPath} to $dest")
+    }
+    fs.delete(tmp, true)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "io_time_travel" -> (timeTravelQuery _),
     "io_zorder" -> (zorderQuery _),
