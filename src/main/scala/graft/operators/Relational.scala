@@ -308,6 +308,22 @@ object Relational {
         |GROUP BY node ORDER BY node""".stripMargin)
   }
 
+  /** q26: per-key top-k on the NATIVE heap operator (graft.plans
+    * .TopKPerKeyExec) — top-3 orders per customer by price. The
+    * declarative rank-window form sorts every partition in full; the
+    * native operator declares only a hash distribution on the key and
+    * keeps one bounded 3-heap per customer: O(n log k) and no sort spill.
+    * Price enters as exact cents (the window comparison on doubles would
+    * be fine, but the strategy claims all-long plans only — and cents
+    * comparisons are the repo-wide tie discipline anyway). */
+  def q26TopkNative(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("price_cents"))
+    graft.plans.TopKPerKeyNative.topK(o, "o_custkey", "price_cents", "o_orderkey", 3)
+      .orderBy("o_custkey", "topk_rank")
+  }
+
   /** q20: CUBE — all four grouping-set combinations of (returnflag,
     * linestatus) in ONE pass: Catalyst expands the cube map-side and a
     * single shuffle aggregates every grouping set (vs. 4 scans + union for
@@ -392,6 +408,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_topk_native" -> (q26TopkNative _),
     "q25_recursive_cte" -> (q25Recursive _),
     "q24_window_suite" -> (q24WindowSuite _),
     "q23_exists" -> (q23Exists _),
@@ -417,6 +434,19 @@ object Relational {
     "q12_union_dedup" -> (q12UnionDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q26_topk_native" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders
+        |), r AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY price_cents DESC, o_orderkey ASC) AS BIGINT) AS topk_rank
+        |  FROM o
+        |)
+        |SELECT o_custkey, o_orderkey, price_cents, topk_rank
+        |FROM r WHERE topk_rank <= 3
+        |ORDER BY o_custkey, topk_rank""".stripMargin,
     "q25_recursive_cte" ->
       """WITH RECURSIVE anc(node, anc, d) AS (
         |  SELECT p_partkey, p_partkey, 0 FROM part

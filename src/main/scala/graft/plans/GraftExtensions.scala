@@ -25,5 +25,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => MortonInterleave(children(0), children(1))))
     ext.injectOptimizerRule(_ => NativeDotRule)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }

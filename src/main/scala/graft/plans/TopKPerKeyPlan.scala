@@ -1,0 +1,159 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, GenericInternalRow, JoinedRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.LongType
+
+/** Native per-key top-k — the third custom-operator tier (after the
+  * vector_dot/morton_interleave Expressions and the as-of join): a logical
+  * node + planner strategy + heap-based physical operator replacing the
+  * rank-window formulation
+  *
+  *   row_number() OVER (PARTITION BY key ORDER BY ord DESC, tie ASC) <= k
+  *
+  * whose physical plan SORTS every partition in full. This operator
+  * declares only ClusteredDistribution(key) — NO required ordering — and
+  * keeps one bounded k-heap per key: O(n log k) per partition with
+  * O(keys x k) state instead of an O(n log n) sort of all n rows, and
+  * nothing spills for the sort. At 100 TB per-key top-k over a skewed key
+  * is routinely the dominant sort; this removes it (map-side partial
+  * top-k before the shuffle is the next refinement and composes with the
+  * same exec).
+  *
+  * Determinism: the total per-key order is (ord DESC, tie ASC) with `tie`
+  * a unique key, so the emitted set and ranks are independent of arrival
+  * order — the same discipline the declarative rank-window queries follow
+  * (CLAUDE.md: ranking windows must order by a unique key).
+  *
+  * key/ord/tie are LongType (the strategy claims only such plans). Rows
+  * with a NULL key, ord, or tie are dropped — the rank-window form drops
+  * no rows but NULL ordering differs between engines, so the operator
+  * refuses the ambiguity outright.
+  */
+case class TopKPerKeyNode(
+    child: LogicalPlan,
+    key: Attribute, ord: Attribute, tie: Attribute,
+    k: Int,
+    rankAttr: Attribute) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(Seq(rankAttr))
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+object TopKPerKeyNode {
+  def build(child: LogicalPlan, key: Attribute, ord: Attribute, tie: Attribute,
+      k: Int): TopKPerKeyNode =
+    TopKPerKeyNode(child, key, ord, tie, k,
+      AttributeReference("topk_rank", LongType, nullable = false)())
+}
+
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case n: TopKPerKeyNode
+        if n.key.dataType == LongType && n.ord.dataType == LongType
+          && n.tie.dataType == LongType =>
+      TopKPerKeyExec(planLater(n.child), n.key, n.ord, n.tie, n.k, n.output) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerKeyExec(
+    child: SparkPlan,
+    key: Attribute, ord: Attribute, tie: Attribute,
+    k: Int,
+    output: Seq[Attribute]) extends SparkPlan with UnaryExecNode {
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(key)) :: Nil
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def producedAttributes: AttributeSet = AttributeSet(output.takeRight(1))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val keyIdx = child.output.indexWhere(_.exprId == key.exprId)
+    val ordIdx = child.output.indexWhere(_.exprId == ord.exprId)
+    val tieIdx = child.output.indexWhere(_.exprId == tie.exprId)
+    require(keyIdx >= 0 && ordIdx >= 0 && tieIdx >= 0,
+      "top-k key/ord/tie attributes must come from the child")
+    val kLocal = k
+    val outSchema = output
+    val childSchema = child.output
+    child.execute().mapPartitions({ iter =>
+      val rowProj = UnsafeProjection.create(childSchema, childSchema)
+      val resultProj = UnsafeProjection.create(outSchema, outSchema)
+      // min-heap per key: head = weakest element under (ord DESC, tie ASC)
+      final case class Entry(ordV: Long, tieV: Long, row: UnsafeRow)
+      val weakestFirst: Ordering[Entry] = (a: Entry, b: Entry) =>
+        if (a.ordV != b.ordV) java.lang.Long.compare(b.ordV, a.ordV) // smaller ord = weaker = first
+        else java.lang.Long.compare(a.tieV, b.tieV) // larger tie = weaker
+      val heaps = new java.util.HashMap[Long, scala.collection.mutable.PriorityQueue[Entry]]()
+      while (iter.hasNext) {
+        val r = iter.next()
+        if (!r.isNullAt(keyIdx) && !r.isNullAt(ordIdx) && !r.isNullAt(tieIdx)) {
+          val kv = r.getLong(keyIdx)
+          val ov = r.getLong(ordIdx)
+          val tv = r.getLong(tieIdx)
+          var heap = heaps.get(kv)
+          if (heap == null) {
+            heap = scala.collection.mutable.PriorityQueue.empty[Entry](weakestFirst)
+            heaps.put(kv, heap)
+          }
+          if (heap.size < kLocal) {
+            heap.enqueue(Entry(ov, tv, rowProj(r).copy().asInstanceOf[UnsafeRow]))
+          } else {
+            val w = heap.head
+            if (ov > w.ordV || (ov == w.ordV && tv < w.tieV)) {
+              heap.dequeue()
+              heap.enqueue(Entry(ov, tv, rowProj(r).copy().asInstanceOf[UnsafeRow]))
+            }
+          }
+        }
+      }
+      val joiner = new JoinedRow
+      val rankRow = new GenericInternalRow(1)
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap { heap =>
+        // strongest first: rank 1 = greatest (ord DESC, tie ASC)
+        val sorted = heap.dequeueAll.reverse
+        sorted.iterator.zipWithIndex.map { case (e, i) =>
+          numOutputRows += 1
+          rankRow.setLong(0, i + 1L)
+          resultProj(joiner(e.row, rankRow))
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** DataFrame-level entry point. */
+object TopKPerKeyNative {
+  /** Top `k` rows per `keyCol`, strongest first by (`ordCol` DESC,
+    * `tieCol` ASC); appends `topk_rank` (1-based). All three columns must
+    * be BIGINT and `tieCol` unique per key for deterministic output. */
+  def topK(df: DataFrame, keyCol: String, ordCol: String, tieCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    TopKPerKeyNative.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+        spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    }
+    val plan = df.queryExecution.analyzed
+    def attr(name: String): Attribute = plan.output.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"column $name not found"))
+    val node = TopKPerKeyNode.build(plan, attr(keyCol), attr(ordCol), attr(tieCol), k)
+    org.apache.spark.sql.graft.GraftSqlBridge.ofRows(spark, node)
+  }
+}

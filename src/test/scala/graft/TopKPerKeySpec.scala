@@ -1,0 +1,57 @@
+package graft
+
+import graft.plans.TopKPerKeyNative
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Native per-key top-k operator (SURVEY.md §2.H): heap-based exec that
+  * replaces the rank-window's full partition sort. */
+class TopKPerKeySpec extends SparkSpecBase {
+
+  private def input = Tables.orders(spark, sfDir).select(
+    col("o_custkey"), col("o_orderkey"),
+    expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("price_cents"))
+
+  test("plans as TopKPerKey with one exchange and NO sort") {
+    val p = plan(TopKPerKeyNative.topK(input, "o_custkey", "price_cents", "o_orderkey", 3))
+    assert(p.contains("TopKPerKey"), p)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange.*""")) == 1, p)
+    // the whole point: no sort anywhere — the rank-window form sorts every
+    // partition in full
+    assert(!p.contains("Sort ["), p)
+  }
+
+  test("matches the rank-window formulation row for row") {
+    val native = TopKPerKeyNative.topK(input, "o_custkey", "price_cents", "o_orderkey", 3)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("price_cents").desc, col("o_orderkey").asc)
+    val windowed = input
+      .withColumn("topk_rank", row_number().over(w).cast("long"))
+      .filter(col("topk_rank") <= 3)
+    assert(native.count() > 0)
+    assert(native.exceptAll(windowed).isEmpty && windowed.exceptAll(native).isEmpty,
+      s"native=${native.count()} window=${windowed.count()}")
+  }
+
+  test("output is independent of input partitioning and arrival order") {
+    val base = TopKPerKeyNative.topK(input, "o_custkey", "price_cents", "o_orderkey", 2)
+      .collect().toSet
+    val shuffled = TopKPerKeyNative.topK(
+      input.repartition(7).sortWithinPartitions(col("o_orderkey").desc),
+      "o_custkey", "price_cents", "o_orderkey", 2).collect().toSet
+    assert(base == shuffled)
+    assert(base.nonEmpty)
+  }
+
+  test("k larger than any group returns every row, ranked totally per key") {
+    val small = input.filter(col("o_custkey") < 20)
+    val all = TopKPerKeyNative.topK(small, "o_custkey", "price_cents", "o_orderkey", 1000000)
+    assert(all.count() == small.count())
+    // ranks are 1..groupSize, dense
+    val bad = all.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), max("topk_rank").as("mx"), min("topk_rank").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1L)
+    assert(bad.isEmpty)
+  }
+}
