@@ -60,7 +60,16 @@ object TopKPerKeyStrategy extends SparkStrategy {
     case n: TopKPerKeyNode
         if n.key.dataType == LongType && n.ord.dataType == LongType
           && n.tie.dataType == LongType =>
-      TopKPerKeyExec(planLater(n.child), n.key, n.ord, n.tie, n.k, n.output) :: Nil
+      // two-phase, like hash aggregation: the PARTIAL exec runs map-side
+      // (no distribution requirement, so it sits below the exchange
+      // EnsureRequirements inserts for the final) and keeps its own k-heap
+      // per key — the shuffle then carries at most k rows per (task, key)
+      // instead of every row, which is the whole fight at 100 TB with a
+      // skewed key. Partial top-k per key is a superset of the global
+      // top-k, so the final's result is unchanged.
+      val partial = TopKPerKeyExec(planLater(n.child),
+        n.key, n.ord, n.tie, n.k, n.child.output, partial = true)
+      TopKPerKeyExec(partial, n.key, n.ord, n.tie, n.k, n.output) :: Nil
     case _ => Nil
   }
 }
@@ -69,15 +78,19 @@ case class TopKPerKeyExec(
     child: SparkPlan,
     key: Attribute, ord: Attribute, tie: Attribute,
     k: Int,
-    output: Seq[Attribute]) extends SparkPlan with UnaryExecNode {
+    output: Seq[Attribute],
+    partial: Boolean = false) extends SparkPlan with UnaryExecNode {
 
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
 
+  override def nodeName: String = if (partial) "TopKPerKeyPartial" else "TopKPerKey"
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(key)) :: Nil
+    (if (partial) org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution
+     else ClusteredDistribution(Seq(key))) :: Nil
   override def outputPartitioning: Partitioning = child.outputPartitioning
-  override def producedAttributes: AttributeSet = AttributeSet(output.takeRight(1))
+  override def producedAttributes: AttributeSet =
+    if (partial) AttributeSet.empty else AttributeSet(output.takeRight(1))
 
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
@@ -87,6 +100,7 @@ case class TopKPerKeyExec(
     require(keyIdx >= 0 && ordIdx >= 0 && tieIdx >= 0,
       "top-k key/ord/tie attributes must come from the child")
     val kLocal = k
+    val partialLocal = partial
     val outSchema = output
     val childSchema = child.output
     child.execute().mapPartitions({ iter =>
@@ -120,16 +134,24 @@ case class TopKPerKeyExec(
           }
         }
       }
-      val joiner = new JoinedRow
-      val rankRow = new GenericInternalRow(1)
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap { heap =>
-        // strongest first: rank 1 = greatest (ord DESC, tie ASC)
-        val sorted = heap.dequeueAll.reverse
-        sorted.iterator.zipWithIndex.map { case (e, i) =>
-          numOutputRows += 1
-          rankRow.setLong(0, i + 1L)
-          resultProj(joiner(e.row, rankRow))
+      if (partialLocal) {
+        // map-side phase: emit the surviving rows unranked — the final
+        // phase re-heaps after the shuffle and assigns ranks
+        heaps.values().iterator().asScala.flatMap { heap =>
+          heap.iterator.map { e => numOutputRows += 1; e.row: InternalRow }
+        }
+      } else {
+        val joiner = new JoinedRow
+        val rankRow = new GenericInternalRow(1)
+        heaps.values().iterator().asScala.flatMap { heap =>
+          // strongest first: rank 1 = greatest (ord DESC, tie ASC)
+          val sorted = heap.dequeueAll.reverse
+          sorted.iterator.zipWithIndex.map { case (e, i) =>
+            numOutputRows += 1
+            rankRow.setLong(0, i + 1L)
+            resultProj(joiner(e.row, rankRow))
+          }
         }
       }
     }, preservesPartitioning = true)

@@ -13,9 +13,12 @@ class TopKPerKeySpec extends SparkSpecBase {
     col("o_custkey"), col("o_orderkey"),
     expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("price_cents"))
 
-  test("plans as TopKPerKey with one exchange and NO sort") {
+  test("plans as two-phase TopKPerKey with one exchange and NO sort") {
     val p = plan(TopKPerKeyNative.topK(input, "o_custkey", "price_cents", "o_orderkey", 3))
     assert(p.contains("TopKPerKey"), p)
+    // map-side partial phase below the exchange: the shuffle carries at
+    // most k rows per (task, key), not every row
+    assert(p.contains("TopKPerKeyPartial"), p)
     assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange.*""")) == 1, p)
     // the whole point: no sort anywhere — the rank-window form sorts every
     // partition in full
