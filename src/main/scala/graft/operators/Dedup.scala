@@ -136,7 +136,7 @@ object Dedup {
     * One shuffle: digests projected ONCE per shingle (3 md5 calls), then
     * 12 min-aggregates over substrings, column-wise with map-side partial
     * aggregation (vs. exploding 12 hash rows per shingle). */
-  private[operators] def minhashSignatures(shingleSet: DataFrame): DataFrame = {
+  private[graft] def minhashSignatures(shingleSet: DataFrame): DataFrame = {
     val withDigests = shingleSet.select(col("doc_id") +:
       (0 until 3).map(d => md5(concat(lit(s"$d:"), col("sh"))).as(s"dg$d")): _*)
     val sigCols = (0 until 12).map(h =>
@@ -146,7 +146,7 @@ object Dedup {
   }
 
   /** Distinct (da, db) candidate pairs sharing a 6x2 minhash band. */
-  private[operators] def bandCandidates(sig: DataFrame): DataFrame = {
+  private[graft] def bandCandidates(sig: DataFrame): DataFrame = {
     val bandCols = (0 until 6).map(b =>
       md5(concat(col(s"mh${2 * b}"), lit("|"), col(s"mh${2 * b + 1}"))))
     val bands = sig.select(col("doc_id"),

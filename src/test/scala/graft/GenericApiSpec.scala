@@ -115,4 +115,30 @@ class GenericApiSpec extends SparkSpecBase {
     val dd = Dedup.embedCosineOn(df, 0.99).collect()
     assert(dd.length == 1 && dd(0).getLong(0) == 1L && dd(0).getLong(1) == 2L)
   }
+
+  test("span-dedup and contamination cores run on an arbitrary corpus") {
+    import spark.implicits._
+    val run = (1 to 30).map(i => s"w$i").mkString(" ") // 30 words = 3 spans
+    val docs = Seq(
+      (0L, run),                                    // "benchmark" doc (id % 7 == 0)
+      (1L, run),                                    // fully contaminated copy
+      (2L, (31 to 60).map(i => s"w$i").mkString(" ")), // clean
+      (3L, run + " " + (61 to 69).map(i => s"w$i").mkString(" "))) // 3 of 3 full spans dup
+      .toDF("id", "body")
+    val span = Dedup.spanDedupOn(docs, "id", "body")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 0/1: all 3 spans duplicated (each occurs 3x corpus-wide); doc 2 clean
+    assert(span(0L) == (3L, 3L) && span(1L) == (3L, 3L))
+    assert(span(2L) == (3L, 0L))
+    assert(span(3L) == (3L, 3L)) // its 3 full spans are the shared run
+    val cont = Dedup.contaminationOn(docs, "id", "body")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1 and 3 share 8-grams with benchmark doc 0; doc 2 does not
+    assert(cont.contains(1L) && cont.contains(3L) && !cont.contains(2L), cont.toString)
+    // LSH calibration pieces compose on the same shingle set
+    val sh = Dedup.shinglesOn(docs, "id", "body")
+    val cand = Dedup.bandCandidates(Dedup.minhashSignatures(sh))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((0L, 1L)), cand.toString) // identical docs always collide
+  }
 }

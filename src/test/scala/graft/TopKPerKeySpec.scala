@@ -47,6 +47,24 @@ class TopKPerKeySpec extends SparkSpecBase {
     assert(base.nonEmpty)
   }
 
+  test("a 99%-skewed key stays correct through the partial phase") {
+    import spark.implicits._
+    // one key owns almost every row — the shape the map-side partial
+    // phase exists for: each task forwards at most k rows for the hot key
+    val skewed = spark.range(200000L).select(
+      when(col("id") % 100 === 0, col("id")).otherwise(lit(0L)).as("k"),
+      (col("id") * 7919L % 100000L).as("v"),
+      col("id").as("t"))
+      .repartition(8)
+    val native = TopKPerKeyNative.topK(skewed, "k", "v", "t", 5)
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("t").asc)
+    val windowed = skewed
+      .withColumn("topk_rank", row_number().over(w).cast("long"))
+      .filter(col("topk_rank") <= 5)
+    assert(native.exceptAll(windowed).isEmpty && windowed.exceptAll(native).isEmpty,
+      s"native=${native.count()} window=${windowed.count()}")
+  }
+
   test("k larger than any group returns every row, ranked totally per key") {
     val small = input.filter(col("o_custkey") < 20)
     val all = TopKPerKeyNative.topK(small, "o_custkey", "price_cents", "o_orderkey", 1000000)
