@@ -56,6 +56,73 @@ object GraphOps {
     labels
   }
 
+  /** Connected components by LARGE-STAR / SMALL-STAR pointer doubling
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the O(log d)-round alternative to the hash-min loop above for
+    * adversarially DEEP components: hash-min moves labels one hop per
+    * round (a 10^6-node path needs 10^6 rounds), star contraction
+    * roughly halves every tree's height per round pair.
+    *
+    * Each round is two groupBy-join passes over the edge list (same
+    * shuffle budget per round as hash-min); convergence = the edge set
+    * reaching its fixpoint, checked exactly with exceptAll on the
+    * localCheckpointed frames (graphs small enough to iterate are small
+    * enough to diff; the label-sum trick above is the cheaper check when
+    * the round count is the bottleneck). Returns the same (id, comp)
+    * frame as minLabelComponents — the parity spec drives both on the
+    * same graphs, including a path graph deeper than hash-min's round
+    * cap. */
+  def minLabelComponentsDoubling(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int = 32): DataFrame = {
+    import org.apache.spark.sql.functions.{col, least, lit, min}
+    def sym(e: DataFrame): DataFrame = {
+      // fresh aliases on both sides: unioning a frame with its own
+      // column-swapped projection trips Union's constraint rewrite
+      // (attribute map misses the swapped exprIds)
+      val fwd = e.select((col("src") + lit(0L)).as("src"), (col("dst") + lit(0L)).as("dst"))
+      val rev = e.select((col("dst") + lit(0L)).as("src"), (col("src") + lit(0L)).as("dst"))
+      fwd.unionByName(rev).filter(col("src") =!= col("dst")).distinct()
+    }
+    // large-star: every high neighbor of u links to min(Γ(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val mins = s.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      s.filter(col("dst") > col("src"))
+        .join(mins, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+    }
+    // small-star: u and its low neighbors all link to their minimum
+    def smallStar(e: DataFrame): DataFrame = {
+      val low = sym(e).filter(col("dst") < col("src"))
+      val mins = low.groupBy("src").agg(min("dst").as("m"))
+      val nbrLinks = low.join(mins, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+      val selfLinks = mins.select(col("src"), col("m").as("dst"))
+      nbrLinks.unionByName(selfLinks)
+        .filter(col("src") =!= col("dst")).distinct()
+    }
+    var e = sym(edges.select(col("src"), col("dst"))).localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
+      e = next
+      rounds += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"pointer doubling did not converge in $maxRounds rounds")
+    // fixpoint edges are stars (v -> component min); roots and isolated
+    // nodes label themselves
+    nodes.select(col("id"))
+      .join(e.groupBy("src").agg(min("dst").as("m")),
+        col("id") === col("src"), "left_outer")
+      .select(col("id"),
+        org.apache.spark.sql.functions.coalesce(col("m"), col("id")).as("comp"))
+  }
+
   /** Triangle counting + global clustering coefficient over the user
     * co-activity graph (users active in the same (event_type, hour)
     * bucket are connected). The canonical ordered-edge algorithm: edges

@@ -116,6 +116,30 @@ class GenericApiSpec extends SparkSpecBase {
     assert(dd.length == 1 && dd(0).getLong(0) == 1L && dd(0).getLong(1) == 2L)
   }
 
+  test("pointer-doubling components match hash-min, and survive a deep path graph") {
+    import spark.implicits._
+    import graft.operators.GraphOps
+    // random-ish sparse graph: parity between the two algorithms
+    val n = 300L
+    val nodes = spark.range(n).select(col("id"))
+    val edges = spark.range(n).select(col("id").as("src"),
+        ((col("id") * 17 + 5) % n).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val a = GraphOps.minLabelComponents(nodes, edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst"))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = GraphOps.minLabelComponentsDoubling(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    // a 200-node PATH: diameter 199 >> hash-min's 64-round cap — the
+    // O(log d) contraction is the point of the doubling variant
+    val pathNodes = spark.range(200L).select(col("id"))
+    val pathEdges = spark.range(199L).select(col("id").as("src"), (col("id") + 1L).as("dst"))
+    val labels = GraphOps.minLabelComponentsDoubling(pathNodes, pathEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.forall(_._2 == 0L), labels.filter(_._2 != 0L).take(5).mkString(","))
+  }
+
   test("span-dedup and contamination cores run on an arbitrary corpus") {
     import spark.implicits._
     val run = (1 to 30).map(i => s"w$i").mkString(" ") // 30 words = 3 spans
