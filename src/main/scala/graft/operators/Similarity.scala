@@ -350,7 +350,9 @@ object Similarity {
     * + groupBy for reassignment, one per-vector argmin window over k
     * candidates. Rounds are a fixed small constant — the driver loop
     * carries no data, only plan construction. */
-  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+  /** Final (vec_id, cluster, p, n) assignment after two Lloyd rounds —
+    * shared by the kmeans summary query and the recall evaluation. */
+  private def kmeansAssignments(spark: SparkSession, dir: String): DataFrame = {
     val dims = embeddings(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("label"),
@@ -376,17 +378,44 @@ object Similarity {
     }
     val seed = dims.select(col("vec_id"), col("label").cast("long").as("c")).distinct()
     val as1 = reassign(centroids(seed))
-    val as2 = reassign(centroids(as1.select("vec_id", "c")))
-    as2.withColumn("pf", expr("p div (n * n)"))
+    reassign(centroids(as1.select("vec_id", "c")))
+  }
+
+  def kmeans(spark: SparkSession, dir: String): DataFrame =
+    kmeansAssignments(spark, dir)
+      .withColumn("pf", expr("p div (n * n)"))
       .groupBy(col("c").as("cluster"))
       .agg(
         count(lit(1)).as("n_members"),
         min(col("vec_id")).as("min_member"),
         sum(col("pf")).as("inertia_floor"))
       .orderBy("cluster")
+
+  /** Recall of the TRAINED-cluster probe (the §9 "k-means as IVF coarse
+    * quantizer" evaluation): queries probe only their own two-round-Lloyd
+    * cluster — exactly the ann_ivf plan with ann_kmeans' assignment as
+    * the cell — and recall@3 is measured against the exact baseline, the
+    * same harness shape as ann_recall. Everything upstream is the
+    * integer-exact kmeans chain, so the oracle replays it verbatim. */
+  def kmeansRecall(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir).localCheckpoint() // exact pass + both probe sides
+    val clustered = c.join(
+      kmeansAssignments(spark, dir).select(col("vec_id"), col("c")), Seq("vec_id"))
+      .localCheckpoint()
+    val q = clustered.filter(col("vec_id") < 10)
+    val exact = bruteforceOn(q, c, 3).select(col("qid"), col("cid"))
+    val approx = bucketedAnnOn(q, clustered, "c", 3)
+      .select(col("qid"), col("cid"), lit(1L).as("hit"))
+    exact.join(approx, Seq("qid", "cid"), "left_outer")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_at_3", r4(col("n_hits").cast("double") / col("n_exact")))
+      .orderBy("qid")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_kmeans_recall" -> (kmeansRecall _),
     "ann_kmeans" -> (kmeans _),
     "ann_pq" -> (pq _),
     "ann_mmr" -> (mmr _),
@@ -521,7 +550,9 @@ object Similarity {
        |  CAST(approx_rank AS BIGINT) AS approx_rank
        |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
-  private def kmeansSql: String = {
+  /** The WITH-body producing as2 (final kmeans assignment) — shared by
+    * the kmeans summary oracle and the recall oracle. */
+  private def kmeansCtes: String = {
     def round(cbIn: String, asgOut: String, prev: String) =
       s"""cb_$asgOut AS (
          |  SELECT $prev.c, d.i, CAST(SUM(d.xq) AS BIGINT) AS cS, COUNT(*) AS n
@@ -539,20 +570,57 @@ object Similarity {
          |      ORDER BY CAST(p AS DOUBLE) / CAST(n * n AS DOUBLE) ASC, c ASC) AS rn
          |    FROM a_$asgOut) WHERE rn = 1
          |)""".stripMargin
-    s"""WITH dims AS (
+    s"""dims AS (
        |  SELECT vec_id, label, j - 1 AS i,
        |    CAST(floor(embedding[j]::DOUBLE * 1000.0 + 0.5) AS BIGINT) AS xq
        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS j)
        |),
        |seed AS (SELECT DISTINCT vec_id, CAST(label AS BIGINT) AS c FROM dims),
        |${round("seed", "as1", "seed")},
-       |${round("as1", "as2", "as1")}
+       |${round("as1", "as2", "as1")}""".stripMargin
+  }
+
+  private def kmeansSql: String =
+    s"""WITH $kmeansCtes
        |SELECT c AS cluster, COUNT(*) AS n_members, MIN(vec_id) AS min_member,
        |  CAST(SUM(p // (n * n)) AS BIGINT) AS inertia_floor
        |FROM as2 GROUP BY c ORDER BY cluster""".stripMargin
-  }
+
+  private def kmeansRecallSql: String =
+    s"""WITH $kmeansCtes,
+       |e0 AS (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings
+       |),
+       |b AS (
+       |  SELECT e0.vec_id, e0.embedding, e0.nrm, as2.c
+       |  FROM e0 JOIN as2 ON e0.vec_id = as2.vec_id
+       |),
+       |exact AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+       |        c.vec_id ASC) AS rank
+       |    FROM e0 q JOIN e0 c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+       |  ) WHERE rank <= 3
+       |),
+       |approx AS (
+       |  SELECT qid, cid, 1 AS hit FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+       |        c.vec_id ASC) AS rank
+       |    FROM b q JOIN b c ON q.c = c.c AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+       |  ) WHERE rank <= 3
+       |)
+       |SELECT exact.qid, COUNT(*) AS n_exact,
+       |  CAST(SUM(COALESCE(hit, 0)) AS BIGINT) AS n_hits,
+       |  ${graft.sources.Tables.r4Sql("CAST(SUM(COALESCE(hit, 0)) AS DOUBLE) / COUNT(*)")} AS recall_at_3
+       |FROM exact LEFT JOIN approx ON exact.qid = approx.qid AND exact.cid = approx.cid
+       |GROUP BY exact.qid ORDER BY exact.qid""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ann_kmeans_recall" -> kmeansRecallSql,
     "ann_kmeans" -> kmeansSql,
     "ann_pq" -> pqSql,
     "ann_mmr" -> mmrSql,

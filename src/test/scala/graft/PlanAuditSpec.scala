@@ -19,7 +19,10 @@ class PlanAuditSpec extends SparkSpecBase {
   // ann_pq's first pass scans reconstructions against the bounded
   // broadcast query set — same sanctioned shape as ann_sq's code scan
   private val allowNestedLoop = Set("ann_bruteforce", "ann_recall", "ann_sq", "ev_gap_fill",
-    "ann_mmr", "gr_triangles", "ann_pq")
+    "ann_mmr", "gr_triangles", "ann_pq",
+    // ann_kmeans_recall embeds the same bounded-broadcast exact baseline
+    // as ann_recall for its ground truth
+    "ann_kmeans_recall")
 
   test("no query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
