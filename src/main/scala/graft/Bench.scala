@@ -62,7 +62,14 @@ object Bench {
     // any errored query poisons the headline total to -1: a broken bench
     // must never read as a fast one
     val total = if (errors.nonEmpty) -1.0 else results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Output-ordering contract (r5): the driver captures the TAIL of the
+    // output, so the big per-query line goes FIRST and a short headline
+    // line goes LAST — BENCH_r02..r04 all recorded parsed:null because the
+    // total sat at the FRONT of one giant line whose front was truncated.
+    // Both lines are self-contained valid JSON; the final one is <200 bytes
+    // and always survives tail capture.
+    println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -777,7 +777,12 @@ object Geo {
     val half = right.unionByName(up)
     val edges = half.unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    val labels = GraphOps.minLabelComponents(cells.select(col("lbl").as("id")), edges)
+    // pointer doubling (O(log d) rounds), NOT hash-min (O(d)): same-class
+    // raster regions (coastlines, contour bands) have diameter proportional
+    // to grid width, so at 100x rasters hash-min's round count — and its
+    // round cap — both become real (measured 8 rounds already at sf0.1).
+    // PolygonizeLoopSpec pins this path to the doubling loop.
+    val labels = GraphOps.minLabelComponentsDoubling(cells.select(col("lbl").as("id")), edges)
     cells.join(labels, cells("lbl") === labels("id"))
       .select(col("fx"), col("fy"), col("n"), col("cls"), col("comp").as("region_id"))
   }

@@ -17,10 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Invocation counters, test-only observability: specs pin WHICH loop a
+    * consumer (polygonize, dd_cluster) rides without parsing plans — the
+    * two loops return identical frames by design, so nothing else can. */
+  private[graft] val hashMinCalls = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val doublingCalls = new java.util.concurrent.atomic.AtomicLong
+
   /** `nodes`: one row per node with a unique LONG `id`; `edges`: directed
     * (src, dst) pairs — pass both directions for undirected graphs.
     * Returns (id, comp) where comp = min node id reachable. */
   def minLabelComponents(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    hashMinCalls.incrementAndGet()
     import org.apache.spark.sql.types.DecimalType
     // convergence check: labels only ever DECREASE, so the label sum is
     // strictly monotone until the fixpoint — comparing sums is one tiny
@@ -63,54 +70,77 @@ object GraphOps {
     * round (a 10^6-node path needs 10^6 rounds), star contraction
     * roughly halves every tree's height per round pair.
     *
-    * Each round is two groupBy-join passes over the edge list (same
-    * shuffle budget per round as hash-min); convergence = the edge set
-    * reaching its fixpoint, checked exactly with exceptAll on the
-    * localCheckpointed frames (graphs small enough to iterate are small
-    * enough to diff; the label-sum trick above is the cheaper check when
-    * the round count is the bottleneck). Returns the same (id, comp)
-    * frame as minLabelComponents — the parity spec drives both on the
-    * same graphs, including a path graph deeper than hash-min's round
-    * cap. */
+    * Shuffle budget (r5 rewrite): the loop maintains the invariant that
+    * the working edge set is DISTINCT and points strictly DOWNWARD
+    * (dst < src). Then the symmetric closure fwd ∪ rev is union of two
+    * disjoint dup-free halves — no distinct needed — and min-aggregates
+    * tolerate duplicates anyway, so the only per-round shuffles are the
+    * two star groupBys, their joins, and one distinct each: ~6 vs the
+    * first draft's ~9 plus an exceptAll diff. Convergence is a sound
+    * STRUCTURAL test instead of an edge-set diff: the alternating
+    * algorithm's fixpoint is exactly a min-rooted star forest, and a
+    * downward edge set is one iff every src has exactly ONE out-edge and
+    * no dst ever appears as a src (depth 1). Both stars preserve
+    * component connectivity (Kiveris et al., Lemmas 1-2), so a depth-1
+    * forest's roots are necessarily their components' minima — a star
+    * rooted anywhere else would have disconnected the true min.
+    * Returns the same (id, comp) frame as minLabelComponents — the
+    * parity spec drives both on the same graphs, including a path graph
+    * deeper than hash-min's round cap. */
   def minLabelComponentsDoubling(nodes: DataFrame, edges: DataFrame,
       maxRounds: Int = 32): DataFrame = {
-    import org.apache.spark.sql.functions.{col, least, lit, min}
-    def sym(e: DataFrame): DataFrame = {
-      // fresh aliases on both sides: unioning a frame with its own
-      // column-swapped projection trips Union's constraint rewrite
-      // (attribute map misses the swapped exprIds)
+    doublingCalls.incrementAndGet()
+    import org.apache.spark.sql.functions.{col, countDistinct, least, lit, min}
+    // full symmetric neighbor multiset of a downward edge set; dup-free by
+    // disjointness (fwd: dst<src, rev: dst>src). Fresh +0L aliases: unioning
+    // a frame with its own column-swapped projection trips Union's
+    // constraint rewrite (attribute map misses the swapped exprIds).
+    def nbrs(e: DataFrame): DataFrame = {
       val fwd = e.select((col("src") + lit(0L)).as("src"), (col("dst") + lit(0L)).as("dst"))
       val rev = e.select((col("dst") + lit(0L)).as("src"), (col("src") + lit(0L)).as("dst"))
-      fwd.unionByName(rev).filter(col("src") =!= col("dst")).distinct()
+      fwd.unionByName(rev)
     }
-    // large-star: every high neighbor of u links to min(Γ(u) ∪ {u})
+    // large-star: every high neighbor of w links to m(w) = min(Γ(w) ∪ {w}).
+    // With e downward, the (high neighbor, w) pairs are exactly e itself
+    // (src is the high endpoint), so the emit side needs no symmetric frame.
     def largeStar(e: DataFrame): DataFrame = {
-      val s = sym(e)
-      val mins = s.groupBy("src").agg(min("dst").as("mn"))
-        .select(col("src"), least(col("mn"), col("src")).as("m"))
-      s.filter(col("dst") > col("src"))
-        .join(mins, "src")
-        .select(col("dst").as("src"), col("m").as("dst"))
+      val mins = nbrs(e).groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src").as("w"), least(col("mn"), col("src")).as("m"))
+      e.join(mins, col("dst") === col("w"))
+        .select(col("src"), col("m").as("dst"))
         .filter(col("src") =!= col("dst")).distinct()
     }
-    // small-star: u and its low neighbors all link to their minimum
+    // small-star: u and its LOW neighbors all link to their collective min.
+    // With e downward, u's low neighbors are exactly u's out-edges — no
+    // symmetric frame at all.
     def smallStar(e: DataFrame): DataFrame = {
-      val low = sym(e).filter(col("dst") < col("src"))
-      val mins = low.groupBy("src").agg(min("dst").as("m"))
-      val nbrLinks = low.join(mins, "src")
+      val mins = e.groupBy("src").agg(min("dst").as("m"))
+      val nbrLinks = e.join(mins, "src")
         .select(col("dst").as("src"), col("m").as("dst"))
       val selfLinks = mins.select(col("src"), col("m").as("dst"))
       nbrLinks.unionByName(selfLinks)
         .filter(col("src") =!= col("dst")).distinct()
     }
-    var e = sym(edges.select(col("src"), col("dst"))).localCheckpoint()
+    // orient the (arbitrary-direction, possibly symmetric) input downward
+    var e = edges.select(
+        org.apache.spark.sql.functions.greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
     var converged = false
     var rounds = 0
+    val dbg = sys.env.contains("GRAFT_DEBUG_ROUNDS")
     while (!converged && rounds < maxRounds) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
+      // star-forest test (see doc above): one out-edge per src, depth 1
+      val Array(cnt, nsrc) = next.agg(
+        org.apache.spark.sql.functions.count(lit(1)),
+        countDistinct(col("src"))).collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      converged = cnt == nsrc &&
+        next.join(next.select((col("src") + lit(0L)).as("dst2")),
+          col("dst") === col("dst2"), "left_semi").isEmpty
       e = next
       rounds += 1
+      if (dbg) System.err.println(s"[graphops] doubling round $rounds edges=$cnt")
     }
     if (!converged) throw new IllegalStateException(
       s"pointer doubling did not converge in $maxRounds rounds")
