@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify print a machine-parsed JSON contract on stdout. With the
+// default LoggedOutput strategy sbt re-emits every forked-process line as
+// "[info] {...}" and appends its own "[success] Total time..." line, so the
+// driver's last-line JSON parse failed 5 rounds running (BENCH_r01..r05 all
+// parsed:null). StdoutOutput passes the forked process's stdout through
+// un-prefixed; showSuccess:=false drops the trailing [success] line, so the
+// bare total JSON is the LAST line the sbt process emits.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — exclude it
+// from the unused-key lint (the [warn] block would itself pollute output).
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
