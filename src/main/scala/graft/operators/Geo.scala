@@ -781,7 +781,7 @@ object Geo {
     // raster regions (coastlines, contour bands) have diameter proportional
     // to grid width, so at 100x rasters hash-min's round count — and its
     // round cap — both become real (measured 8 rounds already at sf0.1).
-    // PolygonizeLoopSpec pins this path to the doubling loop.
+    // Round5Spec pins this path to the doubling loop.
     val labels = GraphOps.minLabelComponentsDoubling(cells.select(col("lbl").as("id")), edges)
     cells.join(labels, cells("lbl") === labels("id"))
       .select(col("fx"), col("fy"), col("n"), col("cls"), col("comp").as("region_id"))
@@ -1095,7 +1095,14 @@ object Geo {
       .groupBy("qid", "qa200", "qb200")
       .agg(
         count(lit(1)).as("n_in_bw"),
-        sum(col("contrib")).as("density_x1e6"))
+        // contrib is up to 10^6 per row: a raw sum(long) wraps silently past
+        // ~9.2e18 (≈10^13 in-bandwidth rows per grid point — reachable at
+        // full corpus scale) while DuckDB promotes to HUGEINT, so the
+        // engines diverge exactly when it's hardest to debug. Accumulate as
+        // DECIMAL(38,0) (no wrap) and cast down at the end, mirroring the
+        // oracle's CAST(SUM(...) AS BIGINT) — an out-of-range final total
+        // then fails loudly on both engines instead of silently on one.
+        sum(col("contrib").cast(DecimalType(38, 0))).cast("long").as("density_x1e6"))
       .orderBy("qid")
   }
 
