@@ -3,8 +3,11 @@ import graft.operators.{Geo, Pipeline}
 import org.apache.spark.sql.functions._
 object PipeProfile {
   def main(args: Array[String]): Unit = {
-    val dir = "/root/testdata/sf0.1"
-    val spark = GraftSession.local(32)
+    // same env contract as Bench so any scale factor / host profiles
+    // without a code edit
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
     def t[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f

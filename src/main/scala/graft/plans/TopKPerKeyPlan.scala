@@ -112,8 +112,7 @@ case class TopKPerKeyExec(
         if (a.ordV != b.ordV) java.lang.Long.compare(b.ordV, a.ordV) // smaller ord = weaker = first
         else java.lang.Long.compare(a.tieV, b.tieV) // larger tie = weaker
       val heaps = new java.util.HashMap[Long, scala.collection.mutable.PriorityQueue[Entry]]()
-      while (iter.hasNext) {
-        val r = iter.next()
+      def insert(r: InternalRow): Unit =
         if (!r.isNullAt(keyIdx) && !r.isNullAt(ordIdx) && !r.isNullAt(tieIdx)) {
           val kv = r.getLong(keyIdx)
           val ov = r.getLong(ordIdx)
@@ -133,15 +132,42 @@ case class TopKPerKeyExec(
             }
           }
         }
-      }
       import scala.jdk.CollectionConverters._
       if (partialLocal) {
-        // map-side phase: emit the surviving rows unranked — the final
-        // phase re-heaps after the shuffle and assigns ranks
-        heaps.values().iterator().asScala.flatMap { heap =>
-          heap.iterator.map { e => numOutputRows += 1; e.row: InternalRow }
+        // Map-side phase: emit the surviving rows unranked — the final
+        // phase re-heaps after the shuffle and assigns ranks. Partial
+        // top-k is purely a shuffle-volume optimization and a superset is
+        // always correct, so state is BOUNDED: once the heap map reaches
+        // MaxPartialKeys distinct keys, everything buffered is flushed
+        // downstream (the shuffle writer streams it) and a fresh map
+        // starts. High-cardinality key domains therefore trade pruning
+        // quality for O(MaxPartialKeys x k) memory instead of OOMing —
+        // the degenerate all-keys-distinct input degrades to a pass-
+        // through, exactly what the rank-window formulation would shuffle.
+        new scala.collection.AbstractIterator[InternalRow] {
+          private var out: Iterator[InternalRow] = Iterator.empty
+          private def refill(): Unit =
+            while (!out.hasNext && (iter.hasNext || !heaps.isEmpty)) {
+              while (iter.hasNext && heaps.size() < TopKPerKeyExec.MaxPartialKeys)
+                insert(iter.next())
+              val snapshot = heaps.values().iterator().asScala.toArray
+              heaps.clear()
+              out = snapshot.iterator.flatMap { heap =>
+                heap.iterator.map { e => numOutputRows += 1; e.row: InternalRow }
+              }
+            }
+          override def hasNext: Boolean = { refill(); out.hasNext }
+          override def next(): InternalRow = { refill(); out.next() }
         }
       } else {
+        // Final phase: groups must be complete, so no flush is possible —
+        // memory is O(distinct keys in this partition x k). The operator's
+        // ClusteredDistribution(key) spreads the key domain over the
+        // shuffle partitions, so the bound per task is ~|keys| x k /
+        // shuffle.partitions; for a huge key domain raise
+        // spark.sql.shuffle.partitions (the knob every hash aggregation
+        // already needs) rather than expecting a sort-based spill here.
+        while (iter.hasNext) insert(iter.next())
         val joiner = new JoinedRow
         val rankRow = new GenericInternalRow(1)
         heaps.values().iterator().asScala.flatMap { heap =>
@@ -161,6 +187,15 @@ case class TopKPerKeyExec(
     copy(child = newChild)
 }
 
+object TopKPerKeyExec {
+  /** Partial-phase flush threshold: at most this many distinct keys are
+    * buffered map-side before the phase emits everything and resets. With
+    * k~10 and ~100-byte rows that caps partial state around a few hundred
+    * MB per task — the same order as a hash aggregation's fallback
+    * threshold. Only the PARTIAL phase flushes; see doExecute. */
+  val MaxPartialKeys: Int = 1 << 18
+}
+
 /** DataFrame-level entry point. */
 object TopKPerKeyNative {
   /** Top `k` rows per `keyCol`, strongest first by (`ordCol` DESC,
@@ -172,9 +207,19 @@ object TopKPerKeyNative {
       if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
         spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKPerKeyStrategy
     }
+    require(k > 0, s"k must be positive, got $k")
     val plan = df.queryExecution.analyzed
-    def attr(name: String): Attribute = plan.output.find(_.name == name)
-      .getOrElse(throw new IllegalArgumentException(s"column $name not found"))
+    // fail fast on the LongType precondition: the strategy silently
+    // declines non-long plans, which would otherwise surface as an
+    // unplanned logical node deep in query execution
+    def attr(name: String): Attribute = {
+      val a = plan.output.find(_.name == name)
+        .getOrElse(throw new IllegalArgumentException(s"column $name not found"))
+      if (a.dataType != LongType)
+        throw new IllegalArgumentException(
+          s"column $name must be BIGINT for the native top-k operator, got ${a.dataType.sql}")
+      a
+    }
     val node = TopKPerKeyNode.build(plan, attr(keyCol), attr(ordCol), attr(tieCol), k)
     org.apache.spark.sql.graft.GraftSqlBridge.ofRows(spark, node)
   }

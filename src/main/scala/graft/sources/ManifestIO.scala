@@ -340,11 +340,13 @@ object ManifestIO {
     * scan here; a production deployment reads parquet footer stats — the
     * selection logic is identical.
     *
-    * Crash safety mirrors compact: the merged rewrite lands in a temp
-    * dir first; only after a complete write are the inputs deleted and
-    * the new parts renamed in (each rename checked). A crash between
-    * delete and rename can lose the DELETED inputs' visibility but never
-    * corrupts untouched files; recover from _zmaint_tmp. */
+    * Crash safety: the merged rewrite lands in a temp dir first; after a
+    * complete write the new parts are renamed IN (each rename checked)
+    * and only then are the rewritten inputs deleted. A crash between
+    * rename and delete therefore leaves DUPLICATE rows (old + merged
+    * both visible) — detectable and repairable by re-running maintenance
+    * — never lost rows; a crash before the renames leaves the target
+    * untouched. Recover leftovers from _zmaint_tmp. */
   def zorderMaintain(spark: SparkSession, path: String, newData: DataFrame,
       filesPerRewrite: Int = 4): Unit = {
     val ranges = spark.read.parquet(path)
@@ -374,15 +376,17 @@ object ManifestIO {
     merged.repartitionByRange(filesPerRewrite, col("zkey"))
       .sortWithinPartitions("zkey")
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    selected.foreach { f =>
-      val p = new org.apache.hadoop.fs.Path(new java.net.URI(f).getPath)
-      require(fs.delete(p, false), s"failed to delete rewritten input $p")
-    }
+    // rename-first: make the merged parts visible BEFORE deleting their
+    // inputs, so a crash mid-swap duplicates rows instead of losing them
     val stamp = System.nanoTime()
     fs.listStatus(tmp).filter(_.getPath.getName.startsWith("part-")).zipWithIndex.foreach {
       case (st, i) =>
         val dest = new org.apache.hadoop.fs.Path(target, s"zmaint-$stamp-$i.parquet")
         require(fs.rename(st.getPath, dest), s"failed to move ${st.getPath} to $dest")
+    }
+    selected.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(f).getPath)
+      require(fs.delete(p, false), s"failed to delete rewritten input $p")
     }
     fs.delete(tmp, true)
   }

@@ -8,10 +8,15 @@ class Round5Spec extends SparkSpecBase {
   test("polygonize and dd_cluster ride the pointer-doubling component loop") {
     // The two component loops return identical frames by design, so the
     // only observable difference is WHICH one ran — pin it via the
-    // invocation counters (round-4 verdict: polygonize was left on the
+    // invocation counters. Exact-equality on the global AtomicLongs is
+    // sound only because sbt runs suites sequentially in one forked test
+    // JVM (default testForkedParallel := false); other suites (e.g.
+    // GenericApiSpec) also increment these counters, so enabling
+    // forked-parallel tests would require switching to per-call deltas
+    // taken immediately around each query. (Round-4 verdict: polygonize was left on the
     // O(diameter)-round hash-min loop while the O(log d) doubling variant
     // sat unused; same-class raster regions have diameter proportional to
-    // grid width at 100x, where hash-min's round cap throws).
+    // grid width at 100x, where hash-min's round cap throws.)
     val hm0 = GraphOps.hashMinCalls.get()
     val db0 = GraphOps.doublingCalls.get()
     assert(Geo.queries("zs_polygonize")(spark, sfDir).count() > 0)

@@ -65,6 +65,32 @@ class TopKPerKeySpec extends SparkSpecBase {
       s"native=${native.count()} window=${windowed.count()}")
   }
 
+  test("partial phase flushes past MaxPartialKeys distinct keys without loss") {
+    // one input partition holding MORE distinct keys than the partial
+    // phase's flush threshold: the map side must flush mid-stream (bounded
+    // state) and the flushed superset must still reduce to the exact
+    // per-key top-k after the shuffle
+    val nKeys = graft.plans.TopKPerKeyExec.MaxPartialKeys + 1000
+    val wide = spark.range(nKeys.toLong)
+      .select(col("id").as("k"), (col("id") % 97L).as("v"), col("id").as("t"))
+      .coalesce(1)
+    val out = TopKPerKeyNative.topK(wide, "k", "v", "t", 2)
+    // every key appears exactly once (one row per key), always rank 1
+    assert(out.count() == nKeys.toLong)
+    assert(out.filter(col("topk_rank") =!= 1L).isEmpty)
+  }
+
+  test("non-BIGINT columns and k <= 0 fail fast at the API boundary") {
+    val bad = input.withColumn("price_str", col("price_cents").cast("string"))
+    val e = intercept[IllegalArgumentException] {
+      TopKPerKeyNative.topK(bad, "o_custkey", "price_str", "o_orderkey", 3)
+    }
+    assert(e.getMessage.contains("BIGINT"))
+    intercept[IllegalArgumentException] {
+      TopKPerKeyNative.topK(input, "o_custkey", "price_cents", "o_orderkey", 0)
+    }
+  }
+
   test("k larger than any group returns every row, ranked totally per key") {
     val small = input.filter(col("o_custkey") < 20)
     val all = TopKPerKeyNative.topK(small, "o_custkey", "price_cents", "o_orderkey", 1000000)
