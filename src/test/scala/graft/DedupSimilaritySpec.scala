@@ -17,6 +17,19 @@ class DedupSimilaritySpec extends SparkSpecBase {
       s"missed: ${trueDups -- found}")
   }
 
+  test("multi-probe ANN: fan-out bounded at MultiProbeP, recall beats single-probe and clears 0.8") {
+    val mp = Similarity.multiprobe(spark, sfDir).localCheckpoint()
+    // fan-out bound: every query probed exactly min(P, k) clusters
+    assert(mp.filter(col("n_probed") =!= Similarity.MultiProbeP.toLong).isEmpty,
+      "probe fan-out must be exactly MultiProbeP per query")
+    val mpMean = mp.agg(avg("recall_at_3")).collect()(0).getDouble(0)
+    val spMean = Similarity.kmeansRecall(spark, sfDir)
+      .agg(avg("recall_at_3")).collect()(0).getDouble(0)
+    assert(mpMean >= 0.8, s"multi-probe mean recall@3 $mpMean below target 0.8")
+    assert(mpMean > spMean,
+      s"multi-probe ($mpMean) must beat single-cluster probing ($spMean)")
+  }
+
   test("simhash near-dup pairs have high jaccard overlap with ngram pairs") {
     val sim = Dedup.simhash(spark, sfDir).filter(col("hamming") <= 3)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -20,9 +20,9 @@ class PlanAuditSpec extends SparkSpecBase {
   // broadcast query set — same sanctioned shape as ann_sq's code scan
   private val allowNestedLoop = Set("ann_bruteforce", "ann_recall", "ann_sq", "ev_gap_fill",
     "ann_mmr", "gr_triangles", "ann_pq",
-    // ann_kmeans_recall embeds the same bounded-broadcast exact baseline
-    // as ann_recall for its ground truth
-    "ann_kmeans_recall")
+    // ann_kmeans_recall and ann_multiprobe embed the same bounded-broadcast
+    // exact baseline as ann_recall for their ground truth
+    "ann_kmeans_recall", "ann_multiprobe")
 
   test("no query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
