@@ -386,7 +386,11 @@ object Geo {
       (col("n_nationkey") % 3 + 1).cast("double").as("sx"),
       (col("n_nationkey") % 5 + 1).cast("double").as("sy"),
       (col("n_nationkey") * 7 % 100).cast("double").as("dx"),
-      (col("n_nationkey") * 11 % 100).cast("double").as("dy"))
+      (col("n_nationkey") * 11 % 100).cast("double").as("dy"),
+      // which band of the multi-band source this layer standardizes
+      // (gdal_translate -b row['band'], raster.py:34) — cycles 1..3 so
+      // bands 2 and 3 are both exercised on translate-branch layers
+      (col("n_nationkey") % 3 + 1).cast("long").as("band"))
 
   private val layerManifestSql =
     """SELECT CAST(n_nationkey AS BIGINT) AS layer_id,
@@ -394,7 +398,8 @@ object Geo {
       |  CAST(n_nationkey % 3 + 1 AS DOUBLE) AS sx,
       |  CAST(n_nationkey % 5 + 1 AS DOUBLE) AS sy,
       |  CAST(n_nationkey * 7 % 100 AS DOUBLE) AS dx,
-      |  CAST(n_nationkey * 11 % 100 AS DOUBLE) AS dy
+      |  CAST(n_nationkey * 11 % 100 AS DOUBLE) AS dy,
+      |  CAST(n_nationkey % 3 + 1 AS BIGINT) AS band
       |FROM nation""".stripMargin
 
   /** Metadata-driven standardization dispatch: geographic layers pass
@@ -404,11 +409,17 @@ object Geo {
     * declarative plan: broadcast the manifest (genuinely O(#layers) — a
     * justified broadcast, unlike per-row tables) and branch per row with
     * `when`, so Catalyst sees a single scan + hash join, no driver-side
-    * per-layer loop. Integer affine params x 2-decimal coords stay exact. */
+    * per-layer loop. Integer affine params x 2-decimal coords stay exact.
+    * The translate branch also selects the manifest's BAND from the
+    * multi-band source (gdal_translate -b row['band'], raster.py:34) via
+    * element_at on the band-value array. */
   def crsDispatch(spark: SparkSession, dir: String): DataFrame = {
     val m = layerManifest(spark, dir)
     points(spark, dir)
       .withColumn("layer_id", col("event_id") % 25)
+      // the multi-band source pixel: band k = value * 2^(k-1) — powers of
+      // two keep 2-decimal doubles exact on both engines
+      .withColumn("bands", array(col("value"), col("value") * 2, col("value") * 4))
       .join(broadcast(m), Seq("layer_id"))
       .withColumn("x_std",
         when(col("crs") === "EPSG:4326", col("lon"))
@@ -416,11 +427,19 @@ object Geo {
       .withColumn("y_std",
         when(col("crs") === "EPSG:4326", col("lat"))
           .otherwise(col("lat") * col("sy") + col("dy")))
-      .groupBy("layer_id", "crs")
+      // band pick mirrors the reference's split: the translate branch
+      // honors the manifest band (gdal_translate -b, raster.py:34); the
+      // warp branch standardizes the default first band (raster.py:20-29
+      // passes no -b to gdalwarp)
+      .withColumn("band_used",
+        when(col("crs") === "EPSG:4326", col("band")).otherwise(lit(1L)))
+      .withColumn("v_band", element_at(col("bands"), col("band_used").cast("int")))
+      .groupBy("layer_id", "crs", "band_used")
       .agg(
         count(lit(1)).as("n_points"),
         dsum(col("x_std")).as("sum_x"),
-        dsum(col("y_std")).as("sum_y"))
+        dsum(col("y_std")).as("sum_y"),
+        dsum(col("v_band")).as("sum_band_value"))
       .orderBy("layer_id")
   }
 
@@ -1133,6 +1152,56 @@ object Geo {
       .orderBy("grp")
   }
 
+  /** Shared-border simplification (tippecanoe --detect-shared-borders,
+    * pipeline/processing/tiles.py:17): when two zones share a border,
+    * tippecanoe simplifies that border ONCE and both polygons reuse the
+    * result, so simplification never opens slivers between neighbors.
+    * Re-expressed on the dissolve decomposition: zone corners are integer
+    * degrees, so a zone's border is exactly its unit boundary segments;
+    * keying segments by geometry (sx, sy, orientation) makes coincident
+    * borders collide, a cell-keyed groupBy detects sharing
+    * (n_zones >= 2), and the keep/drop decision is a function of the
+    * SEGMENT KEY ALONE — computed once per geometric border, inherited
+    * identically by every owner, the consistency tippecanoe's flag buys.
+    * At 100 TB: segment explode is map-side (60 rows per zone), one
+    * shuffle keyed by segment, the owner join co-partitions with it, one
+    * rollup per zone — no geometry ever meets another geometry. */
+  def sharedBorders(spark: SparkSession, dir: String): DataFrame =
+    sharedBordersOn(zones(spark, dir))
+
+  /** Same operator over any zones-shaped frame (zone_id, xmin, ymin) —
+    * GeoSpec feeds synthetic coincident/adjacent zones with hand-computed
+    * expectations. */
+  def sharedBordersOn(zonesDf: DataFrame): DataFrame = {
+    val z = zonesDf.select(
+      col("zone_id"), col("xmin").cast("long").as("x0"), col("ymin").cast("long").as("y0"))
+    val horiz = z
+      .withColumn("k", explode(expr("sequence(0, 19)")))
+      .withColumn("ey", explode(array(col("y0"), col("y0") + 10L)))
+      .select(col("zone_id"), (col("x0") + col("k")).as("sx"), col("ey").as("sy"),
+        lit(0L).as("orient"))
+    val vert = z
+      .withColumn("j", explode(expr("sequence(0, 9)")))
+      .withColumn("ex", explode(array(col("x0"), col("x0") + 20L)))
+      .select(col("zone_id"), col("ex").as("sx"), (col("y0") + col("j")).as("sy"),
+        lit(1L).as("orient"))
+    val segs = horiz.unionByName(vert)
+    // one decision row per geometric segment: shared detection + the
+    // keep/drop simplification choice (nonnegative operands keep % portable)
+    val segStats = segs.groupBy("sx", "sy", "orient")
+      .agg(countDistinct(col("zone_id")).as("n_zones"))
+      .withColumn("keep",
+        ((col("sx") + 200L) * 31L + (col("sy") + 100L) * 17L + col("orient") * 7L) % 5L =!= 0L)
+    segs.join(segStats, Seq("sx", "sy", "orient"))
+      .groupBy("zone_id")
+      .agg(
+        count(lit(1)).as("n_border"),
+        sum(when(col("n_zones") >= 2, 1L).otherwise(0L)).as("n_shared"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("n_zones") >= 2 && col("keep"), 1L).otherwise(0L)).as("n_shared_kept"))
+      .orderBy("zone_id")
+  }
+
   /** Hexagonal binning (H3-style density map, one resolution): pointy-top
     * axial coordinates + cube rounding assign each point to a hex of
     * size 3 deg; per-hex count + exact mean. EVERY float step — the
@@ -1168,6 +1237,7 @@ object Geo {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zs_hexbin" -> (hexbin _),
+    "zs_shared_borders" -> (sharedBorders _),
     "zs_dissolve" -> (dissolve _),
     "zs_kde" -> (kde _),
     "zs_idw" -> (idw _),
@@ -1218,6 +1288,31 @@ object Geo {
            |FROM h${hexSteps.size - 1}
            |GROUP BY hq, hr ORDER BY hq, hr""".stripMargin
       },
+      "zs_shared_borders" ->
+        """WITH zz AS (
+          |  SELECT p_partkey AS zone_id,
+          |    CAST(CAST(p_partkey * 37 % 340 AS DOUBLE) - 180.0 AS BIGINT) AS x0,
+          |    CAST(CAST(p_partkey * 61 % 60 AS DOUBLE) - 35.0 AS BIGINT) AS y0
+          |  FROM part
+          |), h AS (
+          |  SELECT zone_id, x0 + k AS sx, y0 + dy AS sy, 0 AS orient
+          |  FROM zz, range(0, 20) t1(k), (SELECT unnest([0, 10]) AS dy) d
+          |), v AS (
+          |  SELECT zone_id, x0 + dx AS sx, y0 + j AS sy, 1 AS orient
+          |  FROM zz, range(0, 10) t2(j), (SELECT unnest([0, 20]) AS dx) d
+          |), segs AS (
+          |  SELECT * FROM h UNION ALL SELECT * FROM v
+          |), st AS (
+          |  SELECT sx, sy, orient, COUNT(DISTINCT zone_id) AS n_zones,
+          |    ((sx + 200) * 31 + (sy + 100) * 17 + orient * 7) % 5 <> 0 AS keep
+          |  FROM segs GROUP BY 1, 2, 3
+          |)
+          |SELECT s.zone_id, COUNT(*) AS n_border,
+          |  CAST(SUM(CASE WHEN n_zones >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+          |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |  CAST(SUM(CASE WHEN n_zones >= 2 AND keep THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_kept
+          |FROM segs s JOIN st USING (sx, sy, orient)
+          |GROUP BY s.zone_id ORDER BY s.zone_id""".stripMargin,
       "zs_dissolve" ->
         """WITH z AS (
           |  SELECT p_partkey % 16 AS grp,
@@ -1476,13 +1571,18 @@ object Geo {
       "zs_crs_dispatch" ->
         s"""WITH pts AS ($pointsSql), m AS ($layerManifestSql),
            |p AS (SELECT *, event_id % 25 AS layer_id FROM pts)
-           |SELECT p.layer_id, crs, COUNT(*) AS n_points,
+           |SELECT p.layer_id, crs,
+           |  CAST(CASE WHEN crs = 'EPSG:4326' THEN band ELSE 1 END AS BIGINT) AS band_used,
+           |  COUNT(*) AS n_points,
            |  CAST(SUM(CAST(CASE WHEN crs = 'EPSG:4326' THEN lon
            |    ELSE lon * sx + dx END AS DECIMAL(18,4))) AS DOUBLE) AS sum_x,
            |  CAST(SUM(CAST(CASE WHEN crs = 'EPSG:4326' THEN lat
-           |    ELSE lat * sy + dy END AS DECIMAL(18,4))) AS DOUBLE) AS sum_y
+           |    ELSE lat * sy + dy END AS DECIMAL(18,4))) AS DOUBLE) AS sum_y,
+           |  CAST(SUM(CAST([value, value * 2, value * 4]
+           |    [CASE WHEN crs = 'EPSG:4326' THEN band ELSE 1 END]
+           |    AS DECIMAL(18,4))) AS DOUBLE) AS sum_band_value
            |FROM p JOIN m ON p.layer_id = m.layer_id
-           |GROUP BY 1, 2 ORDER BY p.layer_id""".stripMargin,
+           |GROUP BY 1, 2, 3 ORDER BY p.layer_id""".stripMargin,
       "zs_polygonize" ->
         s"""WITH RECURSIVE
            |pts AS ($pointsSql),

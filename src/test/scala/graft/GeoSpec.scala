@@ -205,6 +205,31 @@ class GeoSpec extends SparkSpecBase {
     assert(ty(30.0) < ty(0.0) && ty(-30.0) > ty(0.0))
   }
 
+  test("shared borders: every zone has 60 border segments on the sf data") {
+    val out = Geo.sharedBorders(spark, sfDir)
+    assert(out.filter(col("n_border") =!= 60L).isEmpty)
+    assert(out.count() > 0)
+  }
+
+  test("shared borders: coincident zones inherit identical decisions, adjacency detected") {
+    import spark.implicits._
+    // z1 and z2 coincide exactly; z3 abuts them on the x=20 edge
+    val zones = Seq((1L, 0.0, 0.0), (2L, 0.0, 0.0), (3L, 20.0, 0.0))
+      .toDF("zone_id", "xmin", "ymin")
+    val out = Geo.sharedBordersOn(zones).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // coincident zones share ALL 60 segments and — the point of
+    // --detect-shared-borders — make identical keep/drop choices
+    assert(out(1L) == out(2L))
+    assert(out(1L)._1 == 60L && out(1L)._2 == 60L)
+    // the adjacent zone shares exactly its 10 left-edge unit segments
+    val (b3, s3, _, sk3) = out(3L)
+    assert(b3 == 60L && s3 == 10L)
+    // shared-kept counts agree border-for-border: z3's shared-kept border
+    // segments are a subset of z1's shared set, decided by the same rule
+    assert(sk3 <= out(1L)._4)
+  }
+
   test("full pyramid has every even zoom and conserves counts at each") {
     val pts = Geo.points(spark, sfDir).count()
     val perZoom = Geo.tilePyramidFull(spark, sfDir)
