@@ -21,22 +21,22 @@ object PipeProfile {
       val p = new org.apache.hadoop.fs.Path(out)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
-      for (l <- Pipeline.defaultLayers) {
-        val enriched = t(s"${l.name} enrich build+persist+count") {
-          val e = Pipeline.enrichLayer(spark, dir, l).persist(); e.count(); e }
-        val tiles = t(s"${l.name} tiles build+persist+count") {
-          val x = Pipeline.tileLayer(spark, dir, l).persist(); x.count(); x }
-        t(s"${l.name} write enriched") {
-          enriched.write.mode("overwrite").option("partitionOverwriteMode","dynamic")
-            .partitionBy("layer").parquet(s"$out/enriched") }
-        t(s"${l.name} write tiles") {
-          tiles.write.mode("overwrite").option("partitionOverwriteMode","dynamic")
-            .partitionBy("layer").parquet(s"$out/tiles") }
-        t(s"${l.name} appendMissing") {
-          import spark.implicits._
-          graft.sources.ManifestIO.appendMissing(spark, Seq(l.name).toDF("layer"), s"$out/_done", "layer") }
-        enriched.unpersist(); tiles.unpersist()
-      }
+      val ls = Pipeline.defaultLayers
+      t("write enriched (all layers, one job)") {
+        ls.map(Pipeline.enrichLayer(spark, dir, _)).reduce(_ unionByName _)
+          .write.mode("overwrite").option("partitionOverwriteMode","dynamic")
+          .partitionBy("layer").parquet(s"$out/enriched") }
+      t("write tiles (all layers, one job)") {
+        ls.map(Pipeline.tileLayer(spark, dir, _)).reduce(_ unionByName _)
+          .write.mode("overwrite").option("partitionOverwriteMode","dynamic")
+          .partitionBy("layer").parquet(s"$out/tiles") }
+      t("metadata counts") {
+        spark.read.parquet(s"$out/enriched").groupBy("layer").count().collect()
+        spark.read.parquet(s"$out/tiles").groupBy("layer").count().collect() }
+      t("appendMissing (one batch)") {
+        import spark.implicits._
+        graft.sources.ManifestIO.appendMissing(
+          spark, ls.map(_.name).toDF("layer"), s"$out/_done", "layer") }
       t("second pass (skip)") { Pipeline.runIncremental(spark, dir, out) }
       t("read back + sort") {
         spark.read.parquet(s"$out/enriched")

@@ -16,15 +16,19 @@ import graft.sources.ManifestIO
   * composition and idempotence, not new math.
   *
   * Idempotence design:
-  *   - per-layer data writes use DYNAMIC PARTITION OVERWRITE (each layer is
-  *     one partition directory): re-running a layer whose previous attempt
-  *     crashed mid-write atomically replaces the partial partition, so the
-  *     runner converges under retries;
-  *   - a _done catalog (appendMissing) marks a layer complete only AFTER
-  *     its data lands; the skip check reads _done, not the data dirs, so a
-  *     partial data write is never mistaken for a finished layer.
-  * At 100 TB the skip check is a metadata-sized read (one row per layer)
-  * and each layer's stages shuffle only that layer's rows.
+  *   - data writes use DYNAMIC PARTITION OVERWRITE (each layer is one
+  *     partition directory): re-running after a crash mid-write atomically
+  *     replaces exactly the partial partitions, so the runner converges
+  *     under retries;
+  *   - a _done catalog (appendMissing) marks layers complete only AFTER
+  *     their data lands; the skip check reads _done, not the data dirs, so
+  *     a partial data write is never mistaken for a finished layer.
+  * All missing layers ride ONE write job per output (their plans unioned,
+  * partitionBy splitting them back out): at 100 TB the per-job fixed cost
+  * (commit protocol, driver scheduling) is paid once per output instead of
+  * once per layer x output, and a retry's unit of work is still the layer
+  * partition. The skip check stays a metadata-sized read (one row per
+  * layer) and each layer's branch shuffles only that layer's rows.
   */
 object Pipeline {
 
@@ -71,21 +75,33 @@ object Pipeline {
       layers: Seq[LayerSpec] = defaultLayers): Map[String, Long] = {
     import spark.implicits._
     val done = doneLayers(spark, outRoot)
-    layers.filterNot(l => done(l.name)).map { l =>
-      val enriched = enrichLayer(spark, dir, l).persist()
-      val tiles = tileLayer(spark, dir, l).persist()
-      try {
-        val n = enriched.count() + tiles.count()
-        writeLayerPartition(enriched, s"$outRoot/enriched")
-        writeLayerPartition(tiles, s"$outRoot/tiles")
-        // mark done LAST: a crash above leaves the layer unmarked and the
-        // dynamic overwrite makes the retry atomic per partition
-        ManifestIO.appendMissing(spark, Seq(l.name).toDF("layer"), s"$outRoot/_done", "layer")
-        l.name -> n
-      } finally {
-        enriched.unpersist(); tiles.unpersist()
-      }
-    }.toMap
+    val missing = layers.filterNot(l => done(l.name))
+    if (missing.isEmpty) Map.empty
+    else {
+      // one write job per output: each layer's plan is a branch of the
+      // union, partitionBy routes it to its own partition directory, and
+      // the plans execute exactly once (no persist + count pre-pass)
+      writeLayerPartition(
+        missing.map(enrichLayer(spark, dir, _)).reduce(_ unionByName _),
+        s"$outRoot/enriched")
+      writeLayerPartition(
+        missing.map(tileLayer(spark, dir, _)).reduce(_ unionByName _),
+        s"$outRoot/tiles")
+      // row counts come from the LANDED data (partition-pruned parquet
+      // metadata count), not a recompute of the plans
+      val names = missing.map(_.name)
+      def countsOf(path: String): Map[String, Long] =
+        spark.read.parquet(path).filter(col("layer").isin(names: _*))
+          .groupBy("layer").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val ce = countsOf(s"$outRoot/enriched")
+      val ct = countsOf(s"$outRoot/tiles")
+      // mark done LAST: a crash above leaves every in-flight layer
+      // unmarked and the dynamic overwrite makes the retry atomic per
+      // layer partition
+      ManifestIO.appendMissing(spark, names.toDF("layer"), s"$outRoot/_done", "layer")
+      names.map(n => n -> (ce.getOrElse(n, 0L) + ct.getOrElse(n, 0L))).toMap
+    }
   }
 
   /** Driver-checked query: run the pipeline into a FRESH scratch root, run
