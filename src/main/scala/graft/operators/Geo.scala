@@ -1204,30 +1204,60 @@ object Geo {
 
   /** Hexagonal binning (H3-style density map, one resolution): pointy-top
     * axial coordinates + cube rounding assign each point to a hex of
-    * size 3 deg; per-hex count + exact mean. EVERY float step — the
-    * axial projection (sqrt(3) is a single correctly-rounded IEEE op),
-    * the floor(v + 0.5) rounding (native round() half-way rules differ
-    * between engines; this form doesn't), and the tie-fix comparisons —
-    * is the IDENTICAL expression text on both engines (the same-
-    * expression rule, SURVEY §4): the strings below are spliced verbatim
-    * into the Spark plan AND the DuckDB oracle. Pure map stage + one
-    * groupBy, same scale shape as zs_tile_assign. */
+    * size 3 deg; per-hex count + exact mean. The original all-double
+    * cube rounding used identical expression TEXT on both engines, yet
+    * the sf0.1 step-up caught assignment flips on hex-boundary points:
+    * identical text does not pin identical ULPs (constant folding / FMA
+    * contraction differ between engines), and floor(v + 0.5) amplifies a
+    * 1-ulp gap into a different hex. The fix is the repo's exact-integer
+    * discipline (SURVEY §4, same as zs_idw): coords are centi-degree
+    * integers by construction, sqrt(3) is frozen as the 1e12-scaled
+    * integer constant 1732050807569 (OUR grid definition — determinism
+    * needs a fixed constant, not a correctly-rounded op), and the axial
+    * projection, cube rounding (+OFF shift keeps numerators nonnegative
+    * so truncating and flooring integer division agree), and tie-fix
+    * comparisons all run in exact BIGINT arithmetic. Denominator
+    * D = 900e12 (axial /9 x centi /100 x sqrt3 scale 1e12); numerators
+    * stay under 1.3e17, well inside long. The ONLY engine-syntax
+    * difference is integer division — the DIVOP token splices to `div`
+    * (Spark) / `//` (DuckDB), identical on the nonnegative operands
+    * here. Pure map stage + one groupBy, same scale shape as
+    * zs_tile_assign. */
   private val hexSteps: Seq[(String, String)] = Seq(
-    "qf" -> "(lon * (sqrt(3.0) / 3.0) - lat / 3.0) / 3.0",
-    "rf" -> "(lat * (2.0 / 3.0)) / 3.0",
-    "rq" -> "floor(qf + 0.5)",
-    "rr" -> "floor(rf + 0.5)",
-    "rs" -> "floor(-qf - rf + 0.5)",
-    "dq" -> "abs(rq - qf)",
-    "dr" -> "abs(rr - rf)",
-    "ds" -> "abs(rs - (-qf - rf))",
+    // centi-degree integers: lon*100 is within ~1e-11 of an integer by
+    // construction, so the +0.5 floor sits 0.5 away from any boundary
+    "lons" -> "CAST(floor(lon * 100.0 + 0.5) AS BIGINT)",
+    "lats" -> "CAST(floor(lat * 100.0 + 0.5) AS BIGINT)",
+    // axial numerators over D = 900000000000000 (9e14):
+    //   qf = (lon*sqrt(3)/9 - lat/9)  -> nq = lons*sqrt3_1e12 - lats*1e12
+    //   rf = 2*lat/9                  -> nr = lats*2e12
+    "nq" -> "lons * 1732050807569 - lats * 1000000000000",
+    "nr" -> "lats * 2000000000000",
+    // cube rounding: floor(x/D + 0.5) = (n + OFF*D + D/2) divop D - OFF
+    // with OFF = 100 making every dividend nonnegative
+    // (90450000000000000 = 100*D + D/2)
+    "rq" -> "(nq + 90450000000000000) DIVOP 900000000000000 - 100",
+    "rr" -> "(nr + 90450000000000000) DIVOP 900000000000000 - 100",
+    "rs" -> "(-nq - nr + 90450000000000000) DIVOP 900000000000000 - 100",
+    // rounding residuals, scaled by D — exact integers
+    "dq" -> "abs(rq * 900000000000000 - nq)",
+    "dr" -> "abs(rr * 900000000000000 - nr)",
+    "ds" -> "abs(rs * 900000000000000 - (-nq - nr))",
     "hq" -> "CAST(CASE WHEN dq > dr AND dq > ds THEN -rr - rs ELSE rq END AS BIGINT)",
     "hr" -> "CAST(CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds THEN -rq - rs ELSE rr END AS BIGINT)")
 
-  def hexbin(spark: SparkSession, dir: String): DataFrame = {
-    val withHex = hexSteps.foldLeft(points(spark, dir)) {
+  private def hexStepsFor(divOp: String): Seq[(String, String)] =
+    hexSteps.map { case (n, e) => n -> e.replace("DIVOP", divOp) }
+
+  /** The hex assignment alone over any (lon, lat) frame — GeoSpec pins
+    * fixed points against Python-bignum ground truth. */
+  def hexAssignOn(pts: DataFrame): DataFrame =
+    hexStepsFor("div").foldLeft(pts) {
       case (df, (name, sql)) => df.withColumn(name, expr(sql))
     }
+
+  def hexbin(spark: SparkSession, dir: String): DataFrame = {
+    val withHex = hexAssignOn(points(spark, dir))
     withHex.groupBy("hq", "hr")
       .agg(
         count(lit(1)).as("n_points"),
@@ -1277,7 +1307,9 @@ object Geo {
       "zs_hexbin" -> {
         // chain the same expression steps as nested CTE selects so each
         // name is computed ONCE with the identical text the Spark plan ran
-        val chained = hexSteps.zipWithIndex.map { case ((n, e), i) =>
+        // (modulo the DIVOP token: `//` here, `div` in Spark — identical
+        // on the nonnegative dividends the OFF shift guarantees)
+        val chained = hexStepsFor("//").zipWithIndex.map { case ((n, e), i) =>
           val prev = if (i == 0) "pts" else s"h${i - 1}"
           s"h$i AS (SELECT *, $e AS $n FROM $prev)"
         }.mkString(",\n")

@@ -230,6 +230,27 @@ class GeoSpec extends SparkSpecBase {
     assert(sk3 <= out(1L)._4)
   }
 
+  test("hexbin: exact-integer cube rounding matches bignum ground truth, counts conserved") {
+    import spark.implicits._
+    // expected values computed with Python arbitrary-precision integers
+    // over the same constants (T=1732050807569, D=9e14, OFF=100) —
+    // engine-independent ground truth, including the near-origin
+    // boundary point (-0.01, 0.01)
+    val fixed = Seq(
+      (0.0, 0.0, 0L, 0L), (10.37, -4.12, 2L, -1L), (-179.99, 34.99, -39L, 8L),
+      (123.45, -34.99, 28L, -8L), (-0.01, 0.01, 0L, 0L), (2.6, 1.5, 1L, 0L))
+    val got = Geo.hexAssignOn(fixed.toDF("lon", "lat", "ehq", "ehr"))
+      .select("lon", "lat", "ehq", "ehr", "hq", "hr").collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == r.getLong(4) && r.getLong(3) == r.getLong(5),
+        s"hex mismatch at (${r.getDouble(0)}, ${r.getDouble(1)})")
+    }
+    // binning loses no points
+    val total = Geo.points(spark, sfDir).count()
+    val binned = Geo.hexbin(spark, sfDir).agg(sum("n_points")).collect()(0).getLong(0)
+    assert(binned == total)
+  }
+
   test("full pyramid has every even zoom and conserves counts at each") {
     val pts = Geo.points(spark, sfDir).count()
     val perZoom = Geo.tilePyramidFull(spark, sfDir)
