@@ -445,12 +445,23 @@ object Similarity {
     * probed partitions per query (partition pruning on a clustered layout),
     * exactly how a disk-resident IVF index shards. Probe pairs are BOUNDED
     * at queries x P by construction — n_probed in the output proves it. */
+  /** Trained codebook of the FINAL two-round-Lloyd assignment: (c, i, cS,
+    * n), k x 64 rows — the static side of both the batch multi-probe
+    * search and the streaming probe router (StreamingJobs.annProbeRoute). */
+  def trainedCodebook(spark: SparkSession, dir: String): DataFrame = {
+    val (dims, assignFull) = kmeansChain(spark, dir)
+    dims.join(assignFull.select(col("vec_id"), col("c")), Seq("vec_id"))
+      .groupBy("c", "i").agg(sum("xq").as("cS"), count(lit(1)).as("n"))
+  }
+
   def multiprobe(spark: SparkSession, dir: String): DataFrame = {
     val (dims, assignFull) = kmeansChain(spark, dir)
     val assign = assignFull.select(col("vec_id"), col("c")).localCheckpoint()
     val c = corpus(spark, dir).localCheckpoint() // exact pass + both probe sides
     val clustered = c.join(assign, Seq("vec_id")).localCheckpoint()
     // trained codebook of the FINAL assignment: (c, i, cS, n), k x 64 rows
+    // (same shape trainedCodebook exposes; built inline here so it shares
+    // this query's already-checkpointed dims + assign)
     val cb = dims.join(assign, Seq("vec_id"))
       .groupBy("c", "i").agg(sum("xq").as("cS"), count(lit(1)).as("n"))
     val wp = Window.partitionBy("vec_id").orderBy(

@@ -203,6 +203,45 @@ object StreamingJobs {
       .select(col("event_id"), col("user_id"), col("p_ts"), col("c_ts"), col("c_value"))
   }
 
+  /** Stream-static ANN probe routing — the streaming twin of
+    * Similarity.multiprobe's centroid-ranking stage: a live stream of
+    * query embeddings is routed to its `probeP` nearest trained clusters
+    * by the SAME exact-integer distance the batch Lloyd rounds use
+    * (p = sum_i (xq_i*n - S_i)^2 over milli-unit coords, compared as
+    * p/n^2 — one correctly-rounded double division, the batch ordering
+    * verbatim). The codebook (c, i, cS, n — k x 64 rows from
+    * Similarity.trainedCodebook) is packed into ONE static row of
+    * array<struct> and broadcast, so the whole routing is a STATELESS
+    * map stage: no watermark, no state growth with ingest, and
+    * per-query cost O(k x dims) behind the broadcast. Streams can't run
+    * ranking windows; the top-P cut is array_sort + slice over the k
+    * candidate structs (array_sort orders by (d, c) — the window's
+    * ORDER BY d ASC, c ASC). Downstream, each (qid, c) row reads only
+    * the probed partitions of a c-clustered corpus layout — the
+    * disk-resident IVF shard pattern at ingest time. */
+  def annProbeRoute(queries: DataFrame, codebook: DataFrame, probeP: Int): DataFrame = {
+    // one row: every centroid as (c, n, s = 64 dim-ordered sums)
+    val packed = codebook
+      .groupBy("c").agg(max("n").as("n"),
+        expr("transform(array_sort(collect_list(struct(i, cS))), e -> e.cS)").as("s"))
+      .agg(expr("array_sort(collect_list(struct(c, n, s)))").as("cents"))
+      .withColumn("jk", lit(1))
+    queries
+      .withColumn("jk", lit(1))
+      .join(broadcast(packed), Seq("jk")) // stream-static inner equi-join
+      .withColumn("xq", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"))
+      .withColumn("ranked", expr(
+        s"""slice(array_sort(transform(cents, ct -> struct(
+           |  CAST(aggregate(sequence(0, size(xq) - 1), CAST(0 AS BIGINT), (acc, k) ->
+           |    acc + (element_at(xq, k + 1) * ct.n - element_at(ct.s, k + 1))
+           |        * (element_at(xq, k + 1) * ct.n - element_at(ct.s, k + 1))) AS DOUBLE)
+           |    / (CAST(ct.n AS DOUBLE) * CAST(ct.n AS DOUBLE)) AS d,
+           |  ct.c AS c))), 1, $probeP)""".stripMargin))
+      .select(col("qid"), posexplode(col("ranked")).as(Seq("pos", "pr")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("probe_rank"), col("pr.c").as("c"))
+  }
+
   /** foreachBatch keyed UPSERT into a bucket-partitioned parquet table —
     * the streaming sink pattern when the store is plain parquet (no
     * transactional table format in this environment): merge each

@@ -258,6 +258,39 @@ class StreamingSpec extends SparkSpecBase {
       s"stream=${result.count()} batch=${batch.count()}")
   }
 
+  test("streaming ANN probe router matches the batch window-ranked probe set") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val P = graft.operators.Similarity.MultiProbeP
+    val cb = graft.operators.Similarity.trainedCodebook(spark, sfDir).localCheckpoint()
+    // stream five query embeddings through the stateless router
+    val qRows = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val stream = MemoryStream[(Long, Seq[Float])]
+    stream.addData(qRows.toSeq)
+    val routed = StreamingJobs.annProbeRoute(
+      stream.toDF().toDF("qid", "embedding"), cb, P)
+    val result = StreamingJobs.runToMemory(spark, routed, "ann_route", OutputMode.Append())
+    // expected: the batch multiprobe's centroid-ranking stage (window
+    // form — a DIFFERENT plan shape over the same exact-integer distance)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id").orderBy(
+      (col("p").cast("double") / (col("n") * col("n")).cast("double")).asc, col("c").asc)
+    val expected = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 5)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .withColumn("xq", expr("CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)"))
+      .join(broadcast(cb), Seq("i"))
+      .withColumn("t", expr("xq * n - cS"))
+      .groupBy("vec_id", "c")
+      .agg(sum(expr("t * t")).as("p"), max(col("n")).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= P)
+      .select(col("vec_id").as("qid"), col("rn").cast("long").as("probe_rank"), col("c"))
+    assert(result.count() == 5L * P, s"expected ${5 * P} probe rows, got ${result.count()}")
+    assert(result.exceptAll(expected).isEmpty && expected.exceptAll(result).isEmpty,
+      s"stream=${result.count()} batch=${expected.count()}")
+  }
+
   test("native session_window sessionization matches the batch gap rule") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
