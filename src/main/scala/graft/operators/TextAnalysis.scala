@@ -263,7 +263,87 @@ object TextAnalysis {
       .withColumn("hapax_x10000", expr("n_hapax * 10000 div n_words"))
       .orderBy("doc_id")
 
+  /** Number of BPE merge rounds ta_bpe_train learns (the vocabulary-size
+    * knob; fixed small so the oracle unrolls the same rounds as CTEs). */
+  val BpeRounds = 4
+
+  /** Distributed BPE merge training (the tokenizer-training computation
+    * every LLM data pipeline runs before anything else): start from the
+    * character stream of each doc's first 40 chars, then per round count
+    * adjacent symbol pairs corpus-wide, pick the most frequent pair
+    * (ties -> lexicographic), and merge its non-overlapping occurrences.
+    * Two deterministic rules replace the parts of canonical BPE that
+    * don't distribute:
+    *   - word boundaries: pairs touching a space symbol are never counted
+    *     or merged (the pretokenizer's merge barrier);
+    *   - overlap resolution (the "aaa" case): within each run of
+    *     consecutive match positions, merge the 1st, 3rd, ... occurrence
+    *     (leftmost-greedy, expressed as run-parity — run membership falls
+    *     out of pos minus the running match ordinal, no sequential scan).
+    * Each round is per-doc windows (lead, running sum, run-start min,
+    * lag, renumber — partitions bounded at 40 symbols) plus ONE global
+    * pair count whose argmax is a one-row broadcast: at 100 TB the only
+    * corpus-wide traffic per round is the pair-count shuffle, exactly the
+    * map-side-combinable shape, and the driver holds plans, never data.
+    * Output: one row per round — the learned merge, its pair count, the
+    * number of merges actually applied, and the corpus token count after
+    * (strictly integer/string, hash-portable). */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainOn(documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  /** Same operator over any (doc_id, text) frame — BpeSpec pins the
+    * boundary-blocking, tie-break, and run-parity overlap rules on a
+    * hand-computed corpus. Precondition: the corpus must still have a
+    * space-free adjacent pair in every round (any real corpus does; a
+    * degenerate one would empty the argmax row and the round's stats). */
+  def bpeTrainOn(docs: DataFrame): DataFrame = {
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val base = docs
+      .select(col("doc_id"), expr("substring(lower(text), 1, 40)").as("t40"))
+      .withColumn("pos", explode(expr("sequence(1, 40)")))
+      .withColumn("sym", expr("substring(t40, pos, 1)"))
+      .filter(col("sym") =!= "")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("sym"))
+    val (_, stats) = (1 to BpeRounds).foldLeft((base.localCheckpoint(), Seq.empty[DataFrame])) {
+      case ((syms, acc), round) =>
+        val withNext = syms.withColumn("nxt", lead(col("sym"), 1).over(wDoc))
+        val best = withNext
+          .filter(col("nxt").isNotNull &&
+            !col("sym").contains(" ") && !col("nxt").contains(" "))
+          .groupBy("sym", "nxt").agg(count(lit(1)).as("n_pair"))
+          .orderBy(col("n_pair").desc, col("sym").asc, col("nxt").asc)
+          .limit(1)
+          .select(col("sym").as("bl"), col("nxt").as("br"), col("n_pair"))
+        val flagged = withNext.crossJoin(broadcast(best))
+          .withColumn("m",
+            col("nxt").isNotNull && col("sym") === col("bl") && col("nxt") === col("br"))
+          .withColumn("m_ord", sum(when(col("m"), 1L).otherwise(0L)).over(wDoc))
+          .withColumn("run_id", col("pos") - col("m_ord"))
+          .withColumn("run_start",
+            min(when(col("m"), col("pos"))).over(Window.partitionBy("doc_id", "run_id")))
+          .withColumn("mg", col("m") && (col("pos") - col("run_start")) % 2 === 0)
+          .withColumn("consumed", coalesce(lag(col("mg"), 1).over(wDoc), lit(false)))
+        val merged = flagged.filter(!col("consumed"))
+          .select(col("doc_id"), col("pos").as("opos"),
+            when(col("mg"), concat(col("sym"), col("nxt"))).otherwise(col("sym")).as("sym"))
+          .withColumn("pos",
+            row_number().over(Window.partitionBy("doc_id").orderBy("opos")).cast("long"))
+          .select("doc_id", "pos", "sym")
+          .localCheckpoint()
+        val stat = best
+          .crossJoin(flagged.agg(sum(when(col("mg"), 1L).otherwise(0L)).as("n_merged")))
+          .crossJoin(merged.agg(count(lit(1)).as("tokens_after")))
+          .select(lit(round.toLong).as("round"),
+            concat(col("bl"), lit("+"), col("br")).as("pair"),
+            col("n_pair"), col("n_merged"), col("tokens_after"))
+        (merged, acc :+ stat)
+    }
+    stats.reduce(_ unionByName _).orderBy("round")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_bpe_train" -> (bpeTrain _),
     "ta_diversity" -> (diversity _),
     "ta_pii_scrub" -> (piiScrub _),
     "ta_boilerplate" -> (boilerplate _),
@@ -275,7 +355,51 @@ object TextAnalysis {
     "ta_tokens" -> (tokens _),
     "ta_fingerprint" -> (fingerprint _))
 
+  /** ta_bpe_train oracle: the same rounds unrolled as chained CTEs (the
+    * ann_kmeans precedent — every comparison is exact integers/strings,
+    * so the unroll is bit-identical). Only dialect split: `div` vs `//`
+    * is not needed here (no integer division), but DuckDB's window SUM
+    * over INTEGER yields HUGEINT — harmless, run_id is only a partition
+    * key. */
+  private def bpeOracleSql: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      val prev = if (r == 1) "base" else s"p${r - 1}"
+      s"""n$r AS (SELECT doc_id, pos, sym,
+         |  lead(sym) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM $prev),
+         |b$r AS (SELECT sym AS bl, nxt AS br, COUNT(*) AS n_pair FROM n$r
+         |  WHERE nxt IS NOT NULL AND sym NOT LIKE '% %' AND nxt NOT LIKE '% %'
+         |  GROUP BY 1, 2 ORDER BY n_pair DESC, bl, br LIMIT 1),
+         |m$r AS (SELECT n.doc_id, n.pos, n.sym, n.nxt, b.bl, b.br,
+         |  (n.nxt IS NOT NULL AND n.sym = b.bl AND n.nxt = b.br) AS m
+         |  FROM n$r n CROSS JOIN b$r b),
+         |o$r AS (SELECT *, pos - SUM(CASE WHEN m THEN 1 ELSE 0 END)
+         |  OVER (PARTITION BY doc_id ORDER BY pos) AS run_id FROM m$r),
+         |s$r AS (SELECT *, MIN(CASE WHEN m THEN pos END)
+         |  OVER (PARTITION BY doc_id, run_id) AS run_start FROM o$r),
+         |g$r AS (SELECT *, (m AND (pos - run_start) % 2 = 0) AS mg FROM s$r),
+         |c$r AS (SELECT *, COALESCE(LAG(mg) OVER (PARTITION BY doc_id ORDER BY pos),
+         |  false) AS consumed FROM g$r),
+         |p$r AS (SELECT doc_id,
+         |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+         |  CASE WHEN mg THEN bl || br ELSE sym END AS sym
+         |  FROM c$r WHERE NOT consumed),
+         |st$r AS (SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT bl || '+' || br FROM b$r) AS pair,
+         |  (SELECT n_pair FROM b$r) AS n_pair,
+         |  (SELECT CAST(SUM(CASE WHEN mg THEN 1 ELSE 0 END) AS BIGINT) FROM g$r) AS n_merged,
+         |  (SELECT COUNT(*) FROM p$r) AS tokens_after)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to BpeRounds).map(r => s"SELECT * FROM st$r").mkString(" UNION ALL ")
+    s"""WITH base AS (SELECT doc_id, pos, sym FROM (
+       |  SELECT doc_id, i AS pos, substr(substring(lower(text), 1, 40), i, 1) AS sym
+       |  FROM documents, range(1, 41) t(i)) sub WHERE sym <> ''),
+       |$rounds
+       |SELECT round, pair, n_pair, n_merged, tokens_after FROM ($unions) u
+       |ORDER BY round""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "ta_bpe_train" -> bpeOracleSql,
     "ta_diversity" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents

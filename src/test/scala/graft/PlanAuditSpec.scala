@@ -22,7 +22,11 @@ class PlanAuditSpec extends SparkSpecBase {
     "ann_mmr", "gr_triangles", "ann_pq",
     // ann_kmeans_recall and ann_multiprobe embed the same bounded-broadcast
     // exact baseline as ann_recall for their ground truth
-    "ann_kmeans_recall", "ann_multiprobe")
+    "ann_kmeans_recall", "ann_multiprobe",
+    // ta_bpe_train cross-joins the per-round ONE-ROW argmax (the learned
+    // merge) onto the symbol stream and the one-row stat aggregates —
+    // the gr_triangles shape, bounded by construction
+    "ta_bpe_train")
 
   test("no query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
