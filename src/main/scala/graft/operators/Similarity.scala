@@ -352,7 +352,7 @@ object Similarity {
     * carries no data, only plan construction. */
   /** Final (vec_id, cluster, p, n) assignment after two Lloyd rounds —
     * shared by the kmeans summary query and the recall evaluation. */
-  private def kmeansAssignments(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def kmeansAssignments(spark: SparkSession, dir: String): DataFrame =
     kmeansChain(spark, dir)._2
 
   /** (dims, final assignment) — dims is the localCheckpointed exploded

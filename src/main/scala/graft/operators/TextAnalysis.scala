@@ -342,7 +342,28 @@ object TextAnalysis {
     stats.reduce(_ unionByName _).orderBy("round")
   }
 
+  /** Domain-mixture reweighting (the Pile/DoReMi-style curation step
+    * before training): per-source token mass vs the equal-share target,
+    * and the up/down-sampling factor each source needs to hit it. One
+    * corpus groupBy; the totals ride an all-rows window over the
+    * AGGREGATED per-source frame (#sources rows — bounded by the domain
+    * taxonomy, never by the corpus), so no second shuffle and no one-row
+    * cross join. Scaled-integer shares/weights (div) keep the oracle
+    * bit-exact. */
+  def mixture(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+      .withColumn("total_tokens", sum("n_tokens").over(Window.partitionBy()))
+      .withColumn("n_sources", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("share_x10000", expr("n_tokens * 10000 div total_tokens"))
+      .withColumn("weight_x10000", expr("total_tokens * 10000 div (n_sources * n_tokens)"))
+      .select("source", "n_docs", "n_tokens", "share_x10000", "weight_x10000")
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_mixture" -> (mixture _),
     "ta_bpe_train" -> (bpeTrain _),
     "ta_diversity" -> (diversity _),
     "ta_pii_scrub" -> (piiScrub _),
@@ -399,6 +420,19 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "ta_mixture" ->
+      """WITH s AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source
+        |), t AS (
+        |  SELECT *, CAST(SUM(n_tokens) OVER () AS BIGINT) AS total_tokens,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n_sources FROM s
+        |)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(n_tokens * 10000 // total_tokens AS BIGINT) AS share_x10000,
+        |  CAST(total_tokens * 10000 // (n_sources * n_tokens) AS BIGINT) AS weight_x10000
+        |FROM t ORDER BY source""".stripMargin,
     "ta_bpe_train" -> bpeOracleSql,
     "ta_diversity" ->
       """WITH w AS (

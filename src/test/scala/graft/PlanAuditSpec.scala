@@ -44,6 +44,27 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("a cluster-partitioned corpus layout prunes the scan to the probed partitions") {
+    // ann_multiprobe's 100 TB claim: "the candidate scan reads only the P
+    // probed partitions of a clustered layout". Make it checkable — write
+    // the corpus partitioned by its trained cluster, filter to a probe
+    // set, and assert the scan carries partition filters and returns
+    // exactly the probed clusters' members.
+    import org.apache.spark.sql.functions._
+    val asg = graft.operators.Similarity.kmeansAssignments(spark, sfDir)
+      .select(col("vec_id"), col("c"))
+    val layout = s"/tmp/graft_ivf_layout_${System.nanoTime()}"
+    graft.sources.Tables.embeddings(spark, sfDir)
+      .join(asg, Seq("vec_id")).write.partitionBy("c").parquet(layout)
+    val probes = Seq(2L, 5L)
+    val scan = spark.read.parquet(layout).filter(col("c").isin(probes: _*))
+    val p = plan(scan)
+    assert(p.contains("PartitionFilters") && !p.contains("PartitionFilters: []"),
+      s"probe filter did not reach the partition layout:\n$p")
+    val expected = asg.filter(col("c").isin(probes: _*)).count()
+    assert(expected > 0 && scan.count() == expected)
+  }
+
   test("no forced broadcast of O(corpus) tables (per-doc counts/signatures)") {
     // These queries join one-row-per-doc tables that grow with the data; a
     // broadcast() hint there ships the corpus to every executor at 100x.
