@@ -362,7 +362,43 @@ object TextAnalysis {
       .select("source", "n_docs", "n_tokens", "share_x10000", "weight_x10000")
       .orderBy("source")
 
+  /** Mixture-weighted deterministic resampling — ta_mixture's weights put
+    * to work: every doc is replicated floor(w) times plus one more when
+    * its md5-derived uniform (4 hex chars mod 10^4 — the repo's md5-only
+    * hashing rule, so both engines draw the SAME "random" number) falls
+    * under the fractional part. Up- AND down-sampling in one rule:
+    * w = 0.8 keeps ~80% of docs once, w = 1.2 keeps all docs and
+    * duplicates ~20%. The per-source weight table is #sources rows
+    * (broadcast); replication is a per-row sequence explode bounded by
+    * ceil(w) — no shuffle beyond the final per-source rollup. */
+  def resample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val w = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy("source").agg(sum("toks").as("n_tokens"))
+      .withColumn("total_tokens", sum("n_tokens").over(Window.partitionBy()))
+      .withColumn("n_sources", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("weight_x10000", expr("total_tokens * 10000 div (n_sources * n_tokens)"))
+      .select("source", "weight_x10000")
+    docs
+      .select(col("doc_id"), col("source"), size(split(col("text"), " ")).cast("long").as("toks"))
+      .join(broadcast(w), Seq("source"))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(concat('rs:', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % 10000"))
+      .withColumn("n_copies", expr(
+        "weight_x10000 div 10000 + (CASE WHEN h < weight_x10000 % 10000 THEN 1 ELSE 0 END)"))
+      .filter(col("n_copies") >= 1L)
+      .withColumn("copy", explode(expr("sequence(1, n_copies)")))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("docs_out"),
+        countDistinct(col("doc_id")).as("docs_kept"),
+        sum(col("toks")).as("tokens_out"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_resample" -> (resample _),
     "ta_mixture" -> (mixture _),
     "ta_bpe_train" -> (bpeTrain _),
     "ta_diversity" -> (diversity _),
@@ -420,6 +456,41 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "ta_resample" -> {
+      // 4-hex-char md5 prefix as an integer: Horner fold of strpos digits
+      // (the dd_simhash hex-decode pattern; Spark side uses conv)
+      val hexDigit = (k: Int) =>
+        s"(strpos('0123456789abcdef', substr(m, $k, 1)) - 1)"
+      s"""WITH s AS (
+         |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source
+         |), w AS (
+         |  SELECT source,
+         |    CAST(CAST(SUM(n_tokens) OVER () AS BIGINT) * 10000
+         |      // (CAST(COUNT(*) OVER () AS BIGINT) * n_tokens) AS BIGINT) AS weight_x10000
+         |  FROM s
+         |), d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+         |    (((${hexDigit(1)} * 16 + ${hexDigit(2)}) * 16 + ${hexDigit(3)}) * 16
+         |      + ${hexDigit(4)}) % 10000 AS h
+         |  FROM (SELECT *, md5('rs:' || CAST(doc_id AS VARCHAR)) AS m FROM documents) dm
+         |), j AS (
+         |  SELECT d.*,
+         |    weight_x10000 // 10000
+         |      + (CASE WHEN h < weight_x10000 % 10000 THEN 1 ELSE 0 END) AS n_copies
+         |  FROM d JOIN w USING (source)
+         |), e AS (
+         |  -- per-row list explode (the table-function form can't take a
+         |  -- lateral column argument in DuckDB)
+         |  SELECT source, doc_id, toks,
+         |    UNNEST(range(1, CAST(n_copies + 1 AS BIGINT))) AS copy
+         |  FROM j WHERE n_copies >= 1
+         |)
+         |SELECT source, COUNT(*) AS docs_out, COUNT(DISTINCT doc_id) AS docs_kept,
+         |  CAST(SUM(toks) AS BIGINT) AS tokens_out
+         |FROM e GROUP BY source ORDER BY source""".stripMargin
+    },
     "ta_mixture" ->
       """WITH s AS (
         |  SELECT source, COUNT(*) AS n_docs,
