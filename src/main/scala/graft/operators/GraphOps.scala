@@ -169,7 +169,12 @@ object GraphOps {
     * orientation (point each edge at the higher-degree endpoint) is the
     * standard next step if degree skew appears. The final stat assembly
     * cross-joins four ONE-ROW aggregates (bounded, audit-sanctioned). */
-  def triangleStats(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  /** The user co-activity edge set (users active in the same (event_type,
+    * hour) bucket, buckets over 20 users dropped before pair generation —
+    * the quadratic-fan-out cap shared with the dedup indexes): undirected,
+    * kept once as a < b. Shared by gr_triangles and gr_pagerank. */
+  private[graft] def coActivityEdges(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import graft.sources.Tables
     val act = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), date_trunc("hour", col("ts")).as("hr"))
@@ -177,11 +182,15 @@ object GraphOps {
     val sizes = act.groupBy("event_type", "hr").agg(count(lit(1)).as("n"))
       .filter(col("n") <= 20)
     val ok = act.join(sizes.select("event_type", "hr"), Seq("event_type", "hr"))
-    val edges = ok.as("x").join(ok.as("y"),
+    ok.as("x").join(ok.as("y"),
         col("x.event_type") === col("y.event_type") && col("x.hr") === col("y.hr")
           && col("x.user_id") < col("y.user_id"))
       .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
       .distinct()
+  }
+
+  def triangleStats(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val edges = coActivityEdges(spark, dir)
       .localCheckpoint() // reused by degree + all three triangle sides
     val deg = edges.select(col("a").as("u"))
       .unionAll(edges.select(col("b").as("u")))
@@ -224,10 +233,75 @@ object GraphOps {
       .orderBy("n_nodes")
   }
 
+  /** PageRank over the co-activity graph (crawl-era authority scoring —
+    * the quality prior web-scale training corpora weight documents by),
+    * two power-iteration rounds in EXACT scaled-integer arithmetic:
+    * ranks are 1e12-scaled longs, per-neighbor contributions use integer
+    * division (both engines floor identically on the nonnegative
+    * operands), and the damping update is (msum * 85) div 100 + 0.15e12
+    * — every value a long below 8.5e17, so assignments are bit-identical
+    * across engines and the oracle unrolls the same two rounds as CTEs.
+    * The graph is symmetric (every node has degree >= 1 by construction)
+    * so there is no dangling mass. Per round: one co-partitioned
+    * (edges x ranks) join + one groupBy on dst — the standard distributed
+    * PageRank shuffle pair; rounds are a fixed small constant. The +0L
+    * re-aliases on the symmetric union avoid Spark's swapped-exprId
+    * Union constraint rewrite (the nbrs pattern above). */
+  def pagerank(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val ed = coActivityEdges(spark, dir)
+    val sym = ed.select((col("a") + lit(0L)).as("src"), (col("b") + lit(0L)).as("dst"))
+      .unionByName(ed.select((col("b") + lit(0L)).as("src"), (col("a") + lit(0L)).as("dst")))
+      .localCheckpoint() // reused: degree + both iteration joins
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("d"))
+    val r0 = deg.select(col("src").as("u"), lit(1000000000000L).as("r"))
+    def step(r: DataFrame): DataFrame =
+      sym.join(r.withColumnRenamed("u", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("u"), expr("r div d").as("c"))
+        .groupBy("u").agg(sum(col("c")).as("msum"))
+        .select(col("u"), expr("150000000000 + (msum * 85) div 100").as("r"))
+    step(step(r0))
+      .orderBy(col("r").desc, col("u").asc).limit(15)
+      .select(col("u").as("user_id"), col("r").as("rank_x1e12"))
+      .orderBy(col("rank_x1e12").desc, col("user_id"))
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "gr_pagerank" -> (pagerank _),
     "gr_triangles" -> (triangleStats _))
 
   val oracle: Map[String, String] = Map(
+    "gr_pagerank" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr FROM events
+        |), sizes AS (
+        |  SELECT event_type, hr FROM (
+        |    SELECT event_type, hr, COUNT(*) AS n FROM act GROUP BY 1, 2) WHERE n <= 20
+        |), ok AS (
+        |  SELECT act.* FROM act JOIN sizes USING (event_type, hr)
+        |), edges AS (
+        |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+        |  FROM ok x JOIN ok y ON x.event_type = y.event_type AND x.hr = y.hr
+        |    AND x.user_id < y.user_id
+        |), sym AS (
+        |  SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b, a FROM edges
+        |), deg AS (
+        |  SELECT src, COUNT(*) AS d FROM sym GROUP BY src
+        |), r0 AS (
+        |  SELECT src AS u, CAST(1000000000000 AS BIGINT) AS r FROM deg
+        |), r1 AS (
+        |  SELECT u, 150000000000 + (msum * 85) // 100 AS r FROM (
+        |    SELECT s.dst AS u, CAST(SUM(r0.r // deg.d) AS BIGINT) AS msum
+        |    FROM sym s JOIN r0 ON s.src = r0.u JOIN deg ON s.src = deg.src
+        |    GROUP BY s.dst) m1
+        |), r2 AS (
+        |  SELECT u, 150000000000 + (msum * 85) // 100 AS r FROM (
+        |    SELECT s.dst AS u, CAST(SUM(r1.r // deg.d) AS BIGINT) AS msum
+        |    FROM sym s JOIN r1 ON s.src = r1.u JOIN deg ON s.src = deg.src
+        |    GROUP BY s.dst) m2
+        |)
+        |SELECT u AS user_id, CAST(r AS BIGINT) AS rank_x1e12 FROM r2
+        |ORDER BY r DESC, u LIMIT 15""".stripMargin,
     "gr_triangles" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr FROM events
