@@ -308,6 +308,9 @@ object TextAnalysis {
     val (_, stats) = (1 to BpeRounds).foldLeft((base.localCheckpoint(), Seq.empty[DataFrame])) {
       case ((syms, acc), round) =>
         val withNext = syms.withColumn("nxt", lead(col("sym"), 1).over(wDoc))
+        // both frames feed multiple consumers (the merge, the stat
+        // aggregates, next round's input) — eager checkpoints keep the
+        // window chain and the argmax from recomputing per consumer
         val best = withNext
           .filter(col("nxt").isNotNull &&
             !col("sym").contains(" ") && !col("nxt").contains(" "))
@@ -315,6 +318,7 @@ object TextAnalysis {
           .orderBy(col("n_pair").desc, col("sym").asc, col("nxt").asc)
           .limit(1)
           .select(col("sym").as("bl"), col("nxt").as("br"), col("n_pair"))
+          .localCheckpoint()
         val flagged = withNext.crossJoin(broadcast(best))
           .withColumn("m",
             col("nxt").isNotNull && col("sym") === col("bl") && col("nxt") === col("br"))
@@ -324,13 +328,13 @@ object TextAnalysis {
             min(when(col("m"), col("pos"))).over(Window.partitionBy("doc_id", "run_id")))
           .withColumn("mg", col("m") && (col("pos") - col("run_start")) % 2 === 0)
           .withColumn("consumed", coalesce(lag(col("mg"), 1).over(wDoc), lit(false)))
+          .localCheckpoint()
         val merged = flagged.filter(!col("consumed"))
           .select(col("doc_id"), col("pos").as("opos"),
             when(col("mg"), concat(col("sym"), col("nxt"))).otherwise(col("sym")).as("sym"))
           .withColumn("pos",
             row_number().over(Window.partitionBy("doc_id").orderBy("opos")).cast("long"))
           .select("doc_id", "pos", "sym")
-          .localCheckpoint()
         val stat = best
           .crossJoin(flagged.agg(sum(when(col("mg"), 1L).otherwise(0L)).as("n_merged")))
           .crossJoin(merged.agg(count(lit(1)).as("tokens_after")))
