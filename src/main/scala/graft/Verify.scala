@@ -43,6 +43,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Full declared-query registry (respecting the local-iteration filter):
+    // lets check.py fail on silently-missing results, so a Spark-side
+    // analysis failure can never read as a green round.
+    val declared = SparkEntry.queries.keys.toSeq.sorted
+      .filter(k => only.forall(_.contains(k)))
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      declared.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -25,13 +25,33 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "region")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
-    * rejects; we read it as a long (spark.sql.legacy.parquet.nanosAsLong,
-    * set by GraftSession/Verify/Bench) and convert ns -> µs timestamp with
-    * integer division (ns fits a long but NOT a double mantissa). */
+  /** events.ts has shipped in two physical encodings across testdata
+    * generations: TIMESTAMP(NANOS) (read as long via
+    * spark.sql.legacy.parquet.nanosAsLong, set by GraftSession) and plain
+    * timestamp[us] (reads as TimestampType directly). Branch on the actual
+    * dtype so either generation loads; fail loudly on anything else. */
   def events(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(t(spark, dir, "events"))
+
+  /** Normalize whatever physical encoding events.ts shipped with to
+    * TimestampType. Also used by the streaming specs on readStream frames
+    * so batch and stream apply the identical branch. */
+  def normalizeTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // nanos-as-long: ns -> µs with integer division (ns overflows a
+        // double mantissa, so never go through floating point here)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType =>
+        raw
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // tz-naive parquet; session tz is pinned to UTC, so this cast is a
+        // pure re-tag and matches the nanos-era TimestampType downstream
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unexpected parquet dtype $other (want INT64 nanos or TIMESTAMP[_NTZ])")
+    }
   def documents(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
 

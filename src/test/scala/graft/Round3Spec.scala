@@ -214,8 +214,8 @@ class Round3Spec extends SparkSpecBase {
 
   test("ev_trajectory L1 totals match a brute-force per-user walk") {
     import graft.operators.Events
-    val evs = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("user_id"), col("event_id"), expr("ts div 1000000000").as("sec"))
+    val evs = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("sec"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val byUser = evs.groupBy(_._1).view.mapValues(_.sortBy(e => (e._3, e._2))).toMap
     def pos(id: Long) = (id * 7919 % 36000 - 18000, id * 104729 % 7000 - 3500)

@@ -70,10 +70,9 @@ class StreamingSpec extends SparkSpecBase {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("events.parquet"))
-    val streamed = spark.readStream
-      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
-      .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val streamed = Tables.normalizeTs(spark.readStream
+        .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+        .parquet(dir.toString))
       .select(col("ts"), col("event_type"), col("value"))
     val result = StreamingJobs.runToMemory(spark,
       StreamingJobs.windowedAgg(streamed), "file_win_agg",

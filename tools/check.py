@@ -24,6 +24,32 @@ for t in ("region nation customer supplier part orders lineitem "
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
+# Registry completeness gate (ADVICE r6): every DECLARED query must have a
+# readable result, oracle-checked or not — a Spark-side failure that drops a
+# result directory must fail the gate, never shrink the denominator.
+import os
+registry_fails = []
+try:
+    declared = json.load(open(f"{outdir}/queries.json"))
+except FileNotFoundError:
+    declared = sorted(oracle)
+    print("WARN: no queries.json in outdir; registry gate limited to oracle keys")
+for name in declared:
+    d = f"{outdir}/{name}"
+    ok = os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d))
+    if ok and name not in oracle:
+        # rows-only query: still require the result to be readable + nonempty
+        try:
+            n = con.sql(f"SELECT count(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
+            print(f"ok   {name} (rows-only, {n} rows)")
+            ok = n > 0
+        except Exception as e:
+            print(f"FAIL {name}: rows-only result unreadable: {e}")
+            ok = False
+    if not ok:
+        registry_fails.append(name)
+        print(f"FAIL {name}: declared but result missing/empty in {outdir}")
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -81,5 +107,7 @@ for name, sql in sorted(oracle.items()):
         fails.append(name)
         print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}")
 
-print(f"\n{len(oracle) - len(fails)}/{len(oracle)} pass")
+fails += registry_fails
+total = len(set(declared) | set(oracle))
+print(f"\n{total - len(set(fails))}/{total} pass")
 sys.exit(1 if fails else 0)
