@@ -504,7 +504,103 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** IVF + PQ + exact rerank — the three-tier retrieval shape a 100 TB
+    * corpus actually deploys (FAISS IVFPQ): the trained-k-means coarse
+    * quantizer prunes the corpus to the query's MultiProbeP closest
+    * clusters (~P/k of the data), PQ asymmetric distance scores only
+    * those candidates against the subspace-codebook reconstruction
+    * (reading 2 code bytes + a broadcast codebook instead of the raw
+    * 64-float vector), and the approx top-10 get one exact-cosine rerank.
+    *
+    * Determinism: both quantizers run the repo's exact-integer argmin
+    * (p = sum (xq*n - cS)^2, compare p/n^2 — single correctly-rounded
+    * double division, ties by id), reconstruction values are exact
+    * quotients cS/n, and the approx/exact scores are the same
+    * left-to-right fold both engines run — so the full three-tier
+    * cascade hash-matches the DuckDB oracle, which replays the Lloyd
+    * rounds + codebook as chained CTEs.
+    *
+    * Scale: both codebooks are tiny broadcasts (k x 64 and labels x 64);
+    * the candidate scan joins on the cluster key — on a cluster-
+    * partitioned layout that is partition pruning, P/k of the corpus
+    * read, no shuffle of the big side; candidate pairs are BOUNDED at
+    * queries x P clusters (n_cand in the output proves the prune: at
+    * P=6 of k=10 it must be strictly under the corpus size). */
+  def ivfpq(spark: SparkSession, dir: String): DataFrame = {
+    val (dims, assignFull) = kmeansChain(spark, dir)
+    val assign = assignFull.select(col("vec_id"), col("c")).localCheckpoint()
+    val c = corpus(spark, dir).localCheckpoint() // queries + rerank + cand norms
+    // --- PQ tier: label-subspace codebook, codes, reconstruction (ann_pq) ---
+    val sdims = dims.withColumn("s", expr("i div 32"))
+    val cbq = sdims.groupBy(col("label").as("cb_label"), col("s"), col("i"))
+      .agg(sum("xq").as("cS"), count(lit(1)).as("n"))
+      .localCheckpoint() // labels x 64 rows; probed by every corpus dim
+    val wAsg = Window.partitionBy("vec_id", "s").orderBy(
+      (col("p").cast("double") / (col("n") * col("n")).cast("double")).asc,
+      col("cb_label").asc)
+    val codes = sdims.join(broadcast(cbq), Seq("s", "i"))
+      .withColumn("t", expr("xq * n - cS"))
+      .groupBy("vec_id", "s", "cb_label")
+      .agg(sum(expr("t * t")).as("p"), max(col("n")).as("n"))
+      .withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("cb_label").as("code"))
+    val recon = cbq.groupBy("cb_label", "s")
+      .agg(expr("transform(array_sort(collect_list(struct(i, " +
+        "CAST(cS AS DOUBLE) / CAST(n AS DOUBLE) AS r))), e -> e.r)").as("rvec"))
+    val rec = codes.as("cd").join(recon.as("rc"),
+        col("cd.s") === col("rc.s") && col("cd.code") === col("rc.cb_label"))
+      .select(col("cd.vec_id").as("vec_id"), col("cd.s").as("s"), col("rc.rvec").as("rvec"))
+      .groupBy("vec_id")
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(s, rvec))), e -> e.rvec))").as("rec"))
+    // --- IVF tier: rank trained centroids per query, probe top-P (ann_multiprobe) ---
+    val cbiv = dims.join(assign, Seq("vec_id"))
+      .groupBy("c", "i").agg(sum("xq").as("cS"), count(lit(1)).as("n"))
+    val wp = Window.partitionBy("vec_id").orderBy(
+      (col("p").cast("double") / (col("n") * col("n")).cast("double")).asc,
+      col("c").asc)
+    val probes = dims.filter(col("vec_id") < 10)
+      .join(broadcast(cbiv), Seq("i"))
+      .withColumn("t", expr("xq * n - cS"))
+      .groupBy("vec_id", "c")
+      .agg(sum(expr("t * t")).as("p"), max(col("n")).as("n"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= MultiProbeP)
+      .select(col("vec_id").as("qid"), col("c"))
+    // (qid, qv, qn, c): MultiProbeP rows per query — broadcast-sized
+    val q = c.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+      .join(probes, Seq("qid"))
+    // --- cascade: probed clusters -> PQ approx -> exact rerank ---
+    val cand = rec.join(assign, Seq("vec_id"))
+      .join(c.select(col("vec_id"), col("nrm").as("cn")), Seq("vec_id"))
+      .withColumnRenamed("vec_id", "cid")
+      .join(broadcast(q), Seq("c"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("approx", expr(
+        "aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), " +
+          "(acc, k) -> acc + CAST(element_at(qv, k + 1) AS DOUBLE) * element_at(rec, k + 1))")
+        / (col("qn") * col("cn")))
+      .localCheckpoint() // feeds both the per-query count and the ranking
+    val nc = cand.groupBy("qid").agg(count(lit(1)).as("n_cand"))
+    val wA = Window.partitionBy("qid").orderBy(col("approx").desc, col("cid").asc)
+    val wE = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    cand
+      .withColumn("approx_rank", row_number().over(wA).cast("long"))
+      .filter(col("approx_rank") <= 10)
+      .join(c.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("nrm").as("cn2")), Seq("cid"))
+      .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn2")))
+      .withColumn("rank", row_number().over(wE).cast("long"))
+      .filter(col("rank") <= 3)
+      .join(nc, Seq("qid"))
+      .select(col("qid"), col("rank"), col("cid"), r4(col("cos")).as("cos_sim"),
+        col("approx_rank"), col("n_cand"))
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ivfpq" -> (ivfpq _),
     "ann_multiprobe" -> (multiprobe _),
     "ann_kmeans_recall" -> (kmeansRecall _),
     "ann_kmeans" -> (kmeans _),
@@ -763,7 +859,95 @@ object Similarity {
        |LEFT JOIN approx ON exact.qid = approx.qid AND exact.cid = approx.cid
        |GROUP BY exact.qid, np.n_probed ORDER BY exact.qid""".stripMargin
 
+  /** ann_ivfpq oracle: the kmeans Lloyd CTEs (coarse quantizer), the PQ
+    * codebook CTEs (with the subspace id derived as i // 32 from the
+    * shared dims), the top-P probe ranking, and the cascade — candidates
+    * restricted to probed clusters, PQ-reconstruction approx score,
+    * exact rerank. Every tier is the exact-integer argmin, so the whole
+    * cascade hash-matches. */
+  private def ivfpqSql: String =
+    s"""WITH $kmeansCtes,
+       |e0 AS (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings
+       |),
+       |cbq AS (
+       |  SELECT label AS cb_label, i // 32 AS s, i,
+       |    CAST(SUM(xq) AS BIGINT) AS cS, COUNT(*) AS n
+       |  FROM dims GROUP BY 1, 2, 3
+       |),
+       |asgq AS (
+       |  SELECT d.vec_id, c.s, c.cb_label,
+       |    CAST(SUM((d.xq * c.n - c.cS) * (d.xq * c.n - c.cS)) AS BIGINT) AS p,
+       |    MAX(c.n) AS n
+       |  FROM dims d JOIN cbq c ON d.i = c.i GROUP BY 1, 2, 3
+       |),
+       |codes AS (
+       |  SELECT vec_id, s, cb_label AS code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+       |      ORDER BY CAST(p AS DOUBLE) / CAST(n * n AS DOUBLE) ASC, cb_label ASC) AS rn
+       |    FROM asgq) WHERE rn = 1
+       |),
+       |recon AS (
+       |  SELECT cb_label, s, list(CAST(cS AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY i) AS rvec
+       |  FROM cbq GROUP BY 1, 2
+       |),
+       |rec AS (
+       |  SELECT c0.vec_id, r0.rvec || r1.rvec AS rec
+       |  FROM codes c0
+       |  JOIN recon r0 ON c0.s = 0 AND r0.s = 0 AND c0.code = r0.cb_label
+       |  JOIN codes c1 ON c1.vec_id = c0.vec_id AND c1.s = 1
+       |  JOIN recon r1 ON r1.s = 1 AND c1.code = r1.cb_label
+       |),
+       |cbiv AS (
+       |  SELECT as2.c, d.i, CAST(SUM(d.xq) AS BIGINT) AS cS, COUNT(*) AS n
+       |  FROM dims d JOIN as2 ON d.vec_id = as2.vec_id GROUP BY 1, 2
+       |),
+       |pd AS (
+       |  SELECT d.vec_id, c.c,
+       |    CAST(SUM((d.xq * c.n - c.cS) * (d.xq * c.n - c.cS)) AS BIGINT) AS p,
+       |    MAX(c.n) AS n
+       |  FROM dims d JOIN cbiv c ON d.i = c.i WHERE d.vec_id < 10 GROUP BY 1, 2
+       |),
+       |probes AS (
+       |  SELECT vec_id AS qid, c FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY CAST(p AS DOUBLE) / CAST(n * n AS DOUBLE) ASC, c ASC) AS rn
+       |    FROM pd) WHERE rn <= $MultiProbeP
+       |),
+       |cand AS (
+       |  SELECT p.qid, x.vec_id AS cid,
+       |    list_reduce(list_transform(range(1, 65),
+       |      k -> q.embedding[k]::DOUBLE * x.rec[k]), (acc, v) -> acc + v)
+       |      / (q.nrm * e.nrm) AS approx
+       |  FROM probes p
+       |  JOIN as2 ca ON ca.c = p.c
+       |  JOIN rec x ON x.vec_id = ca.vec_id
+       |  JOIN e0 e ON e.vec_id = ca.vec_id
+       |  JOIN e0 q ON q.vec_id = p.qid
+       |  WHERE ca.vec_id <> p.qid
+       |),
+       |nc AS (SELECT qid, COUNT(*) AS n_cand FROM cand GROUP BY qid),
+       |a AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY approx DESC, cid ASC) AS approx_rank
+       |  FROM cand
+       |),
+       |r AS (
+       |  SELECT a.qid, a.cid, a.approx_rank,
+       |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY a.qid
+       |      ORDER BY ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+       |        a.cid ASC) AS rank
+       |  FROM a JOIN e0 q ON q.vec_id = a.qid JOIN e0 c ON c.vec_id = a.cid
+       |  WHERE a.approx_rank <= 10
+       |)
+       |SELECT r.qid, CAST(rank AS BIGINT) AS rank, cid,
+       |  ${graft.sources.Tables.r4Sql("cos")} AS cos_sim,
+       |  CAST(approx_rank AS BIGINT) AS approx_rank, nc.n_cand
+       |FROM r JOIN nc ON nc.qid = r.qid WHERE rank <= 3 ORDER BY r.qid, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "ann_ivfpq" -> ivfpqSql,
     "ann_multiprobe" -> multiprobeSql,
     "ann_kmeans_recall" -> kmeansRecallSql,
     "ann_kmeans" -> kmeansSql,

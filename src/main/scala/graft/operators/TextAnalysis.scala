@@ -297,44 +297,65 @@ object TextAnalysis {
     * hand-computed corpus. Precondition: the corpus must still have a
     * space-free adjacent pair in every round (any real corpus does; a
     * degenerate one would empty the argmax row and the round's stats). */
-  def bpeTrainOn(docs: DataFrame): DataFrame = {
-    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val base = docs
-      .select(col("doc_id"), expr("substring(lower(text), 1, 40)").as("t40"))
+  private val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+
+  /** Character symbol table of a 40-char slice of each doc starting at
+    * `off` (1-based): (doc_id, pos, sym). */
+  private def bpeBase(docs: DataFrame, off: Int): DataFrame =
+    docs
+      .select(col("doc_id"), expr(s"substring(lower(text), $off, 40)").as("t40"))
       .withColumn("pos", explode(expr("sequence(1, 40)")))
       .withColumn("sym", expr("substring(t40, pos, 1)"))
       .filter(col("sym") =!= "")
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("sym"))
+
+  private def bpeWithNext(syms: DataFrame): DataFrame =
+    syms.withColumn("nxt", lead(col("sym"), 1).over(wDoc))
+
+  /** Corpus-wide argmax pair of a withNext frame (boundary-blocking +
+    * lexicographic tie-break), eagerly checkpointed — the one-row frame
+    * is broadcast into every merge application. */
+  private def bpeBest(withNext: DataFrame): DataFrame =
+    withNext
+      .filter(col("nxt").isNotNull &&
+        !col("sym").contains(" ") && !col("nxt").contains(" "))
+      .groupBy("sym", "nxt").agg(count(lit(1)).as("n_pair"))
+      .orderBy(col("n_pair").desc, col("sym").asc, col("nxt").asc)
+      .limit(1)
+      .select(col("sym").as("bl"), col("nxt").as("br"), col("n_pair"))
+      .localCheckpoint()
+
+  /** Apply one learned pair to a withNext frame: flag non-overlapping
+    * occurrences (run-parity rule) and renumber the survivors. Returns
+    * (flagged, merged); flagged is eagerly checkpointed — it feeds both
+    * the round's stat aggregates and the merge. */
+  private def bpeApply(withNext: DataFrame, best: DataFrame): (DataFrame, DataFrame) = {
+    val flagged = withNext.crossJoin(broadcast(best))
+      .withColumn("m",
+        col("nxt").isNotNull && col("sym") === col("bl") && col("nxt") === col("br"))
+      .withColumn("m_ord", sum(when(col("m"), 1L).otherwise(0L)).over(wDoc))
+      .withColumn("run_id", col("pos") - col("m_ord"))
+      .withColumn("run_start",
+        min(when(col("m"), col("pos"))).over(Window.partitionBy("doc_id", "run_id")))
+      .withColumn("mg", col("m") && (col("pos") - col("run_start")) % 2 === 0)
+      .withColumn("consumed", coalesce(lag(col("mg"), 1).over(wDoc), lit(false)))
+      .localCheckpoint()
+    val merged = flagged.filter(!col("consumed"))
+      .select(col("doc_id"), col("pos").as("opos"),
+        when(col("mg"), concat(col("sym"), col("nxt"))).otherwise(col("sym")).as("sym"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("doc_id").orderBy("opos")).cast("long"))
+      .select("doc_id", "pos", "sym")
+    (flagged, merged)
+  }
+
+  def bpeTrainOn(docs: DataFrame): DataFrame = {
+    val base = bpeBase(docs, 1)
     val (_, stats) = (1 to BpeRounds).foldLeft((base.localCheckpoint(), Seq.empty[DataFrame])) {
       case ((syms, acc), round) =>
-        val withNext = syms.withColumn("nxt", lead(col("sym"), 1).over(wDoc))
-        // both frames feed multiple consumers (the merge, the stat
-        // aggregates, next round's input) — eager checkpoints keep the
-        // window chain and the argmax from recomputing per consumer
-        val best = withNext
-          .filter(col("nxt").isNotNull &&
-            !col("sym").contains(" ") && !col("nxt").contains(" "))
-          .groupBy("sym", "nxt").agg(count(lit(1)).as("n_pair"))
-          .orderBy(col("n_pair").desc, col("sym").asc, col("nxt").asc)
-          .limit(1)
-          .select(col("sym").as("bl"), col("nxt").as("br"), col("n_pair"))
-          .localCheckpoint()
-        val flagged = withNext.crossJoin(broadcast(best))
-          .withColumn("m",
-            col("nxt").isNotNull && col("sym") === col("bl") && col("nxt") === col("br"))
-          .withColumn("m_ord", sum(when(col("m"), 1L).otherwise(0L)).over(wDoc))
-          .withColumn("run_id", col("pos") - col("m_ord"))
-          .withColumn("run_start",
-            min(when(col("m"), col("pos"))).over(Window.partitionBy("doc_id", "run_id")))
-          .withColumn("mg", col("m") && (col("pos") - col("run_start")) % 2 === 0)
-          .withColumn("consumed", coalesce(lag(col("mg"), 1).over(wDoc), lit(false)))
-          .localCheckpoint()
-        val merged = flagged.filter(!col("consumed"))
-          .select(col("doc_id"), col("pos").as("opos"),
-            when(col("mg"), concat(col("sym"), col("nxt"))).otherwise(col("sym")).as("sym"))
-          .withColumn("pos",
-            row_number().over(Window.partitionBy("doc_id").orderBy("opos")).cast("long"))
-          .select("doc_id", "pos", "sym")
+        val withNext = bpeWithNext(syms)
+        val best = bpeBest(withNext)
+        val (flagged, merged) = bpeApply(withNext, best)
         val stat = best
           .crossJoin(flagged.agg(sum(when(col("mg"), 1L).otherwise(0L)).as("n_merged")))
           .crossJoin(merged.agg(count(lit(1)).as("tokens_after")))
@@ -345,6 +366,53 @@ object TextAnalysis {
     }
     stats.reduce(_ unionByName _).orderBy("round")
   }
+
+  /** BPE ENCODE — ta_bpe_train's other half: train the merge list on the
+    * chars-1..40 slice, then apply those merges IN TRAINING ORDER to a
+    * held-out slice (chars 41..80 of the same docs — disjoint text, same
+    * table). This is the tokenizer shape every LLM pipeline deploys:
+    * merges are learned once, then replayed verbatim over new text. Per
+    * round the encode side reports how often the trained pair actually
+    * fired (n_applied) and the held-out token count after — the
+    * train/held-out gap is the overfitting signal tokenizer training
+    * watches.
+    *
+    * Scale: the train fold is ta_bpe_train (one pair-count shuffle per
+    * round, one-row argmax broadcast); the encode fold adds per-doc
+    * windows over the held-out slice (partitions bounded at 40 symbols)
+    * and NO additional corpus-wide shuffle — applying a known merge is
+    * embarrassingly parallel, exactly why deployed tokenizers scale. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeOn(documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  /** Same operator over any (doc_id, text) frame — BpeSpec pins the
+    * train/encode split (merges learned ONLY from chars 1..40, replayed
+    * on 41..80) and the zero-application round on a hand-worked corpus. */
+  def bpeEncodeOn(docs: DataFrame): DataFrame = {
+    val baseT = bpeBase(docs, 1)
+    val baseE = bpeBase(docs, 41)
+    val init = (baseT.localCheckpoint(), baseE.localCheckpoint(), Seq.empty[DataFrame])
+    val (_, _, stats) = (1 to BpeRounds).foldLeft(init) {
+      case ((trainSyms, encSyms, acc), round) =>
+        val wnT = bpeWithNext(trainSyms)
+        val best = bpeBest(wnT)
+        val (_, mgT) = bpeApply(wnT, best)
+        val (flE, mgE) = bpeApply(bpeWithNext(encSyms), best)
+        // the encode slice CAN lack the trained pair entirely -> empty-sum
+        // null; pin to 0 on both engines
+        val stat = best
+          .crossJoin(flE.agg(coalesce(
+            sum(when(col("mg"), 1L).otherwise(0L)), lit(0L)).as("n_applied")))
+          .crossJoin(mgE.agg(count(lit(1)).as("tokens_after")))
+          .select(lit(round.toLong).as("round"),
+            concat(col("bl"), lit("+"), col("br")).as("pair"),
+            col("n_applied"), col("tokens_after"))
+        (mgT, mgE, acc :+ stat)
+    }
+    stats.reduce(_ unionByName _).orderBy("round")
+  }
+
 
   /** Domain-mixture reweighting (the Pile/DoReMi-style curation step
     * before training): per-source token mass vs the equal-share target,
@@ -405,6 +473,7 @@ object TextAnalysis {
     "ta_resample" -> (resample _),
     "ta_mixture" -> (mixture _),
     "ta_bpe_train" -> (bpeTrain _),
+    "ta_bpe_encode" -> (bpeEncode _),
     "ta_diversity" -> (diversity _),
     "ta_pii_scrub" -> (piiScrub _),
     "ta_boilerplate" -> (boilerplate _),
@@ -422,28 +491,46 @@ object TextAnalysis {
     * is not needed here (no integer division), but DuckDB's window SUM
     * over INTEGER yields HUGEINT — harmless, run_id is only a partition
     * key. */
+  /** Symbol-table base CTE of a 40-char slice starting at `off`. */
+  private def bpeBaseCte(name: String, off: Int): String =
+    s"""$name AS (SELECT doc_id, pos, sym FROM (
+       |  SELECT doc_id, i AS pos, substr(substring(lower(text), $off, 40), i, 1) AS sym
+       |  FROM documents, range(1, 41) t(i)) sub WHERE sym <> '')""".stripMargin
+
+  /** The merge-application CTE chain (flag -> run parity -> renumber) for
+    * round `r` with CTE-name prefix `pre`, reading pairs from `nSrc` and
+    * the learned pair from `bSrc` — shared by the train and encode
+    * oracles exactly as bpeApply is shared on the Spark side. */
+  private def bpeApplyCtes(pre: String, r: Int, nSrc: String, bSrc: String): String =
+    s"""${pre}m$r AS (SELECT n.doc_id, n.pos, n.sym, n.nxt, b.bl, b.br,
+       |  (n.nxt IS NOT NULL AND n.sym = b.bl AND n.nxt = b.br) AS m
+       |  FROM $nSrc n CROSS JOIN $bSrc b),
+       |${pre}o$r AS (SELECT *, pos - SUM(CASE WHEN m THEN 1 ELSE 0 END)
+       |  OVER (PARTITION BY doc_id ORDER BY pos) AS run_id FROM ${pre}m$r),
+       |${pre}s$r AS (SELECT *, MIN(CASE WHEN m THEN pos END)
+       |  OVER (PARTITION BY doc_id, run_id) AS run_start FROM ${pre}o$r),
+       |${pre}g$r AS (SELECT *, (m AND (pos - run_start) % 2 = 0) AS mg FROM ${pre}s$r),
+       |${pre}c$r AS (SELECT *, COALESCE(LAG(mg) OVER (PARTITION BY doc_id ORDER BY pos),
+       |  false) AS consumed FROM ${pre}g$r),
+       |${pre}p$r AS (SELECT doc_id,
+       |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+       |  CASE WHEN mg THEN bl || br ELSE sym END AS sym
+       |  FROM ${pre}c$r WHERE NOT consumed)""".stripMargin
+
+  /** One training round: pair counts + argmax + application. */
+  private def bpeTrainRoundCtes(r: Int): String = {
+    val prev = if (r == 1) "base" else s"p${r - 1}"
+    s"""n$r AS (SELECT doc_id, pos, sym,
+       |  lead(sym) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM $prev),
+       |b$r AS (SELECT sym AS bl, nxt AS br, COUNT(*) AS n_pair FROM n$r
+       |  WHERE nxt IS NOT NULL AND sym NOT LIKE '% %' AND nxt NOT LIKE '% %'
+       |  GROUP BY 1, 2 ORDER BY n_pair DESC, bl, br LIMIT 1),
+       |${bpeApplyCtes("", r, s"n$r", s"b$r")}""".stripMargin
+  }
+
   private def bpeOracleSql: String = {
     val rounds = (1 to BpeRounds).map { r =>
-      val prev = if (r == 1) "base" else s"p${r - 1}"
-      s"""n$r AS (SELECT doc_id, pos, sym,
-         |  lead(sym) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM $prev),
-         |b$r AS (SELECT sym AS bl, nxt AS br, COUNT(*) AS n_pair FROM n$r
-         |  WHERE nxt IS NOT NULL AND sym NOT LIKE '% %' AND nxt NOT LIKE '% %'
-         |  GROUP BY 1, 2 ORDER BY n_pair DESC, bl, br LIMIT 1),
-         |m$r AS (SELECT n.doc_id, n.pos, n.sym, n.nxt, b.bl, b.br,
-         |  (n.nxt IS NOT NULL AND n.sym = b.bl AND n.nxt = b.br) AS m
-         |  FROM n$r n CROSS JOIN b$r b),
-         |o$r AS (SELECT *, pos - SUM(CASE WHEN m THEN 1 ELSE 0 END)
-         |  OVER (PARTITION BY doc_id ORDER BY pos) AS run_id FROM m$r),
-         |s$r AS (SELECT *, MIN(CASE WHEN m THEN pos END)
-         |  OVER (PARTITION BY doc_id, run_id) AS run_start FROM o$r),
-         |g$r AS (SELECT *, (m AND (pos - run_start) % 2 = 0) AS mg FROM s$r),
-         |c$r AS (SELECT *, COALESCE(LAG(mg) OVER (PARTITION BY doc_id ORDER BY pos),
-         |  false) AS consumed FROM g$r),
-         |p$r AS (SELECT doc_id,
-         |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
-         |  CASE WHEN mg THEN bl || br ELSE sym END AS sym
-         |  FROM c$r WHERE NOT consumed),
+      s"""${bpeTrainRoundCtes(r)},
          |st$r AS (SELECT CAST($r AS BIGINT) AS round,
          |  (SELECT bl || '+' || br FROM b$r) AS pair,
          |  (SELECT n_pair FROM b$r) AS n_pair,
@@ -451,11 +538,33 @@ object TextAnalysis {
          |  (SELECT COUNT(*) FROM p$r) AS tokens_after)""".stripMargin
     }.mkString(",\n")
     val unions = (1 to BpeRounds).map(r => s"SELECT * FROM st$r").mkString(" UNION ALL ")
-    s"""WITH base AS (SELECT doc_id, pos, sym FROM (
-       |  SELECT doc_id, i AS pos, substr(substring(lower(text), 1, 40), i, 1) AS sym
-       |  FROM documents, range(1, 41) t(i)) sub WHERE sym <> ''),
+    s"""WITH ${bpeBaseCte("base", 1)},
        |$rounds
        |SELECT round, pair, n_pair, n_merged, tokens_after FROM ($unions) u
+       |ORDER BY round""".stripMargin
+  }
+
+  /** ta_bpe_encode oracle: the full training chain (to re-derive each
+    * round's learned pair), plus an encode chain over the chars-41..80
+    * slice applying b$r in round order — the same two folds the Spark
+    * side runs. */
+  private def bpeEncodeOracleSql: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      val prevE = if (r == 1) "basee" else s"ep${r - 1}"
+      s"""${bpeTrainRoundCtes(r)},
+         |en$r AS (SELECT doc_id, pos, sym,
+         |  lead(sym) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM $prevE),
+         |${bpeApplyCtes("e", r, s"en$r", s"b$r")},
+         |est$r AS (SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT bl || '+' || br FROM b$r) AS pair,
+         |  (SELECT COALESCE(CAST(SUM(CASE WHEN mg THEN 1 ELSE 0 END) AS BIGINT), 0) FROM eg$r) AS n_applied,
+         |  (SELECT COUNT(*) FROM ep$r) AS tokens_after)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to BpeRounds).map(r => s"SELECT * FROM est$r").mkString(" UNION ALL ")
+    s"""WITH ${bpeBaseCte("base", 1)},
+       |${bpeBaseCte("basee", 41)},
+       |$rounds
+       |SELECT round, pair, n_applied, tokens_after FROM ($unions) u
        |ORDER BY round""".stripMargin
   }
 
@@ -509,6 +618,7 @@ object TextAnalysis {
         |  CAST(total_tokens * 10000 // (n_sources * n_tokens) AS BIGINT) AS weight_x10000
         |FROM t ORDER BY source""".stripMargin,
     "ta_bpe_train" -> bpeOracleSql,
+    "ta_bpe_encode" -> bpeEncodeOracleSql,
     "ta_diversity" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
