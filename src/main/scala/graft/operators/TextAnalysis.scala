@@ -469,7 +469,61 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Bigram language-model scoring — the model-based quality filter
+    * (CCNet/KenLM shape) next to ta_quality's rule-based gates: train
+    * bigram/unigram counts on the corpus, score every document by the
+    * average conditional probability of its word transitions,
+    * p(w2|w1) = c(w1,w2)/c(w1), as a scaled integer
+    * (10000*cb div cu per transition, per-doc mean by integer div) —
+    * fluent/common phrasing scores high, disfluent or off-distribution
+    * text scores low. Per-source rollup: scored docs, transitions, and
+    * the mean/min/max per-doc score.
+    *
+    * Scale: bigram pairs are built ROW-WISE (transform over the word
+    * array — no window shuffle); the count tables shuffle once each on
+    * their natural key and join back co-partitioned on the same key
+    * (a deployed filter would df-cap the model to the top-V vocabulary
+    * and broadcast it, the ta_boilerplate pattern); the two rollups are
+    * standard map-side-combinable groupBys. Everything stays in
+    * nonneg integers, so Spark `div` = DuckDB `//` exactly. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScoreOn(documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  /** Same operator over any (doc_id, source, text) frame — Round7Spec
+    * pins the conditional-probability arithmetic on a hand-worked
+    * corpus. */
+  def lmScoreOn(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(expr("transform(sequence(0, size(ws) - 2), " +
+          "i -> struct(element_at(ws, i + 1) AS w1, element_at(ws, i + 2) AS w2))")).as("b"))
+      .select(col("doc_id"), col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint() // three consumers: unigram counts, bigram counts, scoring
+    val ug = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val docScores = bg
+      .join(cb, Seq("w1", "w2"))
+      .join(ug, Seq("w1"))
+      .withColumn("p_x10000", expr("(10000 * cb) div cu"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_bg"), sum(col("p_x10000")).as("sp"))
+      .withColumn("doc_lm_x10000", expr("sp div n_bg"))
+    docScores
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bg")).as("n_transitions"),
+        expr("sum(doc_lm_x10000) div count(1)").as("avg_lm_x10000"),
+        min(col("doc_lm_x10000")).as("min_lm_x10000"),
+        max(col("doc_lm_x10000")).as("max_lm_x10000"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_lm_score" -> (lmScore _),
     "ta_resample" -> (resample _),
     "ta_mixture" -> (mixture _),
     "ta_bpe_train" -> (bpeTrain _),
@@ -569,6 +623,29 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "ta_lm_score" ->
+      """WITH ws AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |), tok AS (
+        |  SELECT doc_id, source, UNNEST(range(1, len(w)::BIGINT)) AS i, w FROM ws
+        |), bg AS (
+        |  SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2 FROM tok
+        |), ug AS (
+        |  SELECT w1, COUNT(*) AS cu FROM bg GROUP BY w1
+        |), cnt AS (
+        |  SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2
+        |), ds AS (
+        |  SELECT doc_id, source, COUNT(*) AS n_bg,
+        |    CAST(SUM((10000 * cnt.cb) // ug.cu) AS BIGINT) AS sp
+        |  FROM bg JOIN cnt USING (w1, w2) JOIN ug USING (w1)
+        |  GROUP BY doc_id, source
+        |), d2 AS (SELECT *, sp // n_bg AS doc_lm_x10000 FROM ds)
+        |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_bg) AS BIGINT) AS n_transitions,
+        |  CAST(CAST(SUM(doc_lm_x10000) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_lm_x10000,
+        |  CAST(MIN(doc_lm_x10000) AS BIGINT) AS min_lm_x10000,
+        |  CAST(MAX(doc_lm_x10000) AS BIGINT) AS max_lm_x10000
+        |FROM d2 GROUP BY source ORDER BY source""".stripMargin,
     "ta_resample" -> {
       // 4-hex-char md5 prefix as an integer: Horner fold of strpos digits
       // (the dd_simhash hex-decode pattern; Spark side uses conv)

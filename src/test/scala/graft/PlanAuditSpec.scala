@@ -25,8 +25,9 @@ class PlanAuditSpec extends SparkSpecBase {
     "ann_kmeans_recall", "ann_multiprobe",
     // ta_bpe_train cross-joins the per-round ONE-ROW argmax (the learned
     // merge) onto the symbol stream and the one-row stat aggregates —
-    // the gr_triangles shape, bounded by construction
-    "ta_bpe_train")
+    // the gr_triangles shape, bounded by construction; ta_bpe_encode
+    // replays the same one-row merges over the held-out slice
+    "ta_bpe_train", "ta_bpe_encode")
 
   test("no query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>

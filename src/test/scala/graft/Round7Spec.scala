@@ -48,6 +48,23 @@ class Round7Spec extends SparkSpecBase {
     assert(enc.forall(_.getLong(2) >= 0L))
   }
 
+  /** Hand-worked LM corpus: ug(a)=3 transitions; cb(a,b)=2, cb(a,c)=1.
+    * d1,d2 ("a b", source s1): p = 10000*2//3 = 6666; d3 ("a c", s2):
+    * p = 3333. One-word docs are unscored. */
+  test("lm score: conditional-probability arithmetic on a hand-worked corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "a b"), (2L, "s1", "a b"), (3L, "s2", "a c"), (4L, "s2", "x"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.lmScoreOn(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val expected = Seq(
+      ("s1", 2L, 2L, 6666L, 6666L, 6666L),
+      ("s2", 1L, 1L, 3333L, 3333L, 3333L))
+    assert(got == expected, s"got $got")
+  }
+
   /** The cascade's point is the prune: every query must have scored
     * strictly fewer candidates than the corpus (P=6 of k=10 clusters),
     * and still return a full exact-reranked top-3 drawn from the

@@ -34,7 +34,17 @@ try:
 except FileNotFoundError:
     declared = sorted(oracle)
     print("WARN: no queries.json in outdir; registry gate limited to oracle keys")
+# Queries allowed to be rows-only (engine-specific by design, behavior
+# pinned in specs instead — SURVEY.md §4). Any OTHER declared query
+# lacking an oracle entry is a forgotten oracleSql registration: FAIL,
+# don't silently weaken the check.
+ROWS_ONLY_BY_DESIGN = {"q13_sketch", "zs_webmercator"}
 for name in declared:
+    if name not in oracle and name not in ROWS_ONLY_BY_DESIGN:
+        registry_fails.append(name)
+        print(f"FAIL {name}: declared without an oracleSql entry and not in "
+              f"the pinned rows-only set {sorted(ROWS_ONLY_BY_DESIGN)}")
+        continue
     d = f"{outdir}/{name}"
     ok = os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d))
     if ok and name not in oracle:
