@@ -8,15 +8,18 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native codegen dot product of two float-vector columns.
+/** Native codegen dot product of two vector columns (each side
+  * independently ARRAY<FLOAT> or ARRAY<DOUBLE>).
   *
   * Semantics are EXACTLY the declarative fold used elsewhere
   * (`aggregate(zip_with(a, b, (x, y) -> double(x)*double(y)), 0d, +)` /
   * DuckDB `list_reduce`): left-to-right accumulation of double products of
-  * float pairs, so results are bit-identical to the oracle. The payoff is
-  * whole-stage codegen: a tight primitive loop instead of one interpreted
-  * lambda frame + boxed Float per element — the ANN hot path runs this
-  * O(|queries| x |corpus| x dim) times.
+  * element pairs (floats widened per element, doubles used as-is), so
+  * results are bit-identical to the oracle. The payoff is whole-stage
+  * codegen: a tight primitive loop instead of one interpreted lambda frame
+  * + boxed element per dimension — the ANN hot path runs this
+  * O(|queries| x |corpus| x dim) times, and the IVFPQ approx pass runs it
+  * against derived ARRAY<DOUBLE> codebook reconstructions.
   *
   * NULL if either side is NULL. Lengths must match (analysis-time check is
   * not possible for arrays; mismatch throws at runtime like zip_with-strict
@@ -25,15 +28,31 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def elemType(t: DataType): Option[DataType] = t match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
+  }
+
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"vector_dot requires two ARRAY<FLOAT> arguments, got ${l.sql} and ${r.sql}")
+    (elemType(left.dataType), elemType(right.dataType)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"vector_dot requires two ARRAY<FLOAT>/ARRAY<DOUBLE> arguments, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
     }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vector_dot"
+
+  private lazy val leftIsFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private lazy val rightIsFloat = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -43,7 +62,9 @@ case class VectorDot(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
       i += 1
     }
     acc
@@ -54,6 +75,8 @@ case class VectorDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val xv = if (leftIsFloat) s"((double) $a.getFloat($i))" else s"$a.getDouble($i)"
+      val yv = if (rightIsFloat) s"((double) $b.getFloat($i))" else s"$b.getDouble($i)"
       s"""
          |final int $n = $a.numElements();
          |if ($b.numElements() != $n) {
@@ -62,7 +85,7 @@ case class VectorDot(left: Expression, right: Expression)
          |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  $acc += $xv * $yv;
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -315,10 +315,9 @@ object Similarity {
     val wA = Window.partitionBy("qid").orderBy(col("approx").desc, col("cid").asc)
     val firstPass = rec.withColumnRenamed("vec_id", "cid")
       .join(broadcast(q), col("qid") =!= col("cid"))
-      .withColumn("approx", expr(
-        "aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), " +
-          "(acc, k) -> acc + CAST(element_at(qv, k + 1) AS DOUBLE) * element_at(rec, k + 1))")
-        / (col("qn") * col("cn")))
+      // native codegen fold (float qv x double rec) — bit-identical to the
+      // declarative aggregate() it replaced (left-to-right double products).
+      .withColumn("approx", dot("qv", "rec") / (col("qn") * col("cn")))
       .withColumn("approx_rank", row_number().over(wA).cast("long"))
       .filter(col("approx_rank") <= 10)
     val wE = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
@@ -525,7 +524,24 @@ object Similarity {
     * partitioned layout that is partition pruning, P/k of the corpus
     * read, no shuffle of the big side; candidate pairs are BOUNDED at
     * queries x P clusters (n_cand in the output proves the prune: at
-    * P=6 of k=10 it must be strictly under the corpus size). */
+    * P=6 of k=10 it must be strictly under the corpus size).
+    *
+    * Accepted-risk notes (the two float/overflow edges this cascade
+    * inherits):
+    *  - p = SUM((xq*n - cS)^2) accumulates as BIGINT on both engines;
+    *    exactness (and Spark-vs-DuckDB agreement — sum(long) wraps vs
+    *    HUGEINT promotion, the zs_idw class) holds only while p < 2^63,
+    *    i.e. ~15k vectors per trained cluster / PQ label at milli-unit
+    *    coords. Past that, train the quantizers on a sample (the real
+    *    deployment) or move the accumulation to DECIMAL(38,0).
+    *  - the approx_rank<=10 cut (and the emitted approx_rank) order by a
+    *    double quotient, not exact integers: inputs are exact and the
+    *    fold order matches the oracle, so it hash-matches through sf0.1,
+    *    but a near-tie at the rank-10 boundary could flip cross-engine
+    *    at much larger corpora (the zs_hexbin class). Same accepted
+    *    float-ordered-rank posture as cos_sim ranking everywhere else;
+    *    the exact rerank tier bounds the blast radius to candidate
+    *    selection, never final scores. */
   def ivfpq(spark: SparkSession, dir: String): DataFrame = {
     val (dims, assignFull) = kmeansChain(spark, dir)
     val assign = assignFull.select(col("vec_id"), col("c")).localCheckpoint()
@@ -577,10 +593,11 @@ object Similarity {
       .withColumnRenamed("vec_id", "cid")
       .join(broadcast(q), Seq("c"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("approx", expr(
-        "aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), " +
-          "(acc, k) -> acc + CAST(element_at(qv, k + 1) AS DOUBLE) * element_at(rec, k + 1))")
-        / (col("qn") * col("cn")))
+      // native codegen fold (float qv x double rec) — same left-to-right
+      // accumulation as the declarative aggregate() it replaced, but inside
+      // whole-stage codegen: this scan over the probed corpus fraction IS
+      // the dominant IVFPQ cost at scale.
+      .withColumn("approx", dot("qv", "rec") / (col("qn") * col("cn")))
       .localCheckpoint() // feeds both the per-query count and the ranking
     val nc = cand.groupBy("qid").agg(count(lit(1)).as("n_cand"))
     val wA = Window.partitionBy("qid").orderBy(col("approx").desc, col("cid").asc)

@@ -11,21 +11,27 @@ import graft.functions.VectorDot
   *   aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
   *             CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
   *
-  * over ARRAY<FLOAT> columns into the native codegen VectorDot expression.
-  * Semantics are identical (left-to-right double accumulation — see
-  * VectorDot's scaladoc); users writing the engine-portable SQL form get
-  * the native loop automatically. Injected by GraftExtensions
-  * (injectOptimizerRule) or via spark.experimental.extraOptimizations.
+  * over ARRAY<FLOAT> / ARRAY<DOUBLE> columns (the per-element CAST is
+  * absent when a side is already ARRAY<DOUBLE>) into the native codegen
+  * VectorDot expression. Semantics are identical (left-to-right double
+  * accumulation — see VectorDot's scaladoc); users writing the
+  * engine-portable SQL form get the native loop automatically. Injected by
+  * GraftExtensions (injectOptimizerRule) or via
+  * spark.experimental.extraOptimizations.
   */
 object NativeDotRule extends Rule[LogicalPlan] {
 
-  private def isFloatArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
+  private def isVecArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _)  => true
+    case ArrayType(DoubleType, _) => true
     case _ => false
   }
 
-  private def isCastToDouble(e: Expression, v: NamedLambdaVariable): Boolean = e match {
+  /** The multiply operand reads the lambda variable as a double: either a
+    * CAST(v AS DOUBLE) over a float element or the double variable itself. */
+  private def readsAsDouble(e: Expression, v: NamedLambdaVariable): Boolean = e match {
     case Cast(c: NamedLambdaVariable, DoubleType, _, _) => c.exprId == v.exprId
+    case c: NamedLambdaVariable => c.exprId == v.exprId && c.dataType == DoubleType
     case _ => false
   }
 
@@ -36,8 +42,8 @@ object NativeDotRule extends Rule[LogicalPlan] {
         LambdaFunction(Add(aa: NamedLambdaVariable, av: NamedLambdaVariable, _),
           Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
         LambdaFunction(fin: NamedLambdaVariable, Seq(fv: NamedLambdaVariable), _))
-        if isFloatArray(l) && isFloatArray(r)
-          && isCastToDouble(mx, x) && isCastToDouble(my, y)
+        if isVecArray(l) && isVecArray(r)
+          && readsAsDouble(mx, x) && readsAsDouble(my, y)
           && aa.exprId == acc.exprId && av.exprId == v.exprId
           && fin.exprId == fv.exprId =>
       VectorDot(l, r)

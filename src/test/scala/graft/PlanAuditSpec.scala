@@ -45,6 +45,19 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("PQ approx scoring runs the native codegen dot, not an interpreted HOF fold") {
+    // ann_pq's approx pass is live in its final plan; ann_ivfpq's exact
+    // rerank is post-checkpoint and visible (the approx pass upstream of
+    // the localCheckpoint uses the same dot() helper — pinned bit-identical
+    // to the fold by VectorDotSpec's float x double test).
+    Seq("ann_pq", "ann_ivfpq").foreach { name =>
+      val p = plan(SparkEntry.queries(name)(spark, sfDir))
+      assert(p.contains("vector_dot"), s"$name plan lacks the native dot:\n$p")
+      assert(!p.contains("aggregate(sequence("),
+        s"$name still plans an interpreted sequence fold:\n$p")
+    }
+  }
+
   test("a cluster-partitioned corpus layout prunes the scan to the probed partitions") {
     // ann_multiprobe's 100 TB claim: "the candidate scan reads only the P
     // probed partitions of a clustered layout". Make it checkable — write

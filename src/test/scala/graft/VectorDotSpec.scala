@@ -27,6 +27,27 @@ class VectorDotSpec extends SparkSpecBase {
     assert(df.agg(min("d")).collect()(0).getDouble(0) >= 0.0)
   }
 
+  test("vector_dot over float x double arrays is bit-identical to the interpreted fold") {
+    GraftFunctions.register(spark)
+    // the IVFPQ approx-pass shape: float query vector x double codebook
+    // reconstruction (exact quotients) — the fold the native loop replaced
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(200)
+      .withColumn("rec", expr("transform(embedding, x -> CAST(x AS DOUBLE) * 0.5)"))
+      .withColumn("native", expr("vector_dot(embedding, rec)"))
+      .withColumn("fold", expr(
+        "aggregate(sequence(0, size(embedding) - 1), CAST(0.0 AS DOUBLE), " +
+          "(acc, k) -> acc + CAST(element_at(embedding, k + 1) AS DOUBLE) * element_at(rec, k + 1))"))
+      .withColumn("dd", expr("vector_dot(rec, rec)"))
+      .withColumn("ddFold", expr(
+        "aggregate(zip_with(rec, rec, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+    assert(e.filter(col("native") =!= col("fold")).count() == 0)
+    assert(e.filter(col("dd") =!= col("ddFold")).count() == 0)
+    // and the mixed-type loop still runs inside whole-stage codegen
+    val projectLines = plan(e.select("native", "dd")).linesIterator
+      .filter(_.contains("Project")).mkString("\n")
+    assert(projectLines.contains("codegen id"), plan(e.select("native", "dd")))
+  }
+
   test("vector_dot is null-safe and rejects length mismatch") {
     GraftFunctions.register(spark)
     val n = spark.sql(
