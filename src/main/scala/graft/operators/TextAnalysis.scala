@@ -301,7 +301,7 @@ object TextAnalysis {
 
   /** Character symbol table of a 40-char slice of each doc starting at
     * `off` (1-based): (doc_id, pos, sym). */
-  private def bpeBase(docs: DataFrame, off: Int): DataFrame =
+  private[graft] def bpeBase(docs: DataFrame, off: Int): DataFrame =
     docs
       .select(col("doc_id"), expr(s"substring(lower(text), $off, 40)").as("t40"))
       .withColumn("pos", explode(expr("sequence(1, 40)")))
@@ -309,13 +309,14 @@ object TextAnalysis {
       .filter(col("sym") =!= "")
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("sym"))
 
-  private def bpeWithNext(syms: DataFrame): DataFrame =
+  private[graft] def bpeWithNext(syms: DataFrame): DataFrame =
     syms.withColumn("nxt", lead(col("sym"), 1).over(wDoc))
 
   /** Corpus-wide argmax pair of a withNext frame (boundary-blocking +
-    * lexicographic tie-break), eagerly checkpointed — the one-row frame
-    * is broadcast into every merge application. */
-  private def bpeBest(withNext: DataFrame): DataFrame =
+    * lexicographic tie-break). Lazy — bpeLearn's collect() is its single
+    * consumer (a caller that broadcasts it into several plans must
+    * localCheckpoint it first, per the one-row-argmax rule). */
+  private[graft] def bpeBest(withNext: DataFrame): DataFrame =
     withNext
       .filter(col("nxt").isNotNull &&
         !col("sym").contains(" ") && !col("nxt").contains(" "))
@@ -323,48 +324,90 @@ object TextAnalysis {
       .orderBy(col("n_pair").desc, col("sym").asc, col("nxt").asc)
       .limit(1)
       .select(col("sym").as("bl"), col("nxt").as("br"), col("n_pair"))
-      .localCheckpoint()
 
-  /** Apply one learned pair to a withNext frame: flag non-overlapping
-    * occurrences (run-parity rule) and renumber the survivors. Returns
-    * (flagged, merged); flagged is eagerly checkpointed — it feeds both
-    * the round's stat aggregates and the merge. */
-  private def bpeApply(withNext: DataFrame, best: DataFrame): (DataFrame, DataFrame) = {
-    val flagged = withNext.crossJoin(broadcast(best))
-      .withColumn("m",
-        col("nxt").isNotNull && col("sym") === col("bl") && col("nxt") === col("br"))
+  /** Flag non-overlapping occurrences of one pair (bl, br) in a withNext
+    * frame (run-parity rule): m marks pair starts, mg the survivors,
+    * consumed the right halves the survivors absorb. */
+  private[graft] def bpeFlag(withNext: DataFrame, bl: Column, br: Column): DataFrame =
+    withNext
+      .withColumn("m", col("nxt").isNotNull && col("sym") === bl && col("nxt") === br)
       .withColumn("m_ord", sum(when(col("m"), 1L).otherwise(0L)).over(wDoc))
       .withColumn("run_id", col("pos") - col("m_ord"))
       .withColumn("run_start",
         min(when(col("m"), col("pos"))).over(Window.partitionBy("doc_id", "run_id")))
       .withColumn("mg", col("m") && (col("pos") - col("run_start")) % 2 === 0)
       .withColumn("consumed", coalesce(lag(col("mg"), 1).over(wDoc), lit(false)))
-      .localCheckpoint()
-    val merged = flagged.filter(!col("consumed"))
+
+  /** Merge a flagged frame: drop consumed right halves, concatenate the
+    * survivors, renumber. */
+  private[graft] def bpeMergeOf(flagged: DataFrame): DataFrame =
+    flagged.filter(!col("consumed"))
       .select(col("doc_id"), col("pos").as("opos"),
         when(col("mg"), concat(col("sym"), col("nxt"))).otherwise(col("sym")).as("sym"))
       .withColumn("pos",
         row_number().over(Window.partitionBy("doc_id").orderBy("opos")).cast("long"))
       .select("doc_id", "pos", "sym")
-    (flagged, merged)
+
+  /** Apply one learned pair given as LITERALS (the deployment shape:
+    * merges are constants by encode time) — no crossJoin, no checkpoint,
+    * so chained applications compose into one lazy plan. */
+  private[graft] def bpeApplyLit(withNext: DataFrame, bl: String, br: String): DataFrame =
+    bpeMergeOf(bpeFlag(withNext, lit(bl), lit(br)))
+
+  /** The sequential train fold: per round, ONE pair-count argmax action
+    * (the only barrier the algorithm truly requires — round r's argmax
+    * depends on round r-1's merge), pair collected from the checkpointed
+    * one-row frame (bounded by construction, the ann_mmr-sanctioned rule),
+    * merge applied as LITERALS so the round frames stay one lazy chain
+    * over the checkpointed base. Returns (per-round (bl, br, n_pair),
+    * frames round 0..BpeRounds). */
+  private[graft] def bpeLearn(docs: DataFrame): (Seq[(String, String, Long)], Seq[DataFrame]) = {
+    val base = bpeBase(docs, 1).localCheckpoint()
+    (1 to BpeRounds).foldLeft((Seq.empty[(String, String, Long)], Seq(base))) {
+      case ((acc, fs), _) =>
+        val wn = bpeWithNext(fs.last)
+        val rows = bpeBest(wn).collect()
+        require(rows.nonEmpty, "bpe: no mergeable pair left before round limit")
+        val r = rows(0)
+        // eager checkpoint per round: the merged frame feeds BOTH the next
+        // round's argmax and the final counts job — lazily shared windowed
+        // plans recompute per consumer (the repo's standing rule)
+        val merged = bpeApplyLit(wn, r.getString(0), r.getString(1)).localCheckpoint()
+        (acc :+ ((r.getString(0), r.getString(1), r.getLong(2))), fs :+ merged)
+    }
   }
 
-  def bpeTrainOn(docs: DataFrame): DataFrame = {
-    val base = bpeBase(docs, 1)
-    val (_, stats) = (1 to BpeRounds).foldLeft((base.localCheckpoint(), Seq.empty[DataFrame])) {
-      case ((syms, acc), round) =>
-        val withNext = bpeWithNext(syms)
-        val best = bpeBest(withNext)
-        val (flagged, merged) = bpeApply(withNext, best)
-        val stat = best
-          .crossJoin(flagged.agg(sum(when(col("mg"), 1L).otherwise(0L)).as("n_merged")))
-          .crossJoin(merged.agg(count(lit(1)).as("tokens_after")))
-          .select(lit(round.toLong).as("round"),
-            concat(col("bl"), lit("+"), col("br")).as("pair"),
-            col("n_pair"), col("n_merged"), col("tokens_after"))
-        (merged, acc :+ stat)
+  /** One frame of (round, tokens_after) for rounds 0..BpeRounds — a union
+    * of per-round global counts evaluated in a SINGLE job (the chains are
+    * lazy; shared shuffle prefixes are reused by the exchange-reuse rule). */
+  private def bpeCounts(frames: Seq[DataFrame]): DataFrame =
+    frames.zipWithIndex.map { case (f, r) =>
+      f.agg(count(lit(1)).as("tokens_after"))
+        .select(lit(r.toLong).as("round"), col("tokens_after"))
+    }.reduce(_ unionByName _)
+
+  /** Per-round label column for a counts frame from the collected pairs. */
+  private def bpePairCol(pairs: Seq[(String, String)]): Column =
+    pairs.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (c, ((bl, br), i)) =>
+        when(col("round") === (i + 1).toLong, lit(s"$bl+$br")).otherwise(c)
     }
-    stats.reduce(_ unionByName _).orderBy("round")
+
+  def bpeTrainOn(docs: DataFrame): DataFrame = {
+    val (pairs, frames) = bpeLearn(docs)
+    // each applied non-overlapping merge removes exactly one symbol, so
+    // n_merged(r) = tokens(r-1) - tokens(r): stats are token counts alone
+    val nPairCol = pairs.zipWithIndex.foldLeft(lit(null).cast("long")) {
+      case (c, ((_, _, n), i)) =>
+        when(col("round") === (i + 1).toLong, lit(n)).otherwise(c)
+    }
+    bpeCounts(frames)
+      .withColumn("prev", lag(col("tokens_after"), 1).over(Window.orderBy("round")))
+      .filter(col("round") >= 1)
+      .select(col("round"), bpePairCol(pairs.map(p => (p._1, p._2))).as("pair"),
+        nPairCol.as("n_pair"),
+        (col("prev") - col("tokens_after")).as("n_merged"), col("tokens_after"))
+      .orderBy("round")
   }
 
   /** BPE ENCODE — ta_bpe_train's other half: train the merge list on the
@@ -378,39 +421,44 @@ object TextAnalysis {
     * watches.
     *
     * Scale: the train fold is ta_bpe_train (one pair-count shuffle per
-    * round, one-row argmax broadcast); the encode fold adds per-doc
-    * windows over the held-out slice (partitions bounded at 40 symbols)
-    * and NO additional corpus-wide shuffle — applying a known merge is
-    * embarrassingly parallel, exactly why deployed tokenizers scale. */
+    * round, one-row argmax broadcast — inherently sequential, the argmax
+    * of round r depends on round r-1's merge). The ENCODE half carries no
+    * barrier at all: the learned pairs are collected after training (4
+    * one-row frames — bounded by construction, the ann_mmr-sanctioned
+    * rule) and replayed per-document as literal expressions in ONE lazy
+    * plan, per-round stats read off token counts alone (each applied
+    * non-overlapping merge removes exactly one symbol, so n_applied(r) =
+    * tokens(r-1) - tokens(r)) — applying a known merge is embarrassingly
+    * parallel, exactly why deployed tokenizers scale. */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame =
     bpeEncodeOn(documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism))
 
   /** Same operator over any (doc_id, text) frame — BpeSpec pins the
     * train/encode split (merges learned ONLY from chars 1..40, replayed
-    * on 41..80) and the zero-application round on a hand-worked corpus. */
+    * on 41..80) on a hand-worked corpus AND output equality with the
+    * barriered fold formulation this replaced. */
   def bpeEncodeOn(docs: DataFrame): DataFrame = {
-    val baseT = bpeBase(docs, 1)
-    val baseE = bpeBase(docs, 41)
-    val init = (baseT.localCheckpoint(), baseE.localCheckpoint(), Seq.empty[DataFrame])
-    val (_, _, stats) = (1 to BpeRounds).foldLeft(init) {
-      case ((trainSyms, encSyms, acc), round) =>
-        val wnT = bpeWithNext(trainSyms)
-        val best = bpeBest(wnT)
-        val (_, mgT) = bpeApply(wnT, best)
-        val (flE, mgE) = bpeApply(bpeWithNext(encSyms), best)
-        // the encode slice CAN lack the trained pair entirely -> empty-sum
-        // null; pin to 0 on both engines
-        val stat = best
-          .crossJoin(flE.agg(coalesce(
-            sum(when(col("mg"), 1L).otherwise(0L)), lit(0L)).as("n_applied")))
-          .crossJoin(mgE.agg(count(lit(1)).as("tokens_after")))
-          .select(lit(round.toLong).as("round"),
-            concat(col("bl"), lit("+"), col("br")).as("pair"),
-            col("n_applied"), col("tokens_after"))
-        (mgT, mgE, acc :+ stat)
+    val (pairsN, _) = bpeLearn(docs)
+    val pairs = pairsN.map(p => (p._1, p._2))
+    // encode half: one barrier-free plan — chain the literal merges, then
+    // count tokens after rounds 0..BpeRounds in a single union-aggregate
+    // (n_applied(r) = tokens(r-1) - tokens(r): each applied non-overlapping
+    // merge removes exactly one symbol; an absent pair yields delta 0).
+    // Each branch's LAST step counts surviving (!consumed) flagged rows
+    // directly — same number as the merged frame, one renumber window less.
+    val chain = pairs.scanLeft(bpeBase(docs, 41)) {
+      case (f, (bl, br)) => bpeApplyLit(bpeWithNext(f), bl, br)
     }
-    stats.reduce(_ unionByName _).orderBy("round")
+    val encFrames = chain.head +: pairs.zipWithIndex.map { case ((bl, br), i) =>
+      bpeFlag(bpeWithNext(chain(i)), lit(bl), lit(br)).filter(!col("consumed"))
+    }
+    bpeCounts(encFrames)
+      .withColumn("prev", lag(col("tokens_after"), 1).over(Window.orderBy("round")))
+      .filter(col("round") >= 1)
+      .select(col("round"), bpePairCol(pairs).as("pair"),
+        (col("prev") - col("tokens_after")).as("n_applied"), col("tokens_after"))
+      .orderBy("round")
   }
 
 
