@@ -115,15 +115,22 @@ object Geo {
   def pointZoneJoin(spark: SparkSession, dir: String): DataFrame =
     pointZoneJoinOn(points(spark, dir), zones(spark, dir))
 
-  /** Generic zonal statistics over any joined point-zone DataFrame. */
-  def zonalStatsOn(points: DataFrame, zones: DataFrame, valueCol: String = "value"): DataFrame =
-    pointZoneJoinOn(points, zones)
+  /** Generic zonal statistics over any point/zone DataFrames. LEFT JOIN
+    * shape like the reference (stats.py:9-13): a zone with no intersecting
+    * points still emits a row (n_points 0, NULL stats) — sparse rasters
+    * (cloud-masked) hit this constantly. */
+  def zonalStatsOn(points: DataFrame, zones: DataFrame, valueCol: String = "value"): DataFrame = {
+    val stats = pointZoneJoinOn(points, zones)
       .groupBy("zone_id")
       .agg(
         count(lit(1)).as("n_points"),
         dmean(col(valueCol)).as("mean_value"),
         min(col(valueCol)).as("min_value"),
         max(col(valueCol)).as("max_value"))
+    zones.select("zone_id").join(stats, Seq("zone_id"), "left")
+      .select(col("zone_id"), coalesce(col("n_points"), lit(0L)).as("n_points"),
+        col("mean_value"), col("min_value"), col("max_value"))
+  }
 
   // ------------------------------------------------------------ operators
 
@@ -172,7 +179,17 @@ object Geo {
   private[graft] def centsToDouble(centsSum: Column): Column =
     centsSum.cast("double") / lit(100.0)
 
+  /** LEFT JOIN fidelity (stats.py:9-13): zones with zero intersecting
+    * points stay in the output (n_points 0, NULL stats). The part-derived
+    * zones always land inside the point band, so a deterministic off-band
+    * sentinel zone (zone_id -1, lat 40..50 — above the reference's -35..35
+    * clip band, so provably point-free) pins the empty-zone row in the
+    * driver gate at every SF. */
   def zonalStats(spark: SparkSession, dir: String): DataFrame = {
+    val z = zones(spark, dir).unionByName(
+      spark.range(1).select(lit(-1L).as("zone_id"),
+        lit(-170.0).as("xmin"), lit(40.0).as("ymin"),
+        lit(-150.0).as("xmax"), lit(50.0).as("ymax")))
     val cellPartials = points(spark, dir)
       .withColumn("fx", floor(col("lon")).cast("long"))
       .withColumn("fy", floor(col("lat")).cast("long"))
@@ -186,13 +203,16 @@ object Geo {
       // zone iff the whole cell is
       .withColumn("lon", col("fx").cast("double") + lit(0.5))
       .withColumn("lat", col("fy").cast("double") + lit(0.5))
-    pointZoneJoinOn(cellPartials, zones(spark, dir))
+    val stats = pointZoneJoinOn(cellPartials, z)
       .groupBy("zone_id")
       .agg(
         sum(col("cell_n")).as("n_points"),
         (centsToDouble(sum(col("cell_cents"))) / sum(col("cell_n"))).as("mean_value"),
         min(col("cell_min")).as("min_value"),
         max(col("cell_max")).as("max_value"))
+    z.select("zone_id").join(stats, Seq("zone_id"), "left")
+      .select(col("zone_id"), coalesce(col("n_points"), lit(0L)).as("n_points"),
+        col("mean_value"), col("min_value"), col("max_value"))
       .orderBy("zone_id")
   }
 
@@ -1706,12 +1726,19 @@ object Geo {
            |SELECT event_id, lon * 0.5 + 10.0 AS x_proj, lat * 2.0 - 5.0 AS y_proj
            |FROM pts WHERE event_id < 100 ORDER BY event_id""".stripMargin,
       "zs_zonal_stats" ->
-        s"""WITH pts AS ($pointsSql), z AS ($zonesSql)
-           |SELECT zone_id, COUNT(*) AS n_points,
-           |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean_value,
-           |  MIN(value) AS min_value, MAX(value) AS max_value
-           |FROM pts JOIN z ON lon >= xmin AND lon < xmax AND lat >= ymin AND lat < ymax
-           |GROUP BY zone_id ORDER BY zone_id""".stripMargin,
+        s"""WITH pts AS ($pointsSql),
+           |z AS ($zonesSql
+           |  UNION ALL SELECT -1, -170.0, 40.0, -150.0, 50.0),
+           |stats AS (
+           |  SELECT zone_id, COUNT(*) AS n_points,
+           |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean_value,
+           |    MIN(value) AS min_value, MAX(value) AS max_value
+           |  FROM pts JOIN z ON lon >= xmin AND lon < xmax AND lat >= ymin AND lat < ymax
+           |  GROUP BY zone_id
+           |)
+           |SELECT z.zone_id, COALESCE(stats.n_points, 0) AS n_points,
+           |  stats.mean_value, stats.min_value, stats.max_value
+           |FROM z LEFT JOIN stats USING (zone_id) ORDER BY z.zone_id""".stripMargin,
       "zs_grid_downsample" ->
         s"""WITH pts AS ($pointsSql),
            |fine AS (

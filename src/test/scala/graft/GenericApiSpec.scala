@@ -9,15 +9,18 @@ import org.apache.spark.sql.functions._
   * scratch (never the driver testdata). */
 class GenericApiSpec extends SparkSpecBase {
 
-  test("zonal stats runs on arbitrary point/zone frames") {
+  test("zonal stats runs on arbitrary point/zone frames (empty zones kept)") {
     import spark.implicits._
     val pts = Seq((1L, 5.0, 5.0, 10.0), (2L, 15.0, 5.0, 20.0), (3L, -5.0, 5.0, 30.0))
       .toDF("event_id", "lon", "lat", "value")
-    val zs = Seq((100L, 0.0, 0.0, 10.0, 10.0), (200L, 10.0, 0.0, 30.0, 10.0))
+    val zs = Seq((100L, 0.0, 0.0, 10.0, 10.0), (200L, 10.0, 0.0, 30.0, 10.0),
+      (300L, 40.0, 0.0, 50.0, 10.0)) // no points inside
       .toDF("zone_id", "xmin", "ymin", "xmax", "ymax")
     val out = Geo.zonalStatsOn(pts, zs).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    assert(out == Map(100L -> (1L, 10.0), 200L -> (1L, 20.0)))
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)))).toMap
+    // LEFT JOIN shape (stats.py:9-13): the point-free zone stays, stats NULL
+    assert(out == Map(100L -> (1L, Some(10.0)), 200L -> (1L, Some(20.0)),
+      300L -> (0L, None)))
   }
 
   test("dedup suite runs on an arbitrary corpus and finds the planted dup") {
