@@ -570,7 +570,64 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Vocabulary cap of the deployed LM model (ta_lm_topv). */
+  val LmTopV = 64
+
+  /** ta_lm_score's DEPLOYED shape: the model is capped to the top-V
+    * vocabulary (rank by unigram count desc, word asc — deterministic)
+    * and BROADCAST, so the corpus-side transition stream is scored with
+    * ZERO shuffle of the big side — the hot-unigram skew a co-partitioned
+    * count join routes through one reducer never touches an exchange
+    * (the ta_boilerplate df-cap pattern inverted: keep the head, the
+    * tail is out-of-vocabulary). Closed vocabulary: only transitions
+    * with BOTH words in-vocab are scored; a vocab-pair bigram missing
+    * from the model scores 0 (no smoothing — on same-corpus scoring the
+    * left join always hits, but held-out deployment needs it). Model
+    * build still pays one count shuffle per table, bounded by the corpus
+    * and covered by the AQE skew split (SkewSpec). */
+  def lmScoreTopV(spark: SparkSession, dir: String): DataFrame =
+    lmScoreTopVOn(documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism), LmTopV)
+
+  /** Same operator over any (doc_id, source, text) frame. */
+  def lmScoreTopVOn(docs: DataFrame, topV: Int): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(expr("transform(sequence(0, size(ws) - 2), " +
+          "i -> struct(element_at(ws, i + 1) AS w1, element_at(ws, i + 2) AS w2))")).as("b"))
+      .select(col("doc_id"), col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint() // consumers: unigram counts, capped bigram counts, scoring
+    val vocab = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
+      .orderBy(col("cu").desc, col("w1").asc)
+      .limit(topV)
+      .localCheckpoint() // V rows, broadcast into four joins
+    val cbTop = bg
+      .join(broadcast(vocab.select("w1")), Seq("w1"))
+      .join(broadcast(vocab.select(col("w1").as("w2"))), Seq("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb")) // <= V^2 rows
+    val docScores = bg
+      .join(broadcast(vocab), Seq("w1"))
+      .join(broadcast(vocab.select(col("w1").as("w2"))), Seq("w2"))
+      .join(broadcast(cbTop), Seq("w1", "w2"), "left")
+      .withColumn("p_x10000", expr("(10000 * coalesce(cb, 0)) div cu"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_bg"), sum(col("p_x10000")).as("sp"))
+      .withColumn("doc_lm_x10000", expr("sp div n_bg"))
+    docScores
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bg")).as("n_transitions"),
+        expr("sum(doc_lm_x10000) div count(1)").as("avg_lm_x10000"),
+        min(col("doc_lm_x10000")).as("min_lm_x10000"),
+        max(col("doc_lm_x10000")).as("max_lm_x10000"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_lm_topv" -> (lmScoreTopV _),
     "ta_lm_score" -> (lmScore _),
     "ta_resample" -> (resample _),
     "ta_mixture" -> (mixture _),
@@ -671,6 +728,35 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "ta_lm_topv" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2
+         |), tok AS (
+         |  SELECT doc_id, source, UNNEST(range(1, len(w)::BIGINT)) AS i, w FROM ws
+         |), bg AS (
+         |  SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2 FROM tok
+         |), vocab AS (
+         |  SELECT w1, COUNT(*) AS cu FROM bg GROUP BY w1
+         |  ORDER BY COUNT(*) DESC, w1 ASC LIMIT $LmTopV
+         |), cnt AS (
+         |  SELECT w1, w2, COUNT(*) AS cb FROM bg
+         |  WHERE w1 IN (SELECT w1 FROM vocab) AND w2 IN (SELECT w1 FROM vocab)
+         |  GROUP BY w1, w2
+         |), ds AS (
+         |  SELECT doc_id, source, COUNT(*) AS n_bg,
+         |    CAST(SUM((10000 * COALESCE(cnt.cb, 0)) // vocab.cu) AS BIGINT) AS sp
+         |  FROM bg
+         |  JOIN vocab ON bg.w1 = vocab.w1
+         |  JOIN (SELECT w1 AS w2 FROM vocab) v2 ON bg.w2 = v2.w2
+         |  LEFT JOIN cnt ON bg.w1 = cnt.w1 AND bg.w2 = cnt.w2
+         |  GROUP BY doc_id, source
+         |), d2 AS (SELECT *, sp // n_bg AS doc_lm_x10000 FROM ds)
+         |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_bg) AS BIGINT) AS n_transitions,
+         |  CAST(CAST(SUM(doc_lm_x10000) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_lm_x10000,
+         |  CAST(MIN(doc_lm_x10000) AS BIGINT) AS min_lm_x10000,
+         |  CAST(MAX(doc_lm_x10000) AS BIGINT) AS max_lm_x10000
+         |FROM d2 GROUP BY source ORDER BY source""".stripMargin,
     "ta_lm_score" ->
       """WITH ws AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
