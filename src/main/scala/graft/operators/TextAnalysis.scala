@@ -626,7 +626,60 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Training-context length of ta_seq_pack. */
+  val SeqLen = 2048L
+
+  /** Token-level sequence packing — the last step before a training run:
+    * concatenate tokenized docs in deterministic doc_id order and slice
+    * the stream into fixed SeqLen-token contexts (the GPT-style
+    * concat-and-chunk packer; docs SPLIT across context boundaries and
+    * the split is part of the output contract). Per context: docs
+    * contributing, token fill (== SeqLen except the tail), docs continuing
+    * into the next context, first/last doc.
+    *
+    * Scale: the global token offset is the mm_shard_pack two-phase prefix
+    * sum — per-range subtotals (doc_id div 100) prefix-summed on the tiny
+    * range table, range offsets broadcast back, within-range running sum
+    * windowed BY RANGE — never a global ORDER BY window (which would
+    * serialize the corpus through one task). The context explode fans out
+    * ceil(nt/SeqLen)+1 <= 2 rows for any doc shorter than a context. */
+  def seqPack(spark: SparkSession, dir: String): DataFrame =
+    seqPackOn(documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism), SeqLen)
+
+  /** Same operator over any (doc_id, text) frame — Round8Spec pins the
+    * boundary splits (mid-doc cut, exact-fit doc, multi-context doc). */
+  def seqPackOn(docs: DataFrame, seqLen: Long): DataFrame = {
+    val RangeDocs = 100L
+    val sized = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .withColumn("rng", expr(s"doc_id div $RangeDocs"))
+    val rangeTot = sized.groupBy("rng").agg(sum(col("nt")).as("tot"))
+    val wRanges = Window.orderBy("rng")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = rangeTot
+      .withColumn("range_off", sum(col("tot")).over(wRanges) - col("tot"))
+      .select("rng", "range_off")
+    val wInRange = Window.partitionBy("rng").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sized.join(broadcast(offsets), Seq("rng"))
+      .withColumn("start", col("range_off") + sum(col("nt")).over(wInRange) - col("nt"))
+      .withColumn("fin", col("start") + col("nt"))
+      .withColumn("seq_id", explode(expr(s"sequence(start div $seqLen, (fin - 1) div $seqLen)")))
+      .groupBy("seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(least(col("fin"), (col("seq_id") + 1) * lit(seqLen))
+          - greatest(col("start"), col("seq_id") * lit(seqLen))).as("n_tokens"),
+        sum(when(col("fin") > (col("seq_id") + 1) * lit(seqLen), 1L).otherwise(0L))
+          .as("n_split_out"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("seq_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_seq_pack" -> (seqPack _),
     "ta_lm_topv" -> (lmScoreTopV _),
     "ta_lm_score" -> (lmScore _),
     "ta_resample" -> (resample _),
@@ -728,6 +781,34 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "ta_seq_pack" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+         |    doc_id // 100 AS rng
+         |  FROM documents
+         |), rt AS (
+         |  SELECT rng, SUM(nt) AS tot FROM d GROUP BY rng
+         |), ro AS (
+         |  SELECT rng, CAST(SUM(tot) OVER (ORDER BY rng
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tot AS BIGINT) AS range_off
+         |  FROM rt
+         |), s AS (
+         |  SELECT d.doc_id, d.nt,
+         |    range_off + CAST(SUM(nt) OVER (PARTITION BY d.rng ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt AS BIGINT) AS strt
+         |  FROM d JOIN ro ON d.rng = ro.rng
+         |), e AS (
+         |  SELECT doc_id, nt, strt, strt + nt AS fin,
+         |    UNNEST(range(strt // $SeqLen, (strt + nt - 1) // $SeqLen + 1)) AS seq_id
+         |  FROM s
+         |)
+         |SELECT seq_id, COUNT(*) AS n_docs,
+         |  CAST(SUM(LEAST(fin, (seq_id + 1) * $SeqLen)
+         |    - GREATEST(strt, seq_id * $SeqLen)) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN fin > (seq_id + 1) * $SeqLen THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_split_out,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM e GROUP BY seq_id ORDER BY seq_id""".stripMargin,
     "ta_lm_topv" ->
       s"""WITH ws AS (
          |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
