@@ -32,8 +32,11 @@ registry_fails = []
 try:
     declared = json.load(open(f"{outdir}/queries.json"))
 except FileNotFoundError:
-    declared = sorted(oracle)
-    print("WARN: no queries.json in outdir; registry gate limited to oracle keys")
+    # Verify always writes queries.json; its absence means a stale/partial
+    # outdir — exactly the silent-denominator-shrink scenario this gate
+    # exists to prevent. Hard fail.
+    sys.exit(f"FAIL: no queries.json in {outdir} — stale outdir or Verify "
+             "did not complete; rerun graft.Verify")
 # Queries allowed to be rows-only (engine-specific by design, behavior
 # pinned in specs instead — SURVEY.md §4). Any OTHER declared query
 # lacking an oracle entry is a forgotten oracleSql registration: FAIL,
@@ -51,8 +54,9 @@ for name in declared:
         # rows-only query: still require the result to be readable + nonempty
         try:
             n = con.sql(f"SELECT count(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
-            print(f"ok   {name} (rows-only, {n} rows)")
             ok = n > 0
+            if ok:
+                print(f"ok   {name} (rows-only, {n} rows)")
         except Exception as e:
             print(f"FAIL {name}: rows-only result unreadable: {e}")
             ok = False
