@@ -538,10 +538,9 @@ object TextAnalysis {
     lmScoreOn(documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism))
 
-  /** Same operator over any (doc_id, source, text) frame — Round7Spec
-    * pins the conditional-probability arithmetic on a hand-worked
-    * corpus. */
-  def lmScoreOn(docs: DataFrame): DataFrame = {
+  /** Per-doc LM scores (doc_id, source, n_bg, doc_lm_x10000) — the shared
+    * core of ta_lm_score's rollup and ta_ppl_bucket's terciles. */
+  private[graft] def lmDocScores(docs: DataFrame): DataFrame = {
     val bg = docs
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
@@ -552,14 +551,20 @@ object TextAnalysis {
       .localCheckpoint() // three consumers: unigram counts, bigram counts, scoring
     val ug = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
     val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    val docScores = bg
+    bg
       .join(cb, Seq("w1", "w2"))
       .join(ug, Seq("w1"))
       .withColumn("p_x10000", expr("(10000 * cb) div cu"))
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).as("n_bg"), sum(col("p_x10000")).as("sp"))
       .withColumn("doc_lm_x10000", expr("sp div n_bg"))
-    docScores
+  }
+
+  /** Same operator over any (doc_id, source, text) frame — Round7Spec
+    * pins the conditional-probability arithmetic on a hand-worked
+    * corpus. */
+  def lmScoreOn(docs: DataFrame): DataFrame =
+    lmDocScores(docs)
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -568,6 +573,46 @@ object TextAnalysis {
         min(col("doc_lm_x10000")).as("min_lm_x10000"),
         max(col("doc_lm_x10000")).as("max_lm_x10000"))
       .orderBy("source")
+
+  /** Perplexity bucketing — the CCNet corpus split: every doc lands in
+    * head / middle / tail by EXACT global terciles of its LM score (head
+    * = most fluent third; CCNet trains on head+middle and drops or
+    * re-examines tail). The tercile thresholds are computed the
+    * q21_exact_median way: a value-count histogram over the SCALED
+    * INTEGER scores (<= 10001 distinct values — the cumulative window
+    * runs over that bounded frame, never the corpus), thresholds by
+    * ceil-rank cut, ties share a bucket. One-row threshold frame
+    * broadcast back (the gr_triangles shape, bounded by construction).
+    * Everything integer => both engines agree exactly. */
+  def pplBucket(spark: SparkSession, dir: String): DataFrame =
+    pplBucketOn(documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  /** Same operator over any (doc_id, source, text) frame — Round8Spec
+    * pins the tercile cuts and tie handling on a hand-worked corpus. */
+  def pplBucketOn(docs: DataFrame): DataFrame = {
+    val ds = lmDocScores(docs).localCheckpoint() // histogram + bucket assign
+    val hist = ds.groupBy("doc_lm_x10000").agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy("doc_lm_x10000")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("ntot", sum(col("c")).over(Window.partitionBy()))
+    val thr = cum.agg(
+      min(when(col("cum") >= expr("(ntot + 2) div 3"), col("doc_lm_x10000"))).as("t1"),
+      min(when(col("cum") >= expr("(2 * ntot + 2) div 3"), col("doc_lm_x10000"))).as("t2"))
+      .localCheckpoint()
+    ds.crossJoin(broadcast(thr))
+      .withColumn("bucket",
+        when(col("doc_lm_x10000") <= col("t1"), lit("tail"))
+          .when(col("doc_lm_x10000") <= col("t2"), lit("middle"))
+          .otherwise(lit("head")))
+      .groupBy("source", "bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bg")).as("n_transitions"),
+        expr("sum(doc_lm_x10000) div count(1)").as("avg_lm_x10000"))
+      .orderBy("source", "bucket")
   }
 
   /** Vocabulary cap of the deployed LM model (ta_lm_topv). */
@@ -679,6 +724,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_ppl_bucket" -> (pplBucket _),
     "ta_seq_pack" -> (seqPack _),
     "ta_lm_topv" -> (lmScoreTopV _),
     "ta_lm_score" -> (lmScore _),
@@ -781,6 +827,43 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "ta_ppl_bucket" ->
+      """WITH ws AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |), tok AS (
+        |  SELECT doc_id, source, UNNEST(range(1, len(w)::BIGINT)) AS i, w FROM ws
+        |), bg AS (
+        |  SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2 FROM tok
+        |), ug AS (
+        |  SELECT w1, COUNT(*) AS cu FROM bg GROUP BY w1
+        |), cnt AS (
+        |  SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2
+        |), ds AS (
+        |  SELECT doc_id, source, COUNT(*) AS n_bg,
+        |    CAST(SUM((10000 * cnt.cb) // ug.cu) AS BIGINT) AS sp
+        |  FROM bg JOIN cnt USING (w1, w2) JOIN ug USING (w1)
+        |  GROUP BY doc_id, source
+        |), d2 AS (SELECT *, sp // n_bg AS doc_lm_x10000 FROM ds),
+        |hist AS (SELECT doc_lm_x10000 AS s, COUNT(*) AS c FROM d2 GROUP BY 1),
+        |cum AS (
+        |  SELECT s, SUM(c) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER () AS ntot
+        |  FROM hist
+        |), thr AS (
+        |  SELECT MIN(CASE WHEN cum >= (ntot + 2) // 3 THEN s END) AS t1,
+        |    MIN(CASE WHEN cum >= (2 * ntot + 2) // 3 THEN s END) AS t2
+        |  FROM cum
+        |), b AS (
+        |  SELECT d2.*, CASE WHEN doc_lm_x10000 <= t1 THEN 'tail'
+        |    WHEN doc_lm_x10000 <= t2 THEN 'middle' ELSE 'head' END AS bucket
+        |  FROM d2, thr
+        |)
+        |SELECT source, bucket, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_bg) AS BIGINT) AS n_transitions,
+        |  CAST(CAST(SUM(doc_lm_x10000) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_lm_x10000
+        |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
     "ta_seq_pack" ->
       s"""WITH d AS (
          |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,

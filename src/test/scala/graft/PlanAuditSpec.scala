@@ -27,7 +27,10 @@ class PlanAuditSpec extends SparkSpecBase {
     // merge) onto the symbol stream and the one-row stat aggregates —
     // the gr_triangles shape, bounded by construction; ta_bpe_encode
     // replays the same one-row merges over the held-out slice
-    "ta_bpe_train", "ta_bpe_encode")
+    "ta_bpe_train", "ta_bpe_encode",
+    // ta_ppl_bucket broadcasts its ONE-ROW tercile-threshold frame onto
+    // the doc-score stream — the same bounded shape
+    "ta_ppl_bucket")
 
   test("no query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>

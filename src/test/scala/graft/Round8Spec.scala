@@ -88,6 +88,35 @@ class Round8Spec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p) // range offsets broadcast back
   }
 
+  test("ppl bucket: exact tercile cuts and tie handling on a hand-worked corpus") {
+    import spark.implicits._
+    // doc scores: d1 6666, d2 6666, d3 3333, d4 10000 (N=4)
+    // ceil-rank cuts: t1 = score at cum>=2 -> 6666, t2 = score at cum>=3
+    // -> 6666 (tie): both 6666 docs land in TAIL, middle is empty —
+    // ties share a bucket by construction
+    val docs = Seq((1L, "s1", "a b"), (2L, "s1", "a b"),
+      (3L, "s2", "a c"), (4L, "s2", "c c")).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.pplBucketOn(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val expected = Seq(
+      ("s1", "tail", 2L, 2L, 6666L),
+      ("s2", "head", 1L, 1L, 10000L),
+      ("s2", "tail", 1L, 1L, 3333L))
+    assert(got == expected, s"got $got")
+  }
+
+  test("ppl bucket on the corpus: buckets partition the scored docs, scores ordered") {
+    val rows = TextAnalysis.pplBucket(spark, sfDir).collect()
+    val scored = TextAnalysis.lmScore(spark, sfDir).collect().map(_.getLong(1)).sum
+    assert(rows.map(_.getLong(2)).sum == scored, "bucketed docs != scored docs")
+    val byBucket = rows.groupBy(_.getString(1))
+      .map { case (b, rs) => b -> rs.map(_.getLong(4)).max }
+    // every tail score <= every head score by construction of the cuts
+    for (t <- byBucket.get("tail"); h <- byBucket.get("head"))
+      assert(t <= h, s"tail max $t > head max $h")
+  }
+
   test("lm topv on the corpus: head-vocab scores dominate the uncapped model's range") {
     // sanity on real data: the capped model scores a subset of transitions
     // (n_transitions <= uncapped) and every per-source aggregate stays in
