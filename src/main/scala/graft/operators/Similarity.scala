@@ -616,7 +616,42 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** SemDeDup (Abbas et al. 2023) — semantic dedup on TRAINED clusters:
+    * k-means partitions the corpus, exact pairwise cosine runs ONLY
+    * within a cluster, and each doc similar (>= 0.4, this corpus's
+    * non-trivial band — max pairwise cosine ~0.48) to a lower-id
+    * cluster-mate is dropped, keeping the LOWEST such id (greedy
+    * keep-first — deterministic, no iteration). Output: one row per
+    * dropped doc with its keeper, cluster, and similarity.
+    *
+    * vs dd_embed_cosine: same exact-cosine core, but the candidate
+    * generator is the TRAINED coarse quantizer, not random hyperplanes —
+    * semantically-close pairs that land in different random-sign buckets
+    * are still caught. Scale: pair work is sum n_c^2 over clusters,
+    * never N^2; a deployment picks k ~ N/target-cluster-size so
+    * per-cluster pair counts stay bounded as the corpus grows (k=10 here
+    * only because the oracle replays the shared two-Lloyd-round chain).
+    * Same accepted float-threshold risk as dd_embed_cosine (identical
+    * fold both engines, threshold compare on a double). */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+      .join(kmeansAssignments(spark, dir).select(col("vec_id"), col("c")), Seq("vec_id"))
+      .localCheckpoint() // both self-join sides
+    val pairs = e.as("x").join(e.as("y"),
+        col("x.c") === col("y.c") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("y.vec_id").as("vec_id"), col("x.vec_id").as("va"),
+        col("x.c").as("cluster"),
+        (dot("x.embedding", "y.embedding") / (col("x.nrm") * col("y.nrm"))).as("cos"))
+      .filter(col("cos") >= lit(0.4))
+    pairs.groupBy("vec_id")
+      .agg(min(struct(col("va"), col("cluster"), col("cos"))).as("k"))
+      .select(col("vec_id"), col("k.va").as("kept_by"),
+        col("k.cluster").as("cluster"), r4(col("k.cos")).as("cos_sim"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_semdedup" -> (semDedup _),
     "ann_ivfpq" -> (ivfpq _),
     "ann_multiprobe" -> (multiprobe _),
     "ann_kmeans_recall" -> (kmeansRecall _),
@@ -963,7 +998,29 @@ object Similarity {
        |  CAST(approx_rank AS BIGINT) AS approx_rank, nc.n_cand
        |FROM r JOIN nc ON nc.qid = r.qid WHERE rank <= 3 ORDER BY r.qid, rank""".stripMargin
 
+  private def semDedupSql: String =
+    s"""WITH $kmeansCtes,
+       |e0 AS (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings
+       |),
+       |b AS (
+       |  SELECT e0.vec_id, e0.embedding, e0.nrm, as2.c
+       |  FROM e0 JOIN as2 ON e0.vec_id = as2.vec_id
+       |),
+       |p AS (
+       |  SELECT y.vec_id AS vec_id, x.vec_id AS va, x.c AS cluster,
+       |    ${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
+       |  FROM b x JOIN b y ON x.c = y.c AND x.vec_id < y.vec_id
+       |  WHERE ${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= 0.4
+       |),
+       |k AS (SELECT vec_id, MIN(va) AS kept_by FROM p GROUP BY vec_id)
+       |SELECT p.vec_id, p.va AS kept_by, p.cluster,
+       |  ${graft.sources.Tables.r4Sql("p.cos")} AS cos_sim
+       |FROM p JOIN k ON p.vec_id = k.vec_id AND p.va = k.kept_by
+       |ORDER BY p.vec_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "dd_semdedup" -> semDedupSql,
     "ann_ivfpq" -> ivfpqSql,
     "ann_multiprobe" -> multiprobeSql,
     "ann_kmeans_recall" -> kmeansRecallSql,

@@ -1,10 +1,33 @@
 package graft
 
-import graft.operators.TextAnalysis
+import graft.operators.{Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
-/** Round-8 operator pins: the top-V broadcast LM variant (ta_lm_topv). */
+/** Round-8 operator pins: top-V broadcast LM (ta_lm_topv), sequence
+  * packing (ta_seq_pack), perplexity buckets (ta_ppl_bucket), and
+  * cluster-bounded semantic dedup (dd_semdedup). */
 class Round8Spec extends SparkSpecBase {
+
+  test("semdedup: drops point to a lower-id cluster-mate above threshold") {
+    val asg = Similarity.kmeansAssignments(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Similarity.semDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dropped, keptBy, cluster, cos) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(keptBy < dropped, s"$dropped kept by HIGHER id $keptBy")
+      // pairs were generated within trained clusters only
+      assert(asg(dropped) == cluster && asg(keptBy) == cluster,
+        s"pair ($keptBy, $dropped) crosses clusters ${asg(keptBy)}/${asg(dropped)} vs $cluster")
+      assert(cos >= 0.4 - 1e-4 && cos <= 1.0, s"cos_sim $cos out of band")
+    }
+    // greedy keep-first: the keeper is the LOWEST similar lower id, so no
+    // dropped doc can keep another doc in a different row
+    val droppedSet = rows.map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length, "duplicate drop rows")
+    assert(droppedSet.nonEmpty)
+  }
 
   test("lm topv: closed-vocab scoring on a hand-worked corpus, OOV transitions dropped") {
     import spark.implicits._
