@@ -52,8 +52,41 @@ object Tables {
         throw new IllegalStateException(
           s"events.ts: unexpected parquet dtype $other (want INT64 nanos or TIMESTAMP[_NTZ])")
     }
-  def documents(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
+  /** Integer id columns have no pinned physical width in the driver's
+    * testdata (the events.ts lesson generalized): normalize any integral
+    * encoding to LongType, fail loudly on anything non-integral. */
+  private def normalizeId(raw: DataFrame, table: String, cols: String*): DataFrame =
+    cols.foldLeft(raw) { (df, c) =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType => df
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType =>
+          df.withColumn(c, col(c).cast("long"))
+        case other => throw new IllegalStateException(
+          s"$table.$c: unexpected parquet dtype $other (want an integer type)")
+      }
+    }
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    normalizeId(t(spark, dir, "documents"), "documents", "doc_id")
+
+  /** embeddings.embedding must reach queries as ARRAY<FLOAT> (the fold
+    * arithmetic and VectorDot widen per element). A regenerated testdata
+    * shipping ARRAY<DOUBLE> of exact float values casts losslessly — and
+    * if the doubles are NOT exact floats, the oracle gate hash-mismatches
+    * loudly rather than drifting silently. Anything else throws. */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    val raw = normalizeId(t(spark, dir, "embeddings"), "embeddings", "vec_id", "label")
+    raw.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) => raw
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, _) =>
+        raw.withColumn("embedding", col("embedding").cast("array<float>"))
+      case other => throw new IllegalStateException(
+        s"embeddings.embedding: unexpected parquet dtype $other (want ARRAY<FLOAT|DOUBLE>)")
+    }
+  }
 
   /** Deterministic 4dp rounding: floor(x*10000 + 0.5)/10000 — the SAME
     * expression both engines run (see r4Sql), so it is immune to the

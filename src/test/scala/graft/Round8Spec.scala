@@ -8,6 +8,40 @@ import org.apache.spark.sql.functions._
   * cluster-bounded semantic dedup (dd_semdedup). */
 class Round8Spec extends SparkSpecBase {
 
+  test("loaders normalize drifted testdata encodings and throw on unknown ones") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // the events.ts lesson generalized: a regeneration may flip integer
+    // widths or float widths; loaders must normalize the benign flips and
+    // fail LOUDLY (never silently mis-analyze) on anything new
+    val dir = s"/tmp/graft_drift_${System.nanoTime()}"
+    // int32 doc_id + double embedding of exact float values
+    spark.range(4).selectExpr("CAST(id AS INT) AS doc_id",
+        "'t' AS text", "'en' AS lang", "'s' AS source", "1L AS n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    spark.range(4).selectExpr("CAST(id AS INT) AS vec_id",
+        "transform(sequence(1, 4), i -> CAST(CAST(i AS FLOAT) AS DOUBLE)) AS embedding",
+        "CAST(id % 2 AS SMALLINT) AS label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val d = graft.sources.Tables.documents(spark, dir)
+    assert(d.schema("doc_id").dataType == LongType)
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    assert(e.schema("vec_id").dataType == LongType)
+    assert(e.schema("label").dataType == LongType)
+    assert(e.schema("embedding").dataType == ArrayType(FloatType, containsNull = false) ||
+      e.schema("embedding").dataType.asInstanceOf[ArrayType].elementType == FloatType)
+    assert(e.selectExpr("element_at(embedding, 3)").collect()(0).getFloat(0) == 3.0f)
+    // unknown encoding -> loud failure
+    val bad = s"/tmp/graft_drift_bad_${System.nanoTime()}"
+    spark.range(2).selectExpr("CAST(id AS STRING) AS doc_id", "'t' AS text",
+        "'en' AS lang", "'s' AS source", "1L AS n_chars")
+      .write.parquet(s"$bad/documents.parquet")
+    val err = intercept[IllegalStateException] {
+      graft.sources.Tables.documents(spark, bad)
+    }
+    assert(err.getMessage.contains("documents.doc_id"))
+  }
+
   test("semdedup: drops point to a lower-id cluster-mate above threshold") {
     val asg = Similarity.kmeansAssignments(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
