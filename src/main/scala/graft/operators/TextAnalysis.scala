@@ -588,21 +588,28 @@ object TextAnalysis {
     pplBucketOn(documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism))
 
+  /** One-row (t1, t2) exact tercile thresholds of a doc-score frame —
+    * value-count histogram + ceil-rank cut (see pplBucket scaladoc).
+    * Eagerly checkpointed: the one-row frame is broadcast into bucket
+    * assignment. */
+  private def lmTerciles(ds: DataFrame): DataFrame = {
+    val hist = ds.groupBy("doc_lm_x10000").agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy("doc_lm_x10000")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("ntot", sum(col("c")).over(Window.partitionBy()))
+      .agg(
+        min(when(col("cum") >= expr("(ntot + 2) div 3"), col("doc_lm_x10000"))).as("t1"),
+        min(when(col("cum") >= expr("(2 * ntot + 2) div 3"), col("doc_lm_x10000"))).as("t2"))
+      .localCheckpoint()
+  }
+
   /** Same operator over any (doc_id, source, text) frame — Round8Spec
     * pins the tercile cuts and tie handling on a hand-worked corpus. */
   def pplBucketOn(docs: DataFrame): DataFrame = {
     val ds = lmDocScores(docs).localCheckpoint() // histogram + bucket assign
-    val hist = ds.groupBy("doc_lm_x10000").agg(count(lit(1)).as("c"))
-    val wCum = Window.orderBy("doc_lm_x10000")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist
-      .withColumn("cum", sum(col("c")).over(wCum))
-      .withColumn("ntot", sum(col("c")).over(Window.partitionBy()))
-    val thr = cum.agg(
-      min(when(col("cum") >= expr("(ntot + 2) div 3"), col("doc_lm_x10000"))).as("t1"),
-      min(when(col("cum") >= expr("(2 * ntot + 2) div 3"), col("doc_lm_x10000"))).as("t2"))
-      .localCheckpoint()
-    ds.crossJoin(broadcast(thr))
+    ds.crossJoin(broadcast(lmTerciles(ds)))
       .withColumn("bucket",
         when(col("doc_lm_x10000") <= col("t1"), lit("tail"))
           .when(col("doc_lm_x10000") <= col("t2"), lit("middle"))
@@ -723,7 +730,72 @@ object TextAnalysis {
       .orderBy("seq_id")
   }
 
+  /** End-to-end curation funnel — the capstone composition every corpus
+    * build runs, with the survivor accounting every run reports:
+    *   1 input           all docs
+    *   2 quality_lang    ta_quality's scaled-integer gate + language allowlist
+    *   3 exact_dedup     min-doc_id keep per ta_fingerprint 4-gram fingerprint
+    *   4 lm_tail_drop    drop the CCNet tail tercile (thresholds from the
+    *                     FULL scored corpus — ta_ppl_bucket's cuts) and
+    *                     unscorable (<2 word) docs
+    *   5 resample        ta_mixture weights recomputed ON the survivors,
+    *                     md5-deterministic replication; n_docs = copies out
+    * One row per stage: (stage_id, stage, n_docs, n_tokens). Every stage
+    * reuses the SHARED row-wise cores (withQualityScore, windowHashArr,
+    * lmDocScores, lmTerciles), so the funnel cannot fork from the
+    * operators it composes; the oracle replays the same chain as CTEs.
+    *
+    * Scale: stages are filters/joins over one checkpointed scored scan —
+    * the only shuffles are the keep-set groupBy (map-side combined), the
+    * LM count tables, and the per-source weight aggregate (broadcast
+    * back); the funnel stats are five one-row aggregates unioned into a
+    * single job. */
+  def curation(spark: SparkSession, dir: String): DataFrame = {
+    val docs0 = documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val base = withQualityScore(docs0)
+      .withColumn("fp",
+        when(size(col("ws")) >= 4, array_min(windowHashArr)).otherwise(md5(col("text"))))
+      .withColumn("toks", col("n_words"))
+      .withColumn("q_ok", col("score") >= 55000L)
+      .withColumn("l_ok", col("lang").isin("en", "fr"))
+      .select("doc_id", "source", "fp", "toks", "q_ok", "l_ok")
+      .localCheckpoint() // five funnel branches read it
+    val s2 = base.filter(col("q_ok") && col("l_ok"))
+    val keep = s2.groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
+    val s3 = s2.join(keep, Seq("fp")).filter(col("doc_id") === col("keep_id"))
+      .drop("keep_id")
+    val ds = lmDocScores(docs0).localCheckpoint() // terciles + survivor join
+    val s4 = s3.join(ds.select("doc_id", "doc_lm_x10000"), Seq("doc_id"))
+      .crossJoin(broadcast(lmTerciles(ds)))
+      .filter(col("doc_lm_x10000") > col("t1"))
+      .localCheckpoint() // stage stat + weight build + replication
+    val w = s4.groupBy("source").agg(sum(col("toks")).as("n_tokens"))
+      .withColumn("total_tokens", sum(col("n_tokens")).over(Window.partitionBy()))
+      .withColumn("n_sources", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("weight_x10000", expr("total_tokens * 10000 div (n_sources * n_tokens)"))
+      .select("source", "weight_x10000")
+    val s5 = s4.join(broadcast(w), Seq("source"))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(concat('rs:', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % 10000"))
+      .withColumn("n_copies", expr(
+        "weight_x10000 div 10000 + (CASE WHEN h < weight_x10000 % 10000 THEN 1 ELSE 0 END)"))
+    def stat(df: DataFrame, id: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        .select(lit(id.toLong).as("stage_id"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    Seq(stat(base, 1, "input"), stat(s2, 2, "quality_lang"),
+      stat(s3, 3, "exact_dedup"), stat(s4, 4, "lm_tail_drop"),
+      s5.agg(sum(col("n_copies")).as("n_docs"),
+          sum(col("toks") * col("n_copies")).as("n_tokens"))
+        .select(lit(5L).as("stage_id"), lit("resample").as("stage"),
+          col("n_docs"), col("n_tokens")))
+      .reduce(_ unionByName _)
+      .orderBy("stage_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_curation" -> (curation _),
     "ta_ppl_bucket" -> (pplBucket _),
     "ta_seq_pack" -> (seqPack _),
     "ta_lm_topv" -> (lmScoreTopV _),
@@ -826,7 +898,106 @@ object TextAnalysis {
        |ORDER BY round""".stripMargin
   }
 
+  /** pipe_curation oracle: the funnel replayed as one CTE chain — the
+    * quality/fingerprint CTEs mirror ta_corpus_clean, the LM CTEs mirror
+    * ta_lm_score, the tercile CTEs mirror ta_ppl_bucket, the resample
+    * arithmetic mirrors ta_resample (Horner md5-hex fold). */
+  private def curationSql: String = {
+    val hexDigit = (k: Int) =>
+      s"(strpos('0123456789abcdef', substr(mh, $k, 1)) - 1)"
+    s"""WITH m AS (
+       |  SELECT doc_id, source, lang, text, n_chars,
+       |    len(string_split(text, ' ')) AS n_words,
+       |    len(list_filter(string_split(text, ' '), w -> w IN $stopwordsSqlList)) AS n_stop
+       |  FROM documents
+       |),
+       |sc AS (
+       |  SELECT doc_id, source, lang, text, n_words,
+       |    400 * LEAST(n_words, 100)
+       |      + (30000 * (n_words - n_stop)) // n_words
+       |      + LEAST((30000 * (n_chars - n_words + 1)) // (8 * n_words), 30000) AS score
+       |  FROM m
+       |),
+       |fw AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 4
+       |),
+       |fpw AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 2),
+       |    i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) AS wh
+       |  FROM fw
+       |),
+       |fpt AS (SELECT doc_id, MIN(wh) AS fp FROM fpw GROUP BY doc_id),
+       |d AS (
+       |  SELECT sc.doc_id, sc.source, COALESCE(fpt.fp, md5(sc.text)) AS fp,
+       |    CAST(sc.n_words AS BIGINT) AS toks,
+       |    sc.score >= 55000 AS q_ok, sc.lang IN ('en', 'fr') AS l_ok
+       |  FROM sc LEFT JOIN fpt ON sc.doc_id = fpt.doc_id
+       |),
+       |s2 AS (SELECT * FROM d WHERE q_ok AND l_ok),
+       |keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM s2 GROUP BY fp),
+       |s3 AS (SELECT s2.* FROM s2 JOIN keep k ON s2.fp = k.fp AND s2.doc_id = k.keep_id),
+       |lws AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2
+       |), ltok AS (
+       |  SELECT doc_id, source, UNNEST(range(1, len(w)::BIGINT)) AS i, w FROM lws
+       |), lbg AS (
+       |  SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2 FROM ltok
+       |), lug AS (
+       |  SELECT w1, COUNT(*) AS cu FROM lbg GROUP BY w1
+       |), lcnt AS (
+       |  SELECT w1, w2, COUNT(*) AS cb FROM lbg GROUP BY w1, w2
+       |), lds AS (
+       |  SELECT doc_id, source, COUNT(*) AS n_bg,
+       |    CAST(SUM((10000 * lcnt.cb) // lug.cu) AS BIGINT) AS sp
+       |  FROM lbg JOIN lcnt USING (w1, w2) JOIN lug USING (w1)
+       |  GROUP BY doc_id, source
+       |), ld2 AS (SELECT *, sp // n_bg AS doc_lm_x10000 FROM lds),
+       |hist AS (SELECT doc_lm_x10000 AS s, COUNT(*) AS c FROM ld2 GROUP BY 1),
+       |cum AS (
+       |  SELECT s, SUM(c) OVER (ORDER BY s
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(c) OVER () AS ntot
+       |  FROM hist
+       |), thr AS (
+       |  SELECT MIN(CASE WHEN cum >= (ntot + 2) // 3 THEN s END) AS t1 FROM cum
+       |),
+       |s4 AS (
+       |  SELECT s3.*, ld2.doc_lm_x10000 FROM s3
+       |  JOIN ld2 ON s3.doc_id = ld2.doc_id
+       |  CROSS JOIN thr WHERE ld2.doc_lm_x10000 > thr.t1
+       |),
+       |wg AS (
+       |  SELECT source,
+       |    CAST(CAST(SUM(n_tokens) OVER () AS BIGINT) * 10000
+       |      // (CAST(COUNT(*) OVER () AS BIGINT) * n_tokens) AS BIGINT) AS weight_x10000
+       |  FROM (SELECT source, CAST(SUM(toks) AS BIGINT) AS n_tokens FROM s4 GROUP BY source)
+       |),
+       |s5 AS (
+       |  SELECT sh.*,
+       |    weight_x10000 // 10000
+       |      + (CASE WHEN h < weight_x10000 % 10000 THEN 1 ELSE 0 END) AS n_copies
+       |  FROM (
+       |    SELECT sm.*,
+       |      (((${hexDigit(1)} * 16 + ${hexDigit(2)}) * 16 + ${hexDigit(3)}) * 16
+       |        + ${hexDigit(4)}) % 10000 AS h
+       |    FROM (SELECT s4.*, md5('rs:' || CAST(doc_id AS VARCHAR)) AS mh FROM s4) sm
+       |  ) sh JOIN wg USING (source)
+       |)
+       |SELECT * FROM (
+       |  SELECT 1 AS stage_id, 'input' AS stage, COUNT(*) AS n_docs,
+       |    CAST(SUM(toks) AS BIGINT) AS n_tokens FROM d
+       |  UNION ALL SELECT 2, 'quality_lang', COUNT(*), CAST(SUM(toks) AS BIGINT) FROM s2
+       |  UNION ALL SELECT 3, 'exact_dedup', COUNT(*), CAST(SUM(toks) AS BIGINT) FROM s3
+       |  UNION ALL SELECT 4, 'lm_tail_drop', COUNT(*), CAST(SUM(toks) AS BIGINT) FROM s4
+       |  UNION ALL SELECT 5, 'resample', CAST(SUM(n_copies) AS BIGINT),
+       |    CAST(SUM(toks * n_copies) AS BIGINT) FROM s5
+       |) ORDER BY stage_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "pipe_curation" -> curationSql,
     "ta_ppl_bucket" ->
       """WITH ws AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents

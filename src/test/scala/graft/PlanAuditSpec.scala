@@ -29,8 +29,9 @@ class PlanAuditSpec extends SparkSpecBase {
     // replays the same one-row merges over the held-out slice
     "ta_bpe_train", "ta_bpe_encode",
     // ta_ppl_bucket broadcasts its ONE-ROW tercile-threshold frame onto
-    // the doc-score stream — the same bounded shape
-    "ta_ppl_bucket")
+    // the doc-score stream — the same bounded shape; pipe_curation
+    // composes the identical tercile broadcast in its lm_tail_drop stage
+    "ta_ppl_bucket", "pipe_curation")
 
   test("no query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>

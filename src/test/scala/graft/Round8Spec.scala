@@ -174,6 +174,24 @@ class Round8Spec extends SparkSpecBase {
       assert(t <= h, s"tail max $t > head max $h")
   }
 
+  test("curation funnel: stages shrink monotonically and agree with the operators they compose") {
+    val rows = TextAnalysis.curation(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).toSeq ==
+      Seq("input", "quality_lang", "exact_dedup", "lm_tail_drop", "resample"))
+    val docs = rows.map(_._3)
+    // stages 1..4 are filters: non-increasing; every stage keeps something
+    docs.take(4).zip(docs.slice(1, 4)).foreach { case (a, b) =>
+      assert(b <= a, s"funnel grew: $docs") }
+    assert(docs.forall(_ > 0L), s"a stage emptied the corpus: $docs")
+    // stage 1 is the corpus; stage 3 matches ta_corpus_clean's kept verdicts
+    val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(docs(0) == total)
+    val kept = TextAnalysis.corpusClean(spark, sfDir)
+      .filter(col("verdict") === "kept").count()
+    assert(docs(2) == kept, s"exact_dedup ${docs(2)} != corpus_clean kept $kept")
+  }
+
   test("lm topv on the corpus: head-vocab scores dominate the uncapped model's range") {
     // sanity on real data: the capped model scores a subset of transitions
     // (n_transitions <= uncapped) and every per-source aggregate stays in
