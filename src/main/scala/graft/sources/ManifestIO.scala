@@ -286,6 +286,43 @@ object ManifestIO {
       .orderBy("zbucket")
   }
 
+  /** Bloom-filter data skipping — the point-lookup complement to z-order
+    * min/max range pruning: one Bloom filter per data file over a lookup
+    * key, consulted BEFORE scheduling the scan so non-matching files are
+    * never opened. High-cardinality keys with no clustering defeat
+    * min/max statistics (every file's range straddles every key); Bloom
+    * membership does not care about ordering, so at 100 TB a point
+    * lookup touches ~1 file instead of all of them. The index is
+    * (path, serialized filter) — O(#files) entries, the bounded
+    * file-manifest rule, so building and probing it driver-side is the
+    * same sanctioned shape as compact()/zorderMaintain's file listings. */
+  def bloomIndex(spark: SparkSession, layoutPath: String, keyCol: String,
+      expectedPerFile: Long = 100000L, fpp: Double = 0.01): Seq[(String, Array[Byte])] = {
+    val files = spark.read.parquet(layoutPath)
+      .select(input_file_name().as("path")).distinct()
+      .collect().map(_.getString(0)).sorted // bounded by file count
+    files.toSeq.map { p =>
+      val bf = spark.read.parquet(p).stat.bloomFilter(keyCol, expectedPerFile, fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      (p, bos.toByteArray)
+    }
+  }
+
+  /** Scan only the files whose Bloom filter might contain `key`; returns
+    * the pruned scan and how many files it reads (the skip proof). */
+  def bloomSkipScan(spark: SparkSession, index: Seq[(String, Array[Byte])],
+      keyCol: String, key: Long): (DataFrame, Int) = {
+    val hit = index.filter { case (_, bytes) =>
+      org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(bytes)).mightContainLong(key)
+    }.map(_._1)
+    val df =
+      if (hit.isEmpty) spark.read.parquet(index.head._1).filter(lit(false))
+      else spark.read.parquet(hit: _*).filter(col(keyCol) === key)
+    (df, hit.size)
+  }
+
   /** Catalog time travel (iceberg-lite on plain parquet): an append-only
     * log of (version, key, op, payload) rows — inserts/updates as 'u',
     * deletes as 'd' — reconstructs EVERY historical snapshot in one pass:

@@ -42,6 +42,26 @@ class Round8Spec extends SparkSpecBase {
     assert(err.getMessage.contains("documents.doc_id"))
   }
 
+  test("bloom skip: a point lookup reads ~1 file of a multi-file layout, results exact") {
+    import graft.sources.ManifestIO
+    val layout = s"/tmp/graft_bloom_${System.nanoTime()}"
+    // 8 files with disjoint key ranges (range-partitioned write)
+    spark.range(0, 8000).selectExpr("id AS k", "id % 97 AS v")
+      .repartitionByRange(8, col("k"))
+      .write.parquet(layout)
+    val idx = ManifestIO.bloomIndex(spark, layout, "k", expectedPerFile = 2000L)
+    assert(idx.size == 8, s"expected 8 files, got ${idx.size}")
+    // present key: ~1 file read (allow 2 for false positives), exact row back
+    val (hitDf, nRead) = ManifestIO.bloomSkipScan(spark, idx, "k", 4242L)
+    assert(nRead >= 1 && nRead <= 2, s"bloom pruned to $nRead files, expected ~1")
+    val rows = hitDf.collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 4242L && rows(0).getLong(1) == 4242L % 97)
+    // absent key: false-positive files only, zero rows either way
+    val (missDf, nMiss) = ManifestIO.bloomSkipScan(spark, idx, "k", 999999L)
+    assert(nMiss <= 2, s"absent key still scheduled $nMiss files")
+    assert(missDf.count() == 0)
+  }
+
   test("semdedup: drops point to a lower-id cluster-mate above threshold") {
     val asg = Similarity.kmeansAssignments(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
