@@ -286,6 +286,41 @@ object ManifestIO {
       .orderBy("zbucket")
   }
 
+  /** Data-quality constraint report — the Deequ/Great-Expectations gate a
+    * pipeline runs BEFORE building on a table: each constraint is a
+    * violation count (0 = pass) so the report is one exact aggregate per
+    * table, unpivoted to a row per constraint. The language-allowlist
+    * constraint legitimately FAILS on this corpus (zh/es/de docs) —
+    * surfacing violations is the point of the report, and the gate
+    * consumer decides which constraints block. Scale: ONE scan + one
+    * map-side-combined aggregate per table, no shuffle beyond the final
+    * one-row exchange; countDistinct is the only expensive member (exact
+    * two-phase) — a 100 TB deployment swaps it for approx_count_distinct
+    * at a documented tolerance. */
+  def dqReportQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .agg(
+        (count(lit(1)) - countDistinct(col("doc_id"))).as("v1"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("v2"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L)).as("v3"),
+        sum(when(!col("lang").isin("en", "fr"), 1L).otherwise(0L)).as("v4"))
+      .select(lit("documents").as("table_name"), expr(
+        "stack(4, 'dup_doc_id', v1, 'null_text', v2, " +
+          "'chars_len_mismatch', v3, 'lang_allowlist', v4) AS (constraint, n_violations)"))
+    val evs = Tables.events(spark, dir)
+      .agg(
+        (count(lit(1)) - countDistinct(col("event_id"))).as("v1"),
+        sum(when(col("ts").isNull, 1L).otherwise(0L)).as("v2"),
+        sum(when(col("value") < 0.0, 1L).otherwise(0L)).as("v3"),
+        sum(when(col("event_type").isNull || col("event_type") === "", 1L).otherwise(0L)).as("v4"))
+      .select(lit("events").as("table_name"), expr(
+        "stack(4, 'dup_event_id', v1, 'null_ts', v2, " +
+          "'negative_value', v3, 'empty_type', v4) AS (constraint, n_violations)"))
+    docs.unionByName(evs)
+      .withColumn("passed", col("n_violations") === 0L)
+      .orderBy("table_name", "constraint")
+  }
+
   /** Bloom-filter data skipping — the point-lookup complement to z-order
     * min/max range pruning: one Bloom filter per data file over a lookup
     * key, consulted BEFORE scheduling the scan so non-matching files are
@@ -429,6 +464,7 @@ object ManifestIO {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_dq_report" -> (dqReportQuery _),
     "io_time_travel" -> (timeTravelQuery _),
     "io_zorder" -> (zorderQuery _),
     "io_manifest_diff" -> (manifestDiffQuery _),
@@ -438,6 +474,31 @@ object ManifestIO {
     "io_partitioned_scan" -> (partitionedScanQuery _))
 
   val oracle: Map[String, String] = Map(
+    "io_dq_report" ->
+      """WITH d AS (
+        |  SELECT CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS v1,
+        |    CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |    CAST(SUM(CASE WHEN n_chars <> len(text) THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        |    CAST(SUM(CASE WHEN lang NOT IN ('en', 'fr') THEN 1 ELSE 0 END) AS BIGINT) AS v4
+        |  FROM documents
+        |), e AS (
+        |  SELECT CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS v1,
+        |    CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |    CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        |    CAST(SUM(CASE WHEN event_type IS NULL OR event_type = '' THEN 1 ELSE 0 END) AS BIGINT) AS v4
+        |  FROM events
+        |), u AS (
+        |  SELECT 'documents' AS table_name, 'dup_doc_id' AS constraint, v1 AS n_violations FROM d
+        |  UNION ALL SELECT 'documents', 'null_text', v2 FROM d
+        |  UNION ALL SELECT 'documents', 'chars_len_mismatch', v3 FROM d
+        |  UNION ALL SELECT 'documents', 'lang_allowlist', v4 FROM d
+        |  UNION ALL SELECT 'events', 'dup_event_id', v1 FROM e
+        |  UNION ALL SELECT 'events', 'null_ts', v2 FROM e
+        |  UNION ALL SELECT 'events', 'negative_value', v3 FROM e
+        |  UNION ALL SELECT 'events', 'empty_type', v4 FROM e
+        |)
+        |SELECT table_name, "constraint", n_violations, n_violations = 0 AS passed
+        |FROM u ORDER BY table_name, "constraint"""".stripMargin,
     "io_time_travel" ->
       """WITH base AS (
         |  SELECT p_partkey AS key, p_retailprice AS price FROM part

@@ -42,6 +42,20 @@ class Round8Spec extends SparkSpecBase {
     assert(err.getMessage.contains("documents.doc_id"))
   }
 
+  test("dq report: clean constraints pass, the allowlist violation surfaces") {
+    val rows = graft.sources.ManifestIO.dqReportQuery(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(rows.size == 8)
+    // structural constraints hold on the driver testdata
+    Seq(("documents", "dup_doc_id"), ("documents", "null_text"),
+      ("documents", "chars_len_mismatch"), ("events", "dup_event_id"),
+      ("events", "null_ts"), ("events", "negative_value"), ("events", "empty_type"))
+      .foreach { k => assert(rows(k) == (0L, true), s"$k: ${rows(k)}") }
+    // the allowlist constraint REPORTS its violations (zh/es/de docs exist)
+    val (nBad, passed) = rows(("documents", "lang_allowlist"))
+    assert(nBad > 0L && !passed, s"expected surfaced violations, got ($nBad, $passed)")
+  }
+
   test("bloom skip: a point lookup reads ~1 file of a multi-file layout, results exact") {
     import graft.sources.ManifestIO
     val layout = s"/tmp/graft_bloom_${System.nanoTime()}"
