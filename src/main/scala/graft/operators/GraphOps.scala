@@ -266,11 +266,99 @@ object GraphOps {
       .orderBy(col("rank_x1e12").desc, col("user_id"))
   }
 
+  /** Degree cap of gr_common_neighbors' wedge enumeration: centers with
+    * more than this many neighbors are excluded from pair generation
+    * (quadratic fan-out cap, same rule as the <=20-user activity buckets
+    * and the dedup df-caps — documented approximation, mirrored in the
+    * oracle). */
+  val CnDegCap = 256L
+
+  /** Common-neighbor / Jaccard link prediction over the co-activity
+    * graph — the classic "who should be connected" candidate generator
+    * (Liben-Nowell & Kleinberg 2003): for every NON-adjacent pair (a, b)
+    * sharing at least one neighbor, count common neighbors and score
+    * Jaccard = |N(a) n N(b)| / |N(a) u N(b)| in exact scaled integers.
+    * Top 20 by (n_common desc, a, b) — a total order, (a, b) is unique.
+    *
+    * Scale: wedge enumeration is the triangle problem's fan-out — a hub
+    * with degree d emits d*(d-1)/2 candidate pairs, so centers above
+    * CnDegCap are dropped BEFORE pair generation (the quadratic cap every
+    * production link predictor applies — common neighbors routed through
+    * a super-hub don't signal affinity anyway). n_common therefore counts
+    * common neighbors of degree <= CnDegCap, while deg_a/deg_b come from
+    * the UNCAPPED adjacency — a documented approximation, mirrored
+    * exactly in the oracle. One shuffle per groupBy on natural keys; the
+    * already-adjacent filter is a LEFT ANTI join on the edge key, and the
+    * final top-20 is a TakeOrdered, never a global sort. */
+  def commonNeighbors(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    commonNeighborsOn(coActivityEdges(spark, dir))
+
+  /** Same operator over any undirected (a, b) edge set kept once as
+    * a < b — Round9Spec pins the wedge counts, the adjacency exclusion,
+    * and the CnDegCap hub cut on a hand-worked graph. */
+  def commonNeighborsOn(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn
+      .localCheckpoint() // consumers: sym (x2 branches), anti-join side
+    val sym = edges.select((col("a") + lit(0L)).as("u"), (col("b") + lit(0L)).as("v"))
+      .unionByName(edges.select((col("b") + lit(0L)).as("u"), (col("a") + lit(0L)).as("v")))
+      .localCheckpoint() // consumers: deg, capped wedge self-join (both sides)
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
+      .localCheckpoint() // consumers: center cap + two score lookups
+    val okc = sym.join(deg.filter(col("d") <= CnDegCap).select("u"), Seq("u"))
+    val cand = okc.as("x").join(okc.as("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.v").as("a"), col("y.v").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+    cand
+      .join(edges, Seq("a", "b"), "left_anti")
+      .join(deg.select(col("u").as("a"), col("d").as("deg_a")), Seq("a"))
+      .join(deg.select(col("u").as("b"), col("d").as("deg_b")), Seq("b"))
+      .withColumn("jaccard_x10000",
+        expr("(10000 * n_common) div (deg_a + deg_b - n_common)"))
+      .orderBy(col("n_common").desc, col("a").asc, col("b").asc).limit(20)
+      .select("a", "b", "n_common", "deg_a", "deg_b", "jaccard_x10000")
+      .orderBy(col("n_common").desc, col("a").asc, col("b").asc)
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "gr_common_neighbors" -> (commonNeighbors _),
     "gr_pagerank" -> (pagerank _),
     "gr_triangles" -> (triangleStats _))
 
   val oracle: Map[String, String] = Map(
+    "gr_common_neighbors" ->
+      s"""WITH act AS (
+         |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr FROM events
+         |), sizes AS (
+         |  SELECT event_type, hr FROM (
+         |    SELECT event_type, hr, COUNT(*) AS n FROM act GROUP BY 1, 2) WHERE n <= 20
+         |), ok AS (
+         |  SELECT act.* FROM act JOIN sizes USING (event_type, hr)
+         |), edges AS (
+         |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+         |  FROM ok x JOIN ok y ON x.event_type = y.event_type AND x.hr = y.hr
+         |    AND x.user_id < y.user_id
+         |), sym AS (
+         |  SELECT a AS u, b AS v FROM edges UNION ALL SELECT b, a FROM edges
+         |), deg AS (
+         |  SELECT u, COUNT(*) AS d FROM sym GROUP BY u
+         |), okc AS (
+         |  SELECT sym.* FROM sym JOIN deg USING (u) WHERE deg.d <= $CnDegCap
+         |), cand AS (
+         |  SELECT x.v AS a, y.v AS b, COUNT(*) AS n_common
+         |  FROM okc x JOIN okc y ON x.u = y.u AND x.v < y.v
+         |  GROUP BY 1, 2
+         |), pred AS (
+         |  SELECT c.* FROM cand c
+         |  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.a = c.a AND e.b = c.b)
+         |)
+         |SELECT p.a, p.b, p.n_common,
+         |  da.d AS deg_a, db.d AS deg_b,
+         |  (10000 * p.n_common) // (da.d + db.d - p.n_common) AS jaccard_x10000
+         |FROM pred p
+         |JOIN deg da ON da.u = p.a
+         |JOIN deg db ON db.u = p.b
+         |ORDER BY p.n_common DESC, p.a, p.b LIMIT 20""".stripMargin,
     "gr_pagerank" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr FROM events

@@ -678,6 +678,143 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Trigram stupid-backoff scoring on a HELD-OUT split — the deployment
+    * nuance ta_lm_score's same-corpus bigram model cannot exercise:
+    * scoring text the model has never seen (on same-corpus scoring every
+    * n-gram is a model hit by construction, so the backoff path is dead
+    * code there). Docs split deterministically: even doc_id = train, odd
+    * doc_id = held-out. The model is four count tables over the train
+    * half's trigram stream — c3(w1,w2,w3), context c2(w1,w2), suffix
+    * bigram c2'(w2,w3), suffix unigram c1'(w2) — and each held-out
+    * transition scores by stupid backoff (Brants et al. 2007, alpha 0.4,
+    * scaled integers):
+    *   seen trigram:  (10000 * c3) div c2
+    *   backoff:       ( 4000 * c2') div c1'
+    *   out-of-model:  0
+    * All operands nonnegative, so Spark `div` = DuckDB `//` exactly. The
+    * per-source rollup reports the hit/backoff/OOV tier counts — the
+    * model-coverage report a deployed scorer ships alongside scores.
+    *
+    * Scale: trigram streams build ROW-WISE (transform over the word
+    * array — no window shuffle); the four model tables shuffle once each
+    * on their natural key and the held-out side left-joins co-partitioned
+    * on the same keys (hot-key skew rides the AQE split, SkewSpec; the
+    * deployed cap is the ta_lm_topv top-V broadcast shape). The train
+    * stream is checkpointed once for its four aggregate consumers; the
+    * held-out stream has one consumer and stays lazy. */
+  def lmBackoff(spark: SparkSession, dir: String): DataFrame =
+    lmBackoffOn(documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  /** Row-wise trigram stream (doc_id, source, w1, w2, w3) of a corpus. */
+  private def trigramsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), col("source"),
+        explode(expr("transform(sequence(0, size(ws) - 3), " +
+          "i -> struct(element_at(ws, i + 1) AS w1, element_at(ws, i + 2) AS w2, " +
+          "element_at(ws, i + 3) AS w3))")).as("t"))
+      .select(col("doc_id"), col("source"),
+        col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
+
+  /** Same operator over any (doc_id, source, text) frame — Round9Spec
+    * pins the three-tier arithmetic and the train/held-out split on a
+    * hand-worked corpus. */
+  def lmBackoffOn(docs: DataFrame): DataFrame = {
+    val train = trigramsOf(docs.filter(col("doc_id") % 2 === 0))
+      .localCheckpoint() // four aggregate consumers below
+    val held = trigramsOf(docs.filter(col("doc_id") % 2 === 1))
+    val c3 = train.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("cn3"))
+    val c2 = train.groupBy("w1", "w2").agg(count(lit(1)).as("cn2"))
+    val sb = train.groupBy("w2", "w3").agg(count(lit(1)).as("cb"))
+    val su = train.groupBy("w2").agg(count(lit(1)).as("cu"))
+    held
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(sb, Seq("w2", "w3"), "left")
+      .join(su, Seq("w2"), "left")
+      // cn3 non-null implies cn2 non-null and cb non-null implies cu
+      // non-null (same train stream), so neither division can see NULL/0
+      .withColumn("tier", expr(
+        "CASE WHEN cn3 IS NOT NULL THEN 'hit' " +
+          "WHEN cb IS NOT NULL THEN 'backoff' ELSE 'oov' END"))
+      .withColumn("p_x10000", expr(
+        "CASE WHEN cn3 IS NOT NULL THEN (10000 * cn3) div cn2 " +
+          "WHEN cb IS NOT NULL THEN (4000 * cb) div cu ELSE 0L END"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tg"),
+        sum(when(col("tier") === "hit", 1L).otherwise(0L)).as("n_hit"),
+        sum(when(col("tier") === "backoff", 1L).otherwise(0L)).as("n_backoff"),
+        sum(when(col("tier") === "oov", 1L).otherwise(0L)).as("n_oov"),
+        sum(col("p_x10000")).as("sp"))
+      .withColumn("doc_bo_x10000", expr("sp div n_tg"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tg")).as("n_trigrams"),
+        sum(col("n_hit")).as("n_hit"),
+        sum(col("n_backoff")).as("n_backoff"),
+        sum(col("n_oov")).as("n_oov"),
+        expr("sum(doc_bo_x10000) div count(1)").as("avg_bo_x10000"))
+      .orderBy("source")
+  }
+
+  /** Feature-hash bucket count of ta_hash_classify. */
+  val HcBuckets = 256L
+
+  /** Hashed-feature linear classifier gate — the fastText shape
+    * (Joulin et al. 2016) every big-corpus pipeline deploys as its
+    * model-based quality filter (the GPT-3 WebText-similarity gate,
+    * CCNet's fasttext language filter): each word bigram hashes into one
+    * of HcBuckets feature buckets, the bucket's weight comes from a
+    * BROADCAST model table, and the document score is the mean feature
+    * weight, thresholded into keep/drop. The weights here are a
+    * deterministic md5-derived stand-in for a trained model (no model
+    * files in this environment — the md5 table IS the pinned
+    * "pretrained" artifact); the plumbing is the real deployment shape:
+    * hash -> bucket -> broadcast lookup -> per-doc mean -> threshold.
+    * Weights live in [0, 2000] (shifted, so every operand stays
+    * NONNEGATIVE and Spark `div` = DuckDB `//`); keep = mean >= 1000.
+    *
+    * Scale: feature extraction is ROW-WISE; the model join is a
+    * 256-row broadcast (zero shuffle of the corpus side — the
+    * ta_lm_topv rule); the only corpus shuffles are the per-doc and
+    * per-source groupBys, both map-side combinable. */
+  def hashClassify(spark: SparkSession, dir: String): DataFrame =
+    hashClassifyOn(spark, documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  /** Same operator over any (doc_id, source, text) frame — Round9Spec
+    * pins the hash arithmetic and threshold on a hand-worked corpus. */
+  def hashClassifyOn(spark: SparkSession, docs: DataFrame): DataFrame = {
+    // the "pretrained model": bucket -> weight, md5-derived, 256 rows
+    val model = spark.range(0, HcBuckets).toDF("bucket")
+      .withColumn("wt", expr(
+        "CAST(conv(substring(md5(concat('wt:', CAST(bucket AS STRING))), 1, 4), 16, 10) AS BIGINT) % 2001"))
+    val feats = docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(expr("transform(sequence(0, size(ws) - 2), " +
+          "i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))")).as("f"))
+      .withColumn("bucket", expr(
+        s"CAST(conv(substring(md5(concat('hc:', f)), 1, 4), 16, 10) AS BIGINT) % $HcBuckets"))
+    feats
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_feat"), sum(col("wt")).as("swt"))
+      .withColumn("doc_score", expr("swt div n_feat"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("doc_score") >= 1000L, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("doc_score") < 1000L, 1L).otherwise(0L)).as("n_dropped"),
+        expr("sum(doc_score) div count(1)").as("avg_score"),
+        min(col("doc_score")).as("min_score"),
+        max(col("doc_score")).as("max_score"))
+      .orderBy("source")
+  }
+
   /** Training-context length of ta_seq_pack. */
   val SeqLen = 2048L
 
@@ -799,6 +936,8 @@ object TextAnalysis {
     "ta_ppl_bucket" -> (pplBucket _),
     "ta_seq_pack" -> (seqPack _),
     "ta_lm_topv" -> (lmScoreTopV _),
+    "ta_lm_backoff" -> (lmBackoff _),
+    "ta_hash_classify" -> (hashClassify _),
     "ta_lm_score" -> (lmScore _),
     "ta_resample" -> (resample _),
     "ta_mixture" -> (mixture _),
@@ -1115,6 +1254,81 @@ object TextAnalysis {
         |  CAST(MIN(doc_lm_x10000) AS BIGINT) AS min_lm_x10000,
         |  CAST(MAX(doc_lm_x10000) AS BIGINT) AS max_lm_x10000
         |FROM d2 GROUP BY source ORDER BY source""".stripMargin,
+    "ta_lm_backoff" ->
+      """WITH ws AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), tg AS (
+        |  SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+        |  FROM (SELECT doc_id, source, UNNEST(range(1, len(w)::BIGINT - 1)) AS i, w
+        |        FROM ws) t
+        |), tr AS (SELECT * FROM tg WHERE doc_id % 2 = 0
+        |), he AS (SELECT * FROM tg WHERE doc_id % 2 = 1
+        |), c3 AS (SELECT w1, w2, w3, COUNT(*) AS cn3 FROM tr GROUP BY 1, 2, 3
+        |), c2 AS (SELECT w1, w2, COUNT(*) AS cn2 FROM tr GROUP BY 1, 2
+        |), sb AS (SELECT w2, w3, COUNT(*) AS cb FROM tr GROUP BY 1, 2
+        |), su AS (SELECT w2, COUNT(*) AS cu FROM tr GROUP BY 1
+        |), sc AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN cn3 IS NOT NULL THEN 'hit'
+        |         WHEN cb IS NOT NULL THEN 'backoff' ELSE 'oov' END AS tier,
+        |    CASE WHEN cn3 IS NOT NULL THEN (10000 * cn3) // cn2
+        |         WHEN cb IS NOT NULL THEN (4000 * cb) // cu ELSE 0 END AS p
+        |  FROM he
+        |  LEFT JOIN c3 USING (w1, w2, w3)
+        |  LEFT JOIN c2 USING (w1, w2)
+        |  LEFT JOIN sb USING (w2, w3)
+        |  LEFT JOIN su USING (w2)
+        |), ds AS (
+        |  SELECT doc_id, source, COUNT(*) AS n_tg,
+        |    SUM(CASE WHEN tier = 'hit' THEN 1 ELSE 0 END) AS nh,
+        |    SUM(CASE WHEN tier = 'backoff' THEN 1 ELSE 0 END) AS nb,
+        |    SUM(CASE WHEN tier = 'oov' THEN 1 ELSE 0 END) AS nv,
+        |    CAST(SUM(p) AS BIGINT) AS sp
+        |  FROM sc GROUP BY doc_id, source
+        |)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tg) AS BIGINT) AS n_trigrams,
+        |  CAST(SUM(nh) AS BIGINT) AS n_hit,
+        |  CAST(SUM(nb) AS BIGINT) AS n_backoff,
+        |  CAST(SUM(nv) AS BIGINT) AS n_oov,
+        |  CAST(CAST(SUM(sp // n_tg) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_bo_x10000
+        |FROM ds GROUP BY source ORDER BY source""".stripMargin,
+    "ta_hash_classify" -> {
+      // 4-hex-char md5 prefix as an integer: Horner fold of strpos digits
+      // (the ta_resample pattern; Spark side uses conv)
+      val hex = (src: String, k: Int) =>
+        s"(strpos('0123456789abcdef', substr($src, $k, 1)) - 1)"
+      val fold = (src: String) =>
+        s"(((${hex(src, 1)} * 16 + ${hex(src, 2)}) * 16 + ${hex(src, 3)}) * 16 + ${hex(src, 4)})"
+      s"""WITH model AS (
+         |  SELECT bucket, ${fold("mw")} % 2001 AS wt FROM (
+         |    SELECT ga AS bucket, md5('wt:' || CAST(ga AS VARCHAR)) AS mw
+         |    FROM range(0, $HcBuckets) t(ga)) m
+         |), ws AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2
+         |), feats AS (
+         |  SELECT doc_id, source,
+         |    ${fold("mf")} % $HcBuckets AS bucket
+         |  FROM (
+         |    SELECT doc_id, source,
+         |      md5('hc:' || w[i] || ' ' || w[i + 1]) AS mf
+         |    FROM (SELECT doc_id, source, UNNEST(range(1, len(w)::BIGINT)) AS i, w
+         |          FROM ws) t) f
+         |), ds AS (
+         |  SELECT doc_id, source, COUNT(*) AS n_feat, CAST(SUM(wt) AS BIGINT) AS swt
+         |  FROM feats JOIN model USING (bucket)
+         |  GROUP BY doc_id, source
+         |), d2 AS (SELECT *, swt // n_feat AS doc_score FROM ds)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN doc_score >= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN doc_score < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(CAST(SUM(doc_score) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_score,
+         |  CAST(MIN(doc_score) AS BIGINT) AS min_score,
+         |  CAST(MAX(doc_score) AS BIGINT) AS max_score
+         |FROM d2 GROUP BY source ORDER BY source""".stripMargin
+    },
     "ta_resample" -> {
       // 4-hex-char md5 prefix as an integer: Horner fold of strpos digits
       // (the dd_simhash hex-decode pattern; Spark side uses conv)

@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.{GraphOps, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-9 operator pins: trigram stupid backoff on a held-out split
+  * (ta_lm_backoff), common-neighbor link prediction (gr_common_neighbors),
+  * and the hashed linear classifier gate (ta_hash_classify). */
+class Round9Spec extends SparkSpecBase {
+
+  test("lm_backoff: three-tier arithmetic on a hand-worked held-out corpus") {
+    import spark.implicits._
+    // train = even doc_id, held-out = odd.
+    // doc 0: "a b c a b c" -> c3 {abc:2, bca:1, cab:1}, c2 {ab:2, bc:1, ca:1},
+    //   suffix-bigram {bc:2, ca:1, ab:1}, suffix-unigram {b:2, c:1, a:1}
+    // doc 1: "a b c d b c a" -> 5 trigrams:
+    //   abc  hit     10000*2 div 2 = 10000
+    //   bcd  oov     (c3 miss, suffix (c,d) miss)       0
+    //   cdb  oov     (suffix (d,b) miss)                0
+    //   dbc  backoff 4000*2 div 2 =                  4000
+    //   bca  hit     10000*1 div 1 =                10000
+    //   -> n_tg 5, hit 2, backoff 1, oov 2, doc score 24000 div 5 = 4800
+    val docs = Seq(
+      (0L, "s", "a b c a b c"),
+      (1L, "s", "a b c d b c a")).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.lmBackoffOn(docs).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getString(0) == "s")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+      r.getLong(6)) == ((1L, 5L, 2L, 1L, 2L, 4800L)))
+  }
+
+  test("lm_backoff: train-side docs never score, short docs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "s", "a b c a b c"), // train only
+      (2L, "s", "x y z x y z"), // train only
+      (3L, "t", "a b")          // held-out but < 3 words
+    ).toDF("doc_id", "source", "text")
+    assert(TextAnalysis.lmBackoffOn(docs).collect().isEmpty)
+  }
+
+  test("common_neighbors: wedges, adjacency exclusion, and the hub cap") {
+    import spark.implicits._
+    // path 1-2-3: candidate (1,3) via center 2, jaccard 1/1
+    // clique-ish 4..7 (45,46,56,57,67): candidate (4,7) via 5 AND 6,
+    //   degrees 2 and 2, union 2 -> jaccard 10000
+    // hub 100 with CnDegCap+1 leaf neighbors: excluded as a center, so
+    //   its leaf pairs never become candidates (and each leaf has
+    //   degree 1, no other wedges)
+    val hub = (0 until (GraphOps.CnDegCap.toInt + 1))
+      .map(i => (100L, 1000L + i))
+    val edges = (Seq((1L, 2L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (5L, 7L), (6L, 7L)) ++ hub)
+      .toDF("a", "b")
+    val out = GraphOps.commonNeighborsOn(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out.size == 2, s"got ${out.keySet}")
+    assert(out((4L, 7L)) == ((2L, 2L, 2L, 10000L)))
+    assert(out((1L, 3L)) == ((1L, 1L, 1L, 10000L)))
+  }
+
+  test("common_neighbors: uncapped degrees in the score, capped counts") {
+    import spark.implicits._
+    // center 2 in-cap; node 1 ALSO neighbors a hub (degree grows but 1
+    // is never a useful center) -> (1,3) still found, deg_a counts the
+    // hub edge: deg(1)=2, deg(3)=1, union 2+1-1=2 -> jaccard 5000
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 99L)).toDF("a", "b")
+    val out = GraphOps.commonNeighborsOn(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out((1L, 3L)) == ((1L, 2L, 1L, 5000L)))
+  }
+
+  test("hash_classify: bucket arithmetic, broadcast model join, threshold split") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s", "alpha beta"),          // single bigram: score == its weight
+      (2L, "s", "alpha beta"),          // identical text -> identical score
+      (3L, "t", "gamma delta epsilon")  // two features -> integer mean
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.hashClassifyOn(spark, docs)
+    // expected weight of one feature, computed through the same md5
+    // arithmetic the operator pins (validates bucketing + join + mean,
+    // the oracle gate covers cross-engine hash agreement)
+    def wt(feat: String): Long = spark.sql(
+      s"""SELECT CAST(conv(substring(md5(concat('wt:', CAST(
+         |  CAST(conv(substring(md5('hc:$feat'), 1, 4), 16, 10) AS BIGINT) % ${TextAnalysis.HcBuckets}
+         |  AS STRING))), 1, 4), 16, 10) AS BIGINT) % 2001""".stripMargin)
+      .collect()(0).getLong(0)
+    val wAB = wt("alpha beta")
+    val wGD = wt("gamma delta")
+    val wDE = wt("delta epsilon")
+    val rows = out.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6))).toMap
+    val sKept = if (wAB >= 1000L) 2L else 0L
+    assert(rows("s") == ((2L, sKept, 2L - sKept, wAB, wAB, wAB)))
+    val mT = (wGD + wDE) / 2 // nonneg long division == div
+    val tKept = if (mT >= 1000L) 1L else 0L
+    assert(rows("t") == ((1L, tKept, 1L - tKept, mT, mT, mT)))
+    // the 256-row model side must broadcast, never shuffle the corpus
+    assert(plan(out).contains("BroadcastHashJoin"))
+  }
+}
