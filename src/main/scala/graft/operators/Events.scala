@@ -354,7 +354,56 @@ object Events {
       .agg(count(lit(1)).as("n_events"), max(col("late_sec")).as("max_late_sec"))
       .orderBy("event_type", "bucket")
 
+  /** Absence-pattern timeout of ev_absence, seconds. */
+  val AbsenceTimeoutSec = 1800L
+
+  /** CEP absence detection — the "A NOT followed by B within T" pattern
+    * (abandoned carts: a click with no purchase inside 30 min). The
+    * batch twin of the streaming stream-stream interval join
+    * (StreamingJobs): for each click, the first purchase by the same
+    * user in (ea, ea + T] — or its absence — rolled up per click hour.
+    *
+    * Scale: never an unbounded per-user theta join. The purchase side is
+    * replicated to its OWN time bucket and the previous one
+    * (bucket width = T, so any (ea, ea+T] window spans at most two
+    * buckets), and the join is a pure equi-join on (user_id, bucket)
+    * with the range check as a post-filter — 2x the small side, bounded
+    * fan-out, AQE-skew-splittable on hot users. avg lag stays in whole
+    * seconds (integer div, nonneg). */
+  def absence(spark: SparkSession, dir: String): DataFrame =
+    absenceOn(events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("es")),
+      "click", "purchase", AbsenceTimeoutSec)
+
+  /** Same operator over any (user_id, event_type, event_id, es) frame —
+    * Round9Spec pins the window-edge and bucket-straddle cases. */
+  def absenceOn(ev: DataFrame, aType: String, bType: String, timeout: Long): DataFrame = {
+    val a = ev.filter(col("event_type") === aType)
+      .select(col("user_id"), col("event_id"), col("es").as("ea"),
+        expr(s"es div $timeout").as("bkt"))
+    val b = ev.filter(col("event_type") === bType)
+      .select(col("user_id"), col("es").as("eb"),
+        explode(expr(s"array(es div $timeout, es div $timeout - 1)")).as("bkt"))
+    a.join(b, Seq("user_id", "bkt"), "left")
+      .withColumn("ok",
+        col("eb").isNotNull && col("eb") > col("ea") && col("eb") <= col("ea") + timeout)
+      .groupBy(col("user_id"), col("event_id"), col("ea"))
+      .agg(min(when(col("ok"), col("eb"))).as("first_b"))
+      .withColumn("hour_epoch", expr("(ea div 3600) * 3600"))
+      .groupBy("hour_epoch")
+      .agg(
+        count(lit(1)).as("n_a"),
+        sum(when(col("first_b").isNotNull, 1L).otherwise(0L)).as("n_followed"),
+        sum(when(col("first_b").isNull, 1L).otherwise(0L)).as("n_absent"),
+        expr("CASE WHEN sum(CASE WHEN first_b IS NOT NULL THEN 1 ELSE 0 END) = 0 THEN 0L " +
+          "ELSE sum(CASE WHEN first_b IS NOT NULL THEN first_b - ea ELSE 0L END) " +
+          "div sum(CASE WHEN first_b IS NOT NULL THEN 1 ELSE 0 END) END").as("avg_lag_s"))
+      .orderBy("hour_epoch")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_absence" -> (absence _),
     "ev_lateness" -> (lateness _),
     "ev_cdc_scd2" -> (cdcScd2 _),
     "ev_gap_fill" -> (gapFill _),
@@ -371,6 +420,29 @@ object Events {
     "ev_funnel" -> (funnel _))
 
   val oracle: Map[String, String] = Map(
+    // semantic (unbucketed) formulation — the bucket replication is a
+    // plan choice, not a semantics change: (ea, ea+T] spans <= 2 buckets
+    "ev_absence" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, event_id,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+         |), a AS (
+         |  SELECT user_id, event_id, es AS ea FROM e WHERE event_type = 'click'
+         |), b AS (
+         |  SELECT user_id, es AS eb FROM e WHERE event_type = 'purchase'
+         |), f AS (
+         |  SELECT a.user_id, a.event_id, a.ea, MIN(b.eb) AS first_b
+         |  FROM a LEFT JOIN b ON b.user_id = a.user_id
+         |    AND b.eb > a.ea AND b.eb <= a.ea + $AbsenceTimeoutSec
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT (ea // 3600) * 3600 AS hour_epoch, COUNT(*) AS n_a,
+         |  CAST(SUM(CASE WHEN first_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_followed,
+         |  CAST(SUM(CASE WHEN first_b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_absent,
+         |  CAST(CASE WHEN SUM(CASE WHEN first_b IS NOT NULL THEN 1 ELSE 0 END) = 0 THEN 0
+         |    ELSE CAST(SUM(CASE WHEN first_b IS NOT NULL THEN first_b - ea ELSE 0 END) AS BIGINT)
+         |      // SUM(CASE WHEN first_b IS NOT NULL THEN 1 ELSE 0 END) END AS BIGINT) AS avg_lag_s
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_lateness" ->
       """WITH e AS (
         |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,

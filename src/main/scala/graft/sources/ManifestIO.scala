@@ -358,6 +358,41 @@ object ManifestIO {
     (df, hit.size)
   }
 
+  /** Min/max zone-map data skipping — the RANGE complement to
+    * bloomIndex's point lookups: one (min, max) interval per data file
+    * over a clustering key, consulted before scheduling so files whose
+    * interval misses the predicate range are never opened. This is what
+    * the io_zorder/compact maintenance path buys at read time — zone
+    * maps only prune when the layout is clustered on the key (an
+    * unclustered layout makes every file straddle every range, which is
+    * exactly the case bloomIndex covers instead). Index is O(#files)
+    * driver-side rows — the bounded file-manifest rule. Each per-file
+    * stat scan reads ONLY the key column (parquet column pruning). */
+  def zoneMapIndex(spark: SparkSession, layoutPath: String,
+      keyCol: String): Seq[(String, Long, Long)] = {
+    val files = spark.read.parquet(layoutPath)
+      .select(input_file_name().as("path")).distinct()
+      .collect().map(_.getString(0)).sorted // bounded by file count
+    files.toSeq.map { p =>
+      val r = spark.read.parquet(p)
+        .agg(min(col(keyCol)).as("mn"), max(col(keyCol)).as("mx"))
+        .collect()(0)
+      (p, r.getLong(0), r.getLong(1))
+    }
+  }
+
+  /** Scan only the files whose [min, max] interval overlaps [lo, hi];
+    * returns the pruned scan and how many files it reads (the skip
+    * proof). */
+  def zoneMapSkipScan(spark: SparkSession, index: Seq[(String, Long, Long)],
+      keyCol: String, lo: Long, hi: Long): (DataFrame, Int) = {
+    val hit = index.filter { case (_, mn, mx) => mx >= lo && mn <= hi }.map(_._1)
+    val df =
+      if (hit.isEmpty) spark.read.parquet(index.head._1).filter(lit(false))
+      else spark.read.parquet(hit: _*).filter(col(keyCol).between(lo, hi))
+    (df, hit.size)
+  }
+
   /** Catalog time travel (iceberg-lite on plain parquet): an append-only
     * log of (version, key, op, payload) rows — inserts/updates as 'u',
     * deletes as 'd' — reconstructs EVERY historical snapshot in one pass:

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{GraphOps, TextAnalysis}
+import graft.operators.{Events, GraphOps, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Round-9 operator pins: trigram stupid backoff on a held-out split
@@ -103,5 +103,52 @@ class Round9Spec extends SparkSpecBase {
     assert(rows("t") == ((1L, tKept, 1L - tKept, mT, mT, mT)))
     // the 256-row model side must broadcast, never shuffle the corpus
     assert(plan(out).contains("BroadcastHashJoin"))
+  }
+
+  test("ev_absence: window edges and bucket straddling") {
+    import spark.implicits._
+    // timeout 100s, buckets of 100:
+    //  u1: A at 95, B at 195  -> IN (eb = ea + T inclusive; straddles buckets 0->1)
+    //  u2: A at 10, B at 10   -> absent (strictly after required)
+    //  u3: A at 10, B at 111  -> absent (ea + T + 1)
+    //  u4: A at 10, B at 20 and 40 -> first_b = 20, lag 10
+    //  u5: A at 3610 (hour 2), no B -> absent, second output hour
+    val ev = Seq(
+      (1L, "a", 101L, 95L), (1L, "b", 102L, 195L),
+      (2L, "a", 201L, 10L), (2L, "b", 202L, 10L),
+      (3L, "a", 301L, 10L), (3L, "b", 302L, 111L),
+      (4L, "a", 401L, 10L), (4L, "b", 402L, 40L), (4L, "b", 403L, 20L),
+      (5L, "a", 501L, 3610L)
+    ).toDF("user_id", "event_type", "event_id", "es")
+    val out = Events.absenceOn(ev, "a", "b", 100L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // hour 0: A events of u1..u4 -> followed: u1 (lag 100), u4 (lag 10);
+    // absent: u2, u3. avg lag = 110 div 2 = 55
+    assert(out(0L) == ((4L, 2L, 2L, 55L)))
+    assert(out(3600L) == ((1L, 0L, 1L, 0L)))
+  }
+
+  test("zone map: a range probe reads only overlapping files, results exact") {
+    import graft.sources.ManifestIO
+    val layout = s"/tmp/graft_zm_${System.nanoTime()}"
+    // 8 files with disjoint key ranges (range-partitioned write)
+    spark.range(0, 8000).selectExpr("id AS k", "id % 97 AS v")
+      .repartitionByRange(8, col("k"))
+      .write.parquet(layout)
+    val idx = ManifestIO.zoneMapIndex(spark, layout, "k")
+    assert(idx.size == 8, s"expected 8 files, got ${idx.size}")
+    // a narrow in-file range: exactly 1 file scheduled, exact rows back
+    val mid = idx.sortBy(_._2).apply(3) // 4th file's interior
+    val (lo, hi) = (mid._2 + 1, mid._2 + 5)
+    val (df, nRead) = ManifestIO.zoneMapSkipScan(spark, idx, "k", lo, hi)
+    assert(nRead == 1, s"zone map scheduled $nRead files, expected 1")
+    assert(df.count() == hi - lo + 1)
+    // a straddling range: 2 files; an out-of-range probe: 0 files, 0 rows
+    val edge = idx.sortBy(_._2).apply(4)._2 // 5th file's min
+    val (_, nStraddle) = ManifestIO.zoneMapSkipScan(spark, idx, "k", edge - 2, edge + 2)
+    assert(nStraddle == 2, s"straddle scheduled $nStraddle files, expected 2")
+    val (missDf, nMiss) = ManifestIO.zoneMapSkipScan(spark, idx, "k", 100000L, 100010L)
+    assert(nMiss == 0 && missDf.count() == 0)
   }
 }
