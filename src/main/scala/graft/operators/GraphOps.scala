@@ -320,12 +320,89 @@ object GraphOps {
       .orderBy(col("n_common").desc, col("a").asc, col("b").asc)
   }
 
+  /** Hop budget of gr_khop. */
+  val KhopRounds = 3
+
+  /** Fixed-k-hop BFS expansion from a deterministic seed set (every
+    * user_id % 100 == 0) over the co-activity graph — the neighborhood
+    * sampler every GNN / graph-feature pipeline runs: how much of the
+    * graph is within k hops of the seeds, histogrammed by exact hop
+    * distance (unreached = -1). FIXED hops, not convergence — the
+    * contract is "k-hop neighborhood", and a fixed unroll is what the
+    * oracle replays as k chained CTEs (the ann_kmeans precedent).
+    *
+    * Scale: per round ONE co-partitioned (frontier x edges) join + one
+    * map-side-combinable min groupBy — the textbook distributed BFS
+    * round; each round's label frame is localCheckpointed (consumed by
+    * the next round's join AND union — the shared-frame rule). Frontier
+    * size is bounded by the node set, never edges. */
+  def khop(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val ed = coActivityEdges(spark, dir)
+    val sym = ed.select((col("a") + lit(0L)).as("src"), (col("b") + lit(0L)).as("dst"))
+      .unionByName(ed.select((col("b") + lit(0L)).as("src"), (col("a") + lit(0L)).as("dst")))
+      .localCheckpoint() // one join per round
+    khopOn(sym)
+  }
+
+  /** Same operator over any symmetric (src, dst) edge frame — Round9Spec
+    * pins hop distances and the unreached bucket on a hand-worked path
+    * graph. */
+  def khopOn(sym: DataFrame): DataFrame = {
+    val nodes = sym.select(col("src").as("u")).distinct()
+      .localCheckpoint() // consumers: seed filter + final left join
+    var dist = nodes.filter(col("u") % 100 === 0)
+      .select(col("u"), lit(0L).as("d"))
+      .localCheckpoint()
+    for (_ <- 1 to KhopRounds) {
+      dist = dist.join(sym, col("u") === col("src"))
+        .select(col("dst").as("u"), (col("d") + 1L).as("d"))
+        .unionByName(dist.select(col("u"), col("d")))
+        .groupBy("u").agg(min(col("d")).as("d"))
+        .localCheckpoint() // consumed by next round's join AND union
+    }
+    nodes.join(dist, Seq("u"), "left")
+      .select(col("u"), coalesce(col("d"), lit(-1L)).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("n_users"))
+      .orderBy("d")
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "gr_khop" -> (khop _),
     "gr_common_neighbors" -> (commonNeighbors _),
     "gr_pagerank" -> (pagerank _),
     "gr_triangles" -> (triangleStats _))
 
   val oracle: Map[String, String] = Map(
+    "gr_khop" -> {
+      val round = (r: Int) =>
+        s"""d$r AS (
+           |  SELECT u, CAST(MIN(d) AS BIGINT) AS d FROM (
+           |    SELECT s.dst AS u, d${r - 1}.d + 1 AS d
+           |    FROM sym s JOIN d${r - 1} ON s.src = d${r - 1}.u
+           |    UNION ALL SELECT u, d FROM d${r - 1}) f
+           |  GROUP BY u)""".stripMargin
+      s"""WITH act AS (
+         |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr FROM events
+         |), sizes AS (
+         |  SELECT event_type, hr FROM (
+         |    SELECT event_type, hr, COUNT(*) AS n FROM act GROUP BY 1, 2) WHERE n <= 20
+         |), ok AS (
+         |  SELECT act.* FROM act JOIN sizes USING (event_type, hr)
+         |), edges AS (
+         |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+         |  FROM ok x JOIN ok y ON x.event_type = y.event_type AND x.hr = y.hr
+         |    AND x.user_id < y.user_id
+         |), sym AS (
+         |  SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b, a FROM edges
+         |), nodes AS (
+         |  SELECT DISTINCT src AS u FROM sym
+         |), d0 AS (
+         |  SELECT u, CAST(0 AS BIGINT) AS d FROM nodes WHERE u % 100 = 0
+         |), ${(1 to KhopRounds).map(round).mkString(",\n")}
+         |SELECT CAST(COALESCE(dk.d, -1) AS BIGINT) AS d, COUNT(*) AS n_users
+         |FROM nodes LEFT JOIN d$KhopRounds dk USING (u)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "gr_common_neighbors" ->
       s"""WITH act AS (
          |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr FROM events

@@ -181,6 +181,76 @@ object StreamingJobs {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  final case class AbsEv(user_id: Long, event_id: Long, etype: String,
+    ts: java.sql.Timestamp)
+  final case class AbsPending(event_id: Long, ea: Long)
+  final case class AbsState(pending: List[AbsPending])
+  final case class AbsenceOut(user_id: Long, event_id: Long, ea_sec: Long,
+    followed: Boolean, lag_sec: Long) // lag_sec = -1 when absent
+
+  /** Streaming absence detection — the streaming twin of Events.absence
+    * ("A not followed by B within T"): per-user state holds the OPEN A
+    * events (bounded: only those within the last T seconds — a real
+    * cart-abandonment monitor's working set), a B event closes every
+    * open A whose (ea, ea+T] window contains it (emitted immediately,
+    * `followed` with the lag), and an event-time timeout fires the
+    * ABSENT verdicts once the watermark proves no qualifying B can
+    * arrive. This timeout-driven negative emission is the one CEP shape
+    * a stream-stream join cannot express (a join can only emit matches;
+    * absence needs state + timers). Same within-batch event-time sort
+    * and cross-batch watermark-order caveat as sessionize above. */
+  def absenceDetect(events: Dataset[AbsEv], aType: String, bType: String,
+      timeoutSec: Long): Dataset[AbsenceOut] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.etype == aType || e.etype == bType)
+      .withWatermark("ts", "10 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AbsState, AbsenceOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[AbsEv], state: GroupState[AbsState]) =>
+          // expiry is conservative by one second: a qualifying B can carry
+          // sub-second precision up to the END of second ea+T, so an A is
+          // only absent once the watermark clears (ea+T+1)*1000 ms
+          def expiryMs(p: AbsPending): Long = (p.ea + timeoutSec + 1) * 1000L
+          def arm(pending: List[AbsPending]): Unit =
+            if (pending.isEmpty) state.remove()
+            else {
+              state.update(AbsState(pending))
+              state.setTimeoutTimestamp(math.max(
+                pending.map(expiryMs).min, state.getCurrentWatermarkMs() + 1))
+            }
+          if (state.hasTimedOut) {
+            val wm = state.getCurrentWatermarkMs()
+            val (expired, live) = state.getOption.map(_.pending).getOrElse(Nil)
+              .partition(p => expiryMs(p) <= wm)
+            val out = expired.map(p => AbsenceOut(uid, p.event_id, p.ea, false, -1L))
+            arm(live)
+            out.iterator
+          } else {
+            // A before B on a whole-second tie: ties can't match anyway
+            // (strict eb > ea), but deterministic order keeps replays stable
+            val sorted = rows.toIndexedSeq
+              .sortBy(e => (e.ts.getTime, e.etype, e.event_id))
+            var pending = state.getOption.map(_.pending).getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[AbsenceOut]
+            sorted.foreach { e =>
+              val sec = e.ts.getTime / 1000L
+              if (e.etype == aType) pending = pending :+ AbsPending(e.event_id, sec)
+              else {
+                val (matched, rest) =
+                  pending.partition(p => sec > p.ea && sec <= p.ea + timeoutSec)
+                out ++= matched.map(p =>
+                  AbsenceOut(uid, p.event_id, p.ea, true, sec - p.ea))
+                pending = rest
+              }
+            }
+            arm(pending)
+            out.iterator
+          }
+      }
+  }
+
   /** Stream-stream interval join — the streaming twin of the batch
     * time-range join (AsofJoin.purchaseClicksInWindow): purchases matched
     * to the same user's clicks in the preceding hour, both sides live

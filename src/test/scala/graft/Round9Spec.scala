@@ -105,6 +105,17 @@ class Round9Spec extends SparkSpecBase {
     assert(plan(out).contains("BroadcastHashJoin"))
   }
 
+  test("khop: hop distances and the unreached bucket on a path graph") {
+    import spark.implicits._
+    // path 0-1-2-3-4-5, symmetric edges; seed = node 0 (u % 100 == 0)
+    // 3 hops: d(0)=0, d(1)=1, d(2)=2, d(3)=3, nodes 4 and 5 unreached
+    val ed = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val sym = (ed ++ ed.map(_.swap)).toDF("src", "dst")
+    val out = GraphOps.khopOn(sym).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(-1L -> 2L, 0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("ev_absence: window edges and bucket straddling") {
     import spark.implicits._
     // timeout 100s, buckets of 100:

@@ -60,6 +60,46 @@ class StreamingSpec extends SparkSpecBase {
       s"stream=${streamed.count()} batch=${batch.count()}")
   }
 
+  test("streaming absence detection matches the batch bucketed join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val real = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type").as("etype"), col("ts"))
+      .as[StreamingJobs.AbsEv].collect()
+      .sortBy(e => (e.ts.getTime, e.etype, e.event_id))
+    val maxTs = real.map(_.ts.getTime).max
+    // sentinel user -1 pushes the watermark past every open A's expiry;
+    // two batches so timeouts registered after batch N fire in batch N+1
+    def sentinel(offsetMs: Long) =
+      StreamingJobs.AbsEv(-1L, -1L, "click", new Timestamp(maxTs + offsetMs))
+    val stream = MemoryStream[StreamingJobs.AbsEv]
+    val q = StreamingJobs.absenceDetect(
+        stream.toDS(), "click", "purchase", Events.AbsenceTimeoutSec)
+      .toDF().writeStream.format("memory").queryName("absout")
+      .outputMode("append").start()
+    stream.addData(real.toSeq); q.processAllAvailable()
+    stream.addData(sentinel(86400000L)); q.processAllAvailable()
+    stream.addData(sentinel(86400000L * 2)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("absout").filter(col("user_id") >= 0)
+      .withColumn("hour_epoch", expr("(ea_sec div 3600) * 3600"))
+      .groupBy("hour_epoch")
+      .agg(
+        count(lit(1)).as("n_a"),
+        sum(when(col("followed"), 1L).otherwise(0L)).as("n_followed"),
+        sum(when(!col("followed"), 1L).otherwise(0L)).as("n_absent"),
+        expr("CASE WHEN sum(CASE WHEN followed THEN 1 ELSE 0 END) = 0 THEN 0L " +
+          "ELSE sum(CASE WHEN followed THEN lag_sec ELSE 0L END) " +
+          "div sum(CASE WHEN followed THEN 1 ELSE 0 END) END").as("avg_lag_s"))
+    val batch = Events.absenceOn(
+      Tables.events(spark, sfDir).select(col("user_id"), col("event_type"),
+        col("event_id"), unix_timestamp(col("ts")).as("es")),
+      "click", "purchase", Events.AbsenceTimeoutSec)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      s"stream=${streamed.count()} batch=${batch.count()}")
+  }
+
   test("file-source streaming (readStream over parquet) matches batch") {
     // the production ingest path: readStream with an explicit schema over a
     // parquet directory, driven to completion against the memory sink
