@@ -108,5 +108,9 @@ object GraftFunctions {
       FunctionIdentifier("morton_interleave"),
       new ExpressionInfo(classOf[MortonInterleave].getName, "morton_interleave"),
       (children: Seq[Expression]) => MortonInterleave(children(0), children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("hamming_str"),
+      new ExpressionInfo(classOf[HammingStr].getName, "hamming_str"),
+      (children: Seq[Expression]) => HammingStr(children(0), children(1)))
   }
 }

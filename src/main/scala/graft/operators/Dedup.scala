@@ -207,9 +207,12 @@ object Dedup {
       .select(col("x.doc_id").as("da"), col("x.simhash").as("ha"),
         col("y.doc_id").as("db"), col("y.simhash").as("hb"))
       .distinct()
+    // native codegen scorer on the candidate hot path (HammingStr) —
+    // the portable HOF form (aggregate over 64 substring pairs) is
+    // interpreted and allocates two strings per position per pair
+    graft.functions.GraftFunctions.register(shingleSet.sparkSession)
     cand
-      .withColumn("hamming", expr(
-        "aggregate(sequence(1, 64), 0, (acc, i) -> acc + IF(substring(ha, i, 1) = substring(hb, i, 1), 0, 1))"))
+      .withColumn("hamming", expr("hamming_str(ha, hb)"))
       .filter(col("hamming") <= lit(maxHamming))
       .select("da", "db", "hamming")
   }

@@ -185,9 +185,14 @@ object Similarity {
   def sqCodes(v: String): Column = expr(
     s"transform($v, x -> CAST(GREATEST(-8D, LEAST(7D, floor(CAST(x AS DOUBLE) * 16D))) AS BIGINT))")
 
-  private def reconDot(q: String, codes: String): Column = expr(
-    s"aggregate(sequence(0, ${Dim - 1}), CAST(0.0 AS DOUBLE), (acc, i) -> " +
-      s"acc + CAST(element_at($q, i + 1) AS DOUBLE) * ((CAST(element_at($codes, i + 1) AS DOUBLE) + 0.5) / 16D))")
+  /** Dequantized reconstruction of a code array — computed ONCE per
+    * corpus row (O(dim), interpreted transform is off the pair hot path)
+    * so the per-pair approx score is the native codegen vector_dot.
+    * (c + 0.5) / 16 is exact in doubles (small int + half, power-of-two
+    * divisor), so the product stream is bit-identical to the old
+    * interpreted per-pair fold. */
+  private def reconOf(codes: String): Column = expr(
+    s"transform($codes, c -> (CAST(c AS DOUBLE) + 0.5) / 16D)")
 
   def sq(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir).withColumn("codes", sqCodes("embedding"))
@@ -196,9 +201,10 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
     val wA = Window.partitionBy("qid").orderBy(col("approx").desc, col("cid").asc)
     val wE = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
-    c.select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cn"), col("codes"))
+    c.select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cn"),
+        reconOf("codes").as("recon"))
       .join(broadcast(q), col("qid") =!= col("cid"))
-      .withColumn("approx", reconDot("qv", "codes") / (col("qn") * col("cn")))
+      .withColumn("approx", dot("qv", "recon") / (col("qn") * col("cn")))
       .withColumn("approx_rank", row_number().over(wA).cast("long"))
       .filter(col("approx_rank") <= 10)
       .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))

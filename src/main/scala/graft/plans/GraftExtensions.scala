@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{MortonInterleave, VectorDot}
+import graft.functions.{HammingStr, MortonInterleave, VectorDot}
 
 /** SparkSessionExtensions entry point: enable with
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("morton_interleave"),
       new ExpressionInfo(classOf[MortonInterleave].getName, "morton_interleave"),
       (children: Seq[Expression]) => MortonInterleave(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("hamming_str"),
+      new ExpressionInfo(classOf[HammingStr].getName, "hamming_str"),
+      (children: Seq[Expression]) => HammingStr(children(0), children(1))))
     ext.injectOptimizerRule(_ => NativeDotRule)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)

@@ -105,6 +105,36 @@ class Round9Spec extends SparkSpecBase {
     assert(plan(out).contains("BroadcastHashJoin"))
   }
 
+  test("hamming_str: parity with the portable HOF fold, codegen, length check") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // 200 random-ish 64-char '0'/'1' pairs (md5-derived, deterministic)
+    val pairs = spark.range(200).selectExpr(
+      "concat_ws('', transform(sequence(0, 63), i -> " +
+        "  CASE WHEN (CAST(conv(substring(md5(concat('a', id, ':', i)), 1, 4), 16, 10) AS INT) % 2) = 1 THEN '1' ELSE '0' END)) AS ha",
+      "concat_ws('', transform(sequence(0, 63), i -> " +
+        "  CASE WHEN (CAST(conv(substring(md5(concat('b', id, ':', i)), 1, 4), 16, 10) AS INT) % 2) = 1 THEN '1' ELSE '0' END)) AS hb")
+    val both = pairs.selectExpr(
+      "hamming_str(ha, hb) AS native",
+      "aggregate(sequence(1, 64), 0, (acc, i) -> " +
+        "acc + IF(substring(ha, i, 1) = substring(hb, i, 1), 0, 1)) AS hof")
+    assert(both.filter(col("native") =!= col("hof")).isEmpty)
+    assert(both.filter(col("native") < 0 || col("native") > 64).isEmpty)
+    // codegen'd: with the (interpreted) HOF fixture generation cut off by
+    // a checkpoint, the projection carrying ONLY hamming_str must be
+    // whole-stage-codegen'd (the '* ' prefix)
+    val mat = pairs.localCheckpoint()
+    val p = plan(mat.selectExpr("hamming_str(ha, hb) AS h"))
+    assert(p.contains("hamming_str"))
+    assert(p.linesIterator.exists(l => l.contains("* Project")), p)
+    // unequal lengths refuse loudly (like DuckDB's hamming())
+    val err = intercept[Exception] {
+      spark.sql("SELECT hamming_str('abc', 'ab')").collect()
+    }
+    assert(err.getMessage.contains("length mismatch")
+      || err.getCause != null && err.getCause.getMessage.contains("length mismatch"))
+  }
+
   test("khop: hop distances and the unreached bucket on a path graph") {
     import spark.implicits._
     // path 0-1-2-3-4-5, symmetric edges; seed = node 0 (u % 100 == 0)
