@@ -305,6 +305,34 @@ object Dedup {
         min(col("doc_id")).as("keep_id"))
       .orderBy("canon")
 
+  /** SimHash band-join oracle over any (doc_id, sh) shingle CTE body —
+    * shared by dd_simhash (word shingles) and mm_phash_dedup (payload
+    * frame hashes), mirroring the shared simhashOn on the Spark side. */
+  private[operators] def simhashOracleSql(shCte: String, maxHamming: Int): String =
+    s"""WITH sh AS ($shCte),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |    CASE WHEN SUM(CASE WHEN
+       |        ((strpos('0123456789abcdef', substr(md5(sh), CAST(j // 4 AS INT) + 1, 1)) - 1)
+       |          >> (3 - (j % 4))) % 2 = 1
+       |      THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS ch
+       |  FROM sh, UNNEST(range(0, 64)) AS t(j) GROUP BY doc_id, j
+       |),
+       |fp AS (
+       |  SELECT doc_id, STRING_AGG(ch, '' ORDER BY j) AS simhash FROM bits GROUP BY doc_id
+       |),
+       |blocks AS (
+       |  SELECT doc_id, simhash, b, substr(simhash, b * 16 + 1, 16) AS block
+       |  FROM fp, UNNEST(range(0, 4)) AS t(b)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS da, x.simhash AS ha, y.doc_id AS db, y.simhash AS hb
+       |  FROM blocks x JOIN blocks y
+       |    ON x.b = y.b AND x.block = y.block AND x.doc_id < y.doc_id
+       |)
+       |SELECT da, db, hamming(ha, hb) AS hamming
+       |FROM cand WHERE hamming(ha, hb) <= $maxHamming ORDER BY da, db""".stripMargin
+
   /** Chunk-level exact-substring dedup fraction (the RefinedWeb /
     * exact-substring pass at span granularity): cut each doc into
     * consecutive 10-word spans, md5 each span, count corpus-wide span
@@ -582,30 +610,7 @@ object Dedup {
          |JOIN sig sa ON sa.doc_id = da
          |JOIN sig sb ON sb.doc_id = db AND sb.h = sa.h
          |GROUP BY da, db ORDER BY da, db""".stripMargin,
-    "dd_simhash" ->
-      s"""WITH sh AS ($shinglesSql),
-         |bits AS (
-         |  SELECT doc_id, j,
-         |    CASE WHEN SUM(CASE WHEN
-         |        ((strpos('0123456789abcdef', substr(md5(sh), CAST(j // 4 AS INT) + 1, 1)) - 1)
-         |          >> (3 - (j % 4))) % 2 = 1
-         |      THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS ch
-         |  FROM sh, UNNEST(range(0, 64)) AS t(j) GROUP BY doc_id, j
-         |),
-         |fp AS (
-         |  SELECT doc_id, STRING_AGG(ch, '' ORDER BY j) AS simhash FROM bits GROUP BY doc_id
-         |),
-         |blocks AS (
-         |  SELECT doc_id, simhash, b, substr(simhash, b * 16 + 1, 16) AS block
-         |  FROM fp, UNNEST(range(0, 4)) AS t(b)
-         |),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS da, x.simhash AS ha, y.doc_id AS db, y.simhash AS hb
-         |  FROM blocks x JOIN blocks y
-         |    ON x.b = y.b AND x.block = y.block AND x.doc_id < y.doc_id
-         |)
-         |SELECT da, db, hamming(ha, hb) AS hamming
-         |FROM cand WHERE hamming(ha, hb) <= 12 ORDER BY da, db""".stripMargin,
+    "dd_simhash" -> simhashOracleSql(shinglesSql, 12),
     "dd_cluster" ->
       s"""WITH RECURSIVE sh AS ($shinglesSql),
          |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),

@@ -402,7 +402,54 @@ object Events {
       .orderBy("hour_epoch")
   }
 
+  /** Attribution lookback window of ev_attribution, seconds. */
+  val AttribWindowSec = 3600L
+
+  /** Multi-touch attribution — the conversion-credit report every
+    * funnel pipeline ships: each purchase distributes exactly 10000
+    * credit units EQUALLY over the same user's clicks in the preceding
+    * hour [ep - W, ep), with the integer remainder going to the earliest
+    * clicks (largest-remainder split on a (ea, event_id) total order —
+    * deterministic, and per-purchase credit sums to exactly 10000 with
+    * no float leakage). Rolled up per click hour: credited click
+    * instances and total credit received.
+    *
+    * Scale: the same bucket-replication as ev_absence, mirrored — the
+    * CLICK side replicates to its own + next W-wide bucket so the
+    * [ep - W, ep) lookback is an equi-join on (user_id, bucket); the
+    * per-purchase split window partitions on the purchase id (bounded by
+    * one user's clicks in one window, never a corpus partition). */
+  def attribution(spark: SparkSession, dir: String): DataFrame =
+    attributionOn(events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("es")),
+      "click", "purchase", AttribWindowSec)
+
+  /** Same operator over any (user_id, event_type, event_id, es) frame —
+    * Round9Spec pins the remainder split and window edges. */
+  def attributionOn(ev: DataFrame, aType: String, bType: String, win: Long): DataFrame = {
+    val a = ev.filter(col("event_type") === aType)
+      .select(col("user_id"), col("event_id"), col("es").as("ea"),
+        explode(expr(s"array(es div $win, es div $win + 1)")).as("bkt"))
+    val p = ev.filter(col("event_type") === bType)
+      .select(col("user_id"), col("event_id").as("pid"), col("es").as("ep"),
+        expr(s"es div $win").as("bkt"))
+    val wCnt = Window.partitionBy("pid")
+    val wRk = Window.partitionBy("pid").orderBy(col("ea").asc, col("event_id").asc)
+    a.join(p, Seq("user_id", "bkt"))
+      .filter(col("ea") >= col("ep") - win && col("ea") < col("ep"))
+      .withColumn("n", count(lit(1)).over(wCnt))
+      .withColumn("rk", row_number().over(wRk))
+      .withColumn("credit",
+        expr("10000 div n + (CASE WHEN rk <= 10000 % n THEN 1 ELSE 0 END)"))
+      .withColumn("hour_epoch", expr("(ea div 3600) * 3600"))
+      .groupBy("hour_epoch")
+      .agg(count(lit(1)).as("n_clicks"), sum(col("credit")).as("credit_x10000"))
+      .orderBy("hour_epoch")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_attribution" -> (attribution _),
     "ev_absence" -> (absence _),
     "ev_lateness" -> (lateness _),
     "ev_cdc_scd2" -> (cdcScd2 _),
@@ -420,6 +467,29 @@ object Events {
     "ev_funnel" -> (funnel _))
 
   val oracle: Map[String, String] = Map(
+    // semantic (unbucketed) formulation — bucket replication is a plan
+    // choice: [ep - W, ep) spans <= 2 W-wide buckets
+    "ev_attribution" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, event_id,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+         |), a AS (
+         |  SELECT user_id, event_id, es AS ea FROM e WHERE event_type = 'click'
+         |), p AS (
+         |  SELECT user_id, event_id AS pid, es AS ep FROM e WHERE event_type = 'purchase'
+         |), j AS (
+         |  SELECT a.event_id, a.ea, p.pid,
+         |    COUNT(*) OVER (PARTITION BY p.pid) AS n,
+         |    ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY a.ea, a.event_id) AS rk
+         |  FROM a JOIN p ON p.user_id = a.user_id
+         |    AND a.ea >= p.ep - $AttribWindowSec AND a.ea < p.ep
+         |), c AS (
+         |  SELECT *, 10000 // n + (CASE WHEN rk <= 10000 % n THEN 1 ELSE 0 END) AS credit
+         |  FROM j
+         |)
+         |SELECT (ea // 3600) * 3600 AS hour_epoch, COUNT(*) AS n_clicks,
+         |  CAST(SUM(credit) AS BIGINT) AS credit_x10000
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // semantic (unbucketed) formulation — the bucket replication is a
     // plan choice, not a semantics change: (ea, ea+T] spans <= 2 buckets
     "ev_absence" ->

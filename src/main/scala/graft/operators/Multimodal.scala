@@ -166,6 +166,34 @@ object Multimodal {
       .filter(col("ref_count") > 1)
       .orderBy("chunk_hash")
 
+  /** Hamming cut of mm_phash_dedup (frame fingerprints are noisier than
+    * word-shingle ones: ~60 frames/payload vs hundreds of shingles). */
+  val PhashMaxHamming = 16
+
+  /** Perceptual-hash-style payload NEAR-dup — the image/video near-dup
+    * pass next to mm_chunk_dedup's exact chunk sharing: each payload gets
+    * a 64-bit SimHash over its frame-hash SET (a real phash would hash
+    * decoded pixel features; no codecs exist here, so frame hashes are
+    * the deterministic stand-in — the fingerprint/band/verify plumbing is
+    * the deployed shape), banded LSH proposes candidates, and the native
+    * codegen hamming_str scores them. The ENTIRE operator is
+    * Dedup.simhashOn on a frame shingle set — fingerprint machinery
+    * shared across modalities on both the Spark side and the oracle
+    * generator (simhashOracleSql), exactly how a production pipeline
+    * runs one near-dup stack over text and media. */
+  def phashDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashOn(phashFrames(spark, dir), PhashMaxHamming).orderBy("da", "db")
+
+  /** Distinct 16-byte frame hashes per payload — the shingle set. */
+  private[graft] def phashFrames(spark: SparkSession, dir: String): DataFrame =
+    withPayload(spark, dir)
+      .withColumn("n_frames", expr("CAST((length(payload) + 15) div 16 AS LONG)"))
+      .select(col("doc_id"), col("payload"),
+        explode(expr("sequence(0L, n_frames - 1)")).as("fi"))
+      .select(col("doc_id"),
+        md5(expr("substring(payload, CAST(fi * 16 + 1 AS INT), 16)")).as("sh"))
+      .distinct()
+
   /** The typed mapPartitions decode stage as an oracle-checked query: the
     * stub features re-aggregate to integer-exact per-doc totals (frame
     * byte-sums are integer-valued doubles), so even the imperative tier is
@@ -279,6 +307,7 @@ object Multimodal {
     "mm_metadata" -> (metadata _),
     "mm_framesample" -> (frameSample _),
     "mm_chunk_dedup" -> (chunkDedup _),
+    "mm_phash_dedup" -> (phashDedup _),
     "mm_decode_stats" -> (decodeStats _),
     "mm_embed_knn" -> (embedKnn _))
 
@@ -343,6 +372,11 @@ object Multimodal {
         |    i -> ascii(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS byte_sum,
         |  CAST(length(text) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_phash_dedup" -> Dedup.simhashOracleSql(
+      """SELECT DISTINCT doc_id,
+        |    md5(substr(text, CAST(fi * 16 + 1 AS INT), 16)) AS sh
+        |  FROM (SELECT doc_id, text, unnest(range(0, (length(text) + 15) // 16)) AS fi
+        |        FROM documents)""".stripMargin, PhashMaxHamming),
     "mm_chunk_dedup" ->
       """WITH d AS (
         |  SELECT doc_id, text, (length(text) + 15) // 16 AS n_frames FROM documents

@@ -815,6 +815,74 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Feature-hash bucket count of ta_dsir. */
+  val DsirBuckets = 1024L
+
+  /** DSIR-shape importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how target-like its hashed n-gram features are. Word
+    * bigrams hash into DsirBuckets buckets; the TRAINED model is the
+    * per-bucket ratio of add-one-smoothed target frequency (here: the
+    * lang='en' slice — the in-domain set) to raw frequency, and a doc's
+    * importance is the mean bucket ratio of its features
+    * (scaled-integer surrogate for DSIR's mean log-ratio: both order
+    * docs by target-likeness; ratios stay in exact integer arithmetic
+    * where logs cannot). imp >= 10000 means "more target-like than the
+    * raw average" — the selection cut. Totals/smoothing are over the
+    * OCCURRING buckets (mirrored in the oracle).
+    *
+    * Scale: feature extraction is row-wise; the bucket-count tables and
+    * the weight table are <= DsirBuckets rows (the ratio arithmetic runs
+    * in DECIMAL(38,0) on BOTH engines — at 100 TB ct*nr*10000 is ~1e30,
+    * far past BIGINT, and the frame is 1024 rows so decimal costs
+    * nothing), BROADCAST back into scoring — the corpus never shuffles
+    * on a model key (ta_lm_topv rule); the only corpus shuffles are the
+    * per-doc and per-source groupBys. */
+  def dsir(spark: SparkSession, dir: String): DataFrame =
+    dsirOn(documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  /** Same operator over any (doc_id, source, lang, text) frame —
+    * Round9Spec pins the ratio arithmetic and the smoothing on a
+    * hand-worked corpus. */
+  def dsirOn(docs: DataFrame): DataFrame = {
+    val feats = docs
+      .select(col("doc_id"), col("source"), col("lang"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(expr("transform(sequence(0, size(ws) - 2), " +
+          "i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))")).as("f"))
+      .withColumn("bucket", expr(
+        s"CAST(conv(substring(md5(concat('ds:', f)), 1, 4), 16, 10) AS BIGINT) % $DsirBuckets"))
+      .select("doc_id", "source", "lang", "bucket")
+      .localCheckpoint() // consumers: raw counts, target counts, scoring
+    val raw = feats.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val tgt = feats.filter(col("lang") === "en")
+      .groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val w = raw.join(tgt, Seq("bucket"), "left")
+      .withColumn("ct1", coalesce(col("ct"), lit(0L)) + 1L)
+      .withColumn("cr1", col("cr") + 1L)
+      .withColumn("nt", sum(col("ct1")).over(Window.partitionBy()))
+      .withColumn("nr", sum(col("cr1")).over(Window.partitionBy()))
+      .withColumn("w_x10000", expr(
+        "CAST(CAST(10000 AS DECIMAL(38,0)) * ct1 * nr div (CAST(cr1 AS DECIMAL(38,0)) * nt) AS BIGINT)"))
+      .select("bucket", "w_x10000")
+      .localCheckpoint() // <= DsirBuckets rows, broadcast into scoring
+    feats
+      .join(broadcast(w), Seq("bucket"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_feat"), sum(col("w_x10000")).as("sw"))
+      .withColumn("imp_x10000", expr("sw div n_feat"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("imp_x10000") >= 10000L, 1L).otherwise(0L)).as("n_selected"),
+        expr("sum(imp_x10000) div count(1)").as("avg_imp_x10000"),
+        min(col("imp_x10000")).as("min_imp_x10000"),
+        max(col("imp_x10000")).as("max_imp_x10000"))
+      .orderBy("source")
+  }
+
   /** Training-context length of ta_seq_pack. */
   val SeqLen = 2048L
 
@@ -938,6 +1006,7 @@ object TextAnalysis {
     "ta_lm_topv" -> (lmScoreTopV _),
     "ta_lm_backoff" -> (lmBackoff _),
     "ta_hash_classify" -> (hashClassify _),
+    "ta_dsir" -> (dsir _),
     "ta_lm_score" -> (lmScore _),
     "ta_resample" -> (resample _),
     "ta_mixture" -> (mixture _),
@@ -1294,6 +1363,43 @@ object TextAnalysis {
         |  CAST(SUM(nv) AS BIGINT) AS n_oov,
         |  CAST(CAST(SUM(sp // n_tg) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_bo_x10000
         |FROM ds GROUP BY source ORDER BY source""".stripMargin,
+    "ta_dsir" -> {
+      val hex = (k: Int) =>
+        s"(strpos('0123456789abcdef', substr(mf, $k, 1)) - 1)"
+      s"""WITH ws AS (
+         |  SELECT doc_id, source, lang, string_split(text, ' ') AS w FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2
+         |), feats AS (
+         |  SELECT doc_id, source, lang,
+         |    (((${hex(1)} * 16 + ${hex(2)}) * 16 + ${hex(3)}) * 16 + ${hex(4)}) % $DsirBuckets AS bucket
+         |  FROM (
+         |    SELECT doc_id, source, lang, md5('ds:' || w[i] || ' ' || w[i + 1]) AS mf
+         |    FROM (SELECT doc_id, source, lang, UNNEST(range(1, len(w)::BIGINT)) AS i, w
+         |          FROM ws) t) f
+         |), raw AS (
+         |  SELECT bucket, COUNT(*) AS cr FROM feats GROUP BY bucket
+         |), tgt AS (
+         |  SELECT bucket, COUNT(*) AS ct FROM feats WHERE lang = 'en' GROUP BY bucket
+         |), wt AS (
+         |  SELECT bucket,
+         |    CAST((10000::HUGEINT * ct1 * nr) // (cr1::HUGEINT * nt) AS BIGINT) AS w_x10000
+         |  FROM (
+         |    SELECT raw.bucket, COALESCE(tgt.ct, 0) + 1 AS ct1, raw.cr + 1 AS cr1,
+         |      SUM(COALESCE(tgt.ct, 0) + 1) OVER () AS nt,
+         |      SUM(raw.cr + 1) OVER () AS nr
+         |    FROM raw LEFT JOIN tgt USING (bucket)) b
+         |), ds AS (
+         |  SELECT doc_id, source, COUNT(*) AS n_feat, CAST(SUM(w_x10000) AS BIGINT) AS sw
+         |  FROM feats JOIN wt USING (bucket)
+         |  GROUP BY doc_id, source
+         |), d2 AS (SELECT *, sw // n_feat AS imp FROM ds)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN imp >= 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+         |  CAST(CAST(SUM(imp) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_imp_x10000,
+         |  CAST(MIN(imp) AS BIGINT) AS min_imp_x10000,
+         |  CAST(MAX(imp) AS BIGINT) AS max_imp_x10000
+         |FROM d2 GROUP BY source ORDER BY source""".stripMargin
+    },
     "ta_hash_classify" -> {
       // 4-hex-char md5 prefix as an integer: Horner fold of strpos digits
       // (the ta_resample pattern; Spark side uses conv)

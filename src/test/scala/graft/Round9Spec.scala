@@ -105,6 +105,30 @@ class Round9Spec extends SparkSpecBase {
     assert(plan(out).contains("BroadcastHashJoin"))
   }
 
+  test("dsir: add-one ratio weights and the selection cut on a hand-worked corpus") {
+    import spark.implicits._
+    // features: 'a b' (raw 2, target 1), 'c d' (raw 1, target 0) — distinct
+    // buckets (asserted), so:
+    //   ct1/cr1: B1 = 2/3, B2 = 1/2; nt = 3, nr = 5
+    //   w(B1) = 10000*2*5 div (3*3) = 11111   (target-enriched, selected)
+    //   w(B2) = 10000*1*5 div (2*3) =  8333   (target-absent, dropped)
+    val docs = Seq(
+      (1L, "s", "en", "a b"),
+      (2L, "s", "de", "a b"),
+      (3L, "t", "de", "c d")).toDF("doc_id", "source", "lang", "text")
+    val b = spark.sql(
+      s"""SELECT
+         |  CAST(conv(substring(md5('ds:a b'), 1, 4), 16, 10) AS BIGINT) % ${TextAnalysis.DsirBuckets},
+         |  CAST(conv(substring(md5('ds:c d'), 1, 4), 16, 10) AS BIGINT) % ${TextAnalysis.DsirBuckets}""".stripMargin)
+      .collect()(0)
+    assert(b.getLong(0) != b.getLong(1), "hash collision in the fixture — pick other words")
+    val out = TextAnalysis.dsirOn(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out("s") == ((2L, 2L, 11111L, 11111L, 11111L)))
+    assert(out("t") == ((1L, 0L, 8333L, 8333L, 8333L)))
+  }
+
   test("hamming_str: parity with the portable HOF fold, codegen, length check") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
@@ -168,6 +192,27 @@ class Round9Spec extends SparkSpecBase {
     // absent: u2, u3. avg lag = 110 div 2 = 55
     assert(out(0L) == ((4L, 2L, 2L, 55L)))
     assert(out(3600L) == ((1L, 0L, 1L, 0L)))
+  }
+
+  test("ev_attribution: largest-remainder split, window edges, cross-purchase reuse") {
+    import spark.implicits._
+    // window 100s. u1: purchase at 100 with clicks at 0, 50, 99:
+    //   3 clicks, 10000 div 3 = 3333 rem 1 -> earliest (t=0) gets 3334.
+    //   click at 100 (== ep) excluded, click at -1 (< ep-100) n/a here.
+    // u2: purchase at 250, clicks at 150 (= ep-100, IN) and 249; split
+    //   5000/5000, no remainder. One of u2's clicks (249) also precedes
+    //   a second purchase at 349 -> credited AGAIN with full 10000.
+    val ev = Seq(
+      (1L, "a", 11L, 0L), (1L, "a", 12L, 50L), (1L, "a", 13L, 99L),
+      (1L, "a", 14L, 100L), (1L, "b", 15L, 100L),
+      (2L, "a", 21L, 150L), (2L, "a", 22L, 249L), (2L, "b", 23L, 250L),
+      (2L, "b", 24L, 349L)
+    ).toDF("user_id", "event_type", "event_id", "es")
+    val out = Events.attributionOn(ev, "a", "b", 100L).collect()
+    // all clicks land in hour 0: credited instances = 3 (u1) + 2 (u2 first)
+    // + 1 (u2 second purchase) = 6; credit = 10000 * 3 purchases = 30000
+    assert(out.length == 1)
+    assert((out(0).getLong(0), out(0).getLong(1), out(0).getLong(2)) == ((0L, 6L, 30000L)))
   }
 
   test("zone map: a range probe reads only overlapping files, results exact") {
