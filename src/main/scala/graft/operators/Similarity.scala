@@ -656,7 +656,43 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Metadata-FILTERED retrieval — the "filtered search" feature every
+    * production vector store ships (same-language / same-tenant / ACL
+    * retrieval): top-3 cosine neighbors among corpus vectors sharing the
+    * QUERY's label, the predicate applied in the join condition BEFORE
+    * any distance work (pre-filtering — post-filtering a global top-k
+    * loses recall whenever the filter is selective, the classic
+    * filtered-ANN pitfall). Exact within the filtered subset, so fully
+    * oracle-checkable.
+    *
+    * Scale: the label predicate composes with the bucketed index tiers —
+    * on a (label, cell)-clustered layout the filter IS partition pruning
+    * (zoneMapIndex/bloomIndex read-side machinery); here the queries are
+    * a bounded broadcast and the corpus pass stays one scan. */
+  def filtered(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val c = embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"), norm("embedding").as("nrm"), col("label"))
+      .localCheckpoint() // reused: query + corpus side
+    val q = c.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("label"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    c.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("nrm").as("cn"), col("label"))
+      .join(broadcast(q), Seq("label"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"), col("label"),
+        r4(col("cos")).as("cos_sim"))
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_filtered" -> (filtered _),
     "dd_semdedup" -> (semDedup _),
     "ann_ivfpq" -> (ivfpq _),
     "ann_multiprobe" -> (multiprobe _),
@@ -1026,6 +1062,22 @@ object Similarity {
        |ORDER BY p.vec_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ann_filtered" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm, label FROM embeddings
+         |), cand AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid, q.label,
+         |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |  FROM e q JOIN e c ON q.label = c.label
+         |    AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+         |), ranked AS (
+         |  SELECT qid, cid, label, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+         |  FROM cand
+         |)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, label,
+         |  ${graft.sources.Tables.r4Sql("cos")} AS cos_sim
+         |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "dd_semdedup" -> semDedupSql,
     "ann_ivfpq" -> ivfpqSql,
     "ann_multiprobe" -> multiprobeSql,

@@ -358,6 +358,56 @@ object ManifestIO {
     (df, hit.size)
   }
 
+  /** ANALYZE-shape column statistics report — the stats collection that
+    * feeds a cost-based optimizer (row counts drive join-side choice,
+    * null fractions drive filter selectivity, exact NDVs drive broadcast
+    * decisions; Spark's own ANALYZE TABLE ... COMPUTE STATISTICS fills
+    * the same catalog slots). One exact aggregate pass per table — every
+    * per-column stat rides the same map-side-combinable job — unpivoted
+    * via stack(). events.ts is profiled at whole-second granularity
+    * (the §4 timestamp discipline: sub-second encodings have drifted
+    * across testdata regenerations; second-floor is stable on both
+    * engines). */
+  def colStatsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .agg(
+        count(lit(1)).as("nr"),
+        sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("u1"),
+        countDistinct(col("doc_id")).as("d1"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("u2"),
+        countDistinct(col("text")).as("d2"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("u3"),
+        countDistinct(col("lang")).as("d3"),
+        sum(when(col("source").isNull, 1L).otherwise(0L)).as("u4"),
+        countDistinct(col("source")).as("d4"),
+        sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("u5"),
+        countDistinct(col("n_chars")).as("d5"))
+      .select(lit("documents").as("table_name"), col("nr").as("n_rows"), expr(
+        "stack(5, 'doc_id', u1, d1, 'lang', u3, d3, 'n_chars', u5, d5, " +
+          "'source', u4, d4, 'text', u2, d2) AS (column_name, n_nulls, n_distinct)"))
+    val evs = Tables.events(spark, dir)
+      .select(col("event_id"), unix_timestamp(col("ts")).as("ts_sec"),
+        col("user_id"), col("event_type"), col("value"))
+      .agg(
+        count(lit(1)).as("nr"),
+        sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("u1"),
+        countDistinct(col("event_id")).as("d1"),
+        sum(when(col("ts_sec").isNull, 1L).otherwise(0L)).as("u2"),
+        countDistinct(col("ts_sec")).as("d2"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("u3"),
+        countDistinct(col("user_id")).as("d3"),
+        sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("u4"),
+        countDistinct(col("event_type")).as("d4"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("u5"),
+        countDistinct(col("value")).as("d5"))
+      .select(lit("events").as("table_name"), col("nr").as("n_rows"), expr(
+        "stack(5, 'event_id', u1, d1, 'event_type', u4, d4, 'ts_sec', u2, d2, " +
+          "'user_id', u3, d3, 'value', u5, d5) AS (column_name, n_nulls, n_distinct)"))
+    docs.unionByName(evs)
+      .select("table_name", "column_name", "n_rows", "n_nulls", "n_distinct")
+      .orderBy("table_name", "column_name")
+  }
+
   /** Min/max zone-map data skipping — the RANGE complement to
     * bloomIndex's point lookups: one (min, max) interval per data file
     * over a clustering key, consulted before scheduling so files whose
@@ -500,6 +550,7 @@ object ManifestIO {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "io_dq_report" -> (dqReportQuery _),
+    "io_col_stats" -> (colStatsQuery _),
     "io_time_travel" -> (timeTravelQuery _),
     "io_zorder" -> (zorderQuery _),
     "io_manifest_diff" -> (manifestDiffQuery _),
@@ -509,6 +560,47 @@ object ManifestIO {
     "io_partitioned_scan" -> (partitionedScanQuery _))
 
   val oracle: Map[String, String] = Map(
+    "io_col_stats" ->
+      """WITH d AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS nr,
+        |    CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u1,
+        |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d1,
+        |    CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u2,
+        |    CAST(COUNT(DISTINCT text) AS BIGINT) AS d2,
+        |    CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u3,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS d3,
+        |    CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u4,
+        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS d4,
+        |    CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u5,
+        |    CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS d5
+        |  FROM documents
+        |), e AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS nr,
+        |    CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u1,
+        |    CAST(COUNT(DISTINCT event_id) AS BIGINT) AS d1,
+        |    CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u2,
+        |    CAST(COUNT(DISTINCT CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS d2,
+        |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u3,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS d3,
+        |    CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u4,
+        |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS d4,
+        |    CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u5,
+        |    CAST(COUNT(DISTINCT value) AS BIGINT) AS d5
+        |  FROM events
+        |), u AS (
+        |  SELECT 'documents' AS table_name, 'doc_id' AS column_name, nr AS n_rows, u1 AS n_nulls, d1 AS n_distinct FROM d
+        |  UNION ALL SELECT 'documents', 'lang', nr, u3, d3 FROM d
+        |  UNION ALL SELECT 'documents', 'n_chars', nr, u5, d5 FROM d
+        |  UNION ALL SELECT 'documents', 'source', nr, u4, d4 FROM d
+        |  UNION ALL SELECT 'documents', 'text', nr, u2, d2 FROM d
+        |  UNION ALL SELECT 'events', 'event_id', nr, u1, d1 FROM e
+        |  UNION ALL SELECT 'events', 'event_type', nr, u4, d4 FROM e
+        |  UNION ALL SELECT 'events', 'ts_sec', nr, u2, d2 FROM e
+        |  UNION ALL SELECT 'events', 'user_id', nr, u3, d3 FROM e
+        |  UNION ALL SELECT 'events', 'value', nr, u5, d5 FROM e
+        |)
+        |SELECT table_name, column_name, n_rows, n_nulls, n_distinct
+        |FROM u ORDER BY table_name, column_name""".stripMargin,
     "io_dq_report" ->
       """WITH d AS (
         |  SELECT CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS v1,
