@@ -691,7 +691,73 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Retrieval depth / fused depth of ann_hybrid. */
+  val HybridK = 20
+  val HybridKf = 5
+
+  /** HYBRID retrieval with reciprocal-rank fusion — the
+    * keyword-plus-vector search every production RAG stack runs: a
+    * keyword ranking (rare-term-weighted exact-integer score — the idf
+    * surrogate 100000 div df(w) summed over DISTINCT shared words, no
+    * logs so both engines agree bit-for-bit) and a vector ranking
+    * (exact cosine, the established cross-engine fold) each retrieve
+    * top-20, and RRF (Cormack et al. 2009) fuses them:
+    * 10000 div (60 + rank) per list, summed, top-5 — rank fusion needs
+    * no score calibration between the two modalities, which is exactly
+    * why RRF is the production default. doc_id and vec_id are aligned
+    * by construction in the driver testdata (both 0..N-1 over the same
+    * corpus; the oracle joins the same way, so a drift would mismatch
+    * loudly at the gate).
+    *
+    * Scale: the keyword side is the inverted-index shape (distinct
+    * (doc, word) postings shuffle on the word key; a deployment df-caps
+    * stopwords — the ta_boilerplate pattern); the vector side broadcasts
+    * the bounded query set; fusion is a full-outer join of two
+    * <= 20-row-per-query lists — negligible. */
+  def hybrid(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.sources.Tables
+    val words = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+      .localCheckpoint() // consumers: df counts, query side, corpus side
+    val dfw = words.groupBy("w").agg(count(lit(1)).as("df"))
+    val qw = words.filter(col("doc_id") < HybridKf)
+      .select(col("doc_id").as("qid"), col("w"))
+    val wK = Window.partitionBy("qid")
+    val kw = qw
+      .join(words.withColumnRenamed("doc_id", "cid"), Seq("w"))
+      .filter(col("qid") =!= col("cid"))
+      .join(dfw, Seq("w"))
+      .groupBy("qid", "cid").agg(sum(expr("100000 div df")).as("kw_score"))
+      .withColumn("rk", row_number()
+        .over(wK.orderBy(col("kw_score").desc, col("cid").asc)).cast("long"))
+      .filter(col("rk") <= HybridK)
+    val c = corpus(spark, dir).localCheckpoint() // query + corpus side
+    val vq = c.filter(col("vec_id") < HybridKf)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val vec = c.select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cn"))
+      .join(broadcast(vq), col("qid") =!= col("cid"))
+      .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
+      .withColumn("rv", row_number()
+        .over(wK.orderBy(col("cos").desc, col("cid").asc)).cast("long"))
+      .filter(col("rv") <= HybridK)
+    kw.select(col("qid"), col("cid"), col("rk"))
+      .join(vec.select(col("qid"), col("cid"), col("rv")), Seq("qid", "cid"), "full_outer")
+      .withColumn("rrf_x10000", expr(
+        "coalesce(10000 div (60 + rk), 0L) + coalesce(10000 div (60 + rv), 0L)"))
+      .withColumn("rank", row_number()
+        .over(wK.orderBy(col("rrf_x10000").desc, col("cid").asc)).cast("long"))
+      .filter(col("rank") <= HybridKf)
+      .select(col("qid"), col("rank"), col("cid"), col("rrf_x10000"),
+        coalesce(col("rk"), lit(0L)).as("kw_rank"),
+        coalesce(col("rv"), lit(0L)).as("vec_rank"))
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_hybrid" -> (hybrid _),
     "ann_filtered" -> (filtered _),
     "dd_semdedup" -> (semDedup _),
     "ann_ivfpq" -> (ivfpq _),
@@ -1062,6 +1128,45 @@ object Similarity {
        |ORDER BY p.vec_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ann_hybrid" ->
+      s"""WITH words AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+         |), dfw AS (
+         |  SELECT w, COUNT(*) AS df FROM words GROUP BY w
+         |), kw0 AS (
+         |  SELECT q.doc_id AS qid, c.doc_id AS cid,
+         |    CAST(SUM(100000 // dfw.df) AS BIGINT) AS kw_score
+         |  FROM words q JOIN words c ON q.w = c.w AND q.doc_id < $HybridKf
+         |    AND q.doc_id <> c.doc_id
+         |  JOIN dfw ON dfw.w = q.w
+         |  GROUP BY 1, 2
+         |), kw AS (
+         |  SELECT qid, cid, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY kw_score DESC, cid ASC) AS BIGINT) AS rk
+         |  FROM kw0 QUALIFY rk <= $HybridK
+         |), e AS (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings
+         |), vec0 AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |  FROM e q JOIN e c ON q.vec_id < $HybridKf AND q.vec_id <> c.vec_id
+         |), vec AS (
+         |  SELECT qid, cid, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, cid ASC) AS BIGINT) AS rv
+         |  FROM vec0 QUALIFY rv <= $HybridK
+         |), fused AS (
+         |  SELECT COALESCE(kw.qid, vec.qid) AS qid, COALESCE(kw.cid, vec.cid) AS cid,
+         |    kw.rk, vec.rv,
+         |    COALESCE(10000 // (60 + kw.rk), 0) + COALESCE(10000 // (60 + vec.rv), 0) AS rrf
+         |  FROM kw FULL OUTER JOIN vec ON kw.qid = vec.qid AND kw.cid = vec.cid
+         |), ranked AS (
+         |  SELECT qid, cid, rrf, rk, rv, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY rrf DESC, cid ASC) AS BIGINT) AS rank
+         |  FROM fused QUALIFY rank <= $HybridKf
+         |)
+         |SELECT qid, rank, cid, CAST(rrf AS BIGINT) AS rrf_x10000,
+         |  COALESCE(rk, 0) AS kw_rank, COALESCE(rv, 0) AS vec_rank
+         |FROM ranked ORDER BY qid, rank""".stripMargin,
     "ann_filtered" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm, label FROM embeddings
