@@ -441,17 +441,17 @@ object TextAnalysis {
   def bpeEncodeOn(docs: DataFrame): DataFrame = {
     val (pairsN, _) = bpeLearn(docs)
     val pairs = pairsN.map(p => (p._1, p._2))
-    // encode half: one barrier-free plan — chain the literal merges, then
-    // count tokens after rounds 0..BpeRounds in a single union-aggregate
-    // (n_applied(r) = tokens(r-1) - tokens(r): each applied non-overlapping
-    // merge removes exactly one symbol; an absent pair yields delta 0).
-    // Each branch's LAST step counts surviving (!consumed) flagged rows
-    // directly — same number as the merged frame, one renumber window less.
-    val chain = pairs.scanLeft(bpeBase(docs, 41)) {
-      case (f, (bl, br)) => bpeApplyLit(bpeWithNext(f), bl, br)
-    }
-    val encFrames = chain.head +: pairs.zipWithIndex.map { case ((bl, br), i) =>
-      bpeFlag(bpeWithNext(chain(i)), lit(bl), lit(br)).filter(!col("consumed"))
+    // encode half: still no algorithmic barrier (the merges are known
+    // literals), but each chain stage is localCheckpointed so its window
+    // chain executes exactly ONCE — a lazy 5-branch count union re-ran
+    // stage chains 0+1+2+3+4 times (the shared-frame recompute rule; the
+    // count branches are 5 consumers of the chain prefixes), measured
+    // ~35% of the encode half. Counts then read materialized frames.
+    // n_applied(r) = tokens(r-1) - tokens(r): each applied
+    // non-overlapping merge removes exactly one symbol; an absent pair
+    // yields delta 0.
+    val encFrames = pairs.scanLeft(bpeBase(docs, 41).localCheckpoint()) {
+      case (f, (bl, br)) => bpeApplyLit(bpeWithNext(f), bl, br).localCheckpoint()
     }
     bpeCounts(encFrames)
       .withColumn("prev", lag(col("tokens_after"), 1).over(Window.orderBy("round")))
