@@ -31,7 +31,11 @@ class PlanAuditSpec extends SparkSpecBase {
     // ta_ppl_bucket broadcasts its ONE-ROW tercile-threshold frame onto
     // the doc-score stream — the same bounded shape; pipe_curation
     // composes the identical tercile broadcast in its lm_tail_drop stage
-    "ta_ppl_bucket", "pipe_curation")
+    "ta_ppl_bucket", "pipe_curation",
+    // ann_hybrid's vector ranking scans the corpus against the bounded
+    // 5-query broadcast (the ann_bruteforce sanctioned shape); the only
+    // join condition is qid != cid, so the BNLJ build side is 5 rows
+    "ann_hybrid")
 
   test("no query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
