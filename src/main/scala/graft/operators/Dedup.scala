@@ -371,6 +371,48 @@ object Dedup {
     spanDedupOn(documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism))
 
+  /** MAXIMAL duplicated-span extraction — the deployment output of
+    * exact-substring dedup (the byte ranges a curation pipeline actually
+    * cuts, per the dedup-training-data line of work): on the same 10-word
+    * span grid as dd_span, flag spans whose corpus-wide df >= 2, then merge
+    * RUNS of consecutive flagged spans per doc into one (start_word,
+    * n_words) row via gaps-and-islands (island id = g - row_number, exact
+    * integers, g unique per doc so the ordering is total).
+    *
+    * Scale: identical traffic to dd_span (one shuffle on the span hash for
+    * df, a co-partitioned join back) plus one shuffle on doc_id for the
+    * island window — the window partition is a single doc's flagged spans,
+    * bounded by doc length. Hot boilerplate spans are the skewed keys;
+    * AQE skew-split applies to the df join, never a broadcast of the
+    * corpus-sized df table. */
+  def spanExtractOn(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", spanWords: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= spanWords)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(ws) div $spanWords - 1), " +
+          s"g -> struct(cast(g as bigint) as g, " +
+          s"md5(concat_ws(' ', slice(ws, g * $spanWords + 1, $spanWords))) as h))")).as("s"))
+      .select(col("doc_id"), col("s.g").as("g"), col("s.h").as("h"))
+      .localCheckpoint() // consumers: df aggregate + join probe side
+    val df = spans.groupBy("h").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("doc_id").orderBy(col("g").asc)
+    spans.join(df, Seq("h"))
+      .filter(col("df") >= 2)
+      .withColumn("island", col("g") - row_number().over(byDoc).cast("long"))
+      .groupBy("doc_id", "island")
+      .agg(min(col("g")).as("g0"), count(lit(1)).as("n_spans"))
+      .select(col("doc_id"), (col("g0") * spanWords).as("start_word"),
+        col("n_spans"), (col("n_spans") * spanWords).as("n_words"))
+      .orderBy("doc_id", "start_word")
+  }
+
+  def spanExtract(spark: SparkSession, dir: String): DataFrame =
+    spanExtractOn(documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+
   /** Benchmark decontamination — the train/test-overlap pass every LLM
     * training pipeline runs before shipping data: flag corpus docs that
     * share any 8-word sequence with a held-out benchmark set (here the
@@ -451,6 +493,7 @@ object Dedup {
     "dd_lsh_tune" -> (lshTune _),
     "dd_contamination" -> (contamination _),
     "dd_span" -> (spanDedup _),
+    "dd_span_extract" -> (spanExtract _),
     "dd_url_canon" -> (urlCanon _),
     "dd_exact" -> (exact _),
     "dd_normalized" -> (normalized _),
@@ -531,6 +574,26 @@ object Dedup {
         |  CAST((SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 10000) // COUNT(*) AS BIGINT) AS dup_x10000
         |FROM s JOIN f ON s.h = f.h
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "dd_span_extract" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), s AS (
+        |  SELECT doc_id, g,
+        |    md5(array_to_string(list_slice(ws, g * 10 + 1, g * 10 + 10), ' ')) AS h
+        |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) // 10)) AS g
+        |        FROM d WHERE len(ws) >= 10)
+        |), f AS (
+        |  SELECT h, COUNT(*) AS df FROM s GROUP BY h
+        |), dup AS (
+        |  SELECT s.doc_id, s.g FROM s JOIN f ON s.h = f.h WHERE df >= 2
+        |), isl AS (
+        |  SELECT doc_id, g,
+        |    g - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY g) AS island
+        |  FROM dup
+        |)
+        |SELECT doc_id, CAST(MIN(g) * 10 AS BIGINT) AS start_word,
+        |  COUNT(*) AS n_spans, CAST(COUNT(*) * 10 AS BIGINT) AS n_words
+        |FROM isl GROUP BY doc_id, island ORDER BY doc_id, start_word""".stripMargin,
     "dd_url_canon" ->
       """WITH u AS (
         |  SELECT doc_id,

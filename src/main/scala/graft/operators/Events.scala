@@ -36,6 +36,23 @@ object Events {
     * Window boundaries are whole multiples of 1800s, so Spark's
     * microsecond-precision assignment and the oracle's floor-second
     * arithmetic (unnest of the two starts) agree exactly. */
+  /** Exact DISTINCT USERS per sliding window (1-hour window, 30-min hop) —
+    * the reach/active-users metric, computed dedup-before-count: project to
+    * (window, user), `distinct()`, then a plain count per window. The naive
+    * `groupBy(window).agg(countDistinct(user))` shuffles on the WINDOW key
+    * alone — at 100 TB that is a parallelism collapse onto #windows
+    * reducers, each holding a distinct-set of the whole user base. The
+    * two-step shape shuffles on the full (window, user) key space with
+    * map-side partial dedup, and the final count is map-side-combinable. */
+  def slidingDistinct(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(window(col("ts"), "1 hour", "30 minutes").as("win"), col("user_id"))
+      .select(unix_timestamp(col("win.start")).as("win_start"), col("user_id"))
+      .distinct()
+      .groupBy("win_start")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("win_start")
+
   def hoppingAgg(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
@@ -462,6 +479,7 @@ object Events {
     "ev_retention" -> (retention _),
     "ev_windowed_agg" -> (windowedAgg _),
     "ev_hopping" -> (hoppingAgg _),
+    "ev_sliding_distinct" -> (slidingDistinct _),
     "ev_sessionize" -> (sessionize _),
     "ev_json" -> (jsonExtract _),
     "ev_funnel" -> (funnel _))
@@ -620,6 +638,18 @@ object Events {
         |SELECT win_start, event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "ev_sliding_distinct" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 AS s0
+        |  FROM events
+        |),
+        |w AS (
+        |  SELECT user_id, unnest([s0, s0 - 1800]) AS win_start FROM e
+        |),
+        |dw AS (SELECT DISTINCT user_id, win_start FROM w)
+        |SELECT win_start, COUNT(*) AS n_users
+        |FROM dw GROUP BY win_start ORDER BY win_start""".stripMargin,
     "ev_anomaly" ->
       s"""WITH stats AS (
         |  SELECT event_type,

@@ -883,6 +883,43 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Chunk length / stride (words) of ta_chunk. */
+  val ChunkLen = 64L
+  val ChunkStride = 48L
+
+  /** Sliding-window retrieval chunking — the RAG ingestion step every
+    * vector store runs before embedding: cut each doc into ChunkLen-word
+    * windows advancing by ChunkStride (16-word overlap carries context
+    * across cuts), clamped at the doc tail. Per chunk: word offset, actual
+    * width, and an md5 content key (the join key chunk-level embeddings
+    * and ann_* retrieval would index on). A doc shorter than one window is
+    * a single chunk — never dropped, retrieval must see every doc.
+    *
+    * Scale: embarrassingly parallel — one projection + a bounded
+    * ~n/stride explode per doc, no shuffle at all before the output sort;
+    * the chunk count formula is exact integer arithmetic so both engines
+    * agree on boundary docs (tail chunks never start past the last word:
+    * start <= n - ChunkLen + stride - 1 < n). */
+  def chunkOn(docs: DataFrame, chunkLen: Long, stride: Long): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .withColumn("nch", expr(
+        s"case when n <= $chunkLen then 1L " +
+          s"else (n - $chunkLen + ${stride - 1}) div $stride + 1L end"))
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(expr("sequence(0L, nch - 1L)")).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_word"),
+        least(col("n") - col("chunk_idx") * stride, lit(chunkLen)).as("n_chunk_words"),
+        md5(concat_ws(" ",
+          expr(s"slice(ws, chunk_idx * $stride + 1, $chunkLen)"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  def chunk(spark: SparkSession, dir: String): DataFrame =
+    chunkOn(documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism), ChunkLen, ChunkStride)
+
   /** Training-context length of ta_seq_pack. */
   val SeqLen = 2048L
 
@@ -1003,6 +1040,7 @@ object TextAnalysis {
     "pipe_curation" -> (curation _),
     "ta_ppl_bucket" -> (pplBucket _),
     "ta_seq_pack" -> (seqPack _),
+    "ta_chunk" -> (chunk _),
     "ta_lm_topv" -> (lmScoreTopV _),
     "ta_lm_backoff" -> (lmBackoff _),
     "ta_hash_classify" -> (hashClassify _),
@@ -1271,6 +1309,23 @@ object TextAnalysis {
          |    AS n_split_out,
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM e GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+    "ta_chunk" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, ws, n,
+         |    UNNEST(range(0, CASE WHEN n <= $ChunkLen THEN 1
+         |      ELSE (n - $ChunkLen + ${ChunkStride - 1}) // $ChunkStride + 1 END)) AS chunk_idx
+         |  FROM d
+         |)
+         |SELECT doc_id, chunk_idx,
+         |  CAST(chunk_idx * $ChunkStride AS BIGINT) AS start_word,
+         |  CAST(LEAST(n - chunk_idx * $ChunkStride, $ChunkLen) AS BIGINT) AS n_chunk_words,
+         |  md5(array_to_string(list_slice(ws, chunk_idx * $ChunkStride + 1,
+         |    chunk_idx * $ChunkStride + $ChunkLen), ' ')) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "ta_lm_topv" ->
       s"""WITH ws AS (
          |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents

@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.{Dedup, Events, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-10 operator pins: maximal duplicated-span extraction
+  * (dd_span_extract), sliding-window retrieval chunking (ta_chunk), and
+  * exact sliding-window distinct users (ev_sliding_distinct). */
+class Round10Spec extends SparkSpecBase {
+
+  test("span_extract: runs merge, singletons stay, unique spans vanish") {
+    import spark.implicits._
+    // 2-word spans. doc 0: spans (a b)(c d)(e f)(x x) — (a b),(c d) match
+    // doc 1 and (e f) matches doc 2; all three are CONSECUTIVE so they
+    // merge into one island regardless of which doc they matched. (x x)
+    // is unique -> absent. Doc 0's second occurrence pattern also pins
+    // that a run may mix match sources.
+    val docs = Seq(
+      (0L, "a b c d e f x x"),
+      (1L, "a b c d q q"),
+      (2L, "p p e f")).toDF("doc_id", "text")
+    val out = Dedup.spanExtractOn(docs, spanWords = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 3L, 6L), // doc 0: words 0..5 = merged (a b)(c d)(e f) run
+      (1L, 0L, 2L, 4L), // doc 1: the shared (a b)(c d) run
+      (2L, 2L, 1L, 2L))) // doc 2: (e f) at words 2..3; (p p) unique -> out
+  }
+
+  test("span_extract: within-doc repetition alone counts as duplicated") {
+    import spark.implicits._
+    // (z z) occurs twice inside one doc -> df = 2 -> both spans flagged,
+    // adjacent -> one island covering the whole doc.
+    val docs = Seq((7L, "z z z z")).toDF("doc_id", "text")
+    val out = Dedup.spanExtractOn(docs, spanWords = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((7L, 0L, 2L, 4L)))
+  }
+
+  test("chunk: exact-fit, one-past, short, and overlap boundary shapes") {
+    import spark.implicits._
+    val w = (1 to 65).map(i => s"w$i")
+    val docs = Seq(
+      (0L, w.take(64).mkString(" ")), // exactly ChunkLen -> 1 chunk
+      (1L, w.take(65).mkString(" ")), // one past -> 2 chunks, tail width 17
+      (2L, "a b c")).toDF("doc_id", "text") // short -> 1 clamped chunk
+    val out = TextAnalysis.chunkOn(docs, 64L, 48L)
+      .select("doc_id", "chunk_idx", "start_word", "n_chunk_words").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 0L, 64L),
+      (1L, 0L, 0L, 64L), (1L, 1L, 48L, 17L),
+      (2L, 0L, 0L, 3L)))
+  }
+
+  test("chunk: overlapping windows share the overlap words (md5 check)") {
+    import spark.implicits._
+    val words = (1 to 65).map(i => s"w$i")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkOn(docs, 64L, 48L)
+      .orderBy("chunk_idx").select("chunk_md5").as[String].collect()
+    val exp0 = java.security.MessageDigest.getInstance("MD5")
+      .digest(words.take(64).mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val exp1 = java.security.MessageDigest.getInstance("MD5")
+      .digest(words.slice(48, 65).mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out.toSeq == Seq(exp0, exp1))
+  }
+
+  test("sliding_distinct: dedup within a window, double-count across hops") {
+    import spark.implicits._
+    // Window 1h, hop 30m. User 1 fires twice at :05 and :10 (same two
+    // windows -> counted once per window); user 2 fires at :40 (windows
+    // :00 and :30). Expect window -30m:{1}, :00:{1,2}, :30:{2}.
+    val base = 3600L * 500000 // far from epoch edge, whole-hour aligned
+    val ev = Seq(
+      (1L, base + 300L), (1L, base + 600L), (2L, base + 2400L))
+      .toDF("user_id", "sec")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"))
+    val out = ev
+      .select(window(col("ts"), "1 hour", "30 minutes").as("win"), col("user_id"))
+      .select(unix_timestamp(col("win.start")).as("win_start"), col("user_id"))
+      .distinct().groupBy("win_start").agg(count(lit(1)).as("n_users"))
+      .orderBy("win_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq(
+      (base - 1800L, 1L), (base, 2L), (base + 1800L, 1L)))
+  }
+}
