@@ -413,6 +413,64 @@ object Dedup {
     spanExtractOn(documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism))
 
+  /** WINNOWING fingerprint selection (Schleimer et al., SIGMOD 2003 — the
+    * MOSS algorithm): hash every 4-word gram, slide a 4-gram window, keep
+    * the window MINIMUM (rightmost on hash ties — the guarantee that makes
+    * the fingerprint set position-robust), and dedupe selections. Per doc:
+    * window count, selected fingerprints, density x10000 (winnowing's
+    * expected density is 2/(w+1)), and how many selected fingerprints also
+    * appear in another doc's selection (the match-detection output).
+    *
+    * Determinism: the gram hash is the first 8 md5 hex chars COMPARED AS A
+    * STRING (fixed-width lowercase hex orders exactly like its value — the
+    * minhash trick); the rightmost tie-break is string-composed as
+    * h8 || lpad(999999 - p, 6) so MIN(key) picks (min hash, max position)
+    * with zero integer conversion on either engine.
+    *
+    * Scale: the gram explode is bounded (one row per word); the two
+    * windows (min-over-w, count) share one (doc_id, p) sort; selection
+    * shrinks the corpus ~2/(w+1) BEFORE the only cross-doc shuffle (df on
+    * the 8-hex hash). Hot boilerplate fingerprints are the skewed df keys
+    * — AQE splits them; the df side is corpus-sized, never broadcast. */
+  def winnowOn(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", gramWords: Int = 4, winGrams: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val minWords = gramWords + winGrams - 1
+    val grams = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= minWords)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(ws) - $gramWords), p -> struct(" +
+          s"cast(p as bigint) as p, " +
+          s"concat(substring(md5(concat_ws(' ', slice(ws, p + 1, $gramWords))), 1, 8), " +
+          s"lpad(cast(999999 - p as string), 6, '0')) as key))")).as("g"))
+      .select(col("doc_id"), col("g.p").as("p"), col("g.key").as("key"))
+    val byDoc = Window.partitionBy("doc_id").orderBy(col("p").asc)
+    val perDoc = Window.partitionBy("doc_id")
+    val sel = grams
+      .withColumn("minkey", min(col("key")).over(byDoc.rowsBetween(0, winGrams - 1)))
+      .withColumn("ng", count(lit(1)).over(perDoc))
+      .filter(col("p") <= col("ng") - winGrams)
+      .select(col("doc_id"), col("minkey"), (col("ng") - (winGrams - 1)).as("n_windows"))
+      .distinct()
+      .withColumn("h", substring(col("minkey"), 1, 8))
+      .localCheckpoint() // consumers: df aggregate + per-doc rollup
+    val dfh = sel.select(col("doc_id"), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("dfd"))
+    sel.join(dfh, Seq("h"))
+      .groupBy("doc_id", "n_windows")
+      .agg(
+        count(lit(1)).as("n_fp"),
+        sum(when(col("dfd") >= 2, 1L).otherwise(0L)).as("n_shared_fp"))
+      .withColumn("density_x10000", expr("n_fp * 10000 div n_windows"))
+      .select("doc_id", "n_windows", "n_fp", "density_x10000", "n_shared_fp")
+      .orderBy("doc_id")
+  }
+
+  def winnow(spark: SparkSession, dir: String): DataFrame =
+    winnowOn(documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+
   /** Benchmark decontamination — the train/test-overlap pass every LLM
     * training pipeline runs before shipping data: flag corpus docs that
     * share any 8-word sequence with a held-out benchmark set (here the
@@ -494,6 +552,7 @@ object Dedup {
     "dd_contamination" -> (contamination _),
     "dd_span" -> (spanDedup _),
     "dd_span_extract" -> (spanExtract _),
+    "dd_winnow" -> (winnow _),
     "dd_url_canon" -> (urlCanon _),
     "dd_exact" -> (exact _),
     "dd_normalized" -> (normalized _),
@@ -594,6 +653,34 @@ object Dedup {
         |SELECT doc_id, CAST(MIN(g) * 10 AS BIGINT) AS start_word,
         |  COUNT(*) AS n_spans, CAST(COUNT(*) * 10 AS BIGINT) AS n_words
         |FROM isl GROUP BY doc_id, island ORDER BY doc_id, start_word""".stripMargin,
+    "dd_winnow" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), g AS (
+        |  SELECT doc_id, p,
+        |    substr(md5(array_to_string(list_slice(ws, p + 1, p + 4), ' ')), 1, 8)
+        |      || lpad(CAST(999999 - p AS VARCHAR), 6, '0') AS key
+        |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 3)) AS p
+        |        FROM d WHERE len(ws) >= 7)
+        |), m AS (
+        |  SELECT doc_id, p,
+        |    MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minkey,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS ng
+        |  FROM g
+        |), sel AS (
+        |  SELECT DISTINCT doc_id, minkey, CAST(ng - 3 AS BIGINT) AS n_windows
+        |  FROM m WHERE p <= ng - 4
+        |), h2 AS (
+        |  SELECT doc_id, minkey, n_windows, substr(minkey, 1, 8) AS h FROM sel
+        |), dfh AS (
+        |  SELECT h, COUNT(DISTINCT doc_id) AS dfd FROM h2 GROUP BY h
+        |)
+        |SELECT doc_id, n_windows, COUNT(*) AS n_fp,
+        |  CAST((COUNT(*) * 10000) // n_windows AS BIGINT) AS density_x10000,
+        |  CAST(SUM(CASE WHEN dfd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_fp
+        |FROM h2 JOIN dfh USING (h)
+        |GROUP BY doc_id, n_windows ORDER BY doc_id""".stripMargin,
     "dd_url_canon" ->
       """WITH u AS (
         |  SELECT doc_id,

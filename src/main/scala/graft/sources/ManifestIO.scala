@@ -297,6 +297,50 @@ object ManifestIO {
     * one-row exchange; countDistinct is the only expensive member (exact
     * two-phase) — a 100 TB deployment swaps it for approx_count_distinct
     * at a documented tolerance. */
+  /** K-ANONYMITY risk report (k = 5) — the privacy gate a training-data
+    * pipeline runs next to PII scrubbing (ta_pii_scrub removes direct
+    * identifiers; this measures INDIRECT re-identification): the
+    * quasi-identifier is (event_type, props.k div 10, hour-of-day) — all
+    * exact integers — and a user is at risk when any of their QI combos
+    * is shared by fewer than 5 distinct users. Per event type: combo
+    * counts by anonymity class (singleton / 2-4 / >= 5) and the distinct
+    * users touching a sub-k combo.
+    *
+    * Scale: dedup-before-count — distinct (QI, user) first (full-key
+    * shuffle with map-side partial dedup), then combo sizes are a plain
+    * map-side-combinable count; the risk rollup joins the BOUNDED combo
+    * table (|types| x 50 buckets x 24 hours) back to the deduped pairs,
+    * so nothing user-sized ever collapses onto the QI key alone. */
+  def kanonQuery(spark: SparkSession, dir: String): DataFrame =
+    kanonOn(Tables.events(spark, dir))
+
+  /** Same operator over any (event_type, props, ts, user_id) frame. */
+  def kanonOn(events: DataFrame): DataFrame = {
+    val qi = events
+      .select(col("event_type"),
+        expr("cast(get_json_object(props, '$.k') as bigint) div 10").as("kb"),
+        hour(col("ts")).cast("long").as("hh"),
+        col("user_id"))
+      .distinct()
+      .localCheckpoint() // consumers: combo sizes + risk-user rollup
+    val combos = qi.groupBy("event_type", "kb", "hh")
+      .agg(count(lit(1)).as("n_users"))
+      .localCheckpoint() // bounded (types x 50 x 24); consumed twice
+    val riskUsers = qi
+      .join(combos.filter(col("n_users") < 5), Seq("event_type", "kb", "hh"))
+      .select("event_type", "user_id").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("n_risk_users"))
+    combos.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_combos"),
+        sum(when(col("n_users") === 1, 1L).otherwise(0L)).as("n_singleton"),
+        sum(when(col("n_users") >= 2 && col("n_users") <= 4, 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("n_users") >= 5, 1L).otherwise(0L)).as("n_anon"))
+      .join(riskUsers, Seq("event_type"), "left")
+      .withColumn("n_risk_users", coalesce(col("n_risk_users"), lit(0L)))
+      .orderBy("event_type")
+  }
+
   def dqReportQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .agg(
@@ -550,6 +594,7 @@ object ManifestIO {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "io_dq_report" -> (dqReportQuery _),
+    "io_kanon" -> (kanonQuery _),
     "io_col_stats" -> (colStatsQuery _),
     "io_time_travel" -> (timeTravelQuery _),
     "io_zorder" -> (zorderQuery _),
@@ -626,6 +671,27 @@ object ManifestIO {
         |)
         |SELECT table_name, "constraint", n_violations, n_violations = 0 AS passed
         |FROM u ORDER BY table_name, "constraint"""".stripMargin,
+    "io_kanon" ->
+      """WITH qi AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS kb,
+        |    CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hh, user_id
+        |  FROM events
+        |), combos AS (
+        |  SELECT event_type, kb, hh, COUNT(*) AS n_users
+        |  FROM qi GROUP BY event_type, kb, hh
+        |), risk AS (
+        |  SELECT qi.event_type, COUNT(DISTINCT user_id) AS n_risk_users
+        |  FROM qi JOIN combos USING (event_type, kb, hh)
+        |  WHERE n_users < 5 GROUP BY qi.event_type
+        |)
+        |SELECT c.event_type, COUNT(*) AS n_combos,
+        |  CAST(SUM(CASE WHEN n_users = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singleton,
+        |  CAST(SUM(CASE WHEN n_users BETWEEN 2 AND 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(SUM(CASE WHEN n_users >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_anon,
+        |  COALESCE(MAX(r.n_risk_users), 0) AS n_risk_users
+        |FROM combos c LEFT JOIN risk r ON c.event_type = r.event_type
+        |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin,
     "io_time_travel" ->
       """WITH base AS (
         |  SELECT p_partkey AS key, p_retailprice AS price FROM part

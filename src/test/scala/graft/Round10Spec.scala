@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, Events, TextAnalysis}
+import graft.sources.ManifestIO
 import org.apache.spark.sql.functions._
 
 /** Round-10 operator pins: maximal duplicated-span extraction
@@ -66,6 +67,65 @@ class Round10Spec extends SparkSpecBase {
       .digest(words.slice(48, 65).mkString(" ").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     assert(out.toSeq == Seq(exp0, exp1))
+  }
+
+  test("winnow: matches an independent imperative winnowing of the corpus") {
+    import spark.implicits._
+    def md5hex8(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    // Deterministic word soup with planted overlap: docs 0 and 1 share an
+    // 8-word run (several shared grams), doc 2 is disjoint.
+    val t0 = "the quick brown fox jumps over the lazy dog again and again today"
+    val t1 = "start pad quick brown fox jumps over the lazy dog end marker word"
+    val t2 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq((0L, t0), (1L, t1), (2L, t2)).toDF("doc_id", "text")
+    // Imperative reference: k=4-word grams, w=4 windows, min by (hash asc,
+    // pos desc), distinct selections.
+    val expected = Seq((0L, t0), (1L, t1), (2L, t2)).map { case (id, t) =>
+      val ws = t.split(" ")
+      val hs = (0 to ws.length - 4).map(p => (md5hex8(ws.slice(p, p + 4).mkString(" ")), p))
+      val sel = (0 to hs.length - 4).map { s =>
+        hs.slice(s, s + 4).minBy { case (h, p) => (h, -p) }
+      }.distinct
+      id -> (hs.length - 3, sel)
+    }.toMap
+    val shared = expected.toSeq.flatMap { case (id, (_, sel)) =>
+      sel.map(f => (id, f._1)) }.distinct
+      .groupBy(_._2).view.mapValues(_.size).toMap
+    val out = Dedup.winnowOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    expected.foreach { case (id, (nWin, sel)) =>
+      val nShared = sel.count(f => shared(f._1) >= 2)
+      assert(out(id) == ((nWin.toLong, sel.size.toLong,
+        sel.size.toLong * 10000 / nWin, nShared.toLong)), s"doc $id")
+    }
+    // the planted overlap must actually be detected
+    assert(out(0L)._4 > 0 && out(1L)._4 > 0 && out(2L)._4 == 0L)
+  }
+
+  test("kanon: anonymity classes and risk users on a hand-built frame") {
+    import spark.implicits._
+    // One QI combo per (type, k-bucket, hour). Type "a", kb 0, hour 0:
+    // users 1..5 (anonymous). Type "a", kb 1, hour 0: user 6 alone
+    // (singleton). Type "b", kb 0, hour 0: users 7,8 (low) — user 7 also
+    // fires a DUPLICATE event in the same combo (dedup must not double
+    // count).
+    val base = 3600L * 400000
+    def ev(t: String, k: Int, u: Long) =
+      (t, s"""{"k": $k}""", base, u)
+    val rows = (1L to 5L).map(u => ev("a", 5, u)) ++
+      Seq(ev("a", 15, 6L), ev("b", 5, 7L), ev("b", 5, 7L), ev("b", 7, 8L))
+    val events = rows.toDF("event_type", "props", "sec", "user_id")
+      .select(col("event_type"), col("props"),
+        timestamp_seconds(col("sec")).as("ts"), col("user_id"))
+    val out = ManifestIO.kanonOn(events).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out("a") == ((2L, 1L, 0L, 1L, 1L))) // 2 combos: 1 anon, 1 singleton; user 6 at risk
+    assert(out("b") == ((1L, 0L, 1L, 0L, 2L))) // users 7,8 share a 2-user combo
   }
 
   test("sliding_distinct: dedup within a window, double-count across hops") {
