@@ -152,6 +152,39 @@ object Events {
         expr("substring(path, 1, 100)").as("path_prefix"))
       .orderBy("user_id")
 
+  /** First-order MARKOV transition model over per-user event sequences —
+    * the behavioral-model complement of ev_paths (which emits the raw
+    * sequences): lag each user's time-ordered stream by one, count
+    * (from_type, to_type) transitions, and attach the conditional
+    * probability as a scaled integer (n * 10000 div from-total — no
+    * float division, both engines agree exactly). Ordering key is
+    * (whole-second epoch, event_id) — the sessionize convention, total
+    * because event_id is unique.
+    *
+    * Scale: one shuffle on user_id for the lag window (partition =
+    * one user's events, bounded), then the transition count is
+    * map-side-combinable; the from-total join touches only the
+    * |types|^2-bounded transition table. */
+  def markovOn(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("sec").asc, col("event_id").asc)
+    val trans = ev
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+        col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val totals = trans.groupBy("from_type").agg(sum(col("n_trans")).as("tot"))
+    trans.join(totals, Seq("from_type"))
+      .withColumn("p_x10000", expr("n_trans * 10000 div tot"))
+      .select("from_type", "to_type", "n_trans", "p_x10000")
+      .orderBy("from_type", "to_type")
+  }
+
+  def markov(spark: SparkSession, dir: String): DataFrame =
+    markovOn(events(spark, dir))
+
   /** Per-type z-score anomaly detection: two-pass — tiny per-type moment
     * table (decimal-exact sums) broadcast back over the stream, flag rows
     * with (v-mean)^2 > 4*var (z > 2 without a sqrt: both sides derive from
@@ -480,6 +513,7 @@ object Events {
     "ev_windowed_agg" -> (windowedAgg _),
     "ev_hopping" -> (hoppingAgg _),
     "ev_sliding_distinct" -> (slidingDistinct _),
+    "ev_markov" -> (markov _),
     "ev_sessionize" -> (sessionize _),
     "ev_json" -> (jsonExtract _),
     "ev_funnel" -> (funnel _))
@@ -650,6 +684,25 @@ object Events {
         |dw AS (SELECT DISTINCT user_id, win_start FROM w)
         |SELECT win_start, COUNT(*) AS n_users
         |FROM dw GROUP BY win_start ORDER BY win_start""".stripMargin,
+    "ev_markov" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    event_id, event_type
+        |  FROM events
+        |), s AS (
+        |  SELECT event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+        |      AS from_type
+        |  FROM e
+        |), t AS (
+        |  SELECT from_type, event_type AS to_type, COUNT(*) AS n_trans
+        |  FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2
+        |), f AS (
+        |  SELECT from_type, SUM(n_trans) AS tot FROM t GROUP BY 1
+        |)
+        |SELECT from_type, to_type, n_trans,
+        |  CAST((n_trans * 10000) // tot AS BIGINT) AS p_x10000
+        |FROM t JOIN f USING (from_type) ORDER BY from_type, to_type""".stripMargin,
     "ev_anomaly" ->
       s"""WITH stats AS (
         |  SELECT event_type,

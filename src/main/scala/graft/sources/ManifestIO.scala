@@ -297,6 +297,59 @@ object ManifestIO {
     * one-row exchange; countDistinct is the only expensive member (exact
     * two-phase) — a 100 TB deployment swaps it for approx_count_distinct
     * at a documented tolerance. */
+  /** Batch MERGE (upsert-with-delete) — the lakehouse write primitive
+    * (Delta/Iceberg MERGE INTO) re-expressed as one FULL OUTER JOIN plus a
+    * rewrite: base = orders, updates = per-order lineitem rollups (plus
+    * synthetic unmatched keys — NEGATIVE, the io_time_travel collision
+    * lesson — so the insert branch is live at every SF). Clauses:
+    * matched & n_lines >= 6 -> DELETE, matched -> UPDATE total,
+    * not matched -> INSERT (status 'N'), no update row -> keep. The
+    * post-merge table lands in parquet and the query reports the audit
+    * every MERGE emits: row count + total per (status, action), deletes
+    * accounted from the pre-write frame with their removed values.
+    *
+    * Scale: ONE shuffle join on the natural key (both sides co-partition
+    * on okey; at 100 TB the base side is the table's bucketed layout and
+    * the join is shuffle-free on it), one write, and a bounded audit
+    * aggregate. No whole-table broadcast, no driver-side row handling. */
+  def mergeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val pid = ProcessHandle.current().pid()
+    val out = s"/tmp/graft_merge/run_${pid}_${Integer.toHexString(dir.hashCode)}"
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("total"))
+    val upd0 = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("okey"))
+      .agg(Tables.dsum(col("l_extendedprice")).as("upd_total"),
+        count(lit(1)).as("n_lines"))
+    val updates = upd0.unionByName(
+      upd0.filter(col("okey") % 100 === 0)
+        .select((-(col("okey") + 1L)).as("okey"), col("upd_total"), col("n_lines")))
+    val merged = base.join(updates, Seq("okey"), "full_outer")
+      .withColumn("action",
+        when(col("status").isNull, "insert")
+          .when(col("n_lines").isNull, "keep")
+          .when(col("n_lines") >= 6, "delete")
+          .otherwise("update"))
+      .localCheckpoint() // consumers: post-merge write + delete audit
+    merged.filter(col("action") =!= "delete")
+      .select(col("okey"), coalesce(col("status"), lit("N")).as("status"),
+        when(col("action") === "keep", col("total"))
+          .otherwise(col("upd_total")).as("total"),
+        col("action"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/merged")
+    val landed = spark.read.parquet(s"$out/merged")
+      .groupBy("status", "action")
+      .agg(count(lit(1)).as("n_rows"), Tables.dsum(col("total")).as("sum_total"))
+    val deleted = merged.filter(col("action") === "delete")
+      .groupBy(col("status"), col("action"))
+      .agg(count(lit(1)).as("n_rows"), Tables.dsum(col("total")).as("sum_total"))
+    landed.unionByName(deleted).orderBy("status", "action")
+  }
+
   /** K-ANONYMITY risk report (k = 5) — the privacy gate a training-data
     * pipeline runs next to PII scrubbing (ta_pii_scrub removes direct
     * identifiers; this measures INDIRECT re-identification): the
@@ -595,6 +648,7 @@ object ManifestIO {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "io_dq_report" -> (dqReportQuery _),
     "io_kanon" -> (kanonQuery _),
+    "io_merge" -> (mergeQuery _),
     "io_col_stats" -> (colStatsQuery _),
     "io_time_travel" -> (timeTravelQuery _),
     "io_zorder" -> (zorderQuery _),
@@ -692,6 +746,35 @@ object ManifestIO {
         |  COALESCE(MAX(r.n_risk_users), 0) AS n_risk_users
         |FROM combos c LEFT JOIN risk r ON c.event_type = r.event_type
         |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin,
+    "io_merge" ->
+      """WITH upd0 AS (
+        |  SELECT l_orderkey AS okey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS upd_total,
+        |    COUNT(*) AS n_lines
+        |  FROM lineitem GROUP BY 1
+        |), updates AS (
+        |  SELECT * FROM upd0
+        |  UNION ALL
+        |  SELECT -(okey + 1), upd_total, n_lines FROM upd0 WHERE okey % 100 = 0
+        |), m AS (
+        |  SELECT b.o_orderstatus AS status, b.o_totalprice AS total,
+        |    u.upd_total, u.n_lines
+        |  FROM orders b FULL OUTER JOIN updates u ON b.o_orderkey = u.okey
+        |), a AS (
+        |  SELECT *, CASE WHEN status IS NULL THEN 'insert'
+        |    WHEN n_lines IS NULL THEN 'keep'
+        |    WHEN n_lines >= 6 THEN 'delete' ELSE 'update' END AS action
+        |  FROM m
+        |), post AS (
+        |  SELECT COALESCE(status, 'N') AS status, action,
+        |    CASE WHEN action = 'keep' THEN total ELSE upd_total END AS total
+        |  FROM a WHERE action <> 'delete'
+        |  UNION ALL
+        |  SELECT status, action, total FROM a WHERE action = 'delete'
+        |)
+        |SELECT status, action, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(total AS DECIMAL(18,4))) AS DOUBLE) AS sum_total
+        |FROM post GROUP BY status, action ORDER BY status, action""".stripMargin,
     "io_time_travel" ->
       """WITH base AS (
         |  SELECT p_partkey AS key, p_retailprice AS price FROM part

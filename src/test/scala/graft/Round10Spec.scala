@@ -128,6 +128,53 @@ class Round10Spec extends SparkSpecBase {
     assert(out("b") == ((1L, 0L, 1L, 0L, 2L))) // users 7,8 share a 2-user combo
   }
 
+  test("markov: transition counts and scaled conditional probabilities") {
+    import spark.implicits._
+    // user 1: a b a b -> (a,b) x2, (b,a) x1; user 2: a c -> (a,c) x1.
+    // from a: tot 3 -> p(b)=6666, p(c)=3333; from b: tot 1 -> p(a)=10000.
+    val base = 3600L * 300000
+    val ev = Seq(
+      (1L, base + 1, 10L, "a"), (1L, base + 2, 11L, "b"),
+      (1L, base + 3, 12L, "a"), (1L, base + 4, 13L, "b"),
+      (2L, base + 1, 20L, "a"), (2L, base + 2, 21L, "c"))
+      .toDF("user_id", "sec", "event_id", "event_type")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"),
+        col("event_id"), col("event_type"))
+    val out = Events.markovOn(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out == Map(
+      ("a", "b") -> ((2L, 6666L)),
+      ("a", "c") -> ((1L, 3333L)),
+      ("b", "a") -> ((1L, 10000L))))
+  }
+
+  test("markov: same-second events order by event_id, not arrival") {
+    import spark.implicits._
+    val base = 3600L * 300000
+    // both events in the same second; event_id 5 precedes 6 -> (p, q).
+    val ev = Seq((1L, base, 6L, "q"), (1L, base, 5L, "p"))
+      .toDF("user_id", "sec", "event_id", "event_type")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"),
+        col("event_id"), col("event_type"))
+    val out = Events.markovOn(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("p", "q", 1L)))
+  }
+
+  test("merge: audit rows reconcile with the landed post-merge table") {
+    val audit = ManifestIO.mergeQuery(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(audit.keys.map(_._2).toSet == Set("insert", "keep", "update", "delete"))
+    val nOrders = graft.sources.Tables.orders(spark, sfDir).count()
+    val nDeleted = audit.collect { case ((_, "delete"), n) => n }.sum
+    val nInserted = audit.collect { case ((_, "insert"), n) => n }.sum
+    val landedTotal = audit.collect { case ((_, a), n) if a != "delete" => n }.sum
+    assert(landedTotal == nOrders - nDeleted + nInserted)
+    // inserts always land under the sentinel status
+    assert(audit.keys.collect { case (s, "insert") => s }.toSet == Set("N"))
+  }
+
   test("sliding_distinct: dedup within a window, double-count across hops") {
     import spark.implicits._
     // Window 1h, hop 30m. User 1 fires twice at :05 and :10 (same two
