@@ -471,6 +471,68 @@ object Dedup {
     winnowOn(documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism))
 
+  /** END-TO-END DEDUP FUNNEL (pipe_dedup) — the dedup half of the pipeline
+    * story next to pipe_curation's quality half: the stage order every
+    * production corpus dedup runs, cheapest-first so each tier shrinks the
+    * input of the next.
+    *
+    *   1 input            -> corpus size baseline
+    *   2 norm_exact       -> normalized content hash, keep min doc_id
+    *   3 minhash_neardup  -> LSH band candidates, verified at >= 9/12
+    *                         signature agreement (exact INTEGER threshold,
+    *                         est_sim 0.75 — no float compare), greedy drop
+    *                         of the higher doc_id per verified pair (full
+    *                         transitive clustering is dd_cluster's job)
+    *   4 span_clean       -> drop docs with >= 50% corpus-duplicated
+    *                         10-word spans (the substring tier)
+    *
+    * Per stage: surviving docs + tokens. Scale: stage 2 is one hash
+    * shuffle; stage 3 the inverted-index band plan (bounded per-doc
+    * signature rows, triangular candidates); stage 4 the dd_span plan over
+    * the ALREADY-SHRUNK corpus — the funnel order is the cost model. */
+  def dedupFunnel(spark: SparkSession, dir: String): DataFrame =
+    dedupFunnelOn(documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  /** Same funnel over any (doc_id, text) frame — Round10Spec drives every
+    * stage with planted duplicates (the driver corpus has no exact dups
+    * and its span-dup docs coincide with the minhash near-dups, so stages
+    * 2 and 4 are legitimate no-ops there). */
+  def dedupFunnelOn(docsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = docsIn
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .localCheckpoint() // stage stat + stage-2 window
+    val keep2 = docs
+      .withColumn("norm_hash", md5(trim(regexp_replace(lower(col("text")), " +", " "))))
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy("norm_hash")))
+      .filter(col("doc_id") === col("keep_id"))
+      .select("doc_id", "text", "toks")
+      .localCheckpoint() // shingles + stage stat + stage-3 anti-join
+    val sig = minhashSignatures(shinglesOn(keep2))
+    val matches = (0 until 12).map(h =>
+      when(col(s"x.mh$h") === col(s"y.mh$h"), 1).otherwise(0)).reduce(_ + _)
+    val dropped = bandCandidates(sig)
+      .join(sig.as("x"), col("da") === col("x.doc_id"))
+      .join(sig.as("y"), col("db") === col("y.doc_id"))
+      .filter(matches >= 9)
+      .select(col("db").as("doc_id")).distinct()
+    val s3 = keep2.join(dropped, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // span grid + stage stat + stage-4 join
+    val s4 = s3
+      .join(spanDedupOn(s3).select("doc_id", "dup_x10000"), Seq("doc_id"), "left")
+      .filter(coalesce(col("dup_x10000"), lit(0L)) < 5000L)
+    def stat(df: DataFrame, id: Long, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        .select(lit(id).as("stage_id"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    Seq(stat(docs, 1L, "input"), stat(keep2, 2L, "norm_exact"),
+      stat(s3, 3L, "minhash_neardup"), stat(s4, 4L, "span_clean"))
+      .reduce(_ unionByName _)
+      .orderBy("stage_id")
+  }
+
   /** Benchmark decontamination — the train/test-overlap pass every LLM
     * training pipeline runs before shipping data: flag corpus docs that
     * share any 8-word sequence with a held-out benchmark set (here the
@@ -553,6 +615,7 @@ object Dedup {
     "dd_span" -> (spanDedup _),
     "dd_span_extract" -> (spanExtract _),
     "dd_winnow" -> (winnow _),
+    "pipe_dedup" -> (dedupFunnel _),
     "dd_url_canon" -> (urlCanon _),
     "dd_exact" -> (exact _),
     "dd_normalized" -> (normalized _),
@@ -681,6 +744,77 @@ object Dedup {
         |  CAST(SUM(CASE WHEN dfd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_fp
         |FROM h2 JOIN dfh USING (h)
         |GROUP BY doc_id, n_windows ORDER BY doc_id""".stripMargin,
+    "pipe_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents
+        |), k2 AS (
+        |  SELECT doc_id, text, toks FROM (
+        |    SELECT d.*, MIN(doc_id) OVER (PARTITION BY
+        |      md5(trim(regexp_replace(lower(text), ' +', ' ')))) AS keep_id
+        |    FROM d) WHERE doc_id = keep_id
+        |), sh AS (
+        |  SELECT doc_id, sh FROM (
+        |    SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws)-1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM k2
+        |          WHERE len(string_split(text, ' ')) >= 3)
+        |  )
+        |), sig AS (
+        |  SELECT doc_id, h,
+        |    MIN(substr(md5(CAST(h // 4 AS VARCHAR) || ':' || sh),
+        |      CAST((h % 4) * 8 + 1 AS INT), 8)) AS mh
+        |  FROM sh, UNNEST(range(0, 12)) AS t(h) GROUP BY doc_id, h
+        |), bands AS (
+        |  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+        |    md5(MIN(CASE WHEN h % 2 = 0 THEN mh END) || '|'
+        |      || MIN(CASE WHEN h % 2 = 1 THEN mh END)) AS band_key
+        |  FROM sig GROUP BY doc_id, h // 2
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+        |), ver AS (
+        |  SELECT da, db FROM (
+        |    SELECT da, db, SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS m
+        |    FROM cand
+        |    JOIN sig sa ON sa.doc_id = da
+        |    JOIN sig sb ON sb.doc_id = db AND sb.h = sa.h
+        |    GROUP BY da, db) WHERE m >= 9
+        |), s3 AS (
+        |  SELECT * FROM k2 WHERE doc_id NOT IN (SELECT DISTINCT db FROM ver)
+        |), sp AS (
+        |  SELECT s.doc_id,
+        |    CAST((SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) * 10000)
+        |      // COUNT(*) AS BIGINT) AS dup_x10000
+        |  FROM (
+        |    SELECT doc_id,
+        |      md5(array_to_string(list_slice(ws, g * 10 + 1, g * 10 + 10), ' ')) AS h
+        |    FROM (SELECT doc_id, ws, unnest(range(0, len(ws) // 10)) AS g
+        |          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM s3)
+        |          WHERE len(ws) >= 10)
+        |  ) s JOIN (
+        |    SELECT h, COUNT(*) AS df FROM (
+        |      SELECT doc_id,
+        |        md5(array_to_string(list_slice(ws, g * 10 + 1, g * 10 + 10), ' ')) AS h
+        |      FROM (SELECT doc_id, ws, unnest(range(0, len(ws) // 10)) AS g
+        |            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM s3)
+        |            WHERE len(ws) >= 10)
+        |    ) GROUP BY h
+        |  ) f ON s.h = f.h
+        |  GROUP BY s.doc_id
+        |), s4 AS (
+        |  SELECT s3.* FROM s3 LEFT JOIN sp USING (doc_id)
+        |  WHERE COALESCE(dup_x10000, 0) < 5000
+        |)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_id, 'input' AS stage,
+        |    COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens FROM d
+        |  UNION ALL SELECT 2, 'norm_exact', COUNT(*), CAST(SUM(toks) AS BIGINT) FROM k2
+        |  UNION ALL SELECT 3, 'minhash_neardup', COUNT(*), CAST(SUM(toks) AS BIGINT) FROM s3
+        |  UNION ALL SELECT 4, 'span_clean', COUNT(*), CAST(SUM(toks) AS BIGINT) FROM s4
+        |) ORDER BY stage_id""".stripMargin,
     "dd_url_canon" ->
       """WITH u AS (
         |  SELECT doc_id,

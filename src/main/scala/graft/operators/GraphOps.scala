@@ -366,13 +366,103 @@ object GraphOps {
       .orderBy("d")
   }
 
+  /** Bellman-Ford relaxation rounds of gr_sssp. */
+  val SsspRounds = 4
+
+  /** Bounded-round WEIGHTED single-source shortest paths (multi-seed
+    * Bellman-Ford) — the weighted complement of gr_khop: edge weight
+    * max(1, 11 - shared-bucket count), so heavy co-activity = short
+    * distance; seeds are every u % 100 == 0 node at distance 0, and each
+    * round relaxes dist(v) = min(dist(v), min over incoming (dist(u) +
+    * w)). After 4 rounds the output is the exact-integer distance
+    * histogram (paths longer than 4 hops stay at their current upper
+    * bound — the bounded-round contract, same as gr_khop).
+    *
+    * Scale: per round ONE co-partitioned join of the frontier against the
+    * edge list on the src key + a map-side-combinable min — the classic
+    * iterative-relaxation plan; per-round frames localCheckpoint (the
+    * standing recompute rule for loop-carried frames). Distances and
+    * weights are BIGINT throughout — no float path costs to drift. */
+  def sssp(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .distinct()
+    val sizes = act.groupBy("event_type", "hr").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= 20)
+    val ok = act.join(sizes.select("event_type", "hr"), Seq("event_type", "hr"))
+    val we = ok.as("x").join(ok.as("y"),
+        col("x.event_type") === col("y.event_type") && col("x.hr") === col("y.hr")
+          && col("x.user_id") < col("y.user_id"))
+      .groupBy(col("x.user_id").as("a"), col("y.user_id").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("a"), col("b"), greatest(lit(1L), lit(11L) - col("n")).as("w"))
+    val sym = we.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(we.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .localCheckpoint() // one join per round
+    ssspOn(sym)
+  }
+
+  /** Same operator over any symmetric (src, dst, w) edge frame. */
+  def ssspOn(sym: DataFrame): DataFrame = {
+    val nodes = sym.select(col("src").as("u")).distinct()
+      .localCheckpoint() // consumers: seed filter + final left join
+    var dist = nodes.filter(col("u") % 100 === 0)
+      .select(col("u"), lit(0L).as("d"))
+      .localCheckpoint()
+    for (_ <- 1 to SsspRounds) {
+      dist = dist.join(sym, col("u") === col("src"))
+        .select(col("dst").as("u"), (col("d") + col("w")).as("d"))
+        .unionByName(dist.select(col("u"), col("d")))
+        .groupBy("u").agg(min(col("d")).as("d"))
+        .localCheckpoint() // consumed by next round's join AND union
+    }
+    nodes.join(dist, Seq("u"), "left")
+      .select(col("u"), coalesce(col("d"), lit(-1L)).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("n_users"))
+      .orderBy("d")
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "gr_sssp" -> (sssp _),
     "gr_khop" -> (khop _),
     "gr_common_neighbors" -> (commonNeighbors _),
     "gr_pagerank" -> (pagerank _),
     "gr_triangles" -> (triangleStats _))
 
   val oracle: Map[String, String] = Map(
+    "gr_sssp" -> {
+      val round = (r: Int) =>
+        s"""d$r AS (
+           |  SELECT u, CAST(MIN(d) AS BIGINT) AS d FROM (
+           |    SELECT s.dst AS u, d${r - 1}.d + s.w AS d
+           |    FROM sym s JOIN d${r - 1} ON s.src = d${r - 1}.u
+           |    UNION ALL SELECT u, d FROM d${r - 1}) f
+           |  GROUP BY u)""".stripMargin
+      s"""WITH act AS (
+         |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr FROM events
+         |), sizes AS (
+         |  SELECT event_type, hr FROM (
+         |    SELECT event_type, hr, COUNT(*) AS n FROM act GROUP BY 1, 2) WHERE n <= 20
+         |), ok AS (
+         |  SELECT act.* FROM act JOIN sizes USING (event_type, hr)
+         |), we AS (
+         |  SELECT a, b, CAST(GREATEST(1, 11 - n) AS BIGINT) AS w FROM (
+         |    SELECT x.user_id AS a, y.user_id AS b, COUNT(*) AS n
+         |    FROM ok x JOIN ok y ON x.event_type = y.event_type AND x.hr = y.hr
+         |      AND x.user_id < y.user_id
+         |    GROUP BY 1, 2)
+         |), sym AS (
+         |  SELECT a AS src, b AS dst, w FROM we UNION ALL SELECT b, a, w FROM we
+         |), nodes AS (
+         |  SELECT DISTINCT src AS u FROM sym
+         |), d0 AS (
+         |  SELECT u, CAST(0 AS BIGINT) AS d FROM nodes WHERE u % 100 = 0
+         |), ${(1 to SsspRounds).map(round).mkString(",\n")}
+         |SELECT CAST(COALESCE(dk.d, -1) AS BIGINT) AS d, COUNT(*) AS n_users
+         |FROM nodes LEFT JOIN d$SsspRounds dk USING (u)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "gr_khop" -> {
       val round = (r: Int) =>
         s"""d$r AS (

@@ -273,6 +273,27 @@ object StreamingJobs {
       .select(col("event_id"), col("user_id"), col("p_ts"), col("c_ts"), col("c_value"))
   }
 
+  /** LEFT-OUTER stream-stream interval join — the variant the inner join
+    * cannot express: a purchase with NO click in its preceding hour still
+    * emits (with null click columns) once the click-side watermark passes
+    * the purchase's join bound, proving the absence. Same time-bounded
+    * condition and state-eviction contract as intervalJoin; the null row
+    * is withheld exactly until the watermark makes "no match can still
+    * arrive" a fact, which is why outer stream joins REQUIRE the
+    * watermark + time bound (unbounded conditions would never emit). */
+  def intervalJoinOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("value").as("c_value"))
+      .withWatermark("c_ts", "2 hours")
+    val p = purchases
+      .select(col("user_id"), col("event_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    p.join(c, col("user_id") === col("c_user")
+        && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+        && col("c_ts") < col("p_ts"), "leftOuter")
+      .select(col("event_id"), col("user_id"), col("p_ts"), col("c_ts"), col("c_value"))
+  }
+
   /** Stream-static ANN probe routing — the streaming twin of
     * Similarity.multiprobe's centroid-ranking stage: a live stream of
     * query embeddings is routed to its `probeP` nearest trained clusters

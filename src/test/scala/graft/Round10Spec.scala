@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Events, TextAnalysis}
+import graft.operators.{Dedup, Events, GraphOps, TextAnalysis}
 import graft.sources.ManifestIO
 import org.apache.spark.sql.functions._
 
@@ -173,6 +173,48 @@ class Round10Spec extends SparkSpecBase {
     assert(landedTotal == nOrders - nDeleted + nInserted)
     // inserts always land under the sentinel status
     assert(audit.keys.collect { case (s, "insert") => s }.toSet == Set("N"))
+  }
+
+  test("sssp: relaxation beats the direct edge; 4-round bound leaves the tail") {
+    import spark.implicits._
+    // Seeds are u % 100 == 0 (nodes 0 and 300). Two-hop path 0-1-2 (cost
+    // 2) must beat the direct 0-2 edge (cost 5); the 5-hop unit chain
+    // 0-11-..-15 leaves node 15 unreached after 4 rounds.
+    val edges = Seq(
+      (0L, 1L, 1L), (1L, 2L, 1L), (0L, 2L, 5L), (2L, 3L, 10L),
+      (300L, 4L, 2L), (0L, 11L, 1L), (11L, 12L, 1L), (12L, 13L, 1L),
+      (13L, 14L, 1L), (14L, 15L, 1L)).toDF("a", "b", "w")
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    val out = GraphOps.ssspOn(sym).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(-1L -> 1L, 0L -> 2L, 1L -> 2L, 2L -> 3L,
+      3L -> 1L, 4L -> 1L, 12L -> 1L))
+  }
+
+  test("dedup funnel: every stage drops its planted duplicate class") {
+    import spark.implicits._
+    // d0 = 60-word base. d1 = d0 with case noise + trailing spaces (stage
+    // 2 victim: normalizes identically). d2 = d0 with the last 6 words
+    // changed (stage 3 victim: near-identical shingle set, signatures
+    // agree). d3 = d0's first 20 words (stage 4 victim: both of its
+    // 10-word spans duplicate d0's, but only ~18/58 shingle overlap so
+    // minhash misses it; d0 itself keeps dup 2/6 = 3333 < 5000 and
+    // survives). d4 = disjoint clean doc.
+    val w = (1 to 60).map(i => s"tok$i")
+    val d0 = w.mkString(" ")
+    val d1 = d0.replace("tok1 ", "TOK1 ") + "  "
+    val d2 = (w.take(54) ++ (1 to 6).map(i => s"x$i")).mkString(" ")
+    val d3 = w.take(20).mkString(" ")
+    val d4 = (1 to 60).map(i => s"other$i").mkString(" ")
+    val docs = Seq((0L, d0), (1L, d1), (2L, d2), (3L, d3), (4L, d4))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupFunnelOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map(
+      1L -> (("input", 5L)), 2L -> (("norm_exact", 4L)),
+      3L -> (("minhash_neardup", 3L)), 4L -> (("span_clean", 2L))),
+      s"got $out")
   }
 
   test("sliding_distinct: dedup within a window, double-count across hops") {

@@ -266,6 +266,39 @@ class StreamingSpec extends SparkSpecBase {
       s"stream=${result.count()} batch=${expected.count()}")
   }
 
+  test("left-outer interval join emits the unmatched purchase after watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // user 1: click 30 min before its purchase -> matched pair.
+    // user 2: purchase with NO click in the preceding hour -> must emit a
+    // null-click row, but ONLY once sentinel clicks push the click-side
+    // watermark past the join bound.
+    val base = 3600L * 600000 * 1000L // ms
+    val cs = MemoryStream[(Long, Timestamp, Double)]
+    val ps = MemoryStream[(Long, Long, Timestamp)]
+    val streamed = StreamingJobs.intervalJoinOuter(
+      cs.toDF().toDF("user_id", "ts", "value"),
+      ps.toDF().toDF("user_id", "event_id", "ts"))
+    val q = streamed.writeStream.format("memory").queryName("ivl_outer")
+      .outputMode("append").start()
+    cs.addData((1L, new Timestamp(base - 1800000L), 7.5))
+    ps.addData((1L, 101L, new Timestamp(base)), (2L, 102L, new Timestamp(base)))
+    q.processAllAvailable()
+    val beforeWm = spark.table("ivl_outer").filter(col("event_id") === 102L).count()
+    assert(beforeWm == 0L, "null row must be withheld until the watermark proves absence")
+    // the join watermark is the MIN over both inputs — sentinels must
+    // advance the purchase side too or the null row stays provably-open
+    def sentC(offsetMs: Long) = (-1L, new Timestamp(base + offsetMs), 0.0)
+    def sentP(offsetMs: Long) = (-1L, -1L, new Timestamp(base + offsetMs))
+    cs.addData(sentC(86400000L)); ps.addData(sentP(86400000L)); q.processAllAvailable()
+    cs.addData(sentC(86400000L * 2)); ps.addData(sentP(86400000L * 2)); q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ivl_outer").filter(col("user_id") >= 0)
+      .select("event_id", "user_id", "c_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    assert(out == Set((101L, 1L, Some(7.5)), (102L, 2L, None)))
+  }
+
   test("stream-static dimension enrich matches the batch join") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
