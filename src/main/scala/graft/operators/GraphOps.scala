@@ -423,7 +423,52 @@ object GraphOps {
       .orderBy("d")
   }
 
+  /** Peeling rounds / core threshold of gr_kcore. */
+  val KcoreRounds = 4
+  val KcoreK = 3L
+
+  /** K-CORE decomposition (k = 3) by bounded PEELING — the classic
+    * community-skeleton primitive: each round recomputes degrees and
+    * drops every node below k, which can cascade (a node's survivors may
+    * fall below k once its peeled neighbors vanish), so the output is the
+    * per-round (n_nodes, n_sym_edges) shrink trace after 4 rounds — the
+    * bounded-round contract of gr_khop/gr_sssp (a converged core is a
+    * fixed point; unconverged graphs report their round-4 upper bound).
+    *
+    * Scale: per round one map-side-combinable degree count + one semi
+    * join of the edge list against the surviving-node set on each
+    * endpoint — never a pairwise product; per-round frames
+    * localCheckpoint (loop-carried, multiply consumed). */
+  def kcore(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val ed = coActivityEdges(spark, dir)
+    val sym = ed.select((col("a") + lit(0L)).as("src"), (col("b") + lit(0L)).as("dst"))
+      .unionByName(ed.select((col("b") + lit(0L)).as("src"), (col("a") + lit(0L)).as("dst")))
+      .localCheckpoint()
+    kcoreOn(sym)
+  }
+
+  /** Same operator over any symmetric (src, dst) edge frame. */
+  def kcoreOn(sym0: DataFrame): DataFrame = {
+    var sym = sym0
+    var trace = Seq.empty[DataFrame]
+    for (r <- 1 to KcoreRounds) {
+      val keep = sym.groupBy(col("src").as("u")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= KcoreK).select("u")
+      sym = sym
+        .join(keep.select(col("u").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("u").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint() // next round's degrees + this round's stat
+      trace = trace :+ sym
+        .agg(countDistinct(col("src")).as("n_nodes"),
+          count(lit(1)).as("n_sym_edges"))
+        .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_sym_edges"))
+    }
+    trace.reduce(_ unionByName _).orderBy("round")
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "gr_kcore" -> (kcore _),
     "gr_sssp" -> (sssp _),
     "gr_khop" -> (khop _),
     "gr_common_neighbors" -> (commonNeighbors _),
@@ -431,6 +476,33 @@ object GraphOps {
     "gr_triangles" -> (triangleStats _))
 
   val oracle: Map[String, String] = Map(
+    "gr_kcore" -> {
+      val round = (r: Int) =>
+        s"""k$r AS (
+           |  SELECT src AS u FROM e${r - 1} GROUP BY src HAVING COUNT(*) >= $KcoreK
+           |), e$r AS (
+           |  SELECT src, dst FROM e${r - 1}
+           |  WHERE src IN (SELECT u FROM k$r) AND dst IN (SELECT u FROM k$r))""".stripMargin
+      s"""WITH act AS (
+         |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr FROM events
+         |), sizes AS (
+         |  SELECT event_type, hr FROM (
+         |    SELECT event_type, hr, COUNT(*) AS n FROM act GROUP BY 1, 2) WHERE n <= 20
+         |), ok AS (
+         |  SELECT act.* FROM act JOIN sizes USING (event_type, hr)
+         |), edges AS (
+         |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+         |  FROM ok x JOIN ok y ON x.event_type = y.event_type AND x.hr = y.hr
+         |    AND x.user_id < y.user_id
+         |), e0 AS (
+         |  SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b, a FROM edges
+         |), ${(1 to KcoreRounds).map(round).mkString(",\n")}
+         |SELECT * FROM (
+         |  ${(1 to KcoreRounds).map(r =>
+              s"SELECT CAST($r AS BIGINT) AS round, COUNT(DISTINCT src) AS n_nodes, " +
+                s"COUNT(*) AS n_sym_edges FROM e$r").mkString("\n  UNION ALL ")}
+         |) ORDER BY round""".stripMargin
+    },
     "gr_sssp" -> {
       val round = (r: Int) =>
         s"""d$r AS (

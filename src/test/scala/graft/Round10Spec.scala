@@ -217,6 +217,22 @@ class Round10Spec extends SparkSpecBase {
       s"got $out")
   }
 
+  test("kcore: peeling cascades below k and fixes on the true core") {
+    import spark.implicits._
+    // K4 clique on 1..4 (the 3-core) + node 5 at deg 3 via two leaves
+    // (6, 7). Round 1 peels only the leaves (5 still has deg 3), which
+    // CASCADES: round 2 sees 5 at deg 1 and peels it; rounds 3-4 are the
+    // fixed point.
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (clique ++ Seq((4L, 5L), (5L, 6L), (5L, 7L))).toDF("a", "b")
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+    val out = GraphOps.kcoreOn(sym).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 5L, 14L), (2L, 4L, 12L),
+      (3L, 4L, 12L), (4L, 4L, 12L)), s"got ${out.toSeq}")
+  }
+
   test("sliding_distinct: dedup within a window, double-count across hops") {
     import spark.implicits._
     // Window 1h, hop 30m. User 1 fires twice at :05 and :10 (same two
