@@ -300,7 +300,45 @@ object Multimodal {
       .orderBy("doc_id", "ci")
   }
 
+  /** SCENE-CUT detection over the frame stream — the shot-boundary pass a
+    * video curation pipeline runs before scene-based sampling: per frame a
+    * 16-level "luma" surrogate (1-based position of the frame-md5's first
+    * hex char — the no-codec stand-in for a decoded luminance mean; the
+    * cut/island plumbing is the deployed shape, per the multimodal stub
+    * doctrine), a cut wherever consecutive frames jump by >= 8 levels,
+    * scenes as cut-count running-sum islands, longest scene per doc.
+    *
+    * Scale: the frame explode is the mm_framesample generated sequence
+    * (no driver loop); lag + running sum + per-scene rollup all share the
+    * one (doc, frame_idx) sort; nothing leaves the doc partition until
+    * the final bounded per-doc rollup. */
+  def sceneCut(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(col("fi").asc)
+    val run = Window.partitionBy("doc_id").orderBy(col("fi").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val frames = withPayload(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("n_frames", expr("CAST((length(payload) + 15) div 16 AS LONG)"))
+      .select(col("doc_id"), col("n_frames"), col("payload"),
+        explode(expr("sequence(0L, n_frames - 1)")).as("fi"))
+      .withColumn("luma", expr(
+        "CAST(locate(substring(md5(substring(payload, CAST(fi * 16 + 1 AS INT), 16)), 1, 1), " +
+          "'0123456789abcdef') AS BIGINT)"))
+      .drop("payload")
+    frames
+      .withColumn("cut", when(abs(col("luma") - lag(col("luma"), 1).over(w)) >= 8L, 1L)
+        .otherwise(0L))
+      .withColumn("scene", sum(col("cut")).over(run))
+      .groupBy("doc_id", "n_frames", "scene")
+      .agg(count(lit(1)).as("scene_len"))
+      .groupBy("doc_id", "n_frames")
+      .agg((max(col("scene")) + 1L).as("n_scenes"),
+        max(col("scene_len")).as("longest_scene"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_scene_cut" -> (sceneCut _),
     "mm_av_sync" -> (avSync _),
     "mm_modality_balance" -> (modalityBalance _),
     "mm_shard_pack" -> (shardPack _),
@@ -312,6 +350,34 @@ object Multimodal {
     "mm_embed_knn" -> (embedKnn _))
 
   val oracle: Map[String, String] = Map(
+    "mm_scene_cut" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CAST((length(text) + 15) // 16 AS BIGINT) AS n_frames
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, n_frames, fi,
+        |    CAST(strpos('0123456789abcdef',
+        |      substr(md5(substr(text, CAST(fi * 16 + 1 AS INT), 16)), 1, 1))
+        |      AS BIGINT) AS luma
+        |  FROM (SELECT doc_id, text, n_frames, unnest(range(0, n_frames)) AS fi FROM d)
+        |), c AS (
+        |  SELECT doc_id, n_frames, fi,
+        |    CASE WHEN ABS(luma - LAG(luma) OVER (PARTITION BY doc_id ORDER BY fi)) >= 8
+        |      THEN 1 ELSE 0 END AS cut
+        |  FROM f
+        |), s AS (
+        |  SELECT doc_id, n_frames, fi,
+        |    SUM(cut) OVER (PARTITION BY doc_id ORDER BY fi
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene
+        |  FROM c
+        |), sl AS (
+        |  SELECT doc_id, n_frames, scene, COUNT(*) AS scene_len
+        |  FROM s GROUP BY doc_id, n_frames, scene
+        |)
+        |SELECT doc_id, n_frames, CAST(MAX(scene) + 1 AS BIGINT) AS n_scenes,
+        |  MAX(scene_len) AS longest_scene
+        |FROM sl GROUP BY doc_id, n_frames ORDER BY doc_id""".stripMargin,
     "mm_av_sync" ->
       """WITH d AS (SELECT doc_id, length(text) AS len FROM documents WHERE length(text) > 0),
         |f0 AS (SELECT doc_id, unnest(range(0, (len + 15) // 16)) AS fi FROM d),

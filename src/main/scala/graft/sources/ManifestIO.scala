@@ -552,10 +552,12 @@ object ManifestIO {
     * Scale: the fan-out is bounded by the retained version count (a real
     * catalog compacts old versions); the only full shuffle is the
     * (v, key) window — the same one a single as-of read would pay. */
-  def timeTravelQuery(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared versioned update log over `part` (3 versions): the base of
+    * io_time_travel (snapshot reads) and io_cdf (the change feed). */
+  private def partLog(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.part(spark, dir)
       .select(col("p_partkey").as("key"), col("p_retailprice").as("price"))
-    val log = base.select(lit(1L).as("version"), col("key"), lit("u").as("op"), col("price"))
+    base.select(lit(1L).as("version"), col("key"), lit("u").as("op"), col("price"))
       .union(base.filter(col("key") % 13 === 0)
         .select(lit(2L), col("key"), lit("u"), col("price") + 1.0))
       .union(base.filter(col("key") % 97 === 0)
@@ -570,6 +572,10 @@ object ManifestIO {
       .union(base.filter(col("key") % 7 === 0)
         .select(lit(3L), col("key"), lit("u"), col("price") + 2.0))
       .toDF("version", "key", "op", "price")
+  }
+
+  def timeTravelQuery(spark: SparkSession, dir: String): DataFrame = {
+    val log = partLog(spark, dir)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("v", "key").orderBy(col("version").desc, col("op").asc)
     log.withColumn("v", explode(expr("sequence(version, 3L)")))
@@ -578,6 +584,45 @@ object ManifestIO {
       .groupBy("v")
       .agg(count(lit(1)).as("n_keys"), Tables.dsum(col("price")).as("sum_price"))
       .orderBy("v")
+  }
+
+  /** CHANGE DATA FEED read (the Delta CDF / Iceberg changelog shape) —
+    * row-level changes between snapshot v1 and the latest v3 of the
+    * shared part log: inserts (key only in v3 — the negative synthetic
+    * keys), deletes (v2's 'd' tombstones), and updates as the
+    * pre/post-image PAIR every CDC consumer expects. Price equality
+    * decides "changed" — both images are computed by the identical
+    * double expression on both engines (the +1.0/+2.0 deltas are exact
+    * double ops), so the comparison cannot drift.
+    *
+    * Scale: two windowed snapshot states over the co-partitioned log
+    * (same (key) shuffle), one full-outer join on the key, and the
+    * four change classes are projections of that ONE joined frame
+    * (localCheckpoint — four consumers). */
+  def cdfQuery(spark: SparkSession, dir: String): DataFrame = {
+    val log = partLog(spark, dir).localCheckpoint() // two snapshot reads
+    def stateAt(v: Long): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy(col("version").desc, col("op").asc)
+      log.filter(col("version") <= v)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") === "u")
+        .select(col("key"), col("price"))
+    }
+    val j = stateAt(1L).select(col("key"), col("price").as("p1"))
+      .join(stateAt(3L).select(col("key"), col("price").as("p3")), Seq("key"), "full_outer")
+      .localCheckpoint() // four change-class consumers
+    val ins = j.filter(col("p1").isNull)
+      .select(col("key"), lit("insert").as("change_type"), col("p3").as("price"))
+    val del = j.filter(col("p3").isNull)
+      .select(col("key"), lit("delete").as("change_type"), col("p1").as("price"))
+    val upd = j.filter(col("p1").isNotNull && col("p3").isNotNull && col("p1") =!= col("p3"))
+    ins.unionByName(del)
+      .unionByName(upd.select(col("key"), lit("update_pre").as("change_type"),
+        col("p1").as("price")))
+      .unionByName(upd.select(col("key"), lit("update_post").as("change_type"),
+        col("p3").as("price")))
+      .orderBy("key", "change_type")
   }
 
   /** Incremental z-order maintenance (OPTIMIZE's incremental form): merge
@@ -649,6 +694,7 @@ object ManifestIO {
     "io_dq_report" -> (dqReportQuery _),
     "io_kanon" -> (kanonQuery _),
     "io_merge" -> (mergeQuery _),
+    "io_cdf" -> (cdfQuery _),
     "io_col_stats" -> (colStatsQuery _),
     "io_time_travel" -> (timeTravelQuery _),
     "io_zorder" -> (zorderQuery _),
@@ -794,6 +840,37 @@ object ManifestIO {
         |SELECT CAST(v AS BIGINT) AS v, COUNT(*) AS n_keys,
         |  CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM r WHERE rn = 1 AND op = 'u' GROUP BY v ORDER BY v""".stripMargin,
+    "io_cdf" ->
+      """WITH base AS (
+        |  SELECT p_partkey AS key, p_retailprice AS price FROM part
+        |), log AS (
+        |  SELECT 1 AS version, key, 'u' AS op, price FROM base
+        |  UNION ALL SELECT 2, key, 'u', price + 1.0 FROM base WHERE key % 13 = 0
+        |  UNION ALL SELECT 2, key, 'd', 0.0 FROM base WHERE key % 97 = 0
+        |  UNION ALL SELECT 3, -(key + 1), 'u', price FROM base WHERE key % 89 = 0
+        |  UNION ALL SELECT 3, key, 'u', price + 2.0 FROM base WHERE key % 7 = 0
+        |), s1 AS (
+        |  SELECT key, price AS p1 FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+        |      ORDER BY version DESC, op ASC) AS rn
+        |    FROM log WHERE version <= 1) WHERE rn = 1 AND op = 'u'
+        |), s3 AS (
+        |  SELECT key, price AS p3 FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+        |      ORDER BY version DESC, op ASC) AS rn
+        |    FROM log WHERE version <= 3) WHERE rn = 1 AND op = 'u'
+        |), j AS (
+        |  SELECT COALESCE(s1.key, s3.key) AS key, p1, p3
+        |  FROM s1 FULL OUTER JOIN s3 ON s1.key = s3.key
+        |)
+        |SELECT * FROM (
+        |  SELECT key, 'insert' AS change_type, p3 AS price FROM j WHERE p1 IS NULL
+        |  UNION ALL SELECT key, 'delete', p1 FROM j WHERE p3 IS NULL
+        |  UNION ALL SELECT key, 'update_pre', p1 FROM j
+        |    WHERE p1 IS NOT NULL AND p3 IS NOT NULL AND p1 <> p3
+        |  UNION ALL SELECT key, 'update_post', p3 FROM j
+        |    WHERE p1 IS NOT NULL AND p3 IS NOT NULL AND p1 <> p3
+        |) ORDER BY key, change_type""".stripMargin,
     "io_zorder" ->
       s"""WITH p AS (
         |  SELECT event_id,

@@ -233,6 +233,38 @@ class Round10Spec extends SparkSpecBase {
       (3L, 4L, 12L), (4L, 4L, 12L)), s"got ${out.toSeq}")
   }
 
+  test("cdf: every change type is live and pre/post images pair exactly") {
+    val out = ManifestIO.cdfQuery(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byType = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(Set("insert", "delete", "update_pre", "update_post")
+      .subsetOf(byType.keySet), s"got $byType")
+    assert(byType("update_pre") == byType("update_post"))
+    // pre/post pair on the same key, and the post image moved by the
+    // versioned delta (+1, +2, or +3 for keys hit at both v2 and v3)
+    val pre = out.filter(_._2 == "update_pre").map(t => t._1 -> t._3).toMap
+    val post = out.filter(_._2 == "update_post").map(t => t._1 -> t._3).toMap
+    assert(pre.keySet == post.keySet)
+    pre.foreach { case (k, p) =>
+      val d = post(k) - p
+      assert(d > 0.5 && d < 3.5, s"key $k delta $d")
+    }
+    // inserts are exactly the negative synthetic keys
+    assert(out.filter(_._2 == "insert").forall(_._1 < 0))
+  }
+
+  test("scene_cut: scene lengths conserve the frame count") {
+    val out = graft.operators.Multimodal.sceneCut(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nf, ns, longest) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ns >= 1 && longest >= 1 && longest <= nf && ns <= nf,
+        s"doc ${r.getLong(0)}: frames $nf scenes $ns longest $longest")
+      // ceil(nf / ns) <= longest: the longest scene must cover the mean
+      assert(longest >= (nf + ns - 1) / ns)
+    }
+  }
+
   test("sliding_distinct: dedup within a window, double-count across hops") {
     import spark.implicits._
     // Window 1h, hop 30m. User 1 fires twice at :05 and :10 (same two
