@@ -471,6 +471,63 @@ object Dedup {
     winnowOn(documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism))
 
+  /** CONTRASTIVE TRIPLET MINING (ta_pair_mine) — the training-pair
+    * generation step of retriever/embedding training (the DPR/Contriever
+    * data-prep shape): positives are verified near-dup pairs (minhash
+    * >= 9/12 signature agreement — the exact INTEGER threshold), and each
+    * pair gets a deterministic random negative drawn md5-uniformly from
+    * the corpus EXCLUDING the anchor and positive (two-exclusion rank
+    * shift — k in [1, n-2] maps bijectively onto ranks skipping both, so
+    * the negative can never degenerate into a member of the pair).
+    *
+    * Scale: global doc ranks come from the mm_shard_pack/seq_pack
+    * two-phase prefix sum (per-range counts prefix-summed on the tiny
+    * range table, offsets broadcast, within-range window BY RANGE) —
+    * never a global ORDER BY window; the corpus count is a one-row
+    * aggregate cross-joined (the gr_triangles sanctioned shape); the
+    * negative lookup is one join on the rank key. */
+  def pairMine(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint() // shingles + rank build
+    val sized = docs.select(col("doc_id")).withColumn("rng", expr("doc_id div 100"))
+    val rt = sized.groupBy("rng").agg(count(lit(1)).as("cnt"))
+    val wR = Window.orderBy("rng")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ro = rt.withColumn("off", sum(col("cnt")).over(wR) - col("cnt"))
+      .select("rng", "off")
+    val wIn = Window.partitionBy("rng").orderBy("doc_id")
+    val ranks = sized.join(broadcast(ro), Seq("rng"))
+      .withColumn("rank", (col("off") + row_number().over(wIn)).cast("long"))
+      .select("doc_id", "rank")
+      .localCheckpoint() // consumers: anchor rank, pos rank, neg lookup
+    val nTot = ranks.agg(count(lit(1)).as("n"))
+    val sig = minhashSignatures(shinglesOn(docs))
+    val matches = (0 until 12).map(h =>
+      when(col(s"x.mh$h") === col(s"y.mh$h"), 1).otherwise(0)).reduce(_ + _)
+    val pos = bandCandidates(sig)
+      .join(sig.as("x"), col("da") === col("x.doc_id"))
+      .join(sig.as("y"), col("db") === col("y.doc_id"))
+      .withColumn("sig_agree", matches.cast("long"))
+      .filter(col("sig_agree") >= 9L)
+      .select("da", "db", "sig_agree")
+    pos
+      .join(ranks.select(col("doc_id").as("da"), col("rank").as("ra")), Seq("da"))
+      .join(ranks.select(col("doc_id").as("db"), col("rank").as("rb")), Seq("db"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(concat('pm:', CAST(da AS STRING), ':', " +
+          "CAST(db AS STRING))), 1, 6), 16, 10) AS BIGINT)"))
+      .withColumn("k", expr("h % (n - 2) + 1"))
+      .withColumn("k2", expr("k + (CASE WHEN k >= least(ra, rb) THEN 1 ELSE 0 END)"))
+      .withColumn("nrank", expr("k2 + (CASE WHEN k2 >= greatest(ra, rb) THEN 1 ELSE 0 END)"))
+      .join(ranks.select(col("rank").as("nrank"), col("doc_id").as("neg_id")), Seq("nrank"))
+      .select(col("da").as("anchor"), col("db").as("pos_id"),
+        col("neg_id"), col("sig_agree"))
+      .orderBy("anchor", "pos_id")
+  }
+
   /** END-TO-END DEDUP FUNNEL (pipe_dedup) — the dedup half of the pipeline
     * story next to pipe_curation's quality half: the stage order every
     * production corpus dedup runs, cheapest-first so each tier shrinks the
@@ -616,6 +673,7 @@ object Dedup {
     "dd_span_extract" -> (spanExtract _),
     "dd_winnow" -> (winnow _),
     "pipe_dedup" -> (dedupFunnel _),
+    "ta_pair_mine" -> (pairMine _),
     "dd_url_canon" -> (urlCanon _),
     "dd_exact" -> (exact _),
     "dd_normalized" -> (normalized _),
@@ -744,6 +802,55 @@ object Dedup {
         |  CAST(SUM(CASE WHEN dfd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_fp
         |FROM h2 JOIN dfh USING (h)
         |GROUP BY doc_id, n_windows ORDER BY doc_id""".stripMargin,
+    "ta_pair_mine" -> {
+      val hexDigit = (k: Int) =>
+        s"(strpos('0123456789abcdef', substr(m, $k, 1)) - 1)"
+      val horner = (1 to 6).map(hexDigit).reduce((a, b) => s"($a * 16 + $b)")
+      s"""WITH sh AS ($shinglesSql),
+         |sig AS (
+         |  SELECT doc_id, h,
+         |    MIN(substr(md5(CAST(h // 4 AS VARCHAR) || ':' || sh),
+         |      CAST((h % 4) * 8 + 1 AS INT), 8)) AS mh
+         |  FROM sh, UNNEST(range(0, 12)) AS t(h) GROUP BY doc_id, h
+         |), bands AS (
+         |  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+         |    md5(MIN(CASE WHEN h % 2 = 0 THEN mh END) || '|'
+         |      || MIN(CASE WHEN h % 2 = 1 THEN mh END)) AS band_key
+         |  FROM sig GROUP BY doc_id, h // 2
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+         |), pos AS (
+         |  SELECT da, db,
+         |    CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) AS sig_agree
+         |  FROM cand
+         |  JOIN sig sa ON sa.doc_id = da
+         |  JOIN sig sb ON sb.doc_id = db AND sb.h = sa.h
+         |  GROUP BY da, db
+         |  HAVING SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) >= 9
+         |), ranks AS (
+         |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS rank
+         |  FROM documents
+         |), nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+         |), w AS (
+         |  SELECT da, db, sig_agree, ra.rank AS ra, rb.rank AS rb, nt.n,
+         |    md5('pm:' || CAST(da AS VARCHAR) || ':' || CAST(db AS VARCHAR)) AS m
+         |  FROM pos
+         |  JOIN ranks ra ON ra.doc_id = da
+         |  JOIN ranks rb ON rb.doc_id = db, nt
+         |), kk AS (
+         |  SELECT *, CAST($horner AS BIGINT) % (n - 2) + 1 AS k FROM w
+         |), k2t AS (
+         |  SELECT *, k + (CASE WHEN k >= LEAST(ra, rb) THEN 1 ELSE 0 END) AS k2 FROM kk
+         |), nr AS (
+         |  SELECT *, k2 + (CASE WHEN k2 >= GREATEST(ra, rb) THEN 1 ELSE 0 END) AS nrank
+         |  FROM k2t
+         |)
+         |SELECT da AS anchor, db AS pos_id, r.doc_id AS neg_id, sig_agree
+         |FROM nr JOIN ranks r ON r.rank = nr.nrank
+         |ORDER BY anchor, pos_id""".stripMargin
+    },
     "pipe_dedup" ->
       """WITH d AS (
         |  SELECT doc_id, text,

@@ -35,7 +35,10 @@ class PlanAuditSpec extends SparkSpecBase {
     // ann_hybrid's vector ranking scans the corpus against the bounded
     // 5-query broadcast (the ann_bruteforce sanctioned shape); the only
     // join condition is qid != cid, so the BNLJ build side is 5 rows
-    "ann_hybrid")
+    "ann_hybrid",
+    // ta_pair_mine cross-joins the ONE-ROW corpus-count aggregate onto
+    // the bounded verified-pair set — the gr_triangles sanctioned shape
+    "ta_pair_mine")
 
   test("no query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>

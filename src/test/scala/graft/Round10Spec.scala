@@ -265,6 +265,18 @@ class Round10Spec extends SparkSpecBase {
     }
   }
 
+  test("pair_mine: negatives are in-corpus and never collide with the pair") {
+    val out = Dedup.pairMine(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty, "no verified pairs at sf0.001 — corpus assumption broken")
+    val ids = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    out.foreach { case (a, p, n, m) =>
+      assert(m >= 9L && a < p, s"pair ($a,$p) agree $m")
+      assert(ids(n) && n != a && n != p, s"negative $n collides for ($a,$p)")
+    }
+  }
+
   test("sliding_distinct: dedup within a window, double-count across hops") {
     import spark.implicits._
     // Window 1h, hop 30m. User 1 fires twice at :05 and :10 (same two
