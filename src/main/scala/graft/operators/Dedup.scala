@@ -471,6 +471,33 @@ object Dedup {
     winnowOn(documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism))
 
+  /** N-GRAM NOVELTY (ta_novelty) — the corpus-order novelty curve a
+    * data-collection pipeline tracks to decide when a source is mined
+    * out: a doc's 3-gram is NOVEL iff no lower-doc_id doc contains it
+    * (first-occurrence = min doc_id per gram), novelty = novel/total as
+    * a scaled integer. Falling per-doc novelty across a source is the
+    * diminishing-returns signal.
+    *
+    * Scale: one shuffle on the gram key for the min-doc aggregate, a
+    * co-partitioned join back on the same key (the dd_span plan), one
+    * groupBy(doc). Hot boilerplate grams are the skewed keys — AQE
+    * splits; the first-occurrence table is corpus-sized, never
+    * broadcast. */
+  def noveltyOn(shingleSet: DataFrame): DataFrame = {
+    val sh = shingleSet.localCheckpoint() // consumers: first-occ agg + probe
+    val first = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_x10000", expr("n_novel * 10000 div n_grams"))
+      .orderBy("doc_id")
+  }
+
+  def novelty(spark: SparkSession, dir: String): DataFrame =
+    noveltyOn(shingles(spark, dir))
+
   /** CONTRASTIVE TRIPLET MINING (ta_pair_mine) — the training-pair
     * generation step of retriever/embedding training (the DPR/Contriever
     * data-prep shape): positives are verified near-dup pairs (minhash
@@ -674,6 +701,7 @@ object Dedup {
     "dd_winnow" -> (winnow _),
     "pipe_dedup" -> (dedupFunnel _),
     "ta_pair_mine" -> (pairMine _),
+    "ta_novelty" -> (novelty _),
     "dd_url_canon" -> (urlCanon _),
     "dd_exact" -> (exact _),
     "dd_normalized" -> (normalized _),
@@ -802,6 +830,16 @@ object Dedup {
         |  CAST(SUM(CASE WHEN dfd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_fp
         |FROM h2 JOIN dfh USING (h)
         |GROUP BY doc_id, n_windows ORDER BY doc_id""".stripMargin,
+    "ta_novelty" ->
+      s"""WITH sh AS ($shinglesSql),
+         |f AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh)
+         |SELECT sh.doc_id, COUNT(*) AS n_grams,
+         |  CAST(SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  CAST((SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) * 10000)
+         |    // COUNT(*) AS BIGINT) AS novelty_x10000
+         |FROM sh JOIN f USING (sh)
+         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
     "ta_pair_mine" -> {
       val hexDigit = (k: Int) =>
         s"(strpos('0123456789abcdef', substr(m, $k, 1)) - 1)"

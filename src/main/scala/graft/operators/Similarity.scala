@@ -102,6 +102,31 @@ object Similarity {
     bruteforceOn(c.filter(col("vec_id") < 10), c, 5).orderBy("qid", "rank")
   }
 
+  /** RANGE (radius) search — the other retrieval primitive next to top-k:
+    * ALL corpus vectors within a cosine radius of each query (cos >= 0.3;
+    * the corpus' exact top-3 cosines run 0.25-0.49, so the radius is live
+    * at every SF), no ranking window at all. Result size is data-driven,
+    * which is exactly when a top-k can't express the semantics (dedup
+    * radii, near-certain-match lookups). The 0.3 boundary compares
+    * identically-computed doubles on both engines (the established cos
+    * fold) — same accepted float-boundary class as ivfpq's approx_rank,
+    * pinned here.
+    *
+    * Scale: identical plan to the exact baseline (bounded query broadcast,
+    * one corpus pass) minus the window — at scale the radius composes with
+    * the IVF/LSH bucket tiers exactly like the top-k tiers do. */
+  def rangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir).localCheckpoint() // reused: query + corpus side
+    val q = c.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+    c.select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cn"))
+      .join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
+      .filter(col("cos") >= 0.3)
+      .select(col("qid"), col("cid"), r4(col("cos")).as("cos_sim"))
+      .orderBy("qid", "cid")
+  }
+
   /** Generic exact top-k: any (vec_id, embedding, nrm) query set against a
     * corpus of the same shape — broadcast the queries, one parallel pass
     * over the corpus, per-query top-k via window. */
@@ -759,6 +784,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_hybrid" -> (hybrid _),
     "ann_filtered" -> (filtered _),
+    "ann_range" -> (rangeSearch _),
     "dd_semdedup" -> (semDedup _),
     "ann_ivfpq" -> (ivfpq _),
     "ann_multiprobe" -> (multiprobe _),
@@ -1243,6 +1269,17 @@ object Similarity {
          |  ${graft.sources.Tables.r4Sql("CAST(SUM(COALESCE(hit, 0)) AS DOUBLE) / COUNT(*)")} AS recall_at_3
          |FROM exact LEFT JOIN approx ON exact.qid = approx.qid AND exact.cid = approx.cid
          |GROUP BY exact.qid ORDER BY exact.qid""".stripMargin,
+    "ann_range" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings
+         |),
+         |cand AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+         |)
+         |SELECT qid, cid, ${graft.sources.Tables.r4Sql("cos")} AS cos_sim
+         |FROM cand WHERE cos >= 0.3 ORDER BY qid, cid""".stripMargin,
     "ann_bruteforce" -> annSql(
       s"""cand AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS cid,

@@ -38,7 +38,11 @@ class PlanAuditSpec extends SparkSpecBase {
     "ann_hybrid",
     // ta_pair_mine cross-joins the ONE-ROW corpus-count aggregate onto
     // the bounded verified-pair set — the gr_triangles sanctioned shape
-    "ta_pair_mine")
+    "ta_pair_mine",
+    // ann_range scans the corpus against the bounded 10-query broadcast
+    // with only qid != cid as the join condition — the ann_bruteforce
+    // sanctioned exact-pass shape (radius filter instead of top-k window)
+    "ann_range")
 
   test("no query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
