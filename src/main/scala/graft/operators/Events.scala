@@ -498,7 +498,90 @@ object Events {
       .orderBy("hour_epoch")
   }
 
+  /** Count-min sketch depth / width (ev_heavy_hitters). */
+  val CmsRows = 4
+  val CmsWidth = 64L
+
+  /** COUNT-MIN SKETCH heavy hitters (ev_heavy_hitters) — the bounded-state
+    * frequency sketch every streaming top-k deploys (Cormode & Muthu 2005):
+    * d=4 md5 row-hashes map each user into one of w=64 buckets per row;
+    * a cell is the sum of counts hashed into it; a user's estimate is the
+    * MIN over its d cells — always >= the true count, with the over-count
+    * coming from bucket collisions. Deterministic md5 row-hashes make the
+    * sketch itself oracle-checkable end-to-end (the q13_sketch HLL/datasketch
+    * escape hatch is not needed here): output = top-20 true-count users
+    * with true count and CMS estimate side by side, the estimate >= truth
+    * structure visible in the checked rows.
+    *
+    * Scale: the sketch is built from the PRE-AGGREGATED per-user counts
+    * (one map-side-combinable shuffle on user), never from raw events ×
+    * d rows; the 4·64-cell sketch frame is tiny and the probe join is
+    * co-partitioned on (r, bucket). At 1000 executors the cells are the
+    * mergeable state each executor ships — 256 longs, not a user set. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHittersOn(
+      events(spark, dir).groupBy("user_id").agg(count(lit(1)).as("true_c")), 20)
+
+  /** Same sketch over any (user_id, true_c) count frame — Round11Spec
+    * pins the est >= truth structure and single-key exactness. */
+  def heavyHittersOn(tc: DataFrame, topK: Int): DataFrame = {
+    val hashed = tc
+      .select(col("user_id"), col("true_c"),
+        explode(expr(s"sequence(0, ${CmsRows - 1})")).as("r"))
+      .withColumn("bucket", expr("CAST(conv(substring(md5(concat('cms', r, ':', " +
+        s"CAST(user_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % $CmsWidth"))
+      .localCheckpoint() // consumers: sketch cells + estimate probe
+    val cms = hashed.groupBy("r", "bucket").agg(sum(col("true_c")).as("cell"))
+    hashed.join(cms, Seq("r", "bucket"))
+      .groupBy("user_id", "true_c").agg(min(col("cell")).as("cms_est"))
+      .orderBy(col("true_c").desc, col("user_id"))
+      .limit(topK)
+  }
+
+  /** 4-bit binary expansion of hex digit k of column `src` — CASE text
+    * valid in BOTH Spark SQL and DuckDB (shared by ev_hll and its
+    * oracle, so the bit arithmetic is one definition). */
+  private[graft] def hexBitsSql(src: String, k: Int): String =
+    (0 until 16).map(v => s"WHEN '${v.toHexString}' THEN " +
+        s"'${v.toBinaryString.reverse.padTo(4, '0').reverse}'")
+      .mkString(s"(CASE substr($src, $k, 1) ", " ", " END)")
+
+  /** HYPERLOGLOG REGISTER BUILD (ev_hll) — the mergeable distinct-count
+    * state (Flajolet et al. 2007): 16 buckets from the first md5 hex digit
+    * of the user hash, register = max over bucket members of rho = 1 +
+    * leading-zero count of the next 48 hash bits (49 = all-zero suffix
+    * sentinel). The harmonic-mean ESTIMATE is float and engine-specific,
+    * so the CHECKED output is the integer register table itself (the
+    * ann_kmeans exact-integer rule) next to the exact distinct count per
+    * (event_type, bucket) — the audit column a register should bound.
+    * Registers merge by MAX, which is what a 1000-executor COUNT DISTINCT
+    * ships instead of user sets.
+    *
+    * Scale: dedup-before-hash on (event_type, user) — the
+    * ev_sliding_distinct rule (map-side partial dedup, full key-space
+    * parallelism); the register agg is map-side-combinable MAX/COUNT;
+    * output ≤ |types| × 16 rows. */
+  def hll(spark: SparkSession, dir: String): DataFrame =
+    hllOn(events(spark, dir).select(col("event_type"), col("user_id")))
+
+  /** Same register build over any (event_type, user_id) frame —
+    * Round11Spec pins bucket/rho against independently computed md5
+    * expansions. */
+  def hllOn(pairs: DataFrame): DataFrame = {
+    val bits = (2 to 13).map(k => hexBitsSql("mh", k)).mkString("concat(", ", ", ")")
+    pairs.distinct()
+      .withColumn("mh", md5(concat(lit("hll:"), col("user_id").cast("string"))))
+      .withColumn("bucket", expr("CAST(conv(substr(mh, 1, 1), 16, 10) AS BIGINT)"))
+      .withColumn("rho", expr(s"CAST(CASE WHEN position('1' IN $bits) = 0 " +
+        s"THEN 49 ELSE position('1' IN $bits) END AS BIGINT)"))
+      .groupBy("event_type", "bucket")
+      .agg(max(col("rho")).as("register"), count(lit(1)).as("n_users"))
+      .orderBy("event_type", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_heavy_hitters" -> (heavyHitters _),
+    "ev_hll" -> (hll _),
     "ev_attribution" -> (attribution _),
     "ev_absence" -> (absence _),
     "ev_lateness" -> (lateness _),
@@ -519,6 +602,46 @@ object Events {
     "ev_funnel" -> (funnel _))
 
   val oracle: Map[String, String] = Map(
+    "ev_heavy_hitters" -> {
+      val hex = (k: Int) =>
+        s"(strpos('0123456789abcdef', substr(mh, $k, 1)) - 1)"
+      s"""WITH tc AS (
+         |  SELECT user_id, COUNT(*) AS true_c FROM events GROUP BY user_id
+         |), h AS (
+         |  SELECT user_id, true_c, r,
+         |    (((${hex(1)} * 16 + ${hex(2)}) * 16 + ${hex(3)}) * 16 + ${hex(4)})
+         |      % $CmsWidth AS bucket
+         |  FROM (
+         |    SELECT user_id, true_c, ga AS r,
+         |      md5('cms' || CAST(ga AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)) AS mh
+         |    FROM tc, range(0, $CmsRows) t(ga)) s
+         |), cms AS (
+         |  SELECT r, bucket, CAST(SUM(true_c) AS BIGINT) AS cell
+         |  FROM h GROUP BY r, bucket
+         |)
+         |SELECT user_id, true_c, CAST(MIN(cell) AS BIGINT) AS cms_est
+         |FROM h JOIN cms USING (r, bucket)
+         |GROUP BY user_id, true_c
+         |ORDER BY true_c DESC, user_id LIMIT 20""".stripMargin
+    },
+    "ev_hll" -> {
+      val bits = (2 to 13).map(k => hexBitsSql("mh", k))
+        .mkString("concat(", ", ", ")")
+      s"""WITH du AS (
+         |  SELECT DISTINCT event_type, user_id FROM events
+         |), h AS (
+         |  SELECT event_type,
+         |    (strpos('0123456789abcdef', substr(mh, 1, 1)) - 1) AS bucket,
+         |    CAST(CASE WHEN position('1' IN $bits) = 0
+         |      THEN 49 ELSE position('1' IN $bits) END AS BIGINT) AS rho
+         |  FROM (SELECT event_type,
+         |          md5('hll:' || CAST(user_id AS VARCHAR)) AS mh FROM du) s
+         |)
+         |SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(MAX(rho) AS BIGINT) AS register, COUNT(*) AS n_users
+         |FROM h GROUP BY event_type, bucket
+         |ORDER BY event_type, bucket""".stripMargin
+    },
     // semantic (unbucketed) formulation — bucket replication is a plan
     // choice: [ep - W, ep) spans <= 2 W-wide buckets
     "ev_attribution" ->

@@ -467,7 +467,44 @@ object GraphOps {
     trace.reduce(_ unionByName _).orderBy("round")
   }
 
+  /** BIPARTITE CO-PURCHASE PROJECTION (gr_copurchase) — the recommender
+    * data-prep shape: project the customer–part bipartite purchase graph
+    * onto parts; edge weight = number of customers who bought both parts
+    * (distinct customer–part incidence, so repeat purchases do not
+    * inflate the weight). Top-30 pairs by (weight desc, p1, p2) —
+    * unique tiebreak.
+    *
+    * Scale: the bipartite incidence list dedups on (cust, part) with
+    * map-side partial dedup; the projection self-join is CO-PARTITIONED
+    * on the customer key (the incidence frame is eagerly
+    * localCheckpointed — house rule, self-join sides must not recompute)
+    * and candidate pairs per customer are bounded by that customer's
+    * basket size via p1 < p2 triangularization — never an all-pairs
+    * product. The pair count shuffles on the pair key with partial aggs;
+    * hot parts are skewed pair keys — AQE splits. */
+  def copurchase(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    copurchaseOn(graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(graft.sources.Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part")), 30)
+
+  /** Same projection over any (cust, part) incidence frame — Round11Spec
+    * pins the triangularization and repeat-purchase dedup. */
+  def copurchaseOn(incidence: DataFrame, topK: Int): DataFrame = {
+    val cp = incidence.distinct()
+      .localCheckpoint() // self-join sides must not recompute (house rule)
+    cp.select(col("cust"), col("part").as("p1"))
+      .join(cp.select(col("cust"), col("part").as("p2")), Seq("cust"))
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("n_cust"))
+      .orderBy(col("n_cust").desc, col("p1"), col("p2"))
+      .limit(topK)
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "gr_copurchase" -> (copurchase _),
     "gr_kcore" -> (kcore _),
     "gr_sssp" -> (sssp _),
     "gr_khop" -> (khop _),
@@ -476,6 +513,14 @@ object GraphOps {
     "gr_triangles" -> (triangleStats _))
 
   val oracle: Map[String, String] = Map(
+    "gr_copurchase" ->
+      """WITH cp AS (
+        |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |)
+        |SELECT a.part AS p1, b.part AS p2, COUNT(*) AS n_cust
+        |FROM cp a JOIN cp b ON a.cust = b.cust AND a.part < b.part
+        |GROUP BY 1, 2 ORDER BY n_cust DESC, p1, p2 LIMIT 30""".stripMargin,
     "gr_kcore" -> {
       val round = (r: Int) =>
         s"""k$r AS (

@@ -1036,7 +1036,62 @@ object TextAnalysis {
       .orderBy("stage_id")
   }
 
+  /** Minimum pair count for a collocation candidate (ta_cooccur). */
+  val CoocMinPair = 5L
+
+  /** PMI-LIFT COLLOCATION MINING (ta_cooccur) — the word2vec/GloVe-style
+    * co-occurrence statistic a corpus pipeline extracts before embedding
+    * training: skip-gram pair counts in a ±2-token window, scored by the
+    * association lift c12·N/(c1·c2) (exp of PMI — monotone in PMI, so the
+    * ranking IS the PMI ranking while staying in exact integer arithmetic
+    * where log cannot; reference analog: none — corpus-stat tier of the
+    * LLM-pipeline extension). Pairs are unordered (least/greatest
+    * canonicalization; self-pairs allowed), scored as
+    * lift_x100 = ((10^6·c12) div c1)·N div (10^4·c2) — the staged integer
+    * division IS the spec'd score on both engines, and every intermediate
+    * stays under 2^63 through sf100 (first factor ≤ ~2·10^6 since
+    * c12 ≤ 2·c1 by the window bound, times N ≤ 10^10). Top-50 by
+    * (lift desc, w1, w2) — unique tiebreak, boundary deterministic.
+    *
+    * Scale: one shuffle on the pair key with map-side combine (the
+    * CoocMinPair cut drops the long tail before the joins); the unigram
+    * table is vocabulary-sized, joined on the pair's two word keys; the
+    * one-row token total cross-joins in (the gr_triangles bounded shape).
+    * Hot stopword pairs are the skewed keys — AQE splits. */
+  def cooccur(spark: SparkSession, dir: String): DataFrame =
+    cooccurOn(documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  /** Same operator over any (doc_id, text) frame — Round9Spec pins the
+    * window shape and the lift arithmetic on a hand-worked corpus. */
+  def cooccurOn(docs: DataFrame): DataFrame = {
+    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .localCheckpoint() // consumers: unigram counts + two pair explodes
+    val ug = ws.select(explode(col("ws")).as("wd"))
+      .groupBy("wd").agg(count(lit(1)).as("cu"))
+      .localCheckpoint() // consumers: two pair-side joins + the total
+    val nt = ug.agg(sum(col("cu")).as("n_tot"))
+    def pairsAt(d: Int) = ws
+      .filter(size(col("ws")) >= d + 1)
+      .select(explode(expr(s"transform(sequence(0, size(ws) - ${d + 1}), " +
+        s"i -> struct(element_at(ws, i + 1) AS a, element_at(ws, i + 1 + $d) AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    pairsAt(1).unionAll(pairsAt(2))
+      .select(least(col("a"), col("b")).as("w1"), greatest(col("a"), col("b")).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= CoocMinPair)
+      .join(ug.select(col("wd").as("w1"), col("cu").as("c1")), Seq("w1"))
+      .join(ug.select(col("wd").as("w2"), col("cu").as("c2")), Seq("w2"))
+      .crossJoin(nt)
+      .withColumn("lift_x100",
+        expr("((1000000 * c12) div c1) * n_tot div (10000 * c2)"))
+      .select("w1", "w2", "c12", "c1", "c2", "lift_x100")
+      .orderBy(col("lift_x100").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_cooccur" -> (cooccur _),
     "pipe_curation" -> (curation _),
     "ta_ppl_bucket" -> (pplBucket _),
     "ta_seq_pack" -> (seqPack _),
@@ -1243,6 +1298,33 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "ta_cooccur" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |), ug AS (
+         |  SELECT wd, COUNT(*) AS cu FROM (SELECT UNNEST(w) AS wd FROM ws) t
+         |  GROUP BY wd
+         |), nt AS (
+         |  SELECT CAST(SUM(cu) AS BIGINT) AS n_tot FROM ug
+         |), p1 AS (
+         |  SELECT w[i] AS a, w[i + 1] AS b FROM (
+         |    SELECT UNNEST(range(1, len(w)::BIGINT)) AS i, w FROM ws
+         |    WHERE len(w) >= 2) t
+         |), p2 AS (
+         |  SELECT w[i] AS a, w[i + 2] AS b FROM (
+         |    SELECT UNNEST(range(1, len(w)::BIGINT - 1)) AS i, w FROM ws
+         |    WHERE len(w) >= 3) t
+         |), cp AS (
+         |  SELECT LEAST(a, b) AS w1, GREATEST(a, b) AS w2, COUNT(*) AS c12
+         |  FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2) u
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $CoocMinPair
+         |)
+         |SELECT w1, w2, c12, u1.cu AS c1, u2.cu AS c2,
+         |  CAST((((1000000 * c12) // u1.cu) * n_tot) // (10000 * u2.cu) AS BIGINT)
+         |    AS lift_x100
+         |FROM cp JOIN ug u1 ON cp.w1 = u1.wd JOIN ug u2 ON cp.w2 = u2.wd
+         |CROSS JOIN nt
+         |ORDER BY lift_x100 DESC, w1, w2 LIMIT 50""".stripMargin,
     "pipe_curation" -> curationSql,
     "ta_ppl_bucket" ->
       """WITH ws AS (

@@ -42,7 +42,10 @@ class PlanAuditSpec extends SparkSpecBase {
     // ann_range scans the corpus against the bounded 10-query broadcast
     // with only qid != cid as the join condition — the ann_bruteforce
     // sanctioned exact-pass shape (radius filter instead of top-k window)
-    "ann_range")
+    "ann_range",
+    // ta_cooccur cross-joins the ONE-ROW token-total aggregate onto the
+    // CoocMinPair-cut pair table — the gr_triangles sanctioned shape
+    "ta_cooccur")
 
   test("no query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
