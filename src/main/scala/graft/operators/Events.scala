@@ -498,6 +498,68 @@ object Events {
       .orderBy("hour_epoch")
   }
 
+  /** Per-hop match window of ev_cep, seconds (one day — the driver
+    * corpus runs ~2 events per user-day, so tighter windows starve the
+    * pattern; at production event densities this is minutes). */
+  val CepWindowSec = 86400L
+
+  /** CEP SEQUENCE MATCH (ev_cep) — the ordered three-step pattern
+    * `view -> click -> purchase`, each hop within CepWindowSec
+    * (MATCH_RECOGNIZE / Flink CEP's skip-till-next-match with FIRST
+    * semantics): for each view the matched click is the EARLIEST click
+    * in (ea, ea+T]; the matched purchase is the earliest purchase in
+    * (fb, fb+T] after THAT click. first = MIN over whole-second epochs
+    * (ev_absence's rule — ties at the same second collapse to the same
+    * epoch, and only the epoch flows downstream). Daily rollup of the
+    * funnel attrition (n_a >= n_ab >= n_abc) + mean full-match lag in
+    * integer seconds.
+    *
+    * Scale: the ev_absence bucket-replication shape CHAINED — each hop's
+    * follower side replicates to its own + previous T-wide bucket so the
+    * (x, x+T] probe is a pure equi-join on (user, bucket) with a range
+    * post-filter, never an unbounded per-user theta join; hop 2's probe
+    * key is hop 1's match epoch, so the null-keyed (unmatched) rows ride
+    * the left join without fan-out. Two joins, two map-side-combinable
+    * groupBys, no windows. */
+  def cep(spark: SparkSession, dir: String): DataFrame =
+    cepOn(events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("es")),
+      "view", "click", "purchase", CepWindowSec)
+
+  /** Same pattern over any (user_id, event_type, event_id, es) frame —
+    * Round12Spec pins first-match chaining and the per-hop window edge. */
+  def cepOn(ev: DataFrame, aType: String, bType: String, cType: String,
+      window: Long): DataFrame = {
+    def followers(t: String, alias: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"), col("es").as(alias),
+        explode(expr(s"array(es div $window, es div $window - 1)")).as("bkt"))
+    val a = ev.filter(col("event_type") === aType)
+      .select(col("user_id"), col("event_id"), col("es").as("ea"),
+        expr(s"es div $window").as("bkt"))
+    val ab = a.join(followers(bType, "eb"), Seq("user_id", "bkt"), "left")
+      .withColumn("ok",
+        col("eb").isNotNull && col("eb") > col("ea") && col("eb") <= col("ea") + window)
+      .groupBy(col("user_id"), col("event_id"), col("ea"))
+      .agg(min(when(col("ok"), col("eb"))).as("fb"))
+      .withColumn("bkt", expr(s"fb div $window")) // null fb -> null key, rides the left join
+    ab.join(followers(cType, "ec"), Seq("user_id", "bkt"), "left")
+      .withColumn("ok",
+        col("ec").isNotNull && col("ec") > col("fb") && col("ec") <= col("fb") + window)
+      .groupBy(col("user_id"), col("event_id"), col("ea"), col("fb"))
+      .agg(min(when(col("ok"), col("ec"))).as("fc"))
+      .withColumn("day_epoch", expr("(ea div 86400) * 86400"))
+      .groupBy("day_epoch")
+      .agg(
+        count(lit(1)).as("n_a"),
+        sum(when(col("fb").isNotNull, 1L).otherwise(0L)).as("n_ab"),
+        sum(when(col("fc").isNotNull, 1L).otherwise(0L)).as("n_abc"),
+        expr("CASE WHEN sum(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END) = 0 THEN 0L " +
+          "ELSE sum(CASE WHEN fc IS NOT NULL THEN fc - ea ELSE 0L END) " +
+          "div sum(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END) END").as("avg_match_lag_s"))
+      .orderBy("day_epoch")
+  }
+
   /** Count-min sketch depth / width (ev_heavy_hitters). */
   val CmsRows = 4
   val CmsWidth = 64L
@@ -580,6 +642,7 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_cep" -> (cep _),
     "ev_heavy_hitters" -> (heavyHitters _),
     "ev_hll" -> (hll _),
     "ev_attribution" -> (attribution _),
@@ -602,6 +665,35 @@ object Events {
     "ev_funnel" -> (funnel _))
 
   val oracle: Map[String, String] = Map(
+    // semantic (unbucketed) formulation — bucket replication is a plan
+    // choice: (x, x+T] spans <= 2 T-wide buckets (the ev_absence rule)
+    "ev_cep" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, event_id,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+         |), a AS (
+         |  SELECT user_id, event_id, es AS ea FROM ev WHERE event_type = 'view'
+         |), b AS (SELECT user_id, es AS eb FROM ev WHERE event_type = 'click'),
+         |c AS (SELECT user_id, es AS ec FROM ev WHERE event_type = 'purchase'),
+         |ab AS (
+         |  SELECT a.user_id, a.event_id, a.ea, MIN(b.eb) AS fb
+         |  FROM a LEFT JOIN b ON a.user_id = b.user_id
+         |    AND b.eb > a.ea AND b.eb <= a.ea + $CepWindowSec
+         |  GROUP BY 1, 2, 3
+         |), abc AS (
+         |  SELECT ab.user_id, ab.event_id, ab.ea, ab.fb, MIN(c.ec) AS fc
+         |  FROM ab LEFT JOIN c ON ab.user_id = c.user_id
+         |    AND c.ec > ab.fb AND c.ec <= ab.fb + $CepWindowSec
+         |  GROUP BY 1, 2, 3, 4
+         |)
+         |SELECT (ea // 86400) * 86400 AS day_epoch, COUNT(*) AS n_a,
+         |  CAST(SUM(CASE WHEN fb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ab,
+         |  CAST(SUM(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_abc,
+         |  CAST(CASE WHEN SUM(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END) = 0 THEN 0
+         |    ELSE SUM(CASE WHEN fc IS NOT NULL THEN fc - ea ELSE 0 END)
+         |      // SUM(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END) END AS BIGINT)
+         |    AS avg_match_lag_s
+         |FROM abc GROUP BY 1 ORDER BY day_epoch""".stripMargin,
     "ev_heavy_hitters" -> {
       val hex = (k: Int) =>
         s"(strpos('0123456789abcdef', substr(mh, $k, 1)) - 1)"

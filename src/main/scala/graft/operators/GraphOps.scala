@@ -503,7 +503,78 @@ object GraphOps {
       .limit(topK)
   }
 
+  /** Rounds of synchronous label propagation (gr_lpa). */
+  val LpaRounds = 3
+
+  /** Minimum co-order count for a gr_lpa edge: parts must co-occur in
+    * >= 2 DISTINCT orders — single co-occurrence is noise (the
+    * one-shared-basket pair), repetition is affinity. Also the sparsifier
+    * that makes community structure visible: the raw co-activity graph
+    * is near-complete at sf0.01 (avg degree ~104) and LPA correctly
+    * collapses it to ONE community — measured, not guessed. */
+  val LpaMinShared = 2L
+
+  /** LABEL PROPAGATION COMMUNITIES (gr_lpa) — Raghavan et al. 2007, the
+    * near-linear community detector (the Louvain-lite every graph stack
+    * ships), on the part co-order graph (parts adjacent iff bought
+    * together in >= LpaMinShared distinct orders — the product-community
+    * graph downstream of gr_copurchase's projection): labels start as
+    * node ids; each synchronous round every node adopts the MOST
+    * FREQUENT label among its neighbors, ties to the smallest label — an
+    * exact-integer argmax on (count desc, label asc), so every round is
+    * bit-identical across engines and the oracle unrolls the LpaRounds
+    * rounds as chained CTEs (the gr_pagerank pattern). Bounded rounds
+    * are the honest deployment shape: LPA has no convergence guarantee
+    * (label oscillation on bipartite-ish structure is a known failure
+    * mode), so production runs cap rounds. Output: the largest
+    * communities with member counts, top-25 on a unique tiebreak.
+    *
+    * Scale: edge build = one co-partitioned self-join on the order key
+    * (pairs bounded by basket size, p1 < p2 triangular); per LPA round
+    * ONE co-partitioned (sym edges x labels) join + one
+    * map-side-combinable (node, label) count + a per-node top-1 window
+    * whose partition fan-in is bounded by that node's degree — the same
+    * per-round traffic as distributed PageRank; rounds localCheckpointed
+    * (lineage house rule). Hot hubs are skewed dst keys — AQE splits. */
+  def lpa(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val inc = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint() // self-join sides must not recompute (house rule)
+    val edges = inc.as("x").join(inc.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b")).agg(count(lit(1)).as("ns"))
+      .filter(col("ns") >= LpaMinShared)
+    val sym = edges.select((col("a") + lit(0L)).as("src"), (col("b") + lit(0L)).as("dst"))
+      .unionByName(edges.select((col("b") + lit(0L)).as("src"), (col("a") + lit(0L)).as("dst")))
+    lpaOn(sym, 25)
+  }
+
+  /** Same propagation over any symmetric (src, dst) edge frame —
+    * Round12Spec pins the argmax tie rule and round count on a
+    * two-community bridge graph. */
+  def lpaOn(symEdges: DataFrame, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = symEdges.localCheckpoint() // reused by every round's join
+    var labels = sym.select(col("src").as("u")).distinct()
+      .select(col("u"), col("u").as("lbl")).localCheckpoint()
+    val w = Window.partitionBy("u").orderBy(col("c").desc, col("lbl").asc)
+    for (_ <- 1 to LpaRounds) {
+      labels = sym.join(labels.withColumnRenamed("u", "src"), Seq("src"))
+        .groupBy(col("dst").as("u"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("u"), col("lbl"))
+        .localCheckpoint() // next round reads this; lineage house rule
+    }
+    labels.groupBy("lbl").agg(count(lit(1)).as("n_members"))
+      .select(col("lbl").as("community"), col("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(topK)
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "gr_lpa" -> (lpa _),
     "gr_copurchase" -> (copurchase _),
     "gr_kcore" -> (kcore _),
     "gr_sssp" -> (sssp _),
@@ -513,6 +584,31 @@ object GraphOps {
     "gr_triangles" -> (triangleStats _))
 
   val oracle: Map[String, String] = Map(
+    "gr_lpa" -> {
+      val round = (r: Int) =>
+        s"""l$r AS (
+           |  SELECT u, lbl FROM (
+           |    SELECT s.dst AS u, p.lbl, COUNT(*) AS c,
+           |      ROW_NUMBER() OVER (PARTITION BY s.dst
+           |        ORDER BY COUNT(*) DESC, p.lbl ASC) AS rn
+           |    FROM sym s JOIN l${r - 1} p ON s.src = p.u
+           |    GROUP BY s.dst, p.lbl) t WHERE rn = 1
+           |)""".stripMargin
+      s"""WITH inc AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+         |), edges AS (
+         |  SELECT a, b FROM (
+         |    SELECT x.p AS a, y.p AS b, COUNT(*) AS ns
+         |    FROM inc x JOIN inc y ON x.o = y.o AND x.p < y.p
+         |    GROUP BY 1, 2) t WHERE ns >= $LpaMinShared
+         |), sym AS (
+         |  SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b, a FROM edges
+         |), l0 AS (
+         |  SELECT DISTINCT src AS u, src AS lbl FROM sym
+         |), ${(1 to LpaRounds).map(round).mkString(",\n")}
+         |SELECT lbl AS community, COUNT(*) AS n_members FROM l$LpaRounds
+         |GROUP BY lbl ORDER BY n_members DESC, community LIMIT 25""".stripMargin
+    },
     "gr_copurchase" ->
       """WITH cp AS (
         |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part

@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.{Events, GraphOps}
+
+/** Round-12 operator pins: label-propagation communities (gr_lpa) and
+  * CEP three-step sequence match (ev_cep). */
+class Round12Spec extends SparkSpecBase {
+
+  test("lpa: two triangles joined by a bridge resolve to two communities") {
+    import spark.implicits._
+    // Triangle {1,2,3}, triangle {4,5,6}, bridge 3-4. Hand-propagating
+    // the (count desc, label asc) argmax for 3 rounds:
+    //   r1: 1->2 2->1 3->1 4->3 5->4 6->4
+    //   r2: 1->1 2->1 3->1 4->4 5->3 6->3
+    //   r3: 1->1 2->1 3->1 4->3 5->3 6->3
+    // -> communities {1,2,3} under label 1 and {4,5,6} under label 3;
+    // round 1 is all ties (every neighbor label count is 1), so this
+    // also pins the min-label tie rule.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L),
+      (3L, 4L)).toDF("a", "b")
+    val sym = edges.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(edges.select($"b".as("src"), $"a".as("dst")))
+    val out = GraphOps.lpaOn(sym, 25).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 3L), (3L, 3L)))
+  }
+
+  test("cep: first-match chaining, inclusive window edges, attrition") {
+    import spark.implicits._
+    // T=100. user 1: fb = FIRST click (1020, not 1050); the purchase at
+    // 1010 precedes fb and must not match; 1021 does. lag 21.
+    // user 2: click exactly at ea+T and purchase exactly at fb+T are IN
+    // (inclusive upper edge) — and both matches straddle bucket
+    // boundaries (0->1, 1->2), exercising the replication. lag 200.
+    // user 3: click at ea+T+1 is OUT -> counted in n_a only.
+    // user 4: follower events with no view contribute nothing.
+    val ev = Seq(
+      (1L, "view", 10L, 1000L), (1L, "click", 11L, 1020L),
+      (1L, "click", 12L, 1050L), (1L, "purchase", 13L, 1010L),
+      (1L, "purchase", 14L, 1021L),
+      (2L, "view", 20L, 0L), (2L, "click", 21L, 100L),
+      (2L, "purchase", 22L, 200L),
+      (3L, "view", 30L, 0L), (3L, "click", 31L, 101L),
+      (4L, "click", 40L, 50L), (4L, "purchase", 41L, 60L)
+    ).toDF("user_id", "event_type", "event_id", "es")
+    val out = Events.cepOn(ev, "view", "click", "purchase", 100L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((0L, 3L, 2L, 2L, 110L))) // (21 + 200) div 2
+  }
+}
