@@ -45,7 +45,12 @@ class PlanAuditSpec extends SparkSpecBase {
     "ann_range",
     // ta_cooccur cross-joins the ONE-ROW token-total aggregate onto the
     // CoocMinPair-cut pair table — the gr_triangles sanctioned shape
-    "ta_cooccur")
+    "ta_cooccur",
+    // ann_nndescent embeds the bounded-broadcast exact baseline for its
+    // per-round recall eval (the ann_recall sanctioned shape) and
+    // cross-joins ONE-ROW corpus-count / edge-count aggregates
+    // (the gr_triangles shape); the graph build itself is equi-joins
+    "ann_nndescent")
 
   test("no query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -27,6 +27,29 @@ class Round12Spec extends SparkSpecBase {
     assert(out.toSeq == Seq((1L, 3L), (3L, 3L)))
   }
 
+  test("nndescent: recall trace is monotone and converges on planted clusters") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // 3 planted clusters of 10 unit vectors, 1-degree apart within a
+    // cluster, 120 degrees between clusters — every node's exact top-5
+    // is intra-cluster. Random init knows nothing; the NoN rounds must
+    // discover the clusters.
+    val vecs = (0 until 30).map { i =>
+      val ang = math.toRadians((i / 10) * 120.0 + (i % 10) * 1.0)
+      (i.toLong, Array(math.cos(ang).toFloat, math.sin(ang).toFloat))
+    }
+    val c = vecs.toDF("vec_id", "embedding")
+      .withColumn("nrm", graft.operators.Similarity.norm("embedding"))
+    val out = graft.operators.Similarity.nndescentOn(c).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    val hits = out.map(_._2)
+    // monotone non-decreasing (each round reranks a SUPERSET), and the
+    // rounds genuinely refine: final strictly above the random init
+    assert(hits.zip(hits.tail).forall { case (a, b) => a <= b })
+    assert(hits.last > hits.head)
+  }
+
   test("cep: first-match chaining, inclusive window edges, attrition") {
     import spark.implicits._
     // T=100. user 1: fb = FIRST click (1020, not 1050); the purchase at
