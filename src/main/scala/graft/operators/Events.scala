@@ -564,6 +564,13 @@ object Events {
   val CmsRows = 4
   val CmsWidth = 64L
 
+  /** Row-hash bucket of the CMS: deterministic md5 over (row, user) —
+    * shared by the batch sketch and StreamingJobs.cmsCells so parity is
+    * one definition. Expects columns `r` and `user_id` in scope. */
+  private[graft] val CmsBucketSql: String =
+    "CAST(conv(substring(md5(concat('cms', r, ':', " +
+      s"CAST(user_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % $CmsWidth"
+
   /** COUNT-MIN SKETCH heavy hitters (ev_heavy_hitters) — the bounded-state
     * frequency sketch every streaming top-k deploys (Cormode & Muthu 2005):
     * d=4 md5 row-hashes map each user into one of w=64 buckets per row;
@@ -590,8 +597,7 @@ object Events {
     val hashed = tc
       .select(col("user_id"), col("true_c"),
         explode(expr(s"sequence(0, ${CmsRows - 1})")).as("r"))
-      .withColumn("bucket", expr("CAST(conv(substring(md5(concat('cms', r, ':', " +
-        s"CAST(user_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % $CmsWidth"))
+      .withColumn("bucket", expr(CmsBucketSql))
       .localCheckpoint() // consumers: sketch cells + estimate probe
     val cms = hashed.groupBy("r", "bucket").agg(sum(col("true_c")).as("cell"))
     hashed.join(cms, Seq("r", "bucket"))

@@ -386,6 +386,25 @@ object StreamingJobs {
 
   /** Convenience: run a streaming DataFrame to completion against an
     * in-memory sink and return the result table. Test/dev harness only. */
+  /** Streaming COUNT-MIN SKETCH maintenance — the streaming twin of
+    * Events.heavyHitters' sketch build: every arriving event increments
+    * its d=CmsRows md5-hashed cells, and the running aggregation state
+    * IS the sketch — d x w = 256 cells, bounded BY CONSTRUCTION no
+    * matter how long the stream runs or how many distinct keys it
+    * carries (the reason CMS exists: per-key streaming state would grow
+    * with cardinality, the sketch does not, and cells merge by + across
+    * executors and restarts). Complete-mode output ships the current
+    * cell grid each micro-batch; a consumer probes it with MIN over a
+    * key's d cells exactly like the batch query. Cell parity with the
+    * batch plan over the same events is spec-pinned (one shared bucket
+    * definition, Events.CmsBucketSql). */
+  def cmsCells(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"),
+        explode(expr(s"sequence(0, ${graft.operators.Events.CmsRows - 1})")).as("r"))
+      .withColumn("bucket", expr(graft.operators.Events.CmsBucketSql))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cell"))
+
   def runToMemory(spark: SparkSession, df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
     q.processAllAvailable()

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Events, GraphOps}
+import org.apache.spark.sql.functions._
 
 /** Round-12 operator pins: label-propagation communities (gr_lpa) and
   * CEP three-step sequence match (ev_cep). */
@@ -48,6 +49,40 @@ class Round12Spec extends SparkSpecBase {
     // rounds genuinely refine: final strictly above the random init
     assert(hits.zip(hits.tail).forall { case (a, b) => a <= b })
     assert(hits.last > hits.head)
+  }
+
+  test("streaming CMS cells match the batch sketch and bound the estimate") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sq = spark.sqlContext
+    // zipf-ish key mix split across two micro-batches to exercise
+    // incremental cell state
+    val users = (1L to 400L).map(i => i % 23 + 1L)
+    val stream = MemoryStream[Long]
+    val (a, b) = users.splitAt(150)
+    stream.addData(a)
+    stream.addData(b)
+    val streamed = graft.streaming.StreamingJobs.cmsCells(
+      stream.toDF().toDF("user_id"))
+    val got = graft.streaming.StreamingJobs
+      .runToMemory(spark, streamed, "cms_cells", OutputMode.Complete())
+    // parity: the same plan over the same rows as one batch
+    val expected = graft.streaming.StreamingJobs.cmsCells(users.toDF("user_id"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    // probing the streamed cells reproduces the batch query's estimate
+    val cells = got.collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val est = graft.operators.Events
+      .heavyHittersOn(users.toDF("user_id")
+        .groupBy("user_id").agg(count(lit(1)).as("true_c")), 23)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val probed = users.toDF("user_id").distinct()
+      .select(col("user_id"), explode(expr("sequence(0, 3)")).as("r"))
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(concat('cms', r, ':', CAST(user_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % 64"))
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2))))
+      .groupBy(_._1).map { case (u, rs) => (u, rs.map(x => cells(x._2)).min) }
+    est.foreach { case (u, e) => assert(probed(u) == e, s"user $u") }
   }
 
   test("cep: first-match chaining, inclusive window edges, attrition") {
