@@ -407,7 +407,100 @@ object Relational {
       .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
   }
 
+  /** RANGE-frame window (q27_range_window) — the time-based moving
+    * aggregate ROWS frames cannot express (a RANGE frame spans a VALUE
+    * interval of the order key, so it is gap-aware and tie-inclusive):
+    * per customer, the trailing-91-day spend over integer order days,
+    * peak picked per customer on a (spend desc, day asc) unique order.
+    * All-cents arithmetic (the q26 price_cents rule); pre-aggregating
+    * per (customer, day) BEFORE the window keeps frame rows unique per
+    * order-key value, so RANGE vs ROWS ambiguity never arises.
+    *
+    * Scale: one customer-key window shuffle (frame bounded by 91 days
+    * of one customer's activity), then a map-side-combinable per-key
+    * argmax — no global window anywhere. */
+  def q27RangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val d = orders(spark, dir)
+      .select(col("o_custkey"),
+        expr("CAST(datediff(o_orderdate, DATE'1995-01-01') AS BIGINT)").as("day"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("o_custkey", "day")
+      .agg(sum(col("cents")).as("day_cents"), count(lit(1)).as("n_day"))
+    val wr = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-90, 0)
+    val wp = Window.partitionBy("o_custkey")
+      .orderBy(col("win_cents").desc, col("day").asc)
+    d.withColumn("win_cents", sum(col("day_cents")).over(wr))
+      .withColumn("win_orders", sum(col("n_day")).over(wr))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("day").as("peak_day"),
+        col("win_cents").as("peak_cents"), col("win_orders").as("peak_orders"))
+      .orderBy(col("peak_cents").desc, col("o_custkey")).limit(25)
+  }
+
+  /** Global 1-based rank of `metric` (ties by `key`) WITHOUT a global
+    * window: per-range counts prefix-summed on the compact range table
+    * (broadcast), within-range ROW_NUMBER partitioned by range — the
+    * mm_shard_pack/ta_pair_mine two-phase prefix sum. `rangeExpr` must
+    * be monotone in the metric (e.g. `metric div B`). */
+  private def rankedBy(df: DataFrame, metric: String, key: String,
+      rangeExpr: String, rankCol: String): DataFrame = {
+    val sized = df.withColumn("rng", expr(rangeExpr))
+    val rt = sized.groupBy("rng").agg(count(lit(1)).as("cnt"))
+    val wR = Window.orderBy("rng")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ro = rt.withColumn("off", sum(col("cnt")).over(wR) - col("cnt"))
+      .select("rng", "off")
+    val wIn = Window.partitionBy("rng").orderBy(col(metric), col(key))
+    sized.join(broadcast(ro), Seq("rng"))
+      .withColumn(rankCol, (col("off") + row_number().over(wIn)).cast("long"))
+      .drop("rng", "off")
+  }
+
+  /** RFM SEGMENTATION (q28_rfm) — the recency/frequency/monetary
+    * customer-value grid every commerce warehouse ships: per customer
+    * last order day / order count / lifetime cents, each scored 1..5 by
+    * its exact global QUINTILE — score = ((rank-1)*5) div n + 1 over the
+    * (metric, custkey) unique total order, so every boundary is exact
+    * integer arithmetic and cross-engine stable (the ntile-tie lesson:
+    * ranking windows must order by a unique key). Output: the segment
+    * grid with member counts and mean lifetime cents (integer div).
+    *
+    * Scale: each rank comes from the two-phase prefix sum (per-range
+    * subtotals + broadcast range offsets + within-range window) — NEVER
+    * a global ORDER BY window; the quintile cut needs only the one-row
+    * customer count (cross-joined, the gr_triangles bounded shape); the
+    * segment rollup is map-side-combinable over <= 125 grid keys. */
+  def q28Rfm(spark: SparkSession, dir: String): DataFrame = {
+    val rfm = orders(spark, dir)
+      .select(col("o_custkey"),
+        expr("CAST(datediff(o_orderdate, DATE'1995-01-01') AS BIGINT)").as("day"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("o_custkey")
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("m_cents"))
+      .localCheckpoint() // three rank passes + the count read it
+    val nTot = rfm.agg(count(lit(1)).as("n"))
+    val ranked = rankedBy(
+      rankedBy(
+        rankedBy(rfm, "last_day", "o_custkey", "last_day div 100", "r_rank"),
+        "n_orders", "o_custkey", "n_orders", "f_rank"),
+      "m_cents", "o_custkey", "m_cents div 10000000", "m_rank")
+    ranked.crossJoin(broadcast(nTot))
+      .select(
+        expr("((r_rank - 1) * 5) div n + 1").as("r_score"),
+        expr("((f_rank - 1) * 5) div n + 1").as("f_score"),
+        expr("((m_rank - 1) * 5) div n + 1").as("m_score"),
+        col("m_cents"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_cust"),
+        expr("sum(m_cents) div count(1)").as("avg_cents"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_rfm" -> (q28Rfm _),
+    "q27_range_window" -> (q27RangeWindow _),
     "q26_topk_native" -> (q26TopkNative _),
     "q25_recursive_cte" -> (q25Recursive _),
     "q24_window_suite" -> (q24WindowSuite _),
@@ -434,6 +527,51 @@ object Relational {
     "q12_union_dedup" -> (q12UnionDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q28_rfm" ->
+      """WITH rfm AS (
+        |  SELECT o_custkey,
+        |    MAX(CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT)) AS last_day,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS m_cents
+        |  FROM orders GROUP BY 1
+        |), r AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (ORDER BY last_day, o_custkey) AS r_rank,
+        |    ROW_NUMBER() OVER (ORDER BY n_orders, o_custkey) AS f_rank,
+        |    ROW_NUMBER() OVER (ORDER BY m_cents, o_custkey) AS m_rank,
+        |    (SELECT COUNT(*) FROM rfm) AS n
+        |  FROM rfm
+        |)
+        |SELECT ((r_rank - 1) * 5) // n + 1 AS r_score,
+        |  ((f_rank - 1) * 5) // n + 1 AS f_score,
+        |  ((m_rank - 1) * 5) // n + 1 AS m_score,
+        |  COUNT(*) AS n_cust,
+        |  CAST(SUM(m_cents) // COUNT(*) AS BIGINT) AS avg_cents
+        |FROM r GROUP BY 1, 2, 3
+        |ORDER BY r_score, f_score, m_score""".stripMargin,
+    "q27_range_window" ->
+      """WITH d AS (
+        |  SELECT o_custkey,
+        |    CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS day,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS day_cents,
+        |    COUNT(*) AS n_day
+        |  FROM orders GROUP BY 1, 2
+        |), t AS (
+        |  SELECT o_custkey, day,
+        |    CAST(SUM(day_cents) OVER (PARTITION BY o_custkey ORDER BY day
+        |      RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_cents,
+        |    CAST(SUM(n_day) OVER (PARTITION BY o_custkey ORDER BY day
+        |      RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_orders
+        |  FROM d
+        |), p AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY win_cents DESC, day ASC) AS rn
+        |  FROM t
+        |)
+        |SELECT o_custkey, day AS peak_day, win_cents AS peak_cents,
+        |  win_orders AS peak_orders
+        |FROM p WHERE rn = 1
+        |ORDER BY peak_cents DESC, o_custkey LIMIT 25""".stripMargin,
     "q26_topk_native" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderkey,

@@ -50,7 +50,10 @@ class PlanAuditSpec extends SparkSpecBase {
     // per-round recall eval (the ann_recall sanctioned shape) and
     // cross-joins ONE-ROW corpus-count / edge-count aggregates
     // (the gr_triangles shape); the graph build itself is equi-joins
-    "ann_nndescent")
+    "ann_nndescent",
+    // q28_rfm cross-joins the ONE-ROW customer-count aggregate for the
+    // quintile cut — the gr_triangles sanctioned shape
+    "q28_rfm")
 
   test("no query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -85,6 +85,57 @@ class Round12Spec extends SparkSpecBase {
     est.foreach { case (u, e) => assert(probed(u) == e, s"user $u") }
   }
 
+  test("q27: RANGE frame equals the explicit interval self-join") {
+    import graft.sources.Tables
+    // the RANGE frame must be gap-aware: re-derive every (cust, day)
+    // trailing window by an explicit day-interval self-join and compare
+    val d = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("ck"),
+        expr("CAST(datediff(o_orderdate, DATE'1995-01-01') AS BIGINT)").as("day"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("ck", "day")
+      .agg(sum(col("cents")).as("day_cents"), count(lit(1)).as("n_day"))
+      .localCheckpoint()
+    val joined = d.select(col("ck"), col("day"))
+      .join(d.select(col("ck"), col("day").as("d2"), col("day_cents"), col("n_day")), Seq("ck"))
+      .filter(col("d2") >= col("day") - 90 && col("d2") <= col("day"))
+      .groupBy("ck", "day")
+      .agg(sum(col("day_cents")).as("win_cents"), sum(col("n_day")).as("win_orders"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("ck")
+          .orderBy(col("win_cents").desc, col("day").asc)))
+      .filter(col("rn") === 1)
+      .select(col("ck").as("o_custkey"), col("day").as("peak_day"),
+        col("win_cents").as("peak_cents"), col("win_orders").as("peak_orders"))
+      .orderBy(col("peak_cents").desc, col("o_custkey")).limit(25)
+    val got = graft.operators.Relational.q27RangeWindow(spark, sfDir)
+    assert(got.exceptAll(joined).isEmpty && joined.exceptAll(got).isEmpty)
+  }
+
+  test("q28: two-phase prefix-sum ranks equal the global-window grid") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.sources.Tables
+    val rfm = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        expr("CAST(datediff(o_orderdate, DATE'1995-01-01') AS BIGINT)").as("day"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("o_custkey")
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("m_cents"))
+    val n = rfm.count()
+    val scored = rfm
+      .withColumn("r_rank", row_number().over(Window.orderBy(col("last_day"), col("o_custkey"))).cast("long"))
+      .withColumn("f_rank", row_number().over(Window.orderBy(col("n_orders"), col("o_custkey"))).cast("long"))
+      .withColumn("m_rank", row_number().over(Window.orderBy(col("m_cents"), col("o_custkey"))).cast("long"))
+      .select(expr(s"((r_rank - 1) * 5) div $n + 1").as("r_score"),
+        expr(s"((f_rank - 1) * 5) div $n + 1").as("f_score"),
+        expr(s"((m_rank - 1) * 5) div $n + 1").as("m_score"), col("m_cents"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_cust"), expr("sum(m_cents) div count(1)").as("avg_cents"))
+    val got = graft.operators.Relational.q28Rfm(spark, sfDir)
+    assert(got.exceptAll(scored).isEmpty && scored.exceptAll(got).isEmpty)
+  }
+
   test("cep: first-match chaining, inclusive window edges, attrition") {
     import spark.implicits._
     // T=100. user 1: fb = FIRST click (1020, not 1050); the purchase at
