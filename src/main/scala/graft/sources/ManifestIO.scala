@@ -574,6 +574,52 @@ object ManifestIO {
       .toDF("version", "key", "op", "price")
   }
 
+  /** Snapshots >= this version stay readable after io_vacuum. */
+  val VacuumRetainVersion = 2L
+
+  /** Per-entry reclaim verdict of io_vacuum (private to share with the
+    * Round12Spec invariant check): an entry's visibility interval is
+    * [version, next_sup), where next_sup is the version of the next
+    * superseding entry per key in (version asc, u-before-d asc) order —
+    * the same delete-beats-update same-version tie as the snapshot
+    * reads. Reclaimable = visible in NO retained snapshot: an 'u'
+    * superseded at or before the retention cut, or a 'd' tombstone at
+    * or before the cut (its effect is baked into every retained
+    * snapshot, and everything it superseded is reclaimed with it). */
+  private[graft] def vacuumFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key")
+      .orderBy(col("version").asc, when(col("op") === "d", 1).otherwise(0).asc)
+    partLog(spark, dir)
+      .withColumn("next_sup", lead(col("version"), 1).over(w))
+      .withColumn("reclaim",
+        (col("op") === "u" && col("next_sup").isNotNull
+          && col("next_sup") <= VacuumRetainVersion) ||
+        (col("op") === "d" && col("version") <= VacuumRetainVersion))
+  }
+
+  /** VACUUM dry-run report (io_vacuum) — the lakehouse data-lifecycle
+    * step next to io_time_travel (snapshot reads), io_cdf (the change
+    * feed) and compact/zorderMaintain (layout): which log entries are
+    * unreachable by every retained snapshot (>= VacuumRetainVersion)
+    * and can be physically removed, per (version, op), with the
+    * reclaimable price mass. Retained snapshots are byte-identical
+    * before and after dropping the flagged entries — the VACUUM
+    * correctness invariant, proven in Round12Spec by rebuilding every
+    * retained snapshot from both logs.
+    *
+    * Scale: one per-key window (the same (key) shuffle every snapshot
+    * read pays) + a map-side-combinable rollup over <= versions x 2
+    * groups; nothing touches more than the log itself. */
+  def vacuumQuery(spark: SparkSession, dir: String): DataFrame =
+    vacuumFrame(spark, dir)
+      .groupBy("version", "op")
+      .agg(count(lit(1)).as("n_entries"),
+        sum(when(col("reclaim"), 1L).otherwise(0L)).as("n_reclaimable"),
+        Tables.dsum(when(col("reclaim") && col("op") === "u", col("price"))
+          .otherwise(lit(0.0))).as("reclaim_price"))
+      .orderBy("version", "op")
+
   def timeTravelQuery(spark: SparkSession, dir: String): DataFrame = {
     val log = partLog(spark, dir)
     val w = org.apache.spark.sql.expressions.Window
@@ -694,6 +740,7 @@ object ManifestIO {
     "io_dq_report" -> (dqReportQuery _),
     "io_kanon" -> (kanonQuery _),
     "io_merge" -> (mergeQuery _),
+    "io_vacuum" -> (vacuumQuery _),
     "io_cdf" -> (cdfQuery _),
     "io_col_stats" -> (colStatsQuery _),
     "io_time_travel" -> (timeTravelQuery _),
@@ -840,6 +887,31 @@ object ManifestIO {
         |SELECT CAST(v AS BIGINT) AS v, COUNT(*) AS n_keys,
         |  CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM r WHERE rn = 1 AND op = 'u' GROUP BY v ORDER BY v""".stripMargin,
+    "io_vacuum" ->
+      s"""WITH base AS (
+        |  SELECT p_partkey AS key, p_retailprice AS price FROM part
+        |), log AS (
+        |  SELECT 1 AS version, key, 'u' AS op, price FROM base
+        |  UNION ALL SELECT 2, key, 'u', price + 1.0 FROM base WHERE key % 13 = 0
+        |  UNION ALL SELECT 2, key, 'd', 0.0 FROM base WHERE key % 97 = 0
+        |  UNION ALL SELECT 3, -(key + 1), 'u', price FROM base WHERE key % 89 = 0
+        |  UNION ALL SELECT 3, key, 'u', price + 2.0 FROM base WHERE key % 7 = 0
+        |), f AS (
+        |  SELECT *, LEAD(version) OVER (PARTITION BY key
+        |      ORDER BY version ASC, CASE WHEN op = 'd' THEN 1 ELSE 0 END ASC)
+        |    AS next_sup
+        |  FROM log
+        |), v AS (
+        |  SELECT *,
+        |    ((op = 'u' AND next_sup IS NOT NULL AND next_sup <= $VacuumRetainVersion)
+        |      OR (op = 'd' AND version <= $VacuumRetainVersion)) AS reclaim
+        |  FROM f
+        |)
+        |SELECT CAST(version AS BIGINT) AS version, op, COUNT(*) AS n_entries,
+        |  CAST(SUM(CASE WHEN reclaim THEN 1 ELSE 0 END) AS BIGINT) AS n_reclaimable,
+        |  CAST(SUM(CAST(CASE WHEN reclaim AND op = 'u' THEN price ELSE 0.0 END
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS reclaim_price
+        |FROM v GROUP BY 1, 2 ORDER BY version, op""".stripMargin,
     "io_cdf" ->
       """WITH base AS (
         |  SELECT p_partkey AS key, p_retailprice AS price FROM part

@@ -136,6 +136,32 @@ class Round12Spec extends SparkSpecBase {
     assert(got.exceptAll(scored).isEmpty && scored.exceptAll(got).isEmpty)
   }
 
+  test("vacuum: retained snapshots identical after dropping reclaimed entries") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.DataFrame
+    val f = graft.sources.ManifestIO.vacuumFrame(spark, sfDir).localCheckpoint()
+    def stateAt(log: DataFrame, v: Long): DataFrame = {
+      val w = Window.partitionBy("key").orderBy(col("version").desc, col("op").asc)
+      log.filter(col("version") <= v)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") === "u")
+        .select(col("key"), col("price"))
+    }
+    val kept = f.filter(!col("reclaim"))
+    // something must actually be reclaimed for this test to mean anything
+    assert(f.filter(col("reclaim")).count() > 0)
+    (graft.sources.ManifestIO.VacuumRetainVersion to 3L).foreach { v =>
+      val full = stateAt(f, v)
+      val vac = stateAt(kept, v)
+      assert(full.exceptAll(vac).isEmpty && vac.exceptAll(full).isEmpty,
+        s"snapshot $v differs after vacuum")
+    }
+    // and the UNRETAINED snapshot v1 must differ (the reclaim did real work)
+    val v1full = stateAt(f, 1L)
+    val v1vac = stateAt(kept, 1L)
+    assert(!v1full.exceptAll(v1vac).isEmpty)
+  }
+
   test("cep: first-match chaining, inclusive window edges, attrition") {
     import spark.implicits._
     // T=100. user 1: fb = FIRST click (1020, not 1050); the purchase at
