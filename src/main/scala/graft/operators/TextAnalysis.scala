@@ -1090,7 +1090,67 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** Vocabulary cap of ta_drift (the ta_lm_topv broadcast rule). */
+  val DriftTopV = 64
+
+  /** SOURCE DISTRIBUTION DRIFT (ta_drift) — the mixture monitor a corpus
+    * pipeline runs per ingest batch: total-variation distance between
+    * each source's unigram distribution and the whole-corpus
+    * distribution over the deterministic top-V vocabulary,
+    * TV = 1/2 * sum_w |p_sw - p_w|. The per-word term is the EXACT
+    * integer |c_sw*N - c_w*N_s| accumulated as DECIMAL(38,0) on both
+    * engines (c_sw*N reaches ~10^17 at sf100 — the zs_idw silent-wrap
+    * class), with ONE shared-shape double division + r4 at the end
+    * (division-free until the final statistic is the reason TV is used
+    * here over KL/chi-square: no logs, no per-word quotient). Also
+    * reports each source's most-drifted word (term desc, word asc —
+    * unique tiebreak). A drifting source is re-weighted (ta_resample /
+    * ta_mixture act on it); absent words count at c_sw = 0 via the
+    * dense (source x vocab) grid, so vocabulary MISSING from a source
+    * registers as drift.
+    *
+    * Scale: the vocab is the ta_lm_topv capped broadcast (corpus never
+    * shuffles on a word key); per-source counts shuffle on (source,
+    * word) <= sources x V keys with map-side combine; the dense grid is
+    * sources x V rows (two bounded dimensions — the ev_gap_fill spine
+    * shape); the final rollup fans in V rows per source. */
+  def drift(spark: SparkSession, dir: String): DataFrame =
+    driftOn(documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism), DriftTopV)
+
+  /** Same operator over any (source, text) frame — Round12Spec pins the
+    * TV arithmetic and the absent-word drift on a hand-worked corpus. */
+  def driftOn(docs: DataFrame, topV: Int): DataFrame = {
+    val tok = docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .localCheckpoint() // consumers: corpus counts + per-source counts
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("cw"))
+      .orderBy(col("cw").desc, col("w").asc).limit(topV)
+      .localCheckpoint() // V rows: in-vocab filter, grid, corpus total
+    val nTot = vocab.agg(sum(col("cw")).as("n"))
+    val sw = tok.join(broadcast(vocab.select("w")), Seq("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("csw"))
+    val ns = sw.groupBy("source").agg(sum(col("csw")).as("ns"))
+    val wTop = Window.partitionBy("source").orderBy(col("term").desc, col("w").asc)
+    ns.crossJoin(broadcast(vocab))
+      .join(sw, Seq("source", "w"), "left_outer")
+      .withColumn("csw", coalesce(col("csw"), lit(0L)))
+      .crossJoin(broadcast(nTot))
+      .withColumn("term", expr("abs(CAST(csw AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) " +
+        "- CAST(cw AS DECIMAL(38,0)) * CAST(ns AS DECIMAL(38,0)))"))
+      .withColumn("rn", row_number().over(wTop))
+      .groupBy("source")
+      .agg(max(col("ns")).as("n_src_tokens"),
+        max(when(col("rn") === 1, col("w"))).as("top_word"),
+        sum(col("term")).as("s"),
+        max(col("n")).as("n"))
+      .select(col("source"), col("n_src_tokens"), col("top_word"),
+        r4(lit(0.5) * col("s").cast("double")
+          / (col("n_src_tokens").cast("double") * col("n").cast("double"))).as("tv_dist"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_drift" -> (drift _),
     "ta_cooccur" -> (cooccur _),
     "pipe_curation" -> (curation _),
     "ta_ppl_bucket" -> (pplBucket _),
@@ -1298,6 +1358,37 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "ta_drift" ->
+      s"""WITH tok AS (
+         |  SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents
+         |), vocab AS (
+         |  SELECT w, COUNT(*) AS cw FROM tok GROUP BY w
+         |  ORDER BY cw DESC, w ASC LIMIT $DriftTopV
+         |), nt AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM vocab),
+         |sw AS (
+         |  SELECT source, tok.w, COUNT(*) AS csw
+         |  FROM tok JOIN vocab ON tok.w = vocab.w GROUP BY 1, 2
+         |), ns AS (SELECT source, CAST(SUM(csw) AS BIGINT) AS ns FROM sw GROUP BY 1),
+         |grid AS (
+         |  SELECT ns.source, ns.ns, vocab.w, vocab.cw,
+         |    COALESCE(sw.csw, 0) AS csw, nt.n
+         |  FROM ns CROSS JOIN vocab CROSS JOIN nt
+         |  LEFT JOIN sw ON sw.source = ns.source AND sw.w = vocab.w
+         |), t AS (
+         |  SELECT *,
+         |    ABS(CAST(csw AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+         |      - CAST(cw AS DECIMAL(38,0)) * CAST(ns AS DECIMAL(38,0))) AS term,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY ABS(CAST(csw AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+         |        - CAST(cw AS DECIMAL(38,0)) * CAST(ns AS DECIMAL(38,0))) DESC,
+         |        w ASC) AS rn
+         |  FROM grid
+         |)
+         |SELECT source, MAX(ns) AS n_src_tokens,
+         |  MAX(CASE WHEN rn = 1 THEN w END) AS top_word,
+         |  ${graft.sources.Tables.r4Sql(
+             "(0.5 * CAST(SUM(term) AS DOUBLE)) / (CAST(MAX(ns) AS DOUBLE) * CAST(MAX(n) AS DOUBLE))")} AS tv_dist
+         |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "ta_cooccur" ->
       s"""WITH ws AS (
          |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

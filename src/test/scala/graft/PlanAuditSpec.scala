@@ -53,7 +53,11 @@ class PlanAuditSpec extends SparkSpecBase {
     "ann_nndescent",
     // q28_rfm cross-joins the ONE-ROW customer-count aggregate for the
     // quintile cut — the gr_triangles sanctioned shape
-    "q28_rfm")
+    "q28_rfm",
+    // ta_drift's dense grid crosses the per-source totals with the
+    // 64-row capped vocab + the ONE-ROW corpus total — two bounded
+    // dimensions, the ev_gap_fill spine shape
+    "ta_drift")
 
   test("no query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>

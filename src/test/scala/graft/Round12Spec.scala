@@ -162,6 +162,18 @@ class Round12Spec extends SparkSpecBase {
     assert(!v1full.exceptAll(v1vac).isEmpty)
   }
 
+  test("drift: TV arithmetic and absent-word drift on a hand-worked corpus") {
+    import spark.implicits._
+    // corpus: x=3 y=4 z=1, N=8; A=(x3,y1) ns=4, B=(y3,z1) ns=4.
+    // terms |csw*N - cw*ns|: A -> x12 y8 z4, B -> x12 y8 z4; TV both
+    // 0.5*24/(4*8) = 0.375. B's top drifted word is x — a word B does
+    // NOT contain (the dense-grid absent-word case).
+    val docs = Seq(("A", "x x x y"), ("B", "y y y z")).toDF("source", "text")
+    val out = graft.operators.TextAnalysis.driftOn(docs, 64).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("A", 4L, "x", 0.375), ("B", 4L, "x", 0.375)))
+  }
+
   test("cep: first-match chaining, inclusive window edges, attrition") {
     import spark.implicits._
     // T=100. user 1: fb = FIRST click (1020, not 1050); the purchase at
