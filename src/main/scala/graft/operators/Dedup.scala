@@ -171,6 +171,58 @@ object Dedup {
       .select(col("da"), col("db"), round(matches / lit(12.0), 4).as("est_sim"))
   }
 
+  /** INCREMENTAL MINHASH DEDUP (dd_minhash_inc) — the daily-ingest
+    * deployment shape of dd_minhash: a standing corpus (even doc_ids —
+    * the stored LSH band index) receives a new batch (odd doc_ids);
+    * each batch doc gets a verdict. Candidates verify at the pipeline's
+    * exact INTEGER 9/12 signature threshold; verdict precedence is
+    * dup_of_corpus (any verified corpus partner — min id reported) >
+    * dup_in_batch (a verified LOWER-id batch partner — the keep-min
+    * rule, so exactly one member of a new duplicate group survives) >
+    * unique. Within-batch pairs matter: a burst of copies arriving in
+    * ONE batch is invisible to the corpus index alone.
+    *
+    * Scale: in production the corpus band keys are precomputed and
+    * stored (the index IS a table); the batch computes its own bands
+    * and PROBES via the band-key equi-join — batch-sized, not
+    * corpus-sized, work, with the same hot-band cap as every dedup
+    * index here; verification touches only candidate pairs. The
+    * even/odd split models exactly that asymmetry on one corpus. */
+  def minhashInc(spark: SparkSession, dir: String): DataFrame =
+    minhashIncOn(shingles(spark, dir))
+
+  /** Generic form over any (doc_id, sh) shingle set — Round12Spec
+    * plants all three verdict classes. */
+  def minhashIncOn(shingleSet: DataFrame): DataFrame = {
+    val sig = minhashSignatures(shingleSet)
+      .localCheckpoint() // consumers: bands + both verify sides
+    val matches = (0 until 12).map(h =>
+      when(col(s"x.mh$h") === col(s"y.mh$h"), 1).otherwise(0)).reduce(_ + _)
+    val ver = bandCandidates(sig)
+      .join(sig.as("x"), col("da") === col("x.doc_id"))
+      .join(sig.as("y"), col("db") === col("y.doc_id"))
+      .withColumn("agree", matches.cast("long"))
+      .filter(col("agree") >= 9L)
+      .select(col("da"), col("db"))
+    // both directions (+0L re-aliases: the swapped-column union trips
+    // Spark's Union constraint rewrite otherwise — the GraphOps.sym rule)
+    val pr = ver.select((col("da") + lit(0L)).as("d"), (col("db") + lit(0L)).as("p"))
+      .unionByName(ver.select((col("db") + lit(0L)).as("d"), (col("da") + lit(0L)).as("p")))
+    val m = pr.filter(col("d") % 2 === 1)
+      .groupBy("d")
+      .agg(
+        min(when(col("p") % 2 === 0, col("p"))).as("mc"),
+        min(when(col("p") % 2 === 1 && col("p") < col("d"), col("p"))).as("mb"))
+    shingleSet.select(col("doc_id")).filter(col("doc_id") % 2 === 1).distinct()
+      .join(m, col("doc_id") === col("d"), "left_outer")
+      .select(col("doc_id"),
+        when(col("mc").isNotNull, lit("dup_of_corpus"))
+          .when(col("mb").isNotNull, lit("dup_in_batch"))
+          .otherwise(lit("unique")).as("verdict"),
+        coalesce(col("mc"), col("mb")).as("match_id"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash: 64-bit fingerprint as a 64-char '0'/'1' string (portable — no
     * engine-specific int/hex casts). Bit j of a shingle's hash is bit (j%4)
     * of hex digit (j/4) of its md5; the doc bit is the sign of the +/-1 sum
@@ -707,6 +759,7 @@ object Dedup {
     "dd_normalized" -> (normalized _),
     "dd_ngram_jaccard" -> (ngramJaccard _),
     "dd_jaccard_capped" -> (ngramJaccardCapped _),
+    "dd_minhash_inc" -> (minhashInc _),
     "dd_minhash" -> (minhash _),
     "dd_simhash" -> (simhash _),
     "dd_cluster" -> (cluster _),
@@ -1015,6 +1068,45 @@ object Dedup {
          |FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
          |WHERE ${graft.sources.Tables.r4Sql("CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter)")} >= 0.5
          |ORDER BY da, db""".stripMargin,
+    "dd_minhash_inc" ->
+      s"""WITH sh AS ($shinglesSql),
+         |sig AS (
+         |  SELECT doc_id, h,
+         |    MIN(substr(md5(CAST(h // 4 AS VARCHAR) || ':' || sh),
+         |      CAST((h % 4) * 8 + 1 AS INT), 8)) AS mh
+         |  FROM sh, UNNEST(range(0, 12)) AS t(h) GROUP BY doc_id, h
+         |),
+         |bands AS (
+         |  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+         |    md5(MIN(CASE WHEN h % 2 = 0 THEN mh END) || '|' || MIN(CASE WHEN h % 2 = 1 THEN mh END)) AS band_key
+         |  FROM sig GROUP BY doc_id, h // 2
+         |),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+         |),
+         |ver AS (
+         |  SELECT da, db FROM cand
+         |  JOIN sig sa ON sa.doc_id = da
+         |  JOIN sig sb ON sb.doc_id = db AND sb.h = sa.h
+         |  GROUP BY da, db
+         |  HAVING SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) >= 9
+         |),
+         |pr AS (SELECT da AS d, db AS p FROM ver UNION ALL SELECT db, da FROM ver),
+         |m AS (
+         |  SELECT d, MIN(CASE WHEN p % 2 = 0 THEN p END) AS mc,
+         |    MIN(CASE WHEN p % 2 = 1 AND p < d THEN p END) AS mb
+         |  FROM pr WHERE d % 2 = 1 GROUP BY d
+         |),
+         |bd AS (SELECT DISTINCT doc_id FROM sh WHERE doc_id % 2 = 1)
+         |SELECT doc_id,
+         |  CASE WHEN mc IS NOT NULL THEN 'dup_of_corpus'
+         |    WHEN mb IS NOT NULL THEN 'dup_in_batch'
+         |    ELSE 'unique' END AS verdict,
+         |  COALESCE(mc, mb) AS match_id
+         |FROM bd LEFT JOIN m ON bd.doc_id = m.d
+         |ORDER BY doc_id""".stripMargin,
     "dd_minhash" ->
       s"""WITH sh AS ($shinglesSql),
          |sig AS (

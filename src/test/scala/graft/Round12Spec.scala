@@ -174,6 +174,34 @@ class Round12Spec extends SparkSpecBase {
     assert(out.toSeq == Seq(("A", 4L, "x", 0.375), ("B", 4L, "x", 0.375)))
   }
 
+  test("minhash_inc: verdict precedence with planted duplicate classes") {
+    import spark.implicits._
+    // Shingle-identical docs share all 12 minhashes (agree = 12 >= 9).
+    // doc 3 (batch) duplicates corpus doc 2 AND batch doc 1 -> corpus
+    // verdict wins, match_id = 2. doc 1 (batch) duplicates only doc 3
+    // (HIGHER batch id) -> NOT a dup (keep-min: the earliest copy
+    // survives as the group representative... but doc 1 also matches
+    // corpus doc 2 here since all three share text) — so plant doc 1's
+    // text differently: docs 5 and 7 are batch-only copies: 5 keeps
+    // (lower id), 7 drops as dup_in_batch of 5. doc 9 is unique.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (2L, base), (3L, base),          // corpus 2 + batch 3: dup_of_corpus
+      (5L, other), (7L, other),        // batch-only pair: 5 unique, 7 dup_in_batch
+      (9L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.minhashIncOn(
+      graft.operators.Dedup.shinglesOn(docs)).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (3L, "dup_of_corpus", 2L),
+      (5L, "unique", -1L),
+      (7L, "dup_in_batch", 5L),
+      (9L, "unique", -1L)))
+  }
+
   test("cep: first-match chaining, inclusive window edges, attrition") {
     import spark.implicits._
     // T=100. user 1: fb = FIRST click (1020, not 1050); the purchase at
