@@ -490,10 +490,25 @@ object GraphOps {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("part")), 30)
 
+  /** Basket cap of gr_copurchase: customers with more than this many
+    * distinct parts are dropped BEFORE pair generation — pair fan-out is
+    * quadratic in basket size, and a buy-everything account signals
+    * nothing about pair affinity (the gr_common_neighbors CnDegCap
+    * rationale; same cap family as the dedup hot-bucket cuts). Dormant
+    * on the driver corpus (~40 parts/customer at every SF) — the
+    * structural guard is the point. */
+  val CopurchaseBasketCap = 256L
+
   /** Same projection over any (cust, part) incidence frame — Round11Spec
-    * pins the triangularization and repeat-purchase dedup. */
+    * pins the triangularization and repeat-purchase dedup; Round12Spec
+    * pins the basket cap. */
   def copurchaseOn(incidence: DataFrame, topK: Int): DataFrame = {
-    val cp = incidence.distinct()
+    val cp0 = incidence.distinct()
+      .localCheckpoint() // basket sizes + both self-join sides (house rule)
+    val ok = cp0.groupBy("cust").agg(count(lit(1)).as("bs"))
+      .filter(col("bs") <= CopurchaseBasketCap)
+      .select("cust")
+    val cp = cp0.join(ok, Seq("cust"))
       .localCheckpoint() // self-join sides must not recompute (house rule)
     cp.select(col("cust"), col("part").as("p1"))
       .join(cp.select(col("cust"), col("part").as("p2")), Seq("cust"))
@@ -610,9 +625,14 @@ object GraphOps {
          |GROUP BY lbl ORDER BY n_members DESC, community LIMIT 25""".stripMargin
     },
     "gr_copurchase" ->
-      """WITH cp AS (
+      s"""WITH cp0 AS (
         |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |), ok AS (
+        |  SELECT cust FROM cp0 GROUP BY cust
+        |  HAVING COUNT(*) <= $CopurchaseBasketCap
+        |), cp AS (
+        |  SELECT cp0.* FROM cp0 JOIN ok USING (cust)
         |)
         |SELECT a.part AS p1, b.part AS p2, COUNT(*) AS n_cust
         |FROM cp a JOIN cp b ON a.cust = b.cust AND a.part < b.part

@@ -202,6 +202,18 @@ class Round12Spec extends SparkSpecBase {
       (9L, "unique", -1L)))
   }
 
+  test("copurchase: over-cap baskets are dropped before pair generation") {
+    import spark.implicits._
+    // one mega-basket above the cap (quadratic fan-out guard) must
+    // contribute NO pairs; the small baskets still project
+    val mega = (1L to GraphOps.CopurchaseBasketCap + 1).map(p => (99L, p))
+    val inc = (mega ++ Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L)))
+      .toDF("cust", "part")
+    val out = GraphOps.copurchaseOn(inc, 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((10L, 20L, 2L)))
+  }
+
   test("cep: first-match chaining, inclusive window edges, attrition") {
     import spark.implicits._
     // T=100. user 1: fb = FIRST click (1020, not 1050); the purchase at
