@@ -267,6 +267,58 @@ object Geo {
       .orderBy("tx", "ty")
   }
 
+  /** D8 FLOW DIRECTION (zs_flowdir) — the drainage primitive of raster
+    * terrain analysis (GDAL DEM / hydrology tooling — the reference's
+    * raster stack domain): treat the point-density grid as elevation;
+    * each occupied cell drains to its steepest-DESCENT neighbor among
+    * the 8, with the diagonal's 1/sqrt(2) distance weight FROZEN as the
+    * scaled-integer pair 10 (cardinal) / 7 (diagonal) — the zs_hexbin
+    * rule: an irrational constant in a discrete decision must become an
+    * integer literal or it flips cross-engine at some corpus size.
+    * Absent neighbors are elevation 0 (water drains off the occupied
+    * region), so only interior cells at a local minimum emit the SINK
+    * verdict (dir -1). Ties break to the smallest direction code.
+    * Output: the direction histogram + total weighted drop — the
+    * distribution a hydrology pipeline checks before flow accumulation.
+    *
+    * Scale: the dense (cell x 8) grid joins the cell table to itself on
+    * the COMPUTED neighbor key — one equi-join on the compact cell
+    * table, never on raw points (the focal_mean posture); per-cell
+    * argmax fans in exactly 8 rows; the rollup is 9 keys. */
+  def flowDir(spark: SparkSession, dir: String): DataFrame =
+    flowDirOn(points(spark, dir)
+      .withColumn("fx", floor(col("lon")).cast("long"))
+      .withColumn("fy", floor(col("lat")).cast("long"))
+      .groupBy("fx", "fy").agg(count(lit(1)).as("n")))
+
+  /** Same operator over any (fx, fy, n) cell grid — Round12Spec pins
+    * the peak/sink/tie cases on hand-built 3x3 grids. */
+  def flowDirOn(cellsIn: DataFrame): DataFrame = {
+    val cells = cellsIn
+      .localCheckpoint() // grid base + neighbor lookup side
+    val dxA = "array(1, 1, 0, -1, -1, -1, 0, 1)"
+    val dyA = "array(0, 1, 1, 1, 0, -1, -1, -1)"
+    val wA = "array(10, 7, 10, 7, 10, 7, 10, 7)"
+    val wSel = Window.partitionBy("fx", "fy").orderBy(col("eff").desc, col("d").asc)
+    cells
+      .withColumn("d", explode(expr("sequence(0, 7)")))
+      .withColumn("nx", expr(s"fx + element_at($dxA, CAST(d + 1 AS INT))"))
+      .withColumn("ny", expr(s"fy + element_at($dyA, CAST(d + 1 AS INT))"))
+      .withColumn("w", expr(s"element_at($wA, CAST(d + 1 AS INT))"))
+      .join(cells.select(col("fx").as("nx"), col("fy").as("ny"), col("n").as("nn")),
+        Seq("nx", "ny"), "left_outer")
+      .withColumn("nn", coalesce(col("nn"), lit(0L)))
+      .withColumn("eff", expr("(n - nn) * w"))
+      .withColumn("rn", row_number().over(wSel))
+      .filter(col("rn") === 1)
+      .withColumn("flow_dir",
+        when(col("eff") <= 0, lit(-1L)).otherwise(col("d").cast("long")))
+      .groupBy("flow_dir")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when(col("eff") > 0, col("eff")).otherwise(lit(0L))).as("sum_eff"))
+      .orderBy("flow_dir")
+  }
+
   /** Stats joined back onto every zone feature (vector.py query_1 is a LEFT
     * JOIN so empty zones keep their geometry, stats NULL). Same aligned
     * fast path as zonalStats: zones are integer-degree boxes, so the
@@ -1287,6 +1339,7 @@ object Geo {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zs_hexbin" -> (hexbin _),
+    "zs_flowdir" -> (flowDir _),
     "zs_shared_borders" -> (sharedBorders _),
     "zs_dissolve" -> (dissolve _),
     "zs_kde" -> (kde _),
@@ -1527,6 +1580,32 @@ object Geo {
            |FROM n JOIN grid USING (fx, fy)
            |WHERE w > 0
            |GROUP BY q_id ORDER BY q_id""".stripMargin,
+      "zs_flowdir" ->
+        s"""WITH pts AS ($pointsSql),
+           |cells AS (
+           |  SELECT CAST(floor(lon) AS BIGINT) AS fx, CAST(floor(lat) AS BIGINT) AS fy,
+           |    COUNT(*) AS n
+           |  FROM pts GROUP BY 1, 2
+           |),
+           |dirs(d, dx, dy, w) AS (
+           |  VALUES (0, 1, 0, 10), (1, 1, 1, 7), (2, 0, 1, 10), (3, -1, 1, 7),
+           |    (4, -1, 0, 10), (5, -1, -1, 7), (6, 0, -1, 10), (7, 1, -1, 7)
+           |),
+           |grid AS (
+           |  SELECT c.fx, c.fy, c.n, d.d, d.w,
+           |    (c.n - COALESCE(nb.n, 0)) * d.w AS eff
+           |  FROM cells c CROSS JOIN dirs d
+           |  LEFT JOIN cells nb ON nb.fx = c.fx + d.dx AND nb.fy = c.fy + d.dy
+           |),
+           |sel AS (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY fx, fy
+           |    ORDER BY eff DESC, d ASC) AS rn
+           |  FROM grid
+           |)
+           |SELECT CAST(CASE WHEN eff <= 0 THEN -1 ELSE d END AS BIGINT) AS flow_dir,
+           |  COUNT(*) AS n_cells,
+           |  CAST(SUM(CASE WHEN eff > 0 THEN eff ELSE 0 END) AS BIGINT) AS sum_eff
+           |FROM sel WHERE rn = 1 GROUP BY 1 ORDER BY flow_dir""".stripMargin,
       "zs_focal_mean" ->
         s"""WITH pts AS ($pointsSql),
            |cells AS (

@@ -214,6 +214,27 @@ class Round12Spec extends SparkSpecBase {
     assert(out.toSeq == Seq((10L, 20L, 2L)))
   }
 
+  test("flowdir: peak drains east on ties, surrounded minimum is a sink") {
+    import spark.implicits._
+    // 3x3 all-occupied grid, center (1,1) is the PEAK (n=5, ring n=1):
+    // center's best drop is (5-1)*10=40 at every cardinal — tie breaks
+    // to d=0 (E). Each ring cell drains to an adjacent EMPTY cardinal
+    // (eff 1*10=10), smallest direction code on ties: right column ->
+    // E(0), top row -> N(2), left column -> W(4), (1,0) -> S(6). No
+    // sinks on a boundary.
+    val peak = (for { x <- 0 to 2; y <- 0 to 2 } yield
+      (x.toLong, y.toLong, if (x == 1 && y == 1) 5L else 1L)).toDF("fx", "fy", "n")
+    val po = graft.operators.Geo.flowDirOn(peak).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(po == Seq((0L, 4L, 70L), (2L, 2L, 20L), (4L, 2L, 20L), (6L, 1L, 10L)))
+    // center is a surrounded MINIMUM (n=1, ring n=5): all 8 eff < 0 -> sink
+    val sink = (for { x <- 0 to 2; y <- 0 to 2 } yield
+      (x.toLong, y.toLong, if (x == 1 && y == 1) 1L else 5L)).toDF("fx", "fy", "n")
+    val so = graft.operators.Geo.flowDirOn(sink).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(so(-1L) == 1L) // exactly the center
+  }
+
   test("cep: first-match chaining, inclusive window edges, attrition") {
     import spark.implicits._
     // T=100. user 1: fb = FIRST click (1020, not 1050); the purchase at
