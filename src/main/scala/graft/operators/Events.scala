@@ -560,6 +560,44 @@ object Events {
       .orderBy("day_epoch")
   }
 
+  /** SEASONAL-NAIVE FORECAST ERROR (ev_forecast) — the baseline every
+    * monitoring/forecasting pipeline must beat before a model earns its
+    * keep (the M-competition rule): forecast(hour) = actual(hour - 24h),
+    * scored per event type over the DENSE hourly spine (the ev_gap_fill
+    * sequence spine — a missing hour is actual 0, not a silently
+    * dropped pair, which would bias the error toward busy hours).
+    * Exact integer error report: n_hours, total absolute error, MAE
+    * x100 by integer division, and the signed bias (over-forecast < 0).
+    *
+    * Scale: hourly counts are one map-side-combinable shuffle; the
+    * spine is time-range x types — bounded by calendar, not data; the
+    * lag join is a co-partitioned equi-join on (type, hour - 24h). */
+  def forecast(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_type"),
+        expr("(CAST(unix_timestamp(ts) AS BIGINT) div 3600) * 3600").as("he"))
+    val hourly = ev.groupBy("event_type", "he").agg(count(lit(1)).as("c"))
+    val bounds = ev.agg(min(col("he")).as("h0"), max(col("he")).as("h1"))
+    val series = bounds
+      .select(explode(expr("sequence(h0, h1, 3600)")).as("he"))
+      .crossJoin(ev.select("event_type").distinct())
+      .join(hourly, Seq("event_type", "he"), "left_outer")
+      .withColumn("actual", coalesce(col("c"), lit(0L)))
+      .select("event_type", "he", "actual")
+      .localCheckpoint() // both sides of the lag join
+    series
+      .join(series.select(col("event_type"),
+          (col("he") + lit(86400L)).as("he"), col("actual").as("fc")),
+        Seq("event_type", "he"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(abs(col("actual") - col("fc"))).as("abs_err"),
+        sum(col("actual") - col("fc")).as("bias"))
+      .withColumn("mae_x100", expr("(abs_err * 100) div n_hours"))
+      .select("event_type", "n_hours", "abs_err", "mae_x100", "bias")
+      .orderBy("event_type")
+  }
+
   /** Count-min sketch depth / width (ev_heavy_hitters). */
   val CmsRows = 4
   val CmsWidth = 64L
@@ -648,6 +686,7 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_forecast" -> (forecast _),
     "ev_cep" -> (cep _),
     "ev_heavy_hitters" -> (heavyHitters _),
     "ev_hll" -> (hll _),
@@ -671,6 +710,30 @@ object Events {
     "ev_funnel" -> (funnel _))
 
   val oracle: Map[String, String] = Map(
+    "ev_forecast" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS he
+        |  FROM events
+        |), hourly AS (
+        |  SELECT event_type, he, COUNT(*) AS c FROM ev GROUP BY 1, 2
+        |), bounds AS (SELECT MIN(he) AS h0, MAX(he) AS h1 FROM ev),
+        |spine AS (
+        |  SELECT t.event_type, g.he FROM bounds,
+        |    UNNEST(range(h0, h1 + 1, 3600)) AS g(he),
+        |    (SELECT DISTINCT event_type FROM ev) t
+        |), series AS (
+        |  SELECT s.event_type, s.he, COALESCE(h.c, 0) AS actual
+        |  FROM spine s LEFT JOIN hourly h
+        |    ON s.event_type = h.event_type AND s.he = h.he
+        |)
+        |SELECT a.event_type AS event_type, COUNT(*) AS n_hours,
+        |  CAST(SUM(ABS(a.actual - f.actual)) AS BIGINT) AS abs_err,
+        |  CAST((SUM(ABS(a.actual - f.actual)) * 100) // COUNT(*) AS BIGINT) AS mae_x100,
+        |  CAST(SUM(a.actual - f.actual) AS BIGINT) AS bias
+        |FROM series a JOIN series f
+        |  ON a.event_type = f.event_type AND a.he = f.he + 86400
+        |GROUP BY 1 ORDER BY a.event_type""".stripMargin,
     // semantic (unbucketed) formulation — bucket replication is a plan
     // choice: (x, x+T] spans <= 2 T-wide buckets (the ev_absence rule)
     "ev_cep" ->

@@ -57,7 +57,11 @@ class PlanAuditSpec extends SparkSpecBase {
     // ta_drift's dense grid crosses the per-source totals with the
     // 64-row capped vocab + the ONE-ROW corpus total — two bounded
     // dimensions, the ev_gap_fill spine shape
-    "ta_drift")
+    "ta_drift",
+    // ev_forecast's spine crosses the ONE-ROW time bounds with the tiny
+    // distinct-type set — the ev_gap_fill sanctioned spine, bounded by
+    // calendar not data
+    "ev_forecast")
 
   test("no query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
