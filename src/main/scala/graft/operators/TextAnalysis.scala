@@ -462,6 +462,48 @@ object TextAnalysis {
   }
 
 
+  /** TOKENIZER FERTILITY (ta_fertility) — the per-language
+    * tokens-per-word evaluation every tokenizer release ships (fertility
+    * far above 1 on a language means the tokenizer fragments it — the
+    * multilingual-equity metric of the BPE literature, and the third leg
+    * of the tokenizer story here: ta_bpe_train learns, ta_bpe_encode
+    * deploys, ta_fertility evaluates): train the BpeRounds merges on
+    * chars 1..40, replay them barrier-free on the held-out 41..80 slice
+    * (the collected-literals path ta_bpe_encode established), then score
+    * the FINAL stream per doc — tokens = non-space symbols, words =
+    * space symbols + 1 (the slice-word proxy, defined identically on
+    * both engines; merges never touch the space barrier so the word
+    * count is merge-invariant) — rolled up per language with fertility
+    * x100 by integer division.
+    *
+    * Scale: the train fold is the irreducible sequential chain
+    * (ta_bpe_train's audit); everything after is one lazy per-doc plan +
+    * a map-side-combinable language rollup. Re-running the train chain
+    * inside an evaluation query is the ann_kmeans_recall-sanctioned
+    * shape. */
+  def fertility(spark: SparkSession, dir: String): DataFrame =
+    fertilityOn(documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  /** Same operator over any (doc_id, lang, text) frame. */
+  def fertilityOn(docs: DataFrame): DataFrame = {
+    val (pairsN, _) = bpeLearn(docs)
+    val fin = pairsN.map(p => (p._1, p._2))
+      .foldLeft(bpeBase(docs, 41).localCheckpoint()) {
+        case (f, (bl, br)) => bpeApplyLit(bpeWithNext(f), bl, br).localCheckpoint()
+      }
+    fin.groupBy("doc_id")
+      .agg(
+        sum(when(col("sym") === " ", 0L).otherwise(1L)).as("n_tok"),
+        (sum(when(col("sym") === " ", 1L).otherwise(0L)) + lit(1L)).as("n_w"))
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"), sum(col("n_w")).as("n_words"))
+      .withColumn("fertility_x100", expr("(n_tokens * 100) div n_words"))
+      .orderBy("lang")
+  }
+
   /** Domain-mixture reweighting (the Pile/DoReMi-style curation step
     * before training): per-source token mass vs the equal-share target,
     * and the up/down-sampling factor each source needs to hit it. One
@@ -1150,6 +1192,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_fertility" -> (fertility _),
     "ta_drift" -> (drift _),
     "ta_cooccur" -> (cooccur _),
     "pipe_curation" -> (curation _),
@@ -1239,6 +1282,35 @@ object TextAnalysis {
     * round's learned pair), plus an encode chain over the chars-41..80
     * slice applying b$r in round order — the same two folds the Spark
     * side runs. */
+  /** ta_fertility oracle: train rounds + held-out replay (shared CTE
+    * machinery), then the per-doc token/word score off the final
+    * stream. */
+  private def fertilityOracleSql: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      val prevE = if (r == 1) "basee" else s"ep${r - 1}"
+      s"""${bpeTrainRoundCtes(r)},
+         |en$r AS (SELECT doc_id, pos, sym,
+         |  lead(sym) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM $prevE),
+         |${bpeApplyCtes("e", r, s"en$r", s"b$r")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeBaseCte("base", 1)},
+       |${bpeBaseCte("basee", 41)},
+       |$rounds,
+       |pd AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN sym = ' ' THEN 0 ELSE 1 END) AS BIGINT) AS n_tok,
+       |    CAST(SUM(CASE WHEN sym = ' ' THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_w
+       |  FROM ep$BpeRounds GROUP BY doc_id
+       |)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_w) AS BIGINT) AS n_words,
+       |  (CAST(SUM(n_tok) AS BIGINT) * 100) // CAST(SUM(n_w) AS BIGINT)
+       |    AS fertility_x100
+       |FROM pd JOIN documents USING (doc_id)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   private def bpeEncodeOracleSql: String = {
     val rounds = (1 to BpeRounds).map { r =>
       val prevE = if (r == 1) "basee" else s"ep${r - 1}"
@@ -1713,6 +1785,7 @@ object TextAnalysis {
         |FROM t ORDER BY source""".stripMargin,
     "ta_bpe_train" -> bpeOracleSql,
     "ta_bpe_encode" -> bpeEncodeOracleSql,
+    "ta_fertility" -> fertilityOracleSql,
     "ta_diversity" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
