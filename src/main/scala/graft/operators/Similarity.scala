@@ -584,6 +584,71 @@ object Similarity {
       .groupBy("c", "i").agg(sum("xq").as("cS"), count(lit(1)).as("n"))
   }
 
+  /** Evaluation cuts of ann_recall_curve. */
+  val RecallCurveKs = Seq(1, 3, 5, 10)
+
+  /** RECALL CURVE (ann_recall_curve) — recall@{1,3,5,10} of the trained
+    * multi-probe index in ONE query: the evaluation deliverable an ANN
+    * deployment actually publishes (a single recall@3 hides whether the
+    * index fails at the head — k=1, ranking quality — or the tail —
+    * k=10, candidate coverage). Same trained-k-means probe set as
+    * ann_multiprobe (P closest clusters by the exact-integer Lloyd
+    * distance), approx and exact rankings carried to rank 10, then each
+    * k cut evaluates |exact@k ∩ approx@k| / k. Re-running the training
+    * chain inside an evaluation query is the ann_kmeans_recall
+    * sanctioned shape; the k explode touches only the 100-row rank
+    * frame.
+    *
+    * Scale: identical to ann_multiprobe's audit — bounded broadcasts
+    * (codebook, probed query set), cluster-key candidate join =
+    * partition pruning on a clustered layout, exact pass only for the
+    * bounded sample. */
+  def recallCurve(spark: SparkSession, dir: String): DataFrame = {
+    val (dims, assignFull) = kmeansChain(spark, dir)
+    val assign = assignFull.select(col("vec_id"), col("c")).localCheckpoint()
+    val c = corpus(spark, dir).localCheckpoint() // exact pass + both probe sides
+    val clustered = c.join(assign, Seq("vec_id")).localCheckpoint()
+    val cb = dims.join(assign, Seq("vec_id"))
+      .groupBy("c", "i").agg(sum("xq").as("cS"), count(lit(1)).as("n"))
+    val wp = Window.partitionBy("vec_id").orderBy(
+      (col("p").cast("double") / (col("n") * col("n")).cast("double")).asc,
+      col("c").asc)
+    val probes = dims.filter(col("vec_id") < 10)
+      .join(broadcast(cb), Seq("i"))
+      .withColumn("t", expr("xq * n - cS"))
+      .groupBy("vec_id", "c")
+      .agg(sum(expr("t * t")).as("p"), max(col("n")).as("n"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= MultiProbeP)
+      .select(col("vec_id").as("qid"), col("c"))
+    val q = clustered.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+      .join(probes, Seq("qid"))
+    val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    val kMax = RecallCurveKs.max
+    val approx = clustered
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("nrm").as("cn"), col("c"))
+      .join(broadcast(q), Seq("c"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
+      .withColumn("arank", row_number().over(wr))
+      .filter(col("arank") <= kMax)
+      .select(col("qid"), col("cid"), col("arank"))
+    val exact = bruteforceOn(c.filter(col("vec_id") < 10), c, kMax)
+      .select(col("qid"), col("cid"), col("rank").as("erank"))
+    exact.join(approx, Seq("qid", "cid"), "left_outer")
+      .withColumn("k", explode(expr(
+        RecallCurveKs.mkString("array(", ", ", ")"))))
+      .filter(col("erank") <= col("k"))
+      .groupBy("qid", "k")
+      .agg(sum(when(col("arank") <= col("k"), 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("recall_at_k", r4(col("n_hits").cast("double") / col("k")))
+      .select(col("qid"), col("k").cast("long").as("k"), col("n_hits"),
+        col("recall_at_k"))
+      .orderBy("qid", "k")
+  }
+
   def multiprobe(spark: SparkSession, dir: String): DataFrame = {
     val (dims, assignFull) = kmeansChain(spark, dir)
     val assign = assignFull.select(col("vec_id"), col("c")).localCheckpoint()
@@ -884,6 +949,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_hybrid" -> (hybrid _),
     "ann_filtered" -> (filtered _),
+    "ann_recall_curve" -> (recallCurve _),
     "ann_nndescent" -> (nndescent _),
     "ann_range" -> (rangeSearch _),
     "dd_semdedup" -> (semDedup _),
@@ -1146,6 +1212,66 @@ object Similarity {
        |LEFT JOIN approx ON exact.qid = approx.qid AND exact.cid = approx.cid
        |GROUP BY exact.qid, np.n_probed ORDER BY exact.qid""".stripMargin
 
+  /** ann_recall_curve oracle: multiprobeSql's probe/rank CTEs carried to
+    * rank 10, evaluated at each k cut. */
+  private def recallCurveSql: String = {
+    val kMax = RecallCurveKs.max
+    s"""WITH $kmeansCtes,
+       |e0 AS (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings
+       |),
+       |b AS (
+       |  SELECT e0.vec_id, e0.embedding, e0.nrm, as2.c
+       |  FROM e0 JOIN as2 ON e0.vec_id = as2.vec_id
+       |),
+       |cb AS (
+       |  SELECT as2.c, d.i, CAST(SUM(d.xq) AS BIGINT) AS cS, COUNT(*) AS n
+       |  FROM dims d JOIN as2 ON d.vec_id = as2.vec_id GROUP BY 1, 2
+       |),
+       |pd AS (
+       |  SELECT d.vec_id, c.c,
+       |    CAST(SUM((d.xq * c.n - c.cS) * (d.xq * c.n - c.cS)) AS BIGINT) AS p,
+       |    MAX(c.n) AS n
+       |  FROM dims d JOIN cb c ON d.i = c.i WHERE d.vec_id < 10 GROUP BY 1, 2
+       |),
+       |probes AS (
+       |  SELECT vec_id AS qid, c FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY CAST(p AS DOUBLE) / CAST(n * n AS DOUBLE) ASC, c ASC) AS rn
+       |    FROM pd) WHERE rn <= $MultiProbeP
+       |),
+       |exact AS (
+       |  SELECT qid, cid, rank AS erank FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+       |        c.vec_id ASC) AS rank
+       |    FROM e0 q JOIN e0 c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+       |  ) WHERE rank <= $kMax
+       |),
+       |approx AS (
+       |  SELECT qid, cid, rank AS arank FROM (
+       |    SELECT p.qid, c.vec_id AS cid,
+       |      ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+       |        ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+       |        c.vec_id ASC) AS rank
+       |    FROM probes p JOIN e0 q ON q.vec_id = p.qid
+       |    JOIN b c ON c.c = p.c AND c.vec_id <> p.qid
+       |  ) WHERE rank <= $kMax
+       |),
+       |j AS (
+       |  SELECT e.qid, e.erank, a.arank FROM exact e
+       |  LEFT JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
+       |)
+       |SELECT qid, CAST(k AS BIGINT) AS k,
+       |  CAST(SUM(CASE WHEN arank <= k THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  ${graft.sources.Tables.r4Sql(
+           "CAST(SUM(CASE WHEN arank <= k THEN 1 ELSE 0 END) AS DOUBLE) / k")} AS recall_at_k
+       |FROM j CROSS JOIN (SELECT UNNEST(${RecallCurveKs.mkString("[", ", ", "]")}) AS k) ks
+       |WHERE erank <= k
+       |GROUP BY qid, k ORDER BY qid, k""".stripMargin
+  }
+
   /** ann_ivfpq oracle: the kmeans Lloyd CTEs (coarse quantizer), the PQ
     * codebook CTEs (with the subspace id derived as i // 32 from the
     * shared dims), the top-P probe ranking, and the cascade — candidates
@@ -1313,6 +1439,7 @@ object Similarity {
     "dd_semdedup" -> semDedupSql,
     "ann_ivfpq" -> ivfpqSql,
     "ann_multiprobe" -> multiprobeSql,
+    "ann_recall_curve" -> recallCurveSql,
     "ann_kmeans_recall" -> kmeansRecallSql,
     "ann_kmeans" -> kmeansSql,
     "ann_pq" -> pqSql,

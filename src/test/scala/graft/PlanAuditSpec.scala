@@ -20,9 +20,10 @@ class PlanAuditSpec extends SparkSpecBase {
   // broadcast query set — same sanctioned shape as ann_sq's code scan
   private val allowNestedLoop = Set("ann_bruteforce", "ann_recall", "ann_sq", "ev_gap_fill",
     "ann_mmr", "gr_triangles", "ann_pq",
-    // ann_kmeans_recall and ann_multiprobe embed the same bounded-broadcast
-    // exact baseline as ann_recall for their ground truth
-    "ann_kmeans_recall", "ann_multiprobe",
+    // ann_kmeans_recall, ann_multiprobe, and ann_recall_curve embed the
+    // same bounded-broadcast exact baseline as ann_recall for their
+    // ground truth
+    "ann_kmeans_recall", "ann_multiprobe", "ann_recall_curve",
     // ta_bpe_train cross-joins the per-round ONE-ROW argmax (the learned
     // merge) onto the symbol stream and the one-row stat aggregates —
     // the gr_triangles shape, bounded by construction; ta_bpe_encode
