@@ -291,9 +291,10 @@ object Geo {
       .withColumn("fy", floor(col("lat")).cast("long"))
       .groupBy("fx", "fy").agg(count(lit(1)).as("n")))
 
-  /** Same operator over any (fx, fy, n) cell grid — Round12Spec pins
-    * the peak/sink/tie cases on hand-built 3x3 grids. */
-  def flowDirOn(cellsIn: DataFrame): DataFrame = {
+  /** Per-cell D8 selection (fx, fy, n, d, nx, ny, nn, eff at the argmax
+    * direction) — shared by zs_flowdir's histogram and zs_flowaccum's
+    * drainage forest. */
+  private[graft] def flowSel(cellsIn: DataFrame): DataFrame = {
     val cells = cellsIn
       .localCheckpoint() // grid base + neighbor lookup side
     val dxA = "array(1, 1, 0, -1, -1, -1, 0, 1)"
@@ -311,12 +312,79 @@ object Geo {
       .withColumn("eff", expr("(n - nn) * w"))
       .withColumn("rn", row_number().over(wSel))
       .filter(col("rn") === 1)
+  }
+
+  /** Same operator over any (fx, fy, n) cell grid — Round12Spec pins
+    * the peak/sink/tie cases on hand-built 3x3 grids. */
+  def flowDirOn(cellsIn: DataFrame): DataFrame =
+    flowSel(cellsIn)
       .withColumn("flow_dir",
         when(col("eff") <= 0, lit(-1L)).otherwise(col("d").cast("long")))
       .groupBy("flow_dir")
       .agg(count(lit(1)).as("n_cells"),
         sum(when(col("eff") > 0, col("eff")).otherwise(lit(0L))).as("sum_eff"))
       .orderBy("flow_dir")
+
+  /** Accumulation rounds of zs_flowaccum (the gr_khop bounded-round
+    * rule: full accumulation iterates to the longest drainage path —
+    * unbounded — so the checked operator reports the within-R-hops
+    * upstream count, the same honest cap as the BFS/Bellman-Ford
+    * queries). */
+  val FlowAccumRounds = 4
+
+  /** D8 FLOW ACCUMULATION (zs_flowaccum) — the step after zs_flowdir in
+    * every hydrology stack (GDAL/TauDEM): how much upstream area drains
+    * THROUGH each cell. The drainage graph is a forest (each cell has
+    * at most one outgoing edge — its argmax direction — and edges to
+    * EMPTY cells leave the grid: those cells are OUTLETs), so
+    * acc_R(v) = 1 + sum of acc_{R-1} over inflow neighbors counts each
+    * upstream cell within R hops exactly once (unique paths in a
+    * forest). Output: the top-25 accumulation cells with their class —
+    * interior (drains to an occupied cell), outlet (drains off-grid),
+    * sink (no descending neighbor) — the cells where streams form.
+    *
+    * Scale: per round ONE co-partitioned (edges x acc) join + a
+    * map-side-combinable inflow sum (the gr_sssp per-round shape),
+    * rounds localCheckpointed; edges are cell-table-sized, never
+    * point-sized. */
+  def flowAccum(spark: SparkSession, dir: String): DataFrame =
+    flowAccumOn(points(spark, dir)
+      .withColumn("fx", floor(col("lon")).cast("long"))
+      .withColumn("fy", floor(col("lat")).cast("long"))
+      .groupBy("fx", "fy").agg(count(lit(1)).as("n")))
+
+  /** Same operator over any (fx, fy, n) cell grid — Round12Spec pins a
+    * hand-worked chain (path longer than R shows the cap). */
+  def flowAccumOn(cellsIn: DataFrame): DataFrame = {
+    val sel = flowSel(cellsIn)
+      .localCheckpoint() // consumers: edges, class column, cell base
+    val base = sel.select(col("fx"), col("fy"))
+      .localCheckpoint() // per-round left-join spine
+    val edges = sel.filter(col("eff") > 0 && col("nn") > 0)
+      .select(col("fx").as("ux"), col("fy").as("uy"),
+        col("nx").as("vx"), col("ny").as("vy"))
+      .localCheckpoint() // one join per round
+    var acc = base.withColumn("acc", lit(1L)).localCheckpoint()
+    for (_ <- 1 to FlowAccumRounds) {
+      val inflow = edges
+        .join(acc.select(col("fx").as("ux"), col("fy").as("uy"), col("acc")),
+          Seq("ux", "uy"))
+        .groupBy(col("vx").as("fx"), col("vy").as("fy"))
+        .agg(sum(col("acc")).as("inflow"))
+      acc = base.join(inflow, Seq("fx", "fy"), "left_outer")
+        .select(col("fx"), col("fy"),
+          (coalesce(col("inflow"), lit(0L)) + lit(1L)).as("acc"))
+        .localCheckpoint() // next round + final read
+    }
+    acc.join(sel.select(col("fx"), col("fy"),
+        when(col("eff") <= 0, lit("sink"))
+          .when(col("nn") === 0, lit("outlet"))
+          .otherwise(lit("interior")).as("cell_class")),
+      Seq("fx", "fy"))
+      .orderBy(col("acc").desc, col("fx"), col("fy"))
+      .limit(25)
+      .select(col("fx"), col("fy"), col("acc"), col("cell_class"))
+      .orderBy(col("acc").desc, col("fx"), col("fy"))
   }
 
   /** Stats joined back onto every zone feature (vector.py query_1 is a LEFT
@@ -1340,6 +1408,7 @@ object Geo {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zs_hexbin" -> (hexbin _),
     "zs_flowdir" -> (flowDir _),
+    "zs_flowaccum" -> (flowAccum _),
     "zs_shared_borders" -> (sharedBorders _),
     "zs_dissolve" -> (dissolve _),
     "zs_kde" -> (kde _),
@@ -1580,6 +1649,50 @@ object Geo {
            |FROM n JOIN grid USING (fx, fy)
            |WHERE w > 0
            |GROUP BY q_id ORDER BY q_id""".stripMargin,
+      "zs_flowaccum" -> {
+        val round = (r: Int) =>
+          s"""a$r AS (
+             |  SELECT s.fx, s.fy, CAST(COALESCE(i.inflow, 0) + 1 AS BIGINT) AS acc
+             |  FROM (SELECT fx, fy FROM sel) s LEFT JOIN (
+             |    SELECT e.vx AS fx, e.vy AS fy, SUM(a.acc) AS inflow
+             |    FROM edges e JOIN a${r - 1} a ON e.ux = a.fx AND e.uy = a.fy
+             |    GROUP BY 1, 2) i ON s.fx = i.fx AND s.fy = i.fy
+             |)""".stripMargin
+        s"""WITH pts AS ($pointsSql),
+           |cells AS (
+           |  SELECT CAST(floor(lon) AS BIGINT) AS fx, CAST(floor(lat) AS BIGINT) AS fy,
+           |    COUNT(*) AS n
+           |  FROM pts GROUP BY 1, 2
+           |),
+           |dirs(d, dx, dy, w) AS (
+           |  VALUES (0, 1, 0, 10), (1, 1, 1, 7), (2, 0, 1, 10), (3, -1, 1, 7),
+           |    (4, -1, 0, 10), (5, -1, -1, 7), (6, 0, -1, 10), (7, 1, -1, 7)
+           |),
+           |grid AS (
+           |  SELECT c.fx, c.fy, c.n, d.d, d.w, COALESCE(nb.n, 0) AS nn,
+           |    c.fx + d.dx AS nx, c.fy + d.dy AS ny,
+           |    (c.n - COALESCE(nb.n, 0)) * d.w AS eff
+           |  FROM cells c CROSS JOIN dirs d
+           |  LEFT JOIN cells nb ON nb.fx = c.fx + d.dx AND nb.fy = c.fy + d.dy
+           |),
+           |sel AS (
+           |  SELECT * FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY fx, fy
+           |      ORDER BY eff DESC, d ASC) AS rn
+           |    FROM grid) WHERE rn = 1
+           |),
+           |edges AS (
+           |  SELECT fx AS ux, fy AS uy, nx AS vx, ny AS vy FROM sel
+           |  WHERE eff > 0 AND nn > 0
+           |),
+           |a0 AS (SELECT fx, fy, CAST(1 AS BIGINT) AS acc FROM sel),
+           |${(1 to FlowAccumRounds).map(round).mkString(",\n")}
+           |SELECT a.fx, a.fy, a.acc,
+           |  CASE WHEN s.eff <= 0 THEN 'sink'
+           |    WHEN s.nn = 0 THEN 'outlet' ELSE 'interior' END AS cell_class
+           |FROM a$FlowAccumRounds a JOIN sel s ON a.fx = s.fx AND a.fy = s.fy
+           |ORDER BY a.acc DESC, a.fx, a.fy LIMIT 25""".stripMargin
+      },
       "zs_flowdir" ->
         s"""WITH pts AS ($pointsSql),
            |cells AS (

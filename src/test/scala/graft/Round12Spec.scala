@@ -235,6 +235,30 @@ class Round12Spec extends SparkSpecBase {
     assert(so(-1L) == 1L) // exactly the center
   }
 
+  test("flowaccum: channel accumulates along the chain, capped at R hops") {
+    import spark.implicits._
+    // 11x3 grid: descending channel 20..12 at y=1, x=1..9, inside n=30
+    // walls. Interior channel cells flow E (walls repel, W is ascent);
+    // x=9 is blocked east by a wall -> SINK. Wall cells all touch an
+    // empty cell -> outlets, contributing nothing to the channel.
+    // With FlowAccumRounds=4, acc = 1 + upstream-within-4-hops:
+    // x=5..9 -> 5 (the CAP: x=9's true basin is 8), x=4 -> 4, x=3 -> 3,
+    // x=2 -> 2, everything else 1.
+    val cells = (for { x <- 0 to 10; y <- 0 to 2 } yield {
+      val chan = y == 1 && x >= 1 && x <= 9
+      (x.toLong, y.toLong, if (chan) (21 - x).toLong else 30L)
+    }).toDF("fx", "fy", "n")
+    val out = graft.operators.Geo.flowAccumOn(cells).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.take(8).toSeq == Seq(
+      (5L, 1L, 5L, "interior"), (6L, 1L, 5L, "interior"),
+      (7L, 1L, 5L, "interior"), (8L, 1L, 5L, "interior"),
+      (9L, 1L, 5L, "sink"),
+      (4L, 1L, 4L, "interior"), (3L, 1L, 3L, "interior"),
+      (2L, 1L, 2L, "interior")))
+    assert(out.drop(8).forall(r => r._3 == 1L))
+  }
+
   test("cep: first-match chaining, inclusive window edges, attrition") {
     import spark.implicits._
     // T=100. user 1: fb = FIRST click (1020, not 1050); the purchase at
