@@ -588,7 +588,60 @@ object GraphOps {
       .limit(topK)
   }
 
+  /** BIPARTITE HITS (gr_hits) — Kleinberg's hubs-and-authorities on the
+    * customer–part purchase graph (hub = a customer whose basket
+    * concentrates authoritative parts; authority = a part bought by
+    * strong hubs — the repeated-improvement recommender prior next to
+    * gr_pagerank's flat authority): two full mutual-reinforcement
+    * iterations h = Σ a, a = Σ h over the distinct incidence,
+    * UNNORMALIZED in exact integers — normalization only rescales by a
+    * global constant and global rescaling never changes the ranking, so
+    * the divisions (the one part of HITS that does not hash-match
+    * across engines) are simply not computed. Growth per half-round is
+    * bounded by the basket cap × per-part buyer count: a2 <= (256 x
+    * buyers)^2-ish ~ 10^12 at sf100 — inside BIGINT, bound documented;
+    * deeper iteration would switch to DECIMAL(38,0). Baskets above the
+    * gr_copurchase cap are dropped (same quadratic/overflow guard).
+    * Output: top-15 authority parts with their final score, buyer
+    * count, and the round-1 score (the rank movement between rounds is
+    * the mutual-reinforcement signal itself).
+    *
+    * Scale: each half-round is ONE co-partitioned (incidence x scores)
+    * join + a map-side-combinable sum on the other side's key — the
+    * gr_pagerank per-round shape on a bipartite graph. */
+  def hits(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    hitsOn(graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(graft.sources.Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part")), 15)
+
+  /** Same iterations over any (cust, part) incidence frame — Round12Spec
+    * pins mutual reinforcement beating raw popularity. */
+  def hitsOn(incidence: DataFrame, topK: Int): DataFrame = {
+    val inc0 = incidence.distinct()
+      .localCheckpoint() // basket sizes + all four half-round joins
+    val ok = inc0.groupBy("cust").agg(count(lit(1)).as("bs"))
+      .filter(col("bs") <= CopurchaseBasketCap).select("cust")
+    val inc = inc0.join(ok, Seq("cust"))
+      .localCheckpoint() // four half-round joins
+    // a0 = 1 for every part: h1(c) = basket size
+    val h1 = inc.groupBy("cust").agg(count(lit(1)).as("h"))
+    val a1 = inc.join(h1, Seq("cust"))
+      .groupBy("part").agg(sum(col("h")).as("a"))
+      .localCheckpoint() // h2 join + the round-1 report column
+    val h2 = inc.join(a1, Seq("part"))
+      .groupBy("cust").agg(sum(col("a")).as("h"))
+    val a2 = inc.join(h2, Seq("cust"))
+      .groupBy("part").agg(sum(col("h")).as("a2"), count(lit(1)).as("n_buyers"))
+    a2.join(a1.select(col("part"), col("a").as("a1")), Seq("part"))
+      .select(col("part"), col("a2"), col("a1"), col("n_buyers"))
+      .orderBy(col("a2").desc, col("part")).limit(topK)
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "gr_hits" -> (hits _),
     "gr_lpa" -> (lpa _),
     "gr_copurchase" -> (copurchase _),
     "gr_kcore" -> (kcore _),
@@ -599,6 +652,30 @@ object GraphOps {
     "gr_triangles" -> (triangleStats _))
 
   val oracle: Map[String, String] = Map(
+    "gr_hits" ->
+      s"""WITH inc0 AS (
+         |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |), ok AS (
+         |  SELECT cust FROM inc0 GROUP BY cust
+         |  HAVING COUNT(*) <= $CopurchaseBasketCap
+         |), inc AS (
+         |  SELECT inc0.* FROM inc0 JOIN ok USING (cust)
+         |), h1 AS (
+         |  SELECT cust, COUNT(*) AS h FROM inc GROUP BY cust
+         |), a1 AS (
+         |  SELECT part, CAST(SUM(h) AS BIGINT) AS a
+         |  FROM inc JOIN h1 USING (cust) GROUP BY part
+         |), h2 AS (
+         |  SELECT cust, CAST(SUM(a) AS BIGINT) AS h
+         |  FROM inc JOIN a1 USING (part) GROUP BY cust
+         |), a2 AS (
+         |  SELECT part, CAST(SUM(h) AS BIGINT) AS a2, COUNT(*) AS n_buyers
+         |  FROM inc JOIN h2 USING (cust) GROUP BY part
+         |)
+         |SELECT a2.part, a2.a2, a1.a AS a1, a2.n_buyers
+         |FROM a2 JOIN a1 ON a2.part = a1.part
+         |ORDER BY a2.a2 DESC, a2.part LIMIT 15""".stripMargin,
     "gr_lpa" -> {
       val round = (r: Int) =>
         s"""l$r AS (

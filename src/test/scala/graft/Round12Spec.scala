@@ -259,6 +259,25 @@ class Round12Spec extends SparkSpecBase {
     assert(out.drop(8).forall(r => r._3 == 1L))
   }
 
+  test("hits: mutual reinforcement outranks raw popularity") {
+    import spark.implicits._
+    // Part 1 is bought by TWO strong hubs (baskets {1,2,3,4} and
+    // {1,2,3,5}); part 6 by FIVE one-item customers. Hand-worked:
+    // a1: p1=8 p2=8 p3=8 p4=4 p5=4 p6=5; h2: hubs 28 each, weak 5;
+    // a2: p1=p2=p3=56, p4=p5=28, p6=25 — the 5-buyer part loses to the
+    // 2-buyer part endorsed by hubs, which is HITS' whole point.
+    val inc = Seq(
+      (101L, 1L), (101L, 2L), (101L, 3L), (101L, 4L),
+      (102L, 1L), (102L, 2L), (102L, 3L), (102L, 5L),
+      (201L, 6L), (202L, 6L), (203L, 6L), (204L, 6L), (205L, 6L)
+    ).toDF("cust", "part")
+    val out = GraphOps.hitsOn(inc, 15).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 56L, 8L, 2L), (2L, 56L, 8L, 2L), (3L, 56L, 8L, 2L),
+      (4L, 28L, 4L, 1L), (5L, 28L, 4L, 1L), (6L, 25L, 5L, 5L)))
+  }
+
   test("cep: first-match chaining, inclusive window edges, attrition") {
     import spark.implicits._
     // T=100. user 1: fb = FIRST click (1020, not 1050); the purchase at
