@@ -243,6 +243,56 @@ object Multimodal {
       .orderBy("shard_id")
   }
 
+  /** Context budget / per-image token cost of mm_interleave. */
+  val InterleaveCtxTokens = 256L
+  val InterleaveImageTokens = 64L
+
+  /** MULTIMODAL CONTEXT INTERLEAVING (mm_interleave) — ta_seq_pack's
+    * multimodal sibling (the LLaVA/Flamingo data-prep shape): docs carry
+    * TWO token costs — their text words plus a fixed
+    * InterleaveImageTokens for docs with an image attachment (every 3rd
+    * doc here — the deterministic modality stand-in, stub doctrine) —
+    * and pack into InterleaveCtxTokens training contexts in doc order.
+    * Whole-doc first-fit does not prefix-sum (each break depends on the
+    * previous one — the bin-packing recursion), so the packing contract
+    * is START-OFFSET assignment (the mm_shard_pack rule): a doc belongs
+    * to the context its global token offset lands in; contexts overflow
+    * by at most one doc's cost, visible in total_tokens. Per context:
+    * doc/image counts and the text/image token split — the modality-mix
+    * audit a multimodal training run checks before consuming shards.
+    *
+    * Scale: global offsets via the two-phase prefix sum (per-range
+    * subtotals + broadcast range offsets + within-range window) — never
+    * a global ORDER BY window; the rollup is map-side-combinable on the
+    * context key. */
+  def interleave(spark: SparkSession, dir: String): DataFrame = {
+    val RangeDocs = 100L
+    val sized = documents(spark, dir)
+      .select(col("doc_id"),
+        expr("CAST(size(split(text, ' ')) AS LONG)").as("tt"),
+        expr(s"CASE WHEN doc_id % 3 = 0 THEN ${InterleaveImageTokens}L ELSE 0L END").as("it"))
+      .withColumn("cost", col("tt") + col("it"))
+      .withColumn("rng", expr(s"doc_id div $RangeDocs"))
+    val rangeTot = sized.groupBy("rng").agg(sum(col("cost")).as("tot"))
+    val wRanges = Window.orderBy("rng")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = rangeTot
+      .withColumn("range_off", sum(col("tot")).over(wRanges) - col("tot"))
+      .select("rng", "range_off")
+    val wInRange = Window.partitionBy("rng").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sized.join(broadcast(offsets), Seq("rng"))
+      .withColumn("start", col("range_off") + sum(col("cost")).over(wInRange) - col("cost"))
+      .withColumn("ctx_id", expr(s"start div $InterleaveCtxTokens"))
+      .groupBy("ctx_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("it") > 0, 1L).otherwise(0L)).as("n_images"),
+        sum(col("tt")).as("text_tokens"),
+        sum(col("it")).as("image_tokens"),
+        sum(col("cost")).as("total_tokens"))
+      .orderBy("ctx_id")
+  }
+
   /** Deterministic modality rebalancing — cap each modality (source) at K
     * docs, chosen by md5 order (KMV-style, reproducible across runs and
     * engines): the training-mix step every multimodal corpus build runs
@@ -341,6 +391,7 @@ object Multimodal {
     "mm_scene_cut" -> (sceneCut _),
     "mm_av_sync" -> (avSync _),
     "mm_modality_balance" -> (modalityBalance _),
+    "mm_interleave" -> (interleave _),
     "mm_shard_pack" -> (shardPack _),
     "mm_metadata" -> (metadata _),
     "mm_framesample" -> (frameSample _),
@@ -455,6 +506,26 @@ object Multimodal {
         |  MIN(doc_id) AS first_doc
         |FROM ch GROUP BY chunk_hash HAVING COUNT(*) > 1
         |ORDER BY chunk_hash""".stripMargin,
+    "mm_interleave" ->
+      // the oracle's single global window computes the same offsets the
+      // distributed two-phase prefix sum produces
+      s"""WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tt,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN $InterleaveImageTokens ELSE 0 END AS BIGINT) AS it
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, tt, it, tt + it AS cost,
+        |    CAST(SUM(tt + it) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (tt + it) AS BIGINT) AS start
+        |  FROM s
+        |)
+        |SELECT start // $InterleaveCtxTokens AS ctx_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN it > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_images,
+        |  CAST(SUM(tt) AS BIGINT) AS text_tokens,
+        |  CAST(SUM(it) AS BIGINT) AS image_tokens,
+        |  CAST(SUM(cost) AS BIGINT) AS total_tokens
+        |FROM c GROUP BY 1 ORDER BY ctx_id""".stripMargin,
     "mm_shard_pack" ->
       // the oracle's single global window computes the same offsets the
       // distributed two-phase prefix sum produces
