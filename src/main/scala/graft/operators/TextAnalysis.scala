@@ -462,6 +462,58 @@ object TextAnalysis {
   }
 
 
+  /** Label threshold of ta_nb_train (quality score x100000; ~3:1
+    * pos:neg on the driver corpus — both classes live at every SF, and
+    * class imbalance is the realistic regime for a quality gate). */
+  val NbLabelThreshold = 65000L
+
+  /** NAIVE-BAYES-STYLE CLASSIFIER TRAINING (ta_nb_train) — trains the
+    * model that ta_hash_classify DEPLOYS, closing the train half of the
+    * fastText-gate loop (deploy used an md5 stand-in, pinned as such):
+    * labels come from the repo's own rule gate (quality score >=
+    * NbLabelThreshold — the distillation shape: a cheap learned model
+    * trained to imitate an expensive rule/LM teacher, CCNet's actual
+    * workflow), features are the SAME hashed word bigrams as the
+    * deployed scorer (one shared bucket hash — a trained table drops
+    * into hashClassify's broadcast join unchanged), and the per-bucket
+    * statistic is the add-one-smoothed count odds
+    * ((cnt_pos+1)*10000) div (cnt_neg+1) — the Naive Bayes likelihood
+    * ratio in exact scaled integers (no logs; ranking by product of
+    * odds = ranking by sum of log-odds, and the deployed scorer
+    * averages, so the integer table is the deployable artifact).
+    * Output: the 256-row model table itself — model training AS a
+    * query.
+    *
+    * Scale: the label join is co-partitioned on doc_id; the count
+    * shuffle lands on 256 bucket keys with map-side combine (hot
+    * buckets are the point — they carry the signal); the artifact is
+    * broadcast-sized by construction. */
+  def nbTrain(spark: SparkSession, dir: String): DataFrame =
+    nbTrainOn(documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  /** Same operator over any (doc_id, text, n_chars) frame — Round12Spec
+    * pins the odds arithmetic and label split on a hand-built corpus. */
+  def nbTrainOn(docs: DataFrame): DataFrame = {
+    val labeled = withQualityScore(docs)
+      .select(col("doc_id"), (col("score") >= NbLabelThreshold).as("pos"))
+    val feats = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(ws) - 2), " +
+          "i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))")).as("f"))
+      .withColumn("bucket", expr(
+        s"CAST(conv(substring(md5(concat('hc:', f)), 1, 4), 16, 10) AS BIGINT) % $HcBuckets"))
+    feats.join(labeled, Seq("doc_id"))
+      .groupBy("bucket")
+      .agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("cnt_pos"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("cnt_neg"))
+      .withColumn("odds_x10000", expr("((cnt_pos + 1) * 10000) div (cnt_neg + 1)"))
+      .orderBy("bucket")
+  }
+
   /** TOKENIZER FERTILITY (ta_fertility) — the per-language
     * tokens-per-word evaluation every tokenizer release ships (fertility
     * far above 1 on a language means the tokenizer fragments it — the
@@ -1192,6 +1244,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_nb_train" -> (nbTrain _),
     "ta_fertility" -> (fertility _),
     "ta_drift" -> (drift _),
     "ta_cooccur" -> (cooccur _),
@@ -1430,6 +1483,41 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "ta_nb_train" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, n_chars,
+         |    len(string_split(text, ' ')) AS n_words,
+         |    len(list_filter(string_split(text, ' '), w -> w IN $stopwordsSqlList)) AS n_stop
+         |  FROM documents
+         |), lab AS (
+         |  SELECT doc_id,
+         |    (400 * LEAST(n_words, 100)
+         |      + (30000 * (n_words - n_stop)) // n_words
+         |      + LEAST((30000 * (n_chars - n_words + 1)) // (8 * n_words), 30000))
+         |      >= $NbLabelThreshold AS pos
+         |  FROM m
+         |), fw AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2
+         |), feats AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ws)::BIGINT),
+         |    i -> ws[i] || ' ' || ws[i + 1])) AS f
+         |  FROM fw
+         |), b AS (
+         |  SELECT doc_id,
+         |    (((strpos('0123456789abcdef', substr(md5('hc:' || f), 1, 1)) - 1) * 16
+         |      + strpos('0123456789abcdef', substr(md5('hc:' || f), 2, 1)) - 1) * 16
+         |      + strpos('0123456789abcdef', substr(md5('hc:' || f), 3, 1)) - 1) * 16
+         |      + strpos('0123456789abcdef', substr(md5('hc:' || f), 4, 1)) - 1 AS h
+         |  FROM feats
+         |)
+         |SELECT CAST(h % $HcBuckets AS BIGINT) AS bucket,
+         |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cnt_pos,
+         |  CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cnt_neg,
+         |  ((CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) + 1) * 10000)
+         |    // (CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) + 1) AS odds_x10000
+         |FROM b JOIN lab USING (doc_id)
+         |GROUP BY 1 ORDER BY bucket""".stripMargin,
     "ta_drift" ->
       s"""WITH tok AS (
          |  SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents

@@ -278,6 +278,25 @@ class Round12Spec extends SparkSpecBase {
       (4L, 28L, 4L, 1L), (5L, 28L, 4L, 1L), (6L, 25L, 5L, 5L)))
   }
 
+  test("nb_train: label split and add-one odds on a hand-built corpus") {
+    import spark.implicits._
+    // pos: 13 long stopword-free words -> score 400*13 + 30000 + 30000 =
+    // 65200 >= 65000. neg: 7 stopwords -> score ~10835. Features: 12
+    // pos bigrams, 6 neg bigrams.
+    val posText = (1 to 13).map(i => f"verylong$i%02dword").mkString(" ")
+    val negText = "the a of the a of the"
+    val docs = Seq(
+      (0L, posText, posText.length.toLong),
+      (1L, negText, negText.length.toLong)).toDF("doc_id", "text", "n_chars")
+    val out = graft.operators.TextAnalysis.nbTrainOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._2).sum == 12L && out.map(_._3).sum == 6L)
+    out.foreach { case (b, p, n, o) =>
+      assert(b >= 0 && b < 256)
+      assert(o == ((p + 1) * 10000) / (n + 1))
+    }
+  }
+
   test("cep: first-match chaining, inclusive window edges, attrition") {
     import spark.implicits._
     // T=100. user 1: fb = FIRST click (1020, not 1050); the purchase at
