@@ -560,6 +560,66 @@ object Events {
       .orderBy("day_epoch")
   }
 
+  /** Qualifying value of an ev_ab_test conversion (a bare "emitted the
+    * type at all" saturates at this event density — every user emits
+    * every type — so the goal is a HIGH-VALUE event; ~53% of users
+    * qualify per type on the driver corpus, live 2x2 cells at every
+    * SF). */
+  val AbGoalValue = 140.0
+
+  /** A/B EXPERIMENT READOUT (ev_ab_test) — the conversion report every
+    * experimentation platform ships: users deterministically hash-split
+    * into two arms (user_id % 2 — the stand-in for a salted assignment
+    * hash), conversion per GOAL event type (the user emitted it with
+    * value > AbGoalValue, dedup-before-count; comparing the same stored
+    * double to the same literal is deterministic on both engines), and
+    * the 2x2 chi-square statistic with
+    * every product exact: margins and N in BIGINT, the (ad-bc)^2 and
+    * margin products in DECIMAL(38,0) (ad-bc alone reaches ~10^12 at
+    * sf100; its square does not fit a long — the zs_idw wrap class),
+    * ONE shared-shape double division + r4 at the end. Degenerate
+    * margins (every user converts — true for high-frequency goal types
+    * here) yield chi2 = 0 by the guarded CASE, not NaN, on both
+    * engines.
+    *
+    * Scale: user dedup is map-side partial; the (type, arm) cells are
+    * bounded by goals x 2; the spine crossJoin touches two tiny frames
+    * (ev_gap_fill rule). */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val u = events(spark, dir).select(col("user_id")).distinct()
+      .withColumn("arm", col("user_id") % 2)
+      .localCheckpoint() // arm totals + the conversion join
+    val armTot = u.groupBy("arm").agg(count(lit(1)).as("n_users"))
+    val convd = events(spark, dir)
+      .filter(col("value") > lit(AbGoalValue))
+      .select(col("user_id"), col("event_type")).distinct()
+      .join(u, Seq("user_id"))
+      .groupBy("event_type", "arm").agg(count(lit(1)).as("n_conv"))
+    val types = events(spark, dir).select("event_type").distinct()
+    types.crossJoin(broadcast(armTot))
+      .join(convd, Seq("event_type", "arm"), "left_outer")
+      .withColumn("n_conv", coalesce(col("n_conv"), lit(0L)))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("arm") === 0, col("n_conv")).otherwise(0L)).as("a"),
+        sum(when(col("arm") === 0, col("n_users") - col("n_conv")).otherwise(0L)).as("b"),
+        sum(when(col("arm") === 1, col("n_conv")).otherwise(0L)).as("c"),
+        sum(when(col("arm") === 1, col("n_users") - col("n_conv")).otherwise(0L)).as("d"))
+      .withColumn("rate_a_x10000", expr("(10000 * a) div (a + b)"))
+      .withColumn("rate_b_x10000", expr("(10000 * c) div (c + d)"))
+      .withColumn("chi2", expr(
+        "CASE WHEN (a+b) = 0 OR (c+d) = 0 OR (a+c) = 0 OR (b+d) = 0 THEN CAST(0.0 AS DOUBLE) " +
+          "ELSE floor(CAST(CAST(a+b+c+d AS DECIMAL(38,0)) * CAST(a*d - b*c AS DECIMAL(38,0)) " +
+          "* CAST(a*d - b*c AS DECIMAL(38,0)) AS DOUBLE) " +
+          "/ CAST(CAST(a+b AS DECIMAL(38,0)) * CAST(c+d AS DECIMAL(38,0)) " +
+          "* CAST(a+c AS DECIMAL(38,0)) * CAST(b+d AS DECIMAL(38,0)) AS DOUBLE) " +
+          "* 10000.0 + 0.5) / 10000.0 END"))
+      .select(col("event_type"), col("a").as("conv_a"), col("b").as("nonconv_a"),
+        col("c").as("conv_b"), col("d").as("nonconv_b"),
+        col("rate_a_x10000"), col("rate_b_x10000"), col("chi2"))
+      .orderBy("event_type")
+  }
+
   /** SEASONAL-NAIVE FORECAST ERROR (ev_forecast) — the baseline every
     * monitoring/forecasting pipeline must beat before a model earns its
     * keep (the M-competition rule): forecast(hour) = actual(hour - 24h),
@@ -686,6 +746,7 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_ab_test" -> (abTest _),
     "ev_forecast" -> (forecast _),
     "ev_cep" -> (cep _),
     "ev_heavy_hitters" -> (heavyHitters _),
@@ -710,6 +771,42 @@ object Events {
     "ev_funnel" -> (funnel _))
 
   val oracle: Map[String, String] = Map(
+    "ev_ab_test" ->
+      """WITH u AS (
+        |  SELECT DISTINCT user_id FROM events
+        |), ua AS (
+        |  SELECT user_id, user_id % 2 AS arm FROM u
+        |), at AS (
+        |  SELECT arm, COUNT(*) AS n_users FROM ua GROUP BY arm
+        |), cv AS (
+        |  SELECT e.event_type, ua.arm, COUNT(*) AS n_conv
+        |  FROM (SELECT DISTINCT user_id, event_type FROM events
+        |        WHERE value > 140.0) e
+        |  JOIN ua ON e.user_id = ua.user_id
+        |  GROUP BY 1, 2
+        |), ty AS (SELECT DISTINCT event_type FROM events),
+        |cells AS (
+        |  SELECT ty.event_type, at.arm, at.n_users, COALESCE(cv.n_conv, 0) AS n_conv
+        |  FROM ty CROSS JOIN at
+        |  LEFT JOIN cv ON cv.event_type = ty.event_type AND cv.arm = at.arm
+        |), t AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN n_conv ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN n_users - n_conv ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN n_conv ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN n_users - n_conv ELSE 0 END) AS BIGINT) AS d
+        |  FROM cells GROUP BY event_type
+        |)
+        |SELECT event_type, a AS conv_a, b AS nonconv_a, c AS conv_b, d AS nonconv_b,
+        |  (10000 * a) // (a + b) AS rate_a_x10000,
+        |  (10000 * c) // (c + d) AS rate_b_x10000,
+        |  CASE WHEN (a+b) = 0 OR (c+d) = 0 OR (a+c) = 0 OR (b+d) = 0 THEN 0.0
+        |    ELSE floor(CAST(CAST(a+b+c+d AS DECIMAL(38,0)) * CAST(a*d - b*c AS DECIMAL(38,0))
+        |      * CAST(a*d - b*c AS DECIMAL(38,0)) AS DOUBLE)
+        |      / CAST(CAST(a+b AS DECIMAL(38,0)) * CAST(c+d AS DECIMAL(38,0))
+        |      * CAST(a+c AS DECIMAL(38,0)) * CAST(b+d AS DECIMAL(38,0)) AS DOUBLE)
+        |      * 10000.0 + 0.5) / 10000.0 END AS chi2
+        |FROM t ORDER BY event_type""".stripMargin,
     "ev_forecast" ->
       """WITH ev AS (
         |  SELECT event_type,

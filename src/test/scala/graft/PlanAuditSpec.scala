@@ -62,7 +62,10 @@ class PlanAuditSpec extends SparkSpecBase {
     // ev_forecast's spine crosses the ONE-ROW time bounds with the tiny
     // distinct-type set — the ev_gap_fill sanctioned spine, bounded by
     // calendar not data
-    "ev_forecast")
+    "ev_forecast",
+    // ev_ab_test crosses the distinct-type set with the TWO-ROW arm
+    // totals — two bounded dimensions, the ev_gap_fill spine shape
+    "ev_ab_test")
 
   test("no query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
