@@ -462,6 +462,57 @@ object TextAnalysis {
   }
 
 
+  /** LANGUAGE-ID CONFUSION MATRIX (ta_lid_eval) — the eval leg of the
+    * langid arc on a HELD-OUT split (the ta_lm_backoff discipline:
+    * even doc_ids train the word-profile, odd doc_ids are scored — the
+    * self-scored ta_langid summary cannot see generalization error):
+    * per held-out doc the argmax language by summed profile counts
+    * (ties lang asc), docs with NO in-profile word predicted 'unk' (the
+    * honest abstain class — dropping them would silently shrink the
+    * denominator), output = the (true_lang, pred_lang, n_docs)
+    * confusion cells every classifier eval publishes.
+    *
+    * On the driver corpus the matrix collapses to the majority class
+    * (every language shares the SAME 31-word vocabulary — the lang
+    * column is a pure label with no text signal), and that collapse IS
+    * the deliverable: the held-out eval exposes a majority-class model
+    * that the self-scored summary reports as partially correct. The
+    * operator's discrimination behavior (diagonal matrix, tie rule,
+    * abstain class) is pinned in Round12Spec on a corpus with real
+    * signal.
+    *
+    * Scale: the profile is O(vocab x langs) and broadcast (zero corpus
+    * shuffle on word keys); the scored side shuffles once on doc_id for
+    * the argmax window (bounded fan-in: langs per doc); the LEFT join
+    * back to the held-out spine catches the abstain class. */
+  def lidEval(spark: SparkSession, dir: String): DataFrame =
+    lidEvalOn(documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  /** Same operator over any (doc_id, lang, text) frame — Round12Spec
+    * pins the held-out split, the tie rule, and the unk class. */
+  def lidEvalOn(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+      .localCheckpoint() // train side + score side
+    val profile = words.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("word"), col("lang").as("cand")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cand").asc)
+    val preds = words.filter(col("doc_id") % 2 === 1)
+      .join(broadcast(profile), Seq("word"))
+      .groupBy("doc_id", "cand").agg(sum(col("cnt")).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand").as("pred_lang"))
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang").as("true_lang"))
+      .join(preds, Seq("doc_id"), "left_outer")
+      .withColumn("pred_lang", coalesce(col("pred_lang"), lit("unk")))
+      .groupBy("true_lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
   /** Label threshold of ta_nb_train (quality score x100000; ~3:1
     * pos:neg on the driver corpus — both classes live at every SF, and
     * class imbalance is the realistic regime for a quality gate). */
@@ -1244,6 +1295,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_lid_eval" -> (lidEval _),
     "ta_nb_train" -> (nbTrain _),
     "ta_fertility" -> (fertility _),
     "ta_drift" -> (drift _),
@@ -1483,6 +1535,27 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "ta_lid_eval" ->
+      """WITH words AS (
+        |  SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS word
+        |  FROM documents
+        |), profile AS (
+        |  SELECT word, lang AS cand, COUNT(*) AS cnt FROM words
+        |  WHERE doc_id % 2 = 0 GROUP BY 1, 2
+        |), preds AS (
+        |  SELECT doc_id, cand AS pred_lang FROM (
+        |    SELECT w.doc_id, p.cand, SUM(p.cnt) AS score,
+        |      ROW_NUMBER() OVER (PARTITION BY w.doc_id
+        |        ORDER BY SUM(p.cnt) DESC, p.cand ASC) AS rn
+        |    FROM words w JOIN profile p ON w.word = p.word
+        |    WHERE w.doc_id % 2 = 1
+        |    GROUP BY w.doc_id, p.cand) t WHERE rn = 1
+        |)
+        |SELECT d.lang AS true_lang, COALESCE(preds.pred_lang, 'unk') AS pred_lang,
+        |  COUNT(*) AS n_docs
+        |FROM documents d LEFT JOIN preds ON d.doc_id = preds.doc_id
+        |WHERE d.doc_id % 2 = 1
+        |GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin,
     "ta_nb_train" ->
       s"""WITH m AS (
          |  SELECT doc_id, n_chars,

@@ -297,6 +297,24 @@ class Round12Spec extends SparkSpecBase {
     }
   }
 
+  test("lid_eval: diagonal on signal, unk on OOV, trained on evens only") {
+    import spark.implicits._
+    // evens train: doc 0/2 pure-en, doc 4/6 pure-fr. odds score:
+    // doc 1 en words -> en; doc 3 fr words -> fr; doc 5 words unseen in
+    // ANY training doc -> unk; doc 7 true=fr but en words -> confusion
+    // cell (fr, en).
+    val docs = Seq(
+      (0L, "en", "dog cat bird dog"), (2L, "en", "cat dog fish"),
+      (4L, "fr", "chien chat oiseau"), (6L, "fr", "chat chien poisson"),
+      (1L, "en", "dog fish cat"), (3L, "fr", "chien poisson"),
+      (5L, "de", "hund katze vogel"), (7L, "fr", "dog cat")
+    ).toDF("doc_id", "lang", "text")
+    val out = graft.operators.TextAnalysis.lidEvalOn(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("de", "unk", 1L), ("en", "en", 1L), ("fr", "en", 1L), ("fr", "fr", 1L)))
+  }
+
   test("cep: first-match chaining, inclusive window edges, attrition") {
     import spark.implicits._
     // T=100. user 1: fb = FIRST click (1020, not 1050); the purchase at
