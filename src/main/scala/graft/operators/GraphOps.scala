@@ -640,7 +640,57 @@ object GraphOps {
       .orderBy(col("a2").desc, col("part")).limit(topK)
   }
 
+  /** DEGREE ASSORTATIVITY (gr_assort) — Newman's r on the co-activity
+    * graph: do high-degree users co-occur with high-degree users
+    * (r > 0, social-network-like) or with leaves (r < 0,
+    * hub-and-spoke)? The one-row structural stat next to gr_triangles'
+    * clustering coefficient. Pearson correlation over edge endpoint
+    * degrees, every SUM exact: per undirected edge with endpoint
+    * degrees (j, k) accumulate jk, j+k, j^2+k^2 in DECIMAL(38,0)
+    * (degree products reach ~n^2 per edge — the zs_idw wrap class at
+    * scale), then r = (S_jk/m - (S_jpk/2m)^2) / (S_j2k2/2m -
+    * (S_jpk/2m)^2) as ONE shared-shape double expression + r4; the
+    * degenerate regular-graph case (zero variance) reports 0 via a
+    * guarded CASE, not NaN.
+    *
+    * Scale: two degree joins co-partitioned on the endpoint keys, one
+    * map-side-combinable global aggregate — nothing beyond what the
+    * triangle census already pays. */
+  def assortativity(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    assortOn(coActivityEdges(spark, dir))
+
+  /** Same stat over any undirected (a, b) edge frame (each edge once) —
+    * Round12Spec pins the star (r = -1) and the regular-graph guard. */
+  def assortOn(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn
+      .localCheckpoint() // degree build + both endpoint joins
+    val deg = edges.select(col("a").as("u"))
+      .unionAll(edges.select(col("b").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("d"))
+    edges
+      .join(deg.select(col("u").as("a"), col("d").as("ja")), Seq("a"))
+      .join(deg.select(col("u").as("b"), col("d").as("jb")), Seq("b"))
+      .agg(
+        count(lit(1)).as("m"),
+        sum(expr("CAST(ja * jb AS DECIMAL(38,0))")).as("s_jk"),
+        sum(expr("CAST(ja + jb AS DECIMAL(38,0))")).as("s_jpk"),
+        sum(expr("CAST(ja * ja + jb * jb AS DECIMAL(38,0))")).as("s_j2k2"))
+      .withColumn("assort", expr(
+        "CASE WHEN CAST(s_j2k2 AS DOUBLE) / (2.0 * m) " +
+          "- (CAST(s_jpk AS DOUBLE) / (2.0 * m)) * (CAST(s_jpk AS DOUBLE) / (2.0 * m)) = 0.0 " +
+          "THEN CAST(0.0 AS DOUBLE) ELSE " +
+          "floor((CAST(s_jk AS DOUBLE) / m " +
+          "- (CAST(s_jpk AS DOUBLE) / (2.0 * m)) * (CAST(s_jpk AS DOUBLE) / (2.0 * m))) " +
+          "/ (CAST(s_j2k2 AS DOUBLE) / (2.0 * m) " +
+          "- (CAST(s_jpk AS DOUBLE) / (2.0 * m)) * (CAST(s_jpk AS DOUBLE) / (2.0 * m))) " +
+          "* 10000.0 + 0.5) / 10000.0 END"))
+      .select(col("m").as("n_edges"), col("s_jk").cast("long").as("sum_jk"),
+        col("assort"))
+      .orderBy("n_edges")
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "gr_assort" -> (assortativity _),
     "gr_hits" -> (hits _),
     "gr_lpa" -> (lpa _),
     "gr_copurchase" -> (copurchase _),
@@ -652,6 +702,38 @@ object GraphOps {
     "gr_triangles" -> (triangleStats _))
 
   val oracle: Map[String, String] = Map(
+    "gr_assort" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr FROM events
+        |), sizes AS (
+        |  SELECT event_type, hr FROM (
+        |    SELECT event_type, hr, COUNT(*) AS n FROM act GROUP BY 1, 2) WHERE n <= 20
+        |), ok AS (
+        |  SELECT act.* FROM act JOIN sizes USING (event_type, hr)
+        |), edges AS (
+        |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+        |  FROM ok x JOIN ok y ON x.event_type = y.event_type AND x.hr = y.hr
+        |    AND x.user_id < y.user_id
+        |), deg AS (
+        |  SELECT u, COUNT(*) AS d FROM (
+        |    SELECT a AS u FROM edges UNION ALL SELECT b FROM edges) s GROUP BY u
+        |), t AS (
+        |  SELECT COUNT(*) AS m,
+        |    SUM(CAST(da.d * db.d AS DECIMAL(38,0))) AS s_jk,
+        |    SUM(CAST(da.d + db.d AS DECIMAL(38,0))) AS s_jpk,
+        |    SUM(CAST(da.d * da.d + db.d * db.d AS DECIMAL(38,0))) AS s_j2k2
+        |  FROM edges JOIN deg da ON edges.a = da.u JOIN deg db ON edges.b = db.u
+        |)
+        |SELECT m AS n_edges, CAST(s_jk AS BIGINT) AS sum_jk,
+        |  CASE WHEN CAST(s_j2k2 AS DOUBLE) / (2.0 * m)
+        |    - (CAST(s_jpk AS DOUBLE) / (2.0 * m)) * (CAST(s_jpk AS DOUBLE) / (2.0 * m)) = 0.0
+        |    THEN 0.0 ELSE
+        |    floor((CAST(s_jk AS DOUBLE) / m
+        |    - (CAST(s_jpk AS DOUBLE) / (2.0 * m)) * (CAST(s_jpk AS DOUBLE) / (2.0 * m)))
+        |    / (CAST(s_j2k2 AS DOUBLE) / (2.0 * m)
+        |    - (CAST(s_jpk AS DOUBLE) / (2.0 * m)) * (CAST(s_jpk AS DOUBLE) / (2.0 * m)))
+        |    * 10000.0 + 0.5) / 10000.0 END AS assort
+        |FROM t ORDER BY n_edges""".stripMargin,
     "gr_hits" ->
       s"""WITH inc0 AS (
          |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part

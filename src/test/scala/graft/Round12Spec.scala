@@ -315,6 +315,21 @@ class Round12Spec extends SparkSpecBase {
       ("de", "unk", 1L), ("en", "en", 1L), ("fr", "en", 1L), ("fr", "fr", 1L)))
   }
 
+  test("assort: star graph scores -1, regular graph hits the zero-variance guard") {
+    import spark.implicits._
+    // K(1,3): every edge joins degree 3 to degree 1 -> perfectly
+    // disassortative, hand-worked r = (9/3 - 4) / (30/6 - 4) = -1.
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val so = GraphOps.assortOn(star).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(so.toSeq == Seq((3L, 9L, -1.0)))
+    // triangle: all degrees equal -> zero variance -> guarded 0, not NaN
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val to = GraphOps.assortOn(tri).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(to.toSeq == Seq((3L, 12L, 0.0)))
+  }
+
   test("cep: first-match chaining, inclusive window edges, attrition") {
     import spark.implicits._
     // T=100. user 1: fb = FIRST click (1020, not 1050); the purchase at
