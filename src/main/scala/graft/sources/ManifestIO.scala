@@ -134,6 +134,42 @@ object ManifestIO {
     (parts.length, after)
   }
 
+  /** SHALLOW CLONE (the Delta/Iceberg CLONE primitive, completing the
+    * lakehouse lifecycle next to time travel / CDF / VACUUM / compact):
+    * the clone is a MANIFEST of the source's current data files —
+    * absolute paths + sizes, zero data bytes copied — and reads resolve
+    * through that manifest, so the clone PINS the snapshot: files the
+    * source adds later are invisible to it (spec-proven: post-clone
+    * appends change the source read, not the clone read, and the clone
+    * directory contains no parquet). A production clone also pins
+    * removed files via the retention contract — that interaction is
+    * io_vacuum's reclaim rule, documented there. Returns the file
+    * count. */
+  def shallowClone(spark: SparkSession, sourcePath: String, clonePath: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(sourcePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p)
+      .filter(f => f.getPath.getName.endsWith(".parquet"))
+      .map(f => (f.getPath.toString, f.getLen))
+      .sortBy(_._1)
+    require(files.nonEmpty, s"shallowClone($sourcePath): no .parquet files")
+    import spark.implicits._
+    files.toSeq.toDF("path", "bytes")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .csv(s"${clonePath.stripSuffix("/")}/clone_manifest")
+    files.length
+  }
+
+  /** Read a shallow clone strictly through its pinned file list. */
+  def readClone(spark: SparkSession, clonePath: String): org.apache.spark.sql.DataFrame = {
+    val manifest = spark.read.option("header", "true")
+      .csv(s"${clonePath.stripSuffix("/")}/clone_manifest")
+      .select("path").collect().map(_.getString(0))
+    spark.read.parquet(manifest: _*)
+  }
+
   /** CSV manifest round-trip as a query: part -> csv manifest -> schema'd
     * read -> per-brand aggregate. The oracle aggregates the parquet
     * directly, so the round-trip must be value-lossless (doubles survive
