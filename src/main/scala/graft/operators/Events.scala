@@ -567,6 +567,35 @@ object Events {
     * SF). */
   val AbGoalValue = 140.0
 
+  /** COHORT LTV TRIANGLE (ev_ltv) — the lifetime-value complement of
+    * ev_retention's activity triangle: users grouped by their FIRST-seen
+    * week (integer epoch-week buckets — date_trunc('week') anchors
+    * differently across engines, `es div 604800` does not), each later
+    * week's activity and purchase revenue attributed to (cohort_week,
+    * age_week). Revenue in exact cents; active users dedup-before-count
+    * per (user, week) — map-side partial dedup.
+    *
+    * Scale: one map-side-combinable min per user for the cohort
+    * assignment, joined back CO-PARTITIONED on user_id (never
+    * broadcast — the user dimension is corpus-sized at 100 TB), then
+    * one rollup over the calendar-bounded (cohort, age) triangle. */
+  def ltv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(unix_timestamp(ts) AS BIGINT) div 604800").as("wk"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .localCheckpoint() // cohort build + attribution join
+    val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cw"))
+    ev.join(cohort, Seq("user_id"))
+      .withColumn("age_week", col("wk") - col("cw"))
+      .groupBy(col("cw").as("cohort_week"), col("age_week"))
+      .agg(
+        countDistinct(col("user_id")).as("n_active"),
+        sum(when(col("event_type") === "purchase", col("cents")).otherwise(0L))
+          .as("rev_cents"))
+      .orderBy("cohort_week", "age_week")
+  }
+
   /** A/B EXPERIMENT READOUT (ev_ab_test) — the conversion report every
     * experimentation platform ships: users deterministically hash-split
     * into two arms (user_id % 2 — the stand-in for a salted assignment
@@ -746,6 +775,7 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_ltv" -> (ltv _),
     "ev_ab_test" -> (abTest _),
     "ev_forecast" -> (forecast _),
     "ev_cep" -> (cep _),
@@ -771,6 +801,21 @@ object Events {
     "ev_funnel" -> (funnel _))
 
   val oracle: Map[String, String] = Map(
+    "ev_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events
+        |), cohort AS (
+        |  SELECT user_id, MIN(wk) AS cw FROM ev GROUP BY user_id
+        |)
+        |SELECT cw AS cohort_week, ev.wk - cw AS age_week,
+        |  CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_active,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END) AS BIGINT)
+        |    AS rev_cents
+        |FROM ev JOIN cohort ON ev.user_id = cohort.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_week, age_week""".stripMargin,
     "ev_ab_test" ->
       """WITH u AS (
         |  SELECT DISTINCT user_id FROM events
