@@ -171,6 +171,71 @@ object Dedup {
       .select(col("da"), col("db"), round(matches / lit(12.0), 4).as("est_sim"))
   }
 
+  /** Bloom geometry of dd_bloom_screen: k hash functions into m bits.
+    * m is FIXED (the filter must be oracle-checkable), so saturation at
+    * large corpora is visible in the report rather than hidden — a
+    * deployment sizes m to n; the fp_rate column is exactly the gauge
+    * that tells it to. */
+  val BloomScreenBits = 8192L
+  val BloomScreenK = 2
+
+  /** BLOOM PRE-SCREEN for exact dedup (dd_bloom_screen) — the
+    * memory-bounded first pass production exact-dedup runs before any
+    * shuffle-heavy join: the corpus (even doc_ids) inserts its text
+    * hashes into a DETERMINISTIC md5 Bloom filter (the bit array IS a
+    * <= m-row distinct-positions table — broadcast-sized BY
+    * CONSTRUCTION no matter the corpus, which is the entire point);
+    * each batch doc (odd ids) is bloom-positive iff ALL k of its
+    * positions are set. The report measures the screen against exact
+    * truth: per source, batch size, bloom positives, true duplicates
+    * (bloom NEVER misses one — no false negatives, spec-pinned), false
+    * positives, and the observed fp rate — the number that tells a
+    * deployment when m needs resizing.
+    *
+    * Scale: the corpus pass is one map-side-combinable distinct over
+    * positions; the probe joins the BROADCAST bit table; truth is one
+    * co-partitioned hash join, paid here only to measure the screen (a
+    * deployment pays it only for bloom positives — the screened resid
+    * is the saving). */
+  def bloomScreen(spark: SparkSession, dir: String): DataFrame =
+    bloomScreenOn(documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  /** Same operator over any (doc_id, source, text) frame — Round12Spec
+    * pins zero false negatives and a planted false positive. */
+  def bloomScreenOn(docs: DataFrame): DataFrame = {
+    def posExpr(j: Int) =
+      s"CAST(conv(substring(md5(concat('bf$j:', h)), 1, 4), 16, 10) AS BIGINT) % $BloomScreenBits"
+    val hashed = docs.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      .localCheckpoint() // corpus insert + batch probe + truth join
+    val corpusH = hashed.filter(col("doc_id") % 2 === 0).select("h").distinct()
+      .localCheckpoint() // bit build + truth side
+    val bits = (0 until BloomScreenK).map(j => corpusH.select(expr(posExpr(j)).as("pos")))
+      .reduce(_ unionAll _).distinct()
+      .withColumn("present", lit(1L))
+    val batch = hashed.filter(col("doc_id") % 2 === 1)
+    val probed = (0 until BloomScreenK).map(j =>
+        batch.select(col("doc_id"), expr(posExpr(j)).as("pos")))
+      .reduce(_ unionAll _)
+      .join(broadcast(bits), Seq("pos"), "left_outer")
+      .groupBy("doc_id")
+      .agg((sum(coalesce(col("present"), lit(0L))) === BloomScreenK.toLong).as("bloom_pos"))
+    batch
+      .join(probed, Seq("doc_id"))
+      .join(corpusH.withColumn("is_dup", lit(1L)), Seq("h"), "left_outer")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(0L)) === 1L)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_batch"),
+        sum(when(col("bloom_pos"), 1L).otherwise(0L)).as("n_bloom_pos"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_true_dup"),
+        sum(when(col("bloom_pos") && !col("is_dup"), 1L).otherwise(0L)).as("n_false_pos"))
+      .withColumn("fp_rate_x10000", expr(
+        "CASE WHEN n_batch - n_true_dup = 0 THEN 0L " +
+          "ELSE (10000 * n_false_pos) div (n_batch - n_true_dup) END"))
+      .orderBy("source")
+  }
+
   /** INCREMENTAL MINHASH DEDUP (dd_minhash_inc) — the daily-ingest
     * deployment shape of dd_minhash: a standing corpus (even doc_ids —
     * the stored LSH band index) receives a new batch (odd doc_ids);
@@ -759,6 +824,7 @@ object Dedup {
     "dd_normalized" -> (normalized _),
     "dd_ngram_jaccard" -> (ngramJaccard _),
     "dd_jaccard_capped" -> (ngramJaccardCapped _),
+    "dd_bloom_screen" -> (bloomScreen _),
     "dd_minhash_inc" -> (minhashInc _),
     "dd_minhash" -> (minhash _),
     "dd_simhash" -> (simhash _),
@@ -1068,6 +1134,45 @@ object Dedup {
          |FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
          |WHERE ${graft.sources.Tables.r4Sql("CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter)")} >= 0.5
          |ORDER BY da, db""".stripMargin,
+    "dd_bloom_screen" -> {
+      val hex = (src: String, k: Int) =>
+        s"(strpos('0123456789abcdef', substr($src, $k, 1)) - 1)"
+      val fold = (src: String) =>
+        s"(((${hex(src, 1)} * 16 + ${hex(src, 2)}) * 16 + ${hex(src, 3)}) * 16 + ${hex(src, 4)})"
+      val pos = (j: Int) => s"${fold(s"md5('bf$j:' || h)")} % $BloomScreenBits"
+      s"""WITH hashed AS (
+         |  SELECT doc_id, source, md5(text) AS h FROM documents
+         |), corpus AS (
+         |  SELECT DISTINCT h FROM hashed WHERE doc_id % 2 = 0
+         |), bits AS (
+         |  SELECT DISTINCT pos FROM (
+         |    ${(0 until BloomScreenK).map(j => s"SELECT ${pos(j)} AS pos FROM corpus")
+                .mkString(" UNION ALL ")}) u
+         |), batch AS (
+         |  SELECT doc_id, source, h FROM hashed WHERE doc_id % 2 = 1
+         |), probed AS (
+         |  SELECT doc_id, COUNT(bits.pos) = $BloomScreenK AS bloom_pos FROM (
+         |    ${(0 until BloomScreenK).map(j =>
+                s"SELECT doc_id, ${pos(j)} AS pos FROM batch").mkString(" UNION ALL ")}) p
+         |  LEFT JOIN bits ON p.pos = bits.pos
+         |  GROUP BY doc_id
+         |), t AS (
+         |  SELECT b.source, probed.bloom_pos, corpus.h IS NOT NULL AS is_dup
+         |  FROM batch b
+         |  JOIN probed ON b.doc_id = probed.doc_id
+         |  LEFT JOIN corpus ON b.h = corpus.h
+         |)
+         |SELECT source, COUNT(*) AS n_batch,
+         |  CAST(SUM(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pos,
+         |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dup,
+         |  CAST(SUM(CASE WHEN bloom_pos AND NOT is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_false_pos,
+         |  CASE WHEN COUNT(*) - SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) = 0 THEN 0
+         |    ELSE CAST((10000 * SUM(CASE WHEN bloom_pos AND NOT is_dup THEN 1 ELSE 0 END))
+         |      // (COUNT(*) - SUM(CASE WHEN is_dup THEN 1 ELSE 0 END)) AS BIGINT) END
+         |    AS fp_rate_x10000
+         |FROM t GROUP BY source ORDER BY source""".stripMargin
+    },
     "dd_minhash_inc" ->
       s"""WITH sh AS ($shinglesSql),
          |sig AS (

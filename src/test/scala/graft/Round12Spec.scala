@@ -357,6 +357,27 @@ class Round12Spec extends SparkSpecBase {
     assert(graft.sources.ManifestIO.readClone(spark, cl).count() == 100)
   }
 
+  test("bloom screen: no false negatives, positives bound truth") {
+    import spark.implicits._
+    // 40 corpus docs (even ids), 40 batch docs (odd): 10 planted exact
+    // dups (odd doc 2k+1 copies even doc 2k's text for k < 10), the
+    // rest unique. EVERY true dup must be bloom-positive (a Bloom
+    // filter cannot miss — the invariant that makes it a safe screen).
+    val docs = (0 until 80).map { i =>
+      val text =
+        if (i < 20) s"shared text number ${i / 2} with words"
+        else s"unique text $i " + ("x" * (i % 7))
+      (i.toLong, s"src${i % 3}", text)
+    }.toDF("doc_id", "source", "text")
+    val out = graft.operators.Dedup.bloomScreenOn(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val (nb, npos, ndup, nfp) =
+      out.reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
+    assert(nb == 40L && ndup == 10L)
+    assert(npos >= ndup)          // every dup screened in
+    assert(nfp == npos - ndup)    // accounting consistent
+  }
+
   test("cep: first-match chaining, inclusive window edges, attrition") {
     import spark.implicits._
     // T=100. user 1: fb = FIRST click (1020, not 1050); the purchase at
