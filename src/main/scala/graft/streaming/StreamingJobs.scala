@@ -405,6 +405,30 @@ object StreamingJobs {
       .withColumn("bucket", expr(graft.operators.Events.CmsBucketSql))
       .groupBy("r", "bucket").agg(count(lit(1)).as("cell"))
 
+  /** Streaming HYPERLOGLOG register maintenance — the distinct-count
+    * twin of cmsCells above: every arriving (event_type, user) pair
+    * updates its bucket's register by MAX(rho), and the aggregation
+    * state is the <= types x 16 register table — bounded by
+    * construction, merging by MAX across executors and restarts (what
+    * a streaming COUNT DISTINCT ships instead of user sets). No
+    * pre-dedup is needed: MAX over repeats equals MAX over distincts —
+    * the idempotence that makes HLL registers safe under replay
+    * (at-least-once delivery cannot inflate them, unlike a counter).
+    * Register parity with the batch ev_hll build is spec-pinned over
+    * the shared bit expansion. */
+  def hllRegisters(events: DataFrame): DataFrame = {
+    val bits = (2 to 13)
+      .map(k => graft.operators.Events.hexBitsSql("mh", k))
+      .mkString("concat(", ", ", ")")
+    events
+      .withColumn("mh", md5(concat(lit("hll:"), col("user_id").cast("string"))))
+      .withColumn("bucket", expr("CAST(conv(substr(mh, 1, 1), 16, 10) AS BIGINT)"))
+      .withColumn("rho", expr(s"CAST(CASE WHEN position('1' IN $bits) = 0 " +
+        s"THEN 49 ELSE position('1' IN $bits) END AS BIGINT)"))
+      .groupBy("event_type", "bucket")
+      .agg(max(col("rho")).as("register"))
+  }
+
   def runToMemory(spark: SparkSession, df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
     q.processAllAvailable()

@@ -378,6 +378,28 @@ class Round12Spec extends SparkSpecBase {
     assert(nfp == npos - ndup)    // accounting consistent
   }
 
+  test("streaming HLL registers match batch and survive replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sq = spark.sqlContext
+    val pairs = (1L to 200L).map(u => (s"t${u % 3}", u % 41 + 1L))
+    val stream = MemoryStream[(String, Long)]
+    val (a, b) = pairs.splitAt(80)
+    stream.addData(a)
+    stream.addData(b)
+    stream.addData(a) // REPLAY batch 1: MAX is idempotent, registers must not move
+    val got = graft.streaming.StreamingJobs.runToMemory(spark,
+      graft.streaming.StreamingJobs.hllRegisters(
+        stream.toDF().toDF("event_type", "user_id")),
+      "hll_regs", OutputMode.Complete())
+    // batch twin: ev_hll's register build over the same distinct pairs
+    val expected = graft.operators.Events
+      .hllOn(pairs.toDF("event_type", "user_id"))
+      .select("event_type", "bucket", "register")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
   test("cep: first-match chaining, inclusive window edges, attrition") {
     import spark.implicits._
     // T=100. user 1: fb = FIRST click (1020, not 1050); the purchase at
