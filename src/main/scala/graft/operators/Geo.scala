@@ -387,6 +387,53 @@ object Geo {
       .orderBy(col("acc").desc, col("fx"), col("fy"))
   }
 
+  /** WATERSHED LABELING (zs_watershed) — the basin decomposition that
+    * completes the hydrology trio (zs_flowdir: where each cell drains;
+    * zs_flowaccum: how much drains through; zs_watershed: WHICH BASIN
+    * each cell belongs to): the drainage graph is a forest, so its
+    * undirected connected components ARE the basins — an edge u->v
+    * always stays inside v's root's tree, so two basins never share an
+    * edge and no ridge-merging can occur. Components via the
+    * pointer-doubling loop (basin chains are drainage-path-length deep
+    * — the polygonize O(log d) rule); basin id = min cell label
+    * (deterministic). Output: top-20 basins by size with cell count,
+    * elevation mass, and the ROOT class (sink or outlet — every basin
+    * has exactly one root, the one cell with no out-edge).
+    *
+    * Scale: everything downstream of the cell table — the component
+    * loop's per-round traffic is O(#cells) label rows (the polygonize
+    * audit), never points. */
+  def watershed(spark: SparkSession, dir: String): DataFrame =
+    watershedOn(points(spark, dir)
+      .withColumn("fx", floor(col("lon")).cast("long"))
+      .withColumn("fy", floor(col("lat")).cast("long"))
+      .groupBy("fx", "fy").agg(count(lit(1)).as("n")))
+
+  /** Same operator over any (fx, fy, n) cell grid — Round12Spec pins
+    * two separated channels resolving to two basins with their roots. */
+  def watershedOn(cellsIn: DataFrame): DataFrame = {
+    val sel = flowSel(cellsIn)
+      .withColumn("id", expr("(fx + 180) * 70 + (fy + 35)"))
+      .withColumn("tid", expr("(nx + 180) * 70 + (ny + 35)"))
+      .localCheckpoint() // edge build + node set + the final join back
+    val edges = sel.filter(col("eff") > 0 && col("nn") > 0)
+      .select(col("id").as("src"), col("tid").as("dst"))
+    val sym = edges.select((col("src") + lit(0L)).as("src"), (col("dst") + lit(0L)).as("dst"))
+      .unionByName(edges.select((col("dst") + lit(0L)).as("src"), (col("src") + lit(0L)).as("dst")))
+    val comp = graft.operators.GraphOps
+      .minLabelComponentsDoubling(sel.select(col("id")), sym)
+    sel.join(comp, Seq("id"))
+      .withColumn("root_class",
+        when(col("eff") <= 0, lit("sink"))
+          .when(col("nn") === 0, lit("outlet"))
+          .otherwise(lit(null).cast("string")))
+      .groupBy(col("comp").as("basin_id"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("mass"),
+        max(col("root_class")).as("root_class"))
+      .orderBy(col("n_cells").desc, col("basin_id"))
+      .limit(20)
+  }
+
   /** Stats joined back onto every zone feature (vector.py query_1 is a LEFT
     * JOIN so empty zones keep their geometry, stats NULL). Same aligned
     * fast path as zonalStats: zones are integer-degree boxes, so the
@@ -1409,6 +1456,7 @@ object Geo {
     "zs_hexbin" -> (hexbin _),
     "zs_flowdir" -> (flowDir _),
     "zs_flowaccum" -> (flowAccum _),
+    "zs_watershed" -> (watershed _),
     "zs_shared_borders" -> (sharedBorders _),
     "zs_dissolve" -> (dissolve _),
     "zs_kde" -> (kde _),
@@ -1649,6 +1697,49 @@ object Geo {
            |FROM n JOIN grid USING (fx, fy)
            |WHERE w > 0
            |GROUP BY q_id ORDER BY q_id""".stripMargin,
+      "zs_watershed" ->
+        s"""WITH RECURSIVE
+           |pts AS ($pointsSql),
+           |cells AS (
+           |  SELECT CAST(floor(lon) AS BIGINT) AS fx, CAST(floor(lat) AS BIGINT) AS fy,
+           |    COUNT(*) AS n
+           |  FROM pts GROUP BY 1, 2
+           |),
+           |dirs(d, dx, dy, w) AS (
+           |  VALUES (0, 1, 0, 10), (1, 1, 1, 7), (2, 0, 1, 10), (3, -1, 1, 7),
+           |    (4, -1, 0, 10), (5, -1, -1, 7), (6, 0, -1, 10), (7, 1, -1, 7)
+           |),
+           |grid AS (
+           |  SELECT c.fx, c.fy, c.n, d.d, d.w, COALESCE(nb.n, 0) AS nn,
+           |    c.fx + d.dx AS nx, c.fy + d.dy AS ny,
+           |    (c.n - COALESCE(nb.n, 0)) * d.w AS eff
+           |  FROM cells c CROSS JOIN dirs d
+           |  LEFT JOIN cells nb ON nb.fx = c.fx + d.dx AND nb.fy = c.fy + d.dy
+           |),
+           |sel AS (
+           |  SELECT *, (fx + 180) * 70 + (fy + 35) AS id,
+           |    (nx + 180) * 70 + (ny + 35) AS tid
+           |  FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY fx, fy
+           |      ORDER BY eff DESC, d ASC) AS rn
+           |    FROM grid) t WHERE rn = 1
+           |),
+           |e AS (
+           |  SELECT id AS src, tid AS dst FROM sel WHERE eff > 0 AND nn > 0
+           |),
+           |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+           |reach AS (
+           |  SELECT id AS cell, id AS r FROM sel
+           |  UNION
+           |  SELECT s.dst AS cell, reach.r FROM reach JOIN sym s ON reach.cell = s.src
+           |),
+           |final AS (SELECT cell, MIN(r) AS basin FROM reach GROUP BY cell)
+           |SELECT f.basin AS basin_id, COUNT(*) AS n_cells,
+           |  CAST(SUM(sel.n) AS BIGINT) AS mass,
+           |  MAX(CASE WHEN sel.eff <= 0 THEN 'sink'
+           |    WHEN sel.nn = 0 THEN 'outlet' END) AS root_class
+           |FROM sel JOIN final f ON sel.id = f.cell
+           |GROUP BY 1 ORDER BY n_cells DESC, basin_id LIMIT 20""".stripMargin,
       "zs_flowaccum" -> {
         val round = (r: Int) =>
           s"""a$r AS (

@@ -400,6 +400,23 @@ class Round12Spec extends SparkSpecBase {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
+  test("watershed: the walled channel is one sink basin, walls are singleton outlets") {
+    import spark.implicits._
+    // same grid as the flowaccum spec: channel x=1..9 at y=1 (n=21-x)
+    // inside n=30 walls. The channel drains E into the sink at (9,1) ->
+    // ONE 9-cell basin rooted at the sink, mass 20+...+12 = 144, basin
+    // id = min cell id = (1+180)*70 + (1+35) = 12706. Every wall cell
+    // outlets off-grid with no intra-grid edge -> 24 singleton basins.
+    val cells = (for { x <- 0 to 10; y <- 0 to 2 } yield {
+      val chan = y == 1 && x >= 1 && x <= 9
+      (x.toLong, y.toLong, if (chan) (21 - x).toLong else 30L)
+    }).toDF("fx", "fy", "n")
+    val out = graft.operators.Geo.watershedOn(cells).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.head == ((12706L, 9L, 144L, "sink")))
+    assert(out.tail.forall(r => r._2 == 1L && r._3 == 30L && r._4 == "outlet"))
+  }
+
   test("cep: first-match chaining, inclusive window edges, attrition") {
     import spark.implicits._
     // T=100. user 1: fb = FIRST click (1020, not 1050); the purchase at
