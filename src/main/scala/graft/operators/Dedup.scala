@@ -203,9 +203,13 @@ object Dedup {
 
   /** Same operator over any (doc_id, source, text) frame — Round12Spec
     * pins zero false negatives and a planted false positive. */
+  /** Bloom position j of the text-hash column `h` — one definition
+    * shared by the batch screen and StreamingJobs.bloomBits. */
+  private[graft] def bloomPosExpr(j: Int): String =
+    s"CAST(conv(substring(md5(concat('bf$j:', h)), 1, 4), 16, 10) AS BIGINT) % $BloomScreenBits"
+
   def bloomScreenOn(docs: DataFrame): DataFrame = {
-    def posExpr(j: Int) =
-      s"CAST(conv(substring(md5(concat('bf$j:', h)), 1, 4), 16, 10) AS BIGINT) % $BloomScreenBits"
+    def posExpr(j: Int) = bloomPosExpr(j)
     val hashed = docs.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
       .localCheckpoint() // corpus insert + batch probe + truth join
     val corpusH = hashed.filter(col("doc_id") % 2 === 0).select("h").distinct()

@@ -429,6 +429,26 @@ object StreamingJobs {
       .agg(max(col("rho")).as("register"))
   }
 
+  /** Streaming BLOOM-FILTER maintenance — the third mergeable sketch
+    * next to cmsCells and hllRegisters: every arriving document sets
+    * its k md5 positions, and the streaming state is the distinct-
+    * positions table — bounded at m = BloomScreenBits rows BY
+    * CONSTRUCTION no matter how many documents stream through (set
+    * bits merge by set-union, idempotent under replay like the HLL
+    * MAX). Append-mode output emits each position exactly once, when
+    * first set; the emitted set equals the batch screen's bit table
+    * over the same documents (spec-pinned over the one shared position
+    * definition). */
+  def bloomBits(docs: DataFrame): DataFrame = {
+    val positions = (0 until graft.operators.Dedup.BloomScreenK)
+      .map(j => s"(${graft.operators.Dedup.bloomPosExpr(j)})")
+      .mkString("array(", ", ", ")")
+    docs
+      .withColumn("h", md5(col("text")))
+      .select(explode(expr(positions)).as("pos"))
+      .dropDuplicates("pos")
+  }
+
   def runToMemory(spark: SparkSession, df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
     q.processAllAvailable()

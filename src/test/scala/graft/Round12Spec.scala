@@ -417,6 +417,25 @@ class Round12Spec extends SparkSpecBase {
     assert(out.tail.forall(r => r._2 == 1L && r._3 == 30L && r._4 == "outlet"))
   }
 
+  test("streaming bloom bits match the batch screen's bit table") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sq = spark.sqlContext
+    val texts = (1 to 120).map(i => s"stream doc number ${i % 50} payload")
+    val stream = MemoryStream[String]
+    val (a, b) = texts.splitAt(50)
+    stream.addData(a)
+    stream.addData(b)
+    stream.addData(a) // replay: set-union is idempotent, no new emissions
+    val got = graft.streaming.StreamingJobs.runToMemory(spark,
+      graft.streaming.StreamingJobs.bloomBits(stream.toDF().toDF("text")),
+      "bloom_bits", OutputMode.Append())
+    val expected = graft.streaming.StreamingJobs.bloomBits(texts.toDF("text"))
+    assert(got.count() == got.distinct().count()) // each bit emitted once
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
   test("cep: first-match chaining, inclusive window edges, attrition") {
     import spark.implicits._
     // T=100. user 1: fb = FIRST click (1020, not 1050); the purchase at
