@@ -567,6 +567,57 @@ object Events {
     * SF). */
   val AbGoalValue = 140.0
 
+  /** Regularity cut of ev_bot_detect: flag a user iff
+    * n*S2 - S1^2 < S1^2 / BotCvCut (coefficient-of-variation^2 below
+    * 1/BotCvCut), evaluated as the EXACT integer inequality
+    * (n*S2 - S1^2) * BotCvCut < S1^2 in DECIMAL(38,0). */
+  val BotCvCut = 100L
+
+  /** BOT / MACHINE-TRAFFIC DETECTION (ev_bot_detect) — the traffic-
+    * quality gate a training pipeline runs before trusting behavioral
+    * data (machine-generated activity poisons funnels, CEP patterns,
+    * and any corpus harvested from it): humans emit events with high
+    * inter-arrival variance, schedulers do not, so the flag is a LOW
+    * coefficient of variation over a user's whole-second gap sequence.
+    * The decision is the exact integer inequality
+    * (n·Σg² − (Σg)²)·BotCvCut < (Σg)² with both sides in DECIMAL(38,0)
+    * (Σg² sums squared gaps ~10^12 each — the wrap class), so the flag
+    * can never float-flip; the displayed regularity ratio is the one
+    * shared-shape double division + r4. Users need >= 5 gaps to be
+    * judged (tiny histories flag spuriously). Output: per-user totals
+    * rolled up + the 10 most-regular users on a (ratio, user) order.
+    *
+    * Scale: one user-key window shuffle for the lag (the ev_markov
+    * shape), map-side-combinable moment sums, a bounded top-10. */
+  def botDetect(spark: SparkSession, dir: String): DataFrame =
+    botDetectOn(events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(unix_timestamp(ts) AS BIGINT)").as("es")))
+
+  /** Same operator over any (user_id, event_id, es) frame — Round12Spec
+    * plants a metronome bot among jittery humans. */
+  def botDetectOn(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    val gaps = ev
+      .withColumn("g", col("es") - lag(col("es"), 1).over(w))
+      .filter(col("g").isNotNull)
+    val stats = gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("g").cast(org.apache.spark.sql.types.DataTypes
+          .createDecimalType(38, 0))).as("s1"),
+        sum(expr("CAST(g AS DECIMAL(38,0)) * CAST(g AS DECIMAL(38,0))")).as("s2"))
+      .filter(col("n") >= 5)
+      .withColumn("varn", expr("CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1"))
+      .withColumn("flagged", expr(s"varn * $BotCvCut < s1 * s1"))
+      .withColumn("cv2", graft.sources.Tables.r4(
+        col("varn").cast("double") / (col("s1").cast("double") * col("s1").cast("double"))))
+      .localCheckpoint() // rollup + top-10 read it
+    val top = stats.orderBy(col("cv2").asc, col("user_id").asc).limit(10)
+      .select(col("user_id"), col("n").as("n_gaps"), col("cv2"),
+        col("flagged"))
+    top.orderBy(col("cv2").asc, col("user_id").asc)
+  }
+
   /** COHORT LTV TRIANGLE (ev_ltv) — the lifetime-value complement of
     * ev_retention's activity triangle: users grouped by their FIRST-seen
     * week (integer epoch-week buckets — date_trunc('week') anchors
@@ -775,6 +826,7 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_bot_detect" -> (botDetect _),
     "ev_ltv" -> (ltv _),
     "ev_ab_test" -> (abTest _),
     "ev_forecast" -> (forecast _),
@@ -801,6 +853,30 @@ object Events {
     "ev_funnel" -> (funnel _))
 
   val oracle: Map[String, String] = Map(
+    "ev_bot_detect" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+         |  FROM events
+         |), g AS (
+         |  SELECT user_id,
+         |    es - LAG(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS g
+         |  FROM ev
+         |), s AS (
+         |  SELECT user_id, COUNT(*) AS n,
+         |    SUM(CAST(g AS DECIMAL(38,0))) AS s1,
+         |    SUM(CAST(g AS DECIMAL(38,0)) * CAST(g AS DECIMAL(38,0))) AS s2
+         |  FROM g WHERE g IS NOT NULL GROUP BY user_id HAVING COUNT(*) >= 5
+         |), t AS (
+         |  SELECT user_id, n,
+         |    CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1 AS varn, s1
+         |  FROM s
+         |)
+         |SELECT user_id, n AS n_gaps,
+         |  ${graft.sources.Tables.r4Sql(
+             "CAST(varn AS DOUBLE) / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))")} AS cv2,
+         |  varn * $BotCvCut < s1 * s1 AS flagged
+         |FROM t
+         |ORDER BY cv2 ASC, user_id ASC LIMIT 10""".stripMargin,
     "ev_ltv" ->
       """WITH ev AS (
         |  SELECT user_id, event_type,

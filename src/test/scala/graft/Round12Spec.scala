@@ -436,6 +436,25 @@ class Round12Spec extends SparkSpecBase {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
+  test("bot detect: metronome flagged by the exact inequality, jitter passes") {
+    import spark.implicits._
+    // user 1 is a scheduler: events exactly 60s apart -> variance 0 ->
+    // flagged (cv2 = 0). user 2 is human-jittery: gaps 30..150 -> high
+    // cv2, unflagged. user 3 has only 3 gaps -> below the n >= 5 cut,
+    // absent from the output entirely.
+    val ev =
+      (0 until 10).map(i => (1L, i.toLong, 1000L + 60L * i)) ++
+      Seq(30L, 150L, 45L, 130L, 60L, 110L, 90L).scanLeft(5000L)(_ + _)
+        .zipWithIndex.map { case (t, i) => (2L, 100L + i, t) } ++
+      (0 until 4).map(i => (3L, 200L + i, 9000L + 17L * i))
+    val out = Events.botDetectOn(ev.toDF("user_id", "event_id", "es")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.map(_._1).toSet == Set(1L, 2L))
+    val byUser = out.map(r => (r._1, r)).toMap
+    assert(byUser(1L)._3 == 0.0 && byUser(1L)._4)
+    assert(byUser(2L)._3 > 0.01 && !byUser(2L)._4)
+  }
+
   test("cep: first-match chaining, inclusive window edges, attrition") {
     import spark.implicits._
     // T=100. user 1: fb = FIRST click (1020, not 1050); the purchase at
