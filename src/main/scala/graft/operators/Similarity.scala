@@ -584,6 +584,47 @@ object Similarity {
       .groupBy("c", "i").agg(sum("xq").as("cS"), count(lit(1)).as("n"))
   }
 
+  /** TOPIC DISCOVERY (ta_topics) — the BERTopic-lite corpus-exploration
+    * deliverable: cluster the embedded docs with the trained k-means
+    * chain (doc_id and vec_id aligned by the driver contract — the
+    * ann_hybrid rule; at SFs where only a prefix of docs is embedded,
+    * the topic table covers the embedded subset, honestly), then label
+    * each cluster with its 3 most DISTINCTIVE terms by c-TF-IDF-style
+    * lift — cluster term share vs corpus term share as the ta_cooccur
+    * staged integer division (raw counts would label every cluster with
+    * the same common words; lift surfaces what makes a cluster itself).
+    * Output: (cluster, n_docs, rank, term, lift) — the table a corpus
+    * curator reads first.
+    *
+    * Scale: the training chain is the audited k-means; term counts are
+    * map-side-combinable on (cluster, word) and word keys; the one-row
+    * token total cross-joins (gr_triangles shape); the per-cluster
+    * top-3 window fans in vocabulary-bounded rows. */
+  def topics(spark: SparkSession, dir: String): DataFrame = {
+    val (_, assignFull) = kmeansChain(spark, dir)
+    val assign = assignFull.select(col("vec_id").as("doc_id"), col("c"))
+      .localCheckpoint() // word join + cluster sizes
+    val words = graft.sources.Tables.documents(spark, dir)
+      .join(assign, Seq("doc_id"))
+      .select(col("c"), explode(split(col("text"), " ")).as("w"))
+      .localCheckpoint() // three count consumers
+    val cw = words.groupBy("c", "w").agg(count(lit(1)).as("cwc"))
+    val nc = words.groupBy("c").agg(count(lit(1)).as("n_c"))
+    val cwAll = words.groupBy("w").agg(count(lit(1)).as("cw"))
+    val nt = cwAll.agg(sum(col("cw")).as("n_tot"))
+    val nDocs = assign.groupBy("c").agg(count(lit(1)).as("n_docs"))
+    val wR = Window.partitionBy("c").orderBy(col("lift_x100").desc, col("w").asc)
+    cw.join(nc, Seq("c")).join(cwAll, Seq("w")).crossJoin(broadcast(nt))
+      .withColumn("lift_x100",
+        expr("((1000000 * cwc) div n_c) * n_tot div (10000 * cw)"))
+      .withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= 3)
+      .join(nDocs, Seq("c"))
+      .select(col("c").as("cluster"), col("n_docs"), col("rank").cast("long").as("rank"),
+        col("w").as("term"), col("lift_x100"))
+      .orderBy("cluster", "rank")
+  }
+
   /** Evaluation cuts of ann_recall_curve. */
   val RecallCurveKs = Seq(1, 3, 5, 10)
 
@@ -949,6 +990,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_hybrid" -> (hybrid _),
     "ann_filtered" -> (filtered _),
+    "ta_topics" -> (topics _),
     "ann_recall_curve" -> (recallCurve _),
     "ann_nndescent" -> (nndescent _),
     "ann_range" -> (rangeSearch _),
@@ -1440,6 +1482,32 @@ object Similarity {
     "ann_ivfpq" -> ivfpqSql,
     "ann_multiprobe" -> multiprobeSql,
     "ann_recall_curve" -> recallCurveSql,
+    "ta_topics" ->
+      s"""WITH $kmeansCtes,
+         |assign AS (SELECT vec_id AS doc_id, c FROM as2),
+         |words AS (
+         |  SELECT a.c, UNNEST(string_split(d.text, ' ')) AS w
+         |  FROM documents d JOIN assign a ON d.doc_id = a.doc_id
+         |),
+         |cw AS (SELECT c, w, COUNT(*) AS cwc FROM words GROUP BY 1, 2),
+         |nc AS (SELECT c, COUNT(*) AS n_c FROM words GROUP BY 1),
+         |cwa AS (SELECT w, COUNT(*) AS cw FROM words GROUP BY 1),
+         |nt AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_tot FROM cwa),
+         |nd AS (SELECT c, COUNT(*) AS n_docs FROM assign GROUP BY 1),
+         |r AS (
+         |  SELECT cw.c, cw.w,
+         |    (((1000000 * cw.cwc) // nc.n_c) * nt.n_tot) // (10000 * cwa.cw) AS lift_x100
+         |  FROM cw JOIN nc ON cw.c = nc.c JOIN cwa ON cw.w = cwa.w CROSS JOIN nt
+         |),
+         |rk AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY c
+         |    ORDER BY lift_x100 DESC, w ASC) AS rank
+         |  FROM r
+         |)
+         |SELECT rk.c AS cluster, nd.n_docs, CAST(rank AS BIGINT) AS rank,
+         |  rk.w AS term, CAST(lift_x100 AS BIGINT) AS lift_x100
+         |FROM rk JOIN nd ON rk.c = nd.c
+         |WHERE rank <= 3 ORDER BY cluster, rank""".stripMargin,
     "ann_kmeans_recall" -> kmeansRecallSql,
     "ann_kmeans" -> kmeansSql,
     "ann_pq" -> pqSql,

@@ -65,7 +65,10 @@ class PlanAuditSpec extends SparkSpecBase {
     "ev_forecast",
     // ev_ab_test crosses the distinct-type set with the TWO-ROW arm
     // totals — two bounded dimensions, the ev_gap_fill spine shape
-    "ev_ab_test")
+    "ev_ab_test",
+    // ta_topics cross-joins the ONE-ROW token-total aggregate onto the
+    // cluster-term table — the gr_triangles sanctioned shape
+    "ta_topics")
 
   test("no query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
