@@ -409,9 +409,10 @@ object Geo {
       .withColumn("fy", floor(col("lat")).cast("long"))
       .groupBy("fx", "fy").agg(count(lit(1)).as("n")))
 
-  /** Same operator over any (fx, fy, n) cell grid — Round12Spec pins
-    * two separated channels resolving to two basins with their roots. */
-  def watershedOn(cellsIn: DataFrame): DataFrame = {
+  /** Per-cell basin labels (the flowSel frame + its component id) —
+    * shared by zs_watershed's basin rollup and zs_ridge's boundary
+    * extraction. */
+  private[graft] def basinLabels(cellsIn: DataFrame): DataFrame = {
     val sel = flowSel(cellsIn)
       .withColumn("id", expr("(fx + 180) * 70 + (fy + 35)"))
       .withColumn("tid", expr("(nx + 180) * 70 + (ny + 35)"))
@@ -423,6 +424,12 @@ object Geo {
     val comp = graft.operators.GraphOps
       .minLabelComponentsDoubling(sel.select(col("id")), sym)
     sel.join(comp, Seq("id"))
+  }
+
+  /** Same operator over any (fx, fy, n) cell grid — Round12Spec pins
+    * two separated channels resolving to two basins with their roots. */
+  def watershedOn(cellsIn: DataFrame): DataFrame =
+    basinLabels(cellsIn)
       .withColumn("root_class",
         when(col("eff") <= 0, lit("sink"))
           .when(col("nn") === 0, lit("outlet"))
@@ -432,6 +439,44 @@ object Geo {
         max(col("root_class")).as("root_class"))
       .orderBy(col("n_cells").desc, col("basin_id"))
       .limit(20)
+
+  /** RIDGE EXTRACTION (zs_ridge) — the divide lines between watersheds
+    * (zs_shared_borders' hydrology sibling): a ridge segment is a
+    * 4-adjacent cell pair whose members belong to DIFFERENT basins;
+    * each border counted once via E/N-only adjacency probes (two
+    * equi-joins on computed neighbor keys — the zs_flowdir posture,
+    * never a theta join). Output: the top-15 basin-pair divides by
+    * segment count (least/greatest pair canonicalization, unique
+    * tiebreak) — where a drainage analyst looks for the watershed
+    * boundary.
+    *
+    * Scale: the labeled cell frame joins itself twice on computed
+    * (fx+1, fy) / (fx, fy+1) keys — co-partitionable, cell-table-sized;
+    * the pair rollup is map-side-combinable. */
+  def ridge(spark: SparkSession, dir: String): DataFrame =
+    ridgeOn(points(spark, dir)
+      .withColumn("fx", floor(col("lon")).cast("long"))
+      .withColumn("fy", floor(col("lat")).cast("long"))
+      .groupBy("fx", "fy").agg(count(lit(1)).as("n")))
+
+  /** Same operator over any (fx, fy, n) cell grid — Round12Spec pins
+    * the two-channel grid's single divide. */
+  def ridgeOn(cellsIn: DataFrame): DataFrame = {
+    val lab = basinLabels(cellsIn).select(col("fx"), col("fy"), col("comp"))
+      .localCheckpoint() // both sides of both adjacency joins
+    def adj(dx: Long, dy: Long) = lab
+      .withColumn("ax", col("fx") + lit(dx))
+      .withColumn("ay", col("fy") + lit(dy))
+      .join(lab.select(col("fx").as("ax"), col("fy").as("ay"),
+        col("comp").as("comp2")), Seq("ax", "ay"))
+      .filter(col("comp") =!= col("comp2"))
+      .select(least(col("comp"), col("comp2")).as("basin_a"),
+        greatest(col("comp"), col("comp2")).as("basin_b"))
+    adj(1L, 0L).unionByName(adj(0L, 1L))
+      .groupBy("basin_a", "basin_b")
+      .agg(count(lit(1)).as("n_segments"))
+      .orderBy(col("n_segments").desc, col("basin_a"), col("basin_b"))
+      .limit(15)
   }
 
   /** Stats joined back onto every zone feature (vector.py query_1 is a LEFT
@@ -1457,6 +1502,7 @@ object Geo {
     "zs_flowdir" -> (flowDir _),
     "zs_flowaccum" -> (flowAccum _),
     "zs_watershed" -> (watershed _),
+    "zs_ridge" -> (ridge _),
     "zs_shared_borders" -> (sharedBorders _),
     "zs_dissolve" -> (dissolve _),
     "zs_kde" -> (kde _),
@@ -1697,6 +1743,62 @@ object Geo {
            |FROM n JOIN grid USING (fx, fy)
            |WHERE w > 0
            |GROUP BY q_id ORDER BY q_id""".stripMargin,
+      "zs_ridge" ->
+        s"""WITH RECURSIVE
+           |pts AS ($pointsSql),
+           |cells AS (
+           |  SELECT CAST(floor(lon) AS BIGINT) AS fx, CAST(floor(lat) AS BIGINT) AS fy,
+           |    COUNT(*) AS n
+           |  FROM pts GROUP BY 1, 2
+           |),
+           |dirs(d, dx, dy, w) AS (
+           |  VALUES (0, 1, 0, 10), (1, 1, 1, 7), (2, 0, 1, 10), (3, -1, 1, 7),
+           |    (4, -1, 0, 10), (5, -1, -1, 7), (6, 0, -1, 10), (7, 1, -1, 7)
+           |),
+           |grid AS (
+           |  SELECT c.fx, c.fy, c.n, d.d, d.w, COALESCE(nb.n, 0) AS nn,
+           |    c.fx + d.dx AS nx, c.fy + d.dy AS ny,
+           |    (c.n - COALESCE(nb.n, 0)) * d.w AS eff
+           |  FROM cells c CROSS JOIN dirs d
+           |  LEFT JOIN cells nb ON nb.fx = c.fx + d.dx AND nb.fy = c.fy + d.dy
+           |),
+           |sel AS (
+           |  SELECT *, (fx + 180) * 70 + (fy + 35) AS id,
+           |    (nx + 180) * 70 + (ny + 35) AS tid
+           |  FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY fx, fy
+           |      ORDER BY eff DESC, d ASC) AS rn
+           |    FROM grid) t WHERE rn = 1
+           |),
+           |e AS (
+           |  SELECT id AS src, tid AS dst FROM sel WHERE eff > 0 AND nn > 0
+           |),
+           |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+           |reach AS (
+           |  SELECT id AS cell, id AS r FROM sel
+           |  UNION
+           |  SELECT s.dst AS cell, reach.r FROM reach JOIN sym s ON reach.cell = s.src
+           |),
+           |final AS (SELECT cell, MIN(r) AS basin FROM reach GROUP BY cell),
+           |lab AS (
+           |  SELECT sel.fx, sel.fy, f.basin AS comp
+           |  FROM sel JOIN final f ON sel.id = f.cell
+           |),
+           |seg AS (
+           |  SELECT LEAST(a.comp, b.comp) AS basin_a,
+           |    GREATEST(a.comp, b.comp) AS basin_b
+           |  FROM lab a JOIN lab b
+           |    ON b.fx = a.fx + 1 AND b.fy = a.fy
+           |  WHERE a.comp <> b.comp
+           |  UNION ALL
+           |  SELECT LEAST(a.comp, b.comp), GREATEST(a.comp, b.comp)
+           |  FROM lab a JOIN lab b
+           |    ON b.fx = a.fx AND b.fy = a.fy + 1
+           |  WHERE a.comp <> b.comp
+           |)
+           |SELECT basin_a, basin_b, COUNT(*) AS n_segments
+           |FROM seg GROUP BY 1, 2
+           |ORDER BY n_segments DESC, basin_a, basin_b LIMIT 15""".stripMargin,
       "zs_watershed" ->
         s"""WITH RECURSIVE
            |pts AS ($pointsSql),

@@ -455,6 +455,24 @@ class Round12Spec extends SparkSpecBase {
     assert(byUser(2L)._3 > 0.01 && !byUser(2L)._4)
   }
 
+  test("ridge: parallel channels share a 9-segment divide") {
+    import spark.implicits._
+    // 11x4 walled grid with TWO identical descending channels at y=1
+    // and y=2 (x=1..9, n=21-x): equal elevations across rows mean no
+    // inter-row flow (eff 0 beats nothing; E descent 10 wins), so each
+    // channel is its own 9-cell basin — and they touch along 9 vertical
+    // cell borders. Basin ids = min cell ids: (1+180)*70+36 = 12706 and
+    // (1+180)*70+37 = 12707.
+    val cells = (for { x <- 0 to 10; y <- 0 to 3 } yield {
+      val chan = (y == 1 || y == 2) && x >= 1 && x <= 9
+      (x.toLong, y.toLong, if (chan) (21 - x).toLong else 30L)
+    }).toDF("fx", "fy", "n")
+    val out = graft.operators.Geo.ridgeOn(cells).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.head == ((12706L, 12707L, 9L)))
+    assert(out.tail.forall(_._3 < 9L))
+  }
+
   test("cep: first-match chaining, inclusive window edges, attrition") {
     import spark.implicits._
     // T=100. user 1: fb = FIRST click (1020, not 1050); the purchase at
