@@ -162,6 +162,28 @@ object ManifestIO {
     files.length
   }
 
+  /** Orphan-file report — storage hygiene's other half next to
+    * io_vacuum's logical reclaim: .parquet files present on disk but
+    * absent from the registered manifest (failed-write debris, killed
+    * speculative tasks, aborted compactions). Returns the orphan list
+    * sorted; DELETION is deliberately the caller's policy decision (a
+    * real cleaner also applies a modification-time retention horizon so
+    * an in-flight write is never swept — that horizon is config, the
+    * detection below is the mechanism). Spec-proven against a clone
+    * manifest with planted debris. */
+  def orphanFiles(spark: SparkSession, dataPath: String,
+      registered: Seq[String]): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val reg = registered.map(r =>
+      new org.apache.hadoop.fs.Path(r).toUri.getPath).toSet
+    fs.listStatus(p)
+      .filter(f => f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+      .filterNot(f => reg.contains(f.toUri.getPath))
+      .map(_.toString).sorted.toSeq
+  }
+
   /** Read a shallow clone strictly through its pinned file list. */
   def readClone(spark: SparkSession, clonePath: String): org.apache.spark.sql.DataFrame = {
     val manifest = spark.read.option("header", "true")

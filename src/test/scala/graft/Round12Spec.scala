@@ -355,6 +355,13 @@ class Round12Spec extends SparkSpecBase {
     Seq((999L, 999L)).toDF("k", "v").write.mode("append").parquet(src)
     assert(spark.read.parquet(src).count() == 101)
     assert(graft.sources.ManifestIO.readClone(spark, cl).count() == 100)
+    // orphan detection: vs the clone manifest, exactly the appended
+    // file is unregistered debris
+    val registered = spark.read.option("header", "true")
+      .csv(s"$cl/clone_manifest").select("path").collect().map(_.getString(0))
+    val orphans = graft.sources.ManifestIO.orphanFiles(spark, src, registered.toSeq)
+    assert(orphans.size == 1)
+    assert(parquetCount(src) == 3)
   }
 
   test("bloom screen: no false negatives, positives bound truth") {
