@@ -171,6 +171,50 @@ object Dedup {
       .select(col("da"), col("db"), round(matches / lit(12.0), 4).as("est_sim"))
   }
 
+  /** CROSS-SOURCE OVERLAP MATRIX (ta_src_overlap) — the syndication
+    * report a corpus curator reads before weighting sources (two feeds
+    * republishing each other look like twice the data but carry half
+    * the signal, and near-dup mass BETWEEN sources is how you see it):
+    * minhash candidates verified at the exact 9/12 signature threshold
+    * (the pipeline's integer rule), each verified pair attributed to
+    * its (source, source) cell on least/greatest canonicalization —
+    * within-source cells on the diagonal; n_docs_a/b give the cell's
+    * denominators. Every cell with >= 1 verified pair appears.
+    *
+    * Scale: the candidate/verify machinery is dd_minhash's audited
+    * path; the source attribution is two co-partitioned doc-key joins;
+    * the matrix is bounded by sources^2. */
+  def srcOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint() // shingles + two source lookups + size table
+    val sig = minhashSignatures(shinglesOn(docs))
+      .localCheckpoint() // bands + both verify sides
+    val matches = (0 until 12).map(h =>
+      when(col(s"x.mh$h") === col(s"y.mh$h"), 1).otherwise(0)).reduce(_ + _)
+    val ver = bandCandidates(sig)
+      .join(sig.as("x"), col("da") === col("x.doc_id"))
+      .join(sig.as("y"), col("db") === col("y.doc_id"))
+      .withColumn("agree", matches.cast("long"))
+      .filter(col("agree") >= 9L)
+      .select(col("da"), col("db"))
+    val srcOf = docs.select(col("doc_id"), col("source"))
+    val sizes = srcOf.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    ver
+      .join(srcOf.select(col("doc_id").as("da"), col("source").as("sa")), Seq("da"))
+      .join(srcOf.select(col("doc_id").as("db"), col("source").as("sb")), Seq("db"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .join(sizes.select(col("source").as("source_a"), col("n_docs").as("n_docs_a")),
+        Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("n_docs").as("n_docs_b")),
+        Seq("source_b"))
+      .select("source_a", "source_b", "n_pairs", "n_docs_a", "n_docs_b")
+      .orderBy("source_a", "source_b")
+  }
+
   /** Bloom geometry of dd_bloom_screen: k hash functions into m bits.
     * m is FIXED (the filter must be oracle-checkable), so saturation at
     * large corpora is visible in the report rather than hidden — a
@@ -828,6 +872,7 @@ object Dedup {
     "dd_normalized" -> (normalized _),
     "dd_ngram_jaccard" -> (ngramJaccard _),
     "dd_jaccard_capped" -> (ngramJaccardCapped _),
+    "ta_src_overlap" -> (srcOverlap _),
     "dd_bloom_screen" -> (bloomScreen _),
     "dd_minhash_inc" -> (minhashInc _),
     "dd_minhash" -> (minhash _),
@@ -1138,6 +1183,46 @@ object Dedup {
          |FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
          |WHERE ${graft.sources.Tables.r4Sql("CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter)")} >= 0.5
          |ORDER BY da, db""".stripMargin,
+    "ta_src_overlap" ->
+      s"""WITH sh AS ($shinglesSql),
+         |sig AS (
+         |  SELECT doc_id, h,
+         |    MIN(substr(md5(CAST(h // 4 AS VARCHAR) || ':' || sh),
+         |      CAST((h % 4) * 8 + 1 AS INT), 8)) AS mh
+         |  FROM sh, UNNEST(range(0, 12)) AS t(h) GROUP BY doc_id, h
+         |),
+         |bands AS (
+         |  SELECT doc_id, CAST(h // 2 AS INT) AS band,
+         |    md5(MIN(CASE WHEN h % 2 = 0 THEN mh END) || '|' || MIN(CASE WHEN h % 2 = 1 THEN mh END)) AS band_key
+         |  FROM sig GROUP BY doc_id, h // 2
+         |),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+         |),
+         |ver AS (
+         |  SELECT da, db FROM cand
+         |  JOIN sig sa ON sa.doc_id = da
+         |  JOIN sig sb ON sb.doc_id = db AND sb.h = sa.h
+         |  GROUP BY da, db
+         |  HAVING SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) >= 9
+         |),
+         |sizes AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+         |cells AS (
+         |  SELECT LEAST(xa.source, xb.source) AS source_a,
+         |    GREATEST(xa.source, xb.source) AS source_b, COUNT(*) AS n_pairs
+         |  FROM ver
+         |  JOIN documents xa ON ver.da = xa.doc_id
+         |  JOIN documents xb ON ver.db = xb.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT cells.source_a, cells.source_b, cells.n_pairs,
+         |  za.n_docs AS n_docs_a, zb.n_docs AS n_docs_b
+         |FROM cells
+         |JOIN sizes za ON cells.source_a = za.source
+         |JOIN sizes zb ON cells.source_b = zb.source
+         |ORDER BY source_a, source_b""".stripMargin,
     "dd_bloom_screen" -> {
       val hex = (src: String, k: Int) =>
         s"(strpos('0123456789abcdef', substr($src, $k, 1)) - 1)"
