@@ -413,9 +413,13 @@ object Geo {
     * shared by zs_watershed's basin rollup and zs_ridge's boundary
     * extraction. */
   private[graft] def basinLabels(cellsIn: DataFrame): DataFrame = {
+    // cell-id stride 1024 covers ANY lat in [-512, 512) — watershedOn /
+    // ridgeOn are documented generic over (fx, fy, n) grids, so a
+    // lat-[-35,35) stride (the old *70) would silently alias distinct
+    // cells from a wider-lat caller into one id and merge unrelated basins
     val sel = flowSel(cellsIn)
-      .withColumn("id", expr("(fx + 180) * 70 + (fy + 35)"))
-      .withColumn("tid", expr("(nx + 180) * 70 + (ny + 35)"))
+      .withColumn("id", expr("(fx + 180) * 1024 + (fy + 512)"))
+      .withColumn("tid", expr("(nx + 180) * 1024 + (ny + 512)"))
       .localCheckpoint() // edge build + node set + the final join back
     val edges = sel.filter(col("eff") > 0 && col("nn") > 0)
       .select(col("id").as("src"), col("tid").as("dst"))
@@ -1763,8 +1767,8 @@ object Geo {
            |  LEFT JOIN cells nb ON nb.fx = c.fx + d.dx AND nb.fy = c.fy + d.dy
            |),
            |sel AS (
-           |  SELECT *, (fx + 180) * 70 + (fy + 35) AS id,
-           |    (nx + 180) * 70 + (ny + 35) AS tid
+           |  SELECT *, (fx + 180) * 1024 + (fy + 512) AS id,
+           |    (nx + 180) * 1024 + (ny + 512) AS tid
            |  FROM (
            |    SELECT *, ROW_NUMBER() OVER (PARTITION BY fx, fy
            |      ORDER BY eff DESC, d ASC) AS rn
@@ -1819,8 +1823,8 @@ object Geo {
            |  LEFT JOIN cells nb ON nb.fx = c.fx + d.dx AND nb.fy = c.fy + d.dy
            |),
            |sel AS (
-           |  SELECT *, (fx + 180) * 70 + (fy + 35) AS id,
-           |    (nx + 180) * 70 + (ny + 35) AS tid
+           |  SELECT *, (fx + 180) * 1024 + (fy + 512) AS id,
+           |    (nx + 180) * 1024 + (ny + 512) AS tid
            |  FROM (
            |    SELECT *, ROW_NUMBER() OVER (PARTITION BY fx, fy
            |      ORDER BY eff DESC, d ASC) AS rn

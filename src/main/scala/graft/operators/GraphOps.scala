@@ -672,9 +672,15 @@ object GraphOps {
       .join(deg.select(col("u").as("b"), col("d").as("jb")), Seq("b"))
       .agg(
         count(lit(1)).as("m"),
-        sum(expr("CAST(ja * jb AS DECIMAL(38,0))")).as("s_jk"),
-        sum(expr("CAST(ja + jb AS DECIMAL(38,0))")).as("s_jpk"),
-        sum(expr("CAST(ja * ja + jb * jb AS DECIMAL(38,0))")).as("s_j2k2"))
+        // operands cast to DECIMAL(19,0) BEFORE the arithmetic: a BIGINT
+        // product wraps silently in Spark (DuckDB raises) before an outer
+        // CAST can save it — the exact cross-engine divergence SURVEY §4
+        // warns about. 19+19 ≤ 38 keeps both engines' decimal multiply
+        // exact for any pair of longs.
+        sum(expr("CAST(ja AS DECIMAL(19,0)) * CAST(jb AS DECIMAL(19,0))")).as("s_jk"),
+        sum(expr("CAST(ja AS DECIMAL(19,0)) + CAST(jb AS DECIMAL(19,0))")).as("s_jpk"),
+        sum(expr("CAST(ja AS DECIMAL(19,0)) * CAST(ja AS DECIMAL(19,0)) " +
+          "+ CAST(jb AS DECIMAL(19,0)) * CAST(jb AS DECIMAL(19,0))")).as("s_j2k2"))
       .withColumn("assort", expr(
         "CASE WHEN CAST(s_j2k2 AS DOUBLE) / (2.0 * m) " +
           "- (CAST(s_jpk AS DOUBLE) / (2.0 * m)) * (CAST(s_jpk AS DOUBLE) / (2.0 * m)) = 0.0 " +
@@ -719,9 +725,10 @@ object GraphOps {
         |    SELECT a AS u FROM edges UNION ALL SELECT b FROM edges) s GROUP BY u
         |), t AS (
         |  SELECT COUNT(*) AS m,
-        |    SUM(CAST(da.d * db.d AS DECIMAL(38,0))) AS s_jk,
-        |    SUM(CAST(da.d + db.d AS DECIMAL(38,0))) AS s_jpk,
-        |    SUM(CAST(da.d * da.d + db.d * db.d AS DECIMAL(38,0))) AS s_j2k2
+        |    SUM(CAST(da.d AS DECIMAL(19,0)) * CAST(db.d AS DECIMAL(19,0))) AS s_jk,
+        |    SUM(CAST(da.d AS DECIMAL(19,0)) + CAST(db.d AS DECIMAL(19,0))) AS s_jpk,
+        |    SUM(CAST(da.d AS DECIMAL(19,0)) * CAST(da.d AS DECIMAL(19,0))
+        |      + CAST(db.d AS DECIMAL(19,0)) * CAST(db.d AS DECIMAL(19,0))) AS s_j2k2
         |  FROM edges JOIN deg da ON edges.a = da.u JOIN deg db ON edges.b = db.u
         |)
         |SELECT m AS n_edges, CAST(s_jk AS BIGINT) AS sum_jk,

@@ -987,7 +987,96 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** ANN SERVING CAPSTONE (pipe_ann) — the retrieval sibling of
+    * pipe_curation/pipe_dedup: one query that runs the whole index
+    * lifecycle end to end and reports the per-stage accounting a serving
+    * deployment publishes after every build. Stages (one row each; stat
+    * semantics per stage):
+    *   1 embed  — corpus ingested: n_rows = vectors, stat = dimensionality;
+    *   2 train  — trained quantizer (the ann_kmeans two-round-Lloyd chain):
+    *              n_rows = clusters, stat = total inertia floor
+    *              (sum of p div n^2 — integer-exact);
+    *   3 index  — IVF posting lists built: n_rows = postings (= vectors,
+    *              every vector lives in exactly one list), stat = hottest
+    *              posting-list length (the skew gauge a deployment
+    *              monitors before sharding);
+    *   4 serve  — batch-serve the bounded query set through the
+    *              multi-probe index (P = MultiProbeP closest clusters by
+    *              the exact-integer Lloyd distance): n_rows = candidate
+    *              pairs scanned (the bounded queries x probed-postings
+    *              set — THE approximate-search cost knob), stat = top-10
+    *              results returned;
+    *   5 eval   — recall readout against the exact top-3 baseline
+    *              (ann_recall shape): n_rows = queries evaluated, stat =
+    *              total hits (the integer numerator of recall@3).
+    * Every number is a count or an exact-integer aggregate, so the DuckDB
+    * oracle replays the identical composition bit-for-bit.
+    *
+    * Scale: the stages ARE the audited cores — checkpointed shared frames
+    * (corpus, clustered, candidates, served each have exactly the
+    * consumers annotated), broadcast codebook + broadcast bounded query
+    * set, candidate join on the cluster key (partition pruning on a
+    * clustered layout), exact pass only for the bounded sample. The five
+    * one-row stage aggregates union into ONE job. */
+  def pipeAnn(spark: SparkSession, dir: String): DataFrame = {
+    val (dims, assignFull) = kmeansChain(spark, dir)
+    val assign = assignFull.select(col("vec_id"), col("c")).localCheckpoint()
+    val c = corpus(spark, dir).localCheckpoint() // stage-1 count + exact pass + both probe sides
+    val clustered = c.join(assign, Seq("vec_id"))
+      .localCheckpoint() // stage-3 counts + candidate side + query side
+    val cb = dims.join(assign, Seq("vec_id"))
+      .groupBy("c", "i").agg(sum("xq").as("cS"), count(lit(1)).as("n"))
+    val wp = Window.partitionBy("vec_id").orderBy(
+      (col("p").cast("double") / (col("n") * col("n")).cast("double")).asc,
+      col("c").asc)
+    val probes = dims.filter(col("vec_id") < 10)
+      .join(broadcast(cb), Seq("i"))
+      .withColumn("t", expr("xq * n - cS"))
+      .groupBy("vec_id", "c")
+      .agg(sum(expr("t * t")).as("p"), max(col("n")).as("n"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= MultiProbeP)
+      .select(col("vec_id").as("qid"), col("c"))
+    val q = clustered.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+      .join(probes, Seq("qid"))
+    val cand = clustered
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("nrm").as("cn"), col("c"))
+      .join(broadcast(q), Seq("c"))
+      .filter(col("qid") =!= col("cid"))
+      .localCheckpoint() // stage-4 count + serve ranking
+    val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    val served = cand
+      .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("cid"), col("rank"))
+      .localCheckpoint() // stage-4 stat + eval join
+    val exact = bruteforceOn(c.filter(col("vec_id") < 10), c, 3)
+      .select(col("qid"), col("cid"))
+      .localCheckpoint() // stage-5 count + hit join
+    def stage(id: Long, name: String, nRows: DataFrame, stat: DataFrame): DataFrame =
+      nRows.withColumnRenamed(nRows.columns.head, "n_rows")
+        .crossJoin(stat.withColumnRenamed(stat.columns.head, "stat"))
+        .select(lit(id).as("stage_id"), lit(name).as("stage"),
+          col("n_rows").cast("long"), col("stat").cast("long"))
+    val postings = clustered.groupBy("c").agg(count(lit(1)).as("len"))
+    Seq(
+      stage(1L, "embed", c.agg(count(lit(1))), c.agg(max(size(col("embedding"))))),
+      stage(2L, "train", assignFull.agg(countDistinct(col("c"))),
+        assignFull.agg(sum(expr("p div (n * n)")))),
+      stage(3L, "index", clustered.agg(count(lit(1))), postings.agg(max(col("len")))),
+      stage(4L, "serve", cand.agg(count(lit(1))), served.agg(count(lit(1)))),
+      stage(5L, "eval", exact.agg(countDistinct(col("qid"))),
+        exact.join(served.filter(col("rank") <= 3), Seq("qid", "cid"))
+          .agg(count(lit(1)))))
+      .reduce(_ unionByName _)
+      .orderBy("stage_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_ann" -> (pipeAnn _),
     "ann_hybrid" -> (hybrid _),
     "ann_filtered" -> (filtered _),
     "ta_topics" -> (topics _),
@@ -1254,6 +1343,70 @@ object Similarity {
        |LEFT JOIN approx ON exact.qid = approx.qid AND exact.cid = approx.cid
        |GROUP BY exact.qid, np.n_probed ORDER BY exact.qid""".stripMargin
 
+  /** pipe_ann oracle: the full serving composition replayed — kmeans CTEs,
+    * multiprobe candidate set, top-10 serve, exact@3 eval — each stage row
+    * a pair of scalar count subqueries (all integer-exact). */
+  private def pipeAnnSql: String =
+    s"""WITH $kmeansCtes,
+       |e0 AS (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings
+       |),
+       |b AS (
+       |  SELECT e0.vec_id, e0.embedding, e0.nrm, as2.c
+       |  FROM e0 JOIN as2 ON e0.vec_id = as2.vec_id
+       |),
+       |cb AS (
+       |  SELECT as2.c, d.i, CAST(SUM(d.xq) AS BIGINT) AS cS, COUNT(*) AS n
+       |  FROM dims d JOIN as2 ON d.vec_id = as2.vec_id GROUP BY 1, 2
+       |),
+       |pd AS (
+       |  SELECT d.vec_id, c.c,
+       |    CAST(SUM((d.xq * c.n - c.cS) * (d.xq * c.n - c.cS)) AS BIGINT) AS p,
+       |    MAX(c.n) AS n
+       |  FROM dims d JOIN cb c ON d.i = c.i WHERE d.vec_id < 10 GROUP BY 1, 2
+       |),
+       |probes AS (
+       |  SELECT vec_id AS qid, c FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY CAST(p AS DOUBLE) / CAST(n * n AS DOUBLE) ASC, c ASC) AS rn
+       |    FROM pd) WHERE rn <= $MultiProbeP
+       |),
+       |cand AS (
+       |  SELECT p.qid, c.vec_id AS cid, q.embedding AS qv, q.nrm AS qn,
+       |    c.embedding AS cv, c.nrm AS cn
+       |  FROM probes p JOIN e0 q ON q.vec_id = p.qid
+       |  JOIN b c ON c.c = p.c AND c.vec_id <> p.qid
+       |),
+       |served AS (
+       |  SELECT qid, cid, rank FROM (
+       |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY ${dotSql("qv", "cv")} / (qn * cn) DESC, cid ASC) AS rank
+       |    FROM cand) WHERE rank <= 10
+       |),
+       |exact AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+       |        c.vec_id ASC) AS rank
+       |    FROM e0 q JOIN e0 c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+       |  ) WHERE rank <= 3
+       |)
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS stage_id, 'embed' AS stage,
+       |    (SELECT COUNT(*) FROM e0) AS n_rows,
+       |    (SELECT CAST(MAX(len(embedding)) AS BIGINT) FROM e0) AS stat
+       |  UNION ALL SELECT 2, 'train', (SELECT COUNT(DISTINCT c) FROM as2),
+       |    (SELECT CAST(SUM(p // (n * n)) AS BIGINT) FROM as2)
+       |  UNION ALL SELECT 3, 'index', (SELECT COUNT(*) FROM b),
+       |    (SELECT MAX(n) FROM (SELECT COUNT(*) AS n FROM b GROUP BY c) t)
+       |  UNION ALL SELECT 4, 'serve', (SELECT COUNT(*) FROM cand),
+       |    (SELECT COUNT(*) FROM served)
+       |  UNION ALL SELECT 5, 'eval', (SELECT COUNT(DISTINCT qid) FROM exact),
+       |    (SELECT COUNT(*) FROM exact JOIN served
+       |     ON exact.qid = served.qid AND exact.cid = served.cid AND served.rank <= 3)
+       |) ORDER BY stage_id""".stripMargin
+
   /** ann_recall_curve oracle: multiprobeSql's probe/rank CTEs carried to
     * rank 10, evaluated at each k cut. */
   private def recallCurveSql: String = {
@@ -1479,6 +1632,7 @@ object Similarity {
          |  ${graft.sources.Tables.r4Sql("cos")} AS cos_sim
          |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "dd_semdedup" -> semDedupSql,
+    "pipe_ann" -> pipeAnnSql,
     "ann_ivfpq" -> ivfpqSql,
     "ann_multiprobe" -> multiprobeSql,
     "ann_recall_curve" -> recallCurveSql,

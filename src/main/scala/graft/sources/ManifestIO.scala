@@ -371,11 +371,15 @@ object ManifestIO {
     * the join is shuffle-free on it), one write, and a bounded audit
     * aggregate. No whole-table broadcast, no driver-side row handling. */
   def mergeQuery(spark: SparkSession, dir: String): DataFrame = {
+    // per-INVOCATION unique path (pid is not enough: two calls in the same
+    // JVM — a Bench sample overlapping a Verify, or parallel test runners —
+    // would race on a shared delete/overwrite); the run directory is
+    // deleted on JVM exit so repeated benches don't accumulate /tmp litter
     val pid = ProcessHandle.current().pid()
-    val out = s"/tmp/graft_merge/run_${pid}_${Integer.toHexString(dir.hashCode)}"
+    val out = s"/tmp/graft_merge/run_${pid}_${Integer.toHexString(dir.hashCode)}_${System.nanoTime()}"
     val p = new org.apache.hadoop.fs.Path(out)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+    fs.deleteOnExit(p)
     val base = Tables.orders(spark, dir)
       .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
         col("o_totalprice").as("total"))

@@ -412,7 +412,7 @@ class Round12Spec extends SparkSpecBase {
     // same grid as the flowaccum spec: channel x=1..9 at y=1 (n=21-x)
     // inside n=30 walls. The channel drains E into the sink at (9,1) ->
     // ONE 9-cell basin rooted at the sink, mass 20+...+12 = 144, basin
-    // id = min cell id = (1+180)*70 + (1+35) = 12706. Every wall cell
+    // id = min cell id = (1+180)*1024 + (1+512) = 185857. Every wall
     // outlets off-grid with no intra-grid edge -> 24 singleton basins.
     val cells = (for { x <- 0 to 10; y <- 0 to 2 } yield {
       val chan = y == 1 && x >= 1 && x <= 9
@@ -420,7 +420,7 @@ class Round12Spec extends SparkSpecBase {
     }).toDF("fx", "fy", "n")
     val out = graft.operators.Geo.watershedOn(cells).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
-    assert(out.head == ((12706L, 9L, 144L, "sink")))
+    assert(out.head == ((185857L, 9L, 144L, "sink")))
     assert(out.tail.forall(r => r._2 == 1L && r._3 == 30L && r._4 == "outlet"))
   }
 
@@ -468,15 +468,15 @@ class Round12Spec extends SparkSpecBase {
     // and y=2 (x=1..9, n=21-x): equal elevations across rows mean no
     // inter-row flow (eff 0 beats nothing; E descent 10 wins), so each
     // channel is its own 9-cell basin — and they touch along 9 vertical
-    // cell borders. Basin ids = min cell ids: (1+180)*70+36 = 12706 and
-    // (1+180)*70+37 = 12707.
+    // cell borders. Basin ids = min cell ids: (1+180)*1024+513 = 185857
+    // and (1+180)*1024+514 = 185858.
     val cells = (for { x <- 0 to 10; y <- 0 to 3 } yield {
       val chan = (y == 1 || y == 2) && x >= 1 && x <= 9
       (x.toLong, y.toLong, if (chan) (21 - x).toLong else 30L)
     }).toDF("fx", "fy", "n")
     val out = graft.operators.Geo.ridgeOn(cells).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(out.head == ((12706L, 12707L, 9L)))
+    assert(out.head == ((185857L, 185858L, 9L)))
     assert(out.tail.forall(_._3 < 9L))
   }
 
