@@ -51,20 +51,24 @@ object Similarity {
     s"((strpos('0123456789abcdef', substr(md5(CAST($h AS VARCHAR) || ':' || CAST($i AS VARCHAR)), 1, 1)) - 1) * 16 " +
       s"+ strpos('0123456789abcdef', substr(md5(CAST($h AS VARCHAR) || ':' || CAST($i AS VARCHAR)), 2, 1)) - 1 - 127.5)"
 
-  /** 8-char '0'/'1' random-hyperplane sign bucket of a vector column. The
-    * weight matrix is a literal 8x64 array (no per-row hash evaluation);
-    * each projection is the same left-to-right fold as the oracle's
-    * list_reduce. (A fully unrolled 512-term expression was tried and is
-    * ~8x slower end to end: expression compilation dominates.) */
+  /** 8-char '0'/'1' random-hyperplane sign bucket of a vector column:
+    * 8 native codegen `vector_dot(v, <literal weight row>)` projections
+    * (bit-identical to the oracle's left-to-right list_reduce fold).
+    * Measured r9 vs the interpreted aggregate() HOF: a wash at sf0.1
+    * (1.36s vs 1.36s across the three consumers — the projection is not
+    * the bottleneck there), kept native because it stays inside
+    * whole-stage codegen (8 compiled loops/row vs 8 interpreted 64-step
+    * lambda frames/row — what matters at 100x corpus). A fully unrolled
+    * 512-term expression remains ~8x slower (r1): expression COMPILATION
+    * dominates; vector_dot compiles one loop per plane instead.
+    * Callers must have vector_dot registered (GraftFunctions.register —
+    * every current call site does). */
   def bucket(v: String): Column = {
-    val wm = (0 until HyperplaneBits)
-      .map(h => (0 until Dim).map(i => s"${weight(h, i)}D").mkString("array(", ", ", ")"))
-      .mkString("array(", ", ", ")")
-    expr(
-      s"array_join(transform(sequence(0, ${HyperplaneBits - 1}), h -> " +
-        s"CASE WHEN aggregate(sequence(0, ${Dim - 1}), CAST(0.0 AS DOUBLE), " +
-        s"(acc, i) -> acc + CAST(element_at($v, i + 1) AS DOUBLE) * element_at(element_at($wm, h + 1), i + 1)) > 0 " +
-        "THEN '1' ELSE '0' END), '')")
+    val parts = (0 until HyperplaneBits).map { h =>
+      val w = (0 until Dim).map(i => s"${weight(h, i)}D").mkString("array(", ", ", ")")
+      s"CASE WHEN vector_dot($v, $w) > 0 THEN '1' ELSE '0' END"
+    }
+    expr(s"concat(${parts.mkString(", ")})")
   }
 
   def bucketSql(v: String): String =
