@@ -707,18 +707,22 @@ object ManifestIO {
     * (same (key) shuffle), one full-outer join on the key, and the
     * four change classes are projections of that ONE joined frame
     * (localCheckpoint — four consumers). */
+  /** Live rows of the part log's snapshot `v` (newest op per key,
+    * delete-beats-update on same-version ties): (key, price). */
+  private def snapshotAt(log: DataFrame, v: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("version").desc, col("op").asc)
+    log.filter(col("version") <= v)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") === "u")
+      .select(col("key"), col("price"))
+  }
+
   def cdfQuery(spark: SparkSession, dir: String): DataFrame = {
     val log = partLog(spark, dir).localCheckpoint() // two snapshot reads
-    def stateAt(v: Long): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("key").orderBy(col("version").desc, col("op").asc)
-      log.filter(col("version") <= v)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1 && col("op") === "u")
-        .select(col("key"), col("price"))
-    }
-    val j = stateAt(1L).select(col("key"), col("price").as("p1"))
-      .join(stateAt(3L).select(col("key"), col("price").as("p3")), Seq("key"), "full_outer")
+    val j = snapshotAt(log, 1L).select(col("key"), col("price").as("p1"))
+      .join(snapshotAt(log, 3L).select(col("key"), col("price").as("p3")),
+        Seq("key"), "full_outer")
       .localCheckpoint() // four change-class consumers
     val ins = j.filter(col("p1").isNull)
       .select(col("key"), lit("insert").as("change_type"), col("p3").as("price"))
@@ -731,6 +735,62 @@ object ManifestIO {
       .unionByName(upd.select(col("key"), lit("update_post").as("change_type"),
         col("p3").as("price")))
       .orderBy("key", "change_type")
+  }
+
+  /** INCREMENTAL VIEW MAINTENANCE (io_ivm) — the materialized-view
+    * counterpart of io_cdf: a per-group aggregate view (count + exact
+    * price mass over key-hash groups) materialized at snapshot v1 is
+    * MAINTAINED to v3 by applying signed deltas from the change feed
+    * (insert → +1/+price, delete → −1/−price, update → −pre +post — the
+    * classic incremental aggregate algebra), never rescanning the base.
+    * The output is the self-auditing report every IVM deployment runs:
+    * maintained vs full-recompute columns side by side with a
+    * `consistent` verdict per group — all sums decimal-accumulated, so
+    * equality is exact, not approximate.
+    *
+    * Scale: the deltas are change-feed-sized (the point of IVM — a 100 TB
+    * base with a 1 GB daily delta updates the view in delta time); both
+    * snapshot states ride the same co-partitioned (key) window as io_cdf;
+    * group rollups are map-side-combinable on 8 keys. The recompute
+    * column is the AUDIT (a deployment runs it sampled or off-peak);
+    * maintenance itself never touches it. */
+  def ivmQuery(spark: SparkSession, dir: String): DataFrame = {
+    def grpOf(k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ((k % 8) + 8) % 8
+    val log = partLog(spark, dir).localCheckpoint() // two snapshot reads
+    val s1 = snapshotAt(log, 1L).localCheckpoint() // view build + delta join + n_v1
+    val s3 = snapshotAt(log, 3L).localCheckpoint() // delta join + recompute audit
+    val j = s1.select(col("key"), col("price").as("p1"))
+      .join(s3.select(col("key"), col("price").as("p3")), Seq("key"), "full_outer")
+      .withColumn("grp", grpOf(col("key")))
+      .localCheckpoint() // four delta-class consumers
+    val v1 = s1.groupBy(grpOf(col("key")).as("grp"))
+      .agg(count(lit(1)).as("n_v1"))
+    val contrib = s1
+      .select(grpOf(col("key")).as("grp"), lit(1L).as("dn"), col("price").as("dp"))
+      .unionByName(j.filter(col("p1").isNull)
+        .select(col("grp"), lit(1L).as("dn"), col("p3").as("dp")))
+      .unionByName(j.filter(col("p3").isNull)
+        .select(col("grp"), lit(-1L).as("dn"), (-col("p1")).as("dp")))
+      .unionByName(j.filter(col("p1").isNotNull && col("p3").isNotNull && col("p1") =!= col("p3"))
+        .select(col("grp"), lit(0L).as("dn"), (-col("p1")).as("dp")))
+      .unionByName(j.filter(col("p1").isNotNull && col("p3").isNotNull && col("p1") =!= col("p3"))
+        .select(col("grp"), lit(0L).as("dn"), col("p3").as("dp")))
+    val maintained = contrib.groupBy("grp")
+      .agg(sum(col("dn")).as("n_maint"), Tables.dsum(col("dp")).as("sum_maint"))
+    val recomputed = s3.groupBy(grpOf(col("key")).as("grp"))
+      .agg(count(lit(1)).as("n_recomp"), Tables.dsum(col("price")).as("sum_recomp"))
+    maintained.join(recomputed, Seq("grp"), "full_outer")
+      .join(v1, Seq("grp"), "left_outer")
+      .select(col("grp"),
+        coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+        coalesce(col("n_maint"), lit(0L)).as("n_maint"),
+        coalesce(col("sum_maint"), lit(0.0)).as("sum_maint"),
+        coalesce(col("n_recomp"), lit(0L)).as("n_recomp"),
+        coalesce(col("sum_recomp"), lit(0.0)).as("sum_recomp"))
+      .withColumn("consistent",
+        col("n_maint") === col("n_recomp") && col("sum_maint") === col("sum_recomp"))
+      .orderBy("grp")
   }
 
   /** Incremental z-order maintenance (OPTIMIZE's incremental form): merge
@@ -804,6 +864,7 @@ object ManifestIO {
     "io_merge" -> (mergeQuery _),
     "io_vacuum" -> (vacuumQuery _),
     "io_cdf" -> (cdfQuery _),
+    "io_ivm" -> (ivmQuery _),
     "io_col_stats" -> (colStatsQuery _),
     "io_time_travel" -> (timeTravelQuery _),
     "io_zorder" -> (zorderQuery _),
@@ -974,6 +1035,61 @@ object ManifestIO {
         |  CAST(SUM(CAST(CASE WHEN reclaim AND op = 'u' THEN price ELSE 0.0 END
         |    AS DECIMAL(18,4))) AS DOUBLE) AS reclaim_price
         |FROM v GROUP BY 1, 2 ORDER BY version, op""".stripMargin,
+    "io_ivm" ->
+      """WITH base AS (
+        |  SELECT p_partkey AS key, p_retailprice AS price FROM part
+        |), log AS (
+        |  SELECT 1 AS version, key, 'u' AS op, price FROM base
+        |  UNION ALL SELECT 2, key, 'u', price + 1.0 FROM base WHERE key % 13 = 0
+        |  UNION ALL SELECT 2, key, 'd', 0.0 FROM base WHERE key % 97 = 0
+        |  UNION ALL SELECT 3, -(key + 1), 'u', price FROM base WHERE key % 89 = 0
+        |  UNION ALL SELECT 3, key, 'u', price + 2.0 FROM base WHERE key % 7 = 0
+        |), s1 AS (
+        |  SELECT key, price FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+        |      ORDER BY version DESC, op ASC) AS rn
+        |    FROM log WHERE version <= 1) WHERE rn = 1 AND op = 'u'
+        |), s3 AS (
+        |  SELECT key, price FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+        |      ORDER BY version DESC, op ASC) AS rn
+        |    FROM log WHERE version <= 3) WHERE rn = 1 AND op = 'u'
+        |), j AS (
+        |  SELECT COALESCE(s1.key, s3.key) AS key,
+        |    CAST(((COALESCE(s1.key, s3.key) % 8) + 8) % 8 AS BIGINT) AS grp,
+        |    s1.price AS p1, s3.price AS p3
+        |  FROM s1 FULL OUTER JOIN s3 ON s1.key = s3.key
+        |), v1 AS (
+        |  SELECT CAST(((key % 8) + 8) % 8 AS BIGINT) AS grp, COUNT(*) AS n_v1
+        |  FROM s1 GROUP BY 1
+        |), contrib AS (
+        |  SELECT CAST(((key % 8) + 8) % 8 AS BIGINT) AS grp, 1 AS dn, price AS dp FROM s1
+        |  UNION ALL SELECT grp, 1, p3 FROM j WHERE p1 IS NULL
+        |  UNION ALL SELECT grp, -1, -p1 FROM j WHERE p3 IS NULL
+        |  UNION ALL SELECT grp, 0, -p1 FROM j
+        |    WHERE p1 IS NOT NULL AND p3 IS NOT NULL AND p1 <> p3
+        |  UNION ALL SELECT grp, 0, p3 FROM j
+        |    WHERE p1 IS NOT NULL AND p3 IS NOT NULL AND p1 <> p3
+        |), m AS (
+        |  SELECT grp, CAST(SUM(dn) AS BIGINT) AS n_maint,
+        |    CAST(SUM(CAST(dp AS DECIMAL(18,4))) AS DOUBLE) AS sum_maint
+        |  FROM contrib GROUP BY grp
+        |), r AS (
+        |  SELECT CAST(((key % 8) + 8) % 8 AS BIGINT) AS grp, COUNT(*) AS n_recomp,
+        |    CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_recomp
+        |  FROM s3 GROUP BY 1
+        |)
+        |SELECT COALESCE(m.grp, r.grp) AS grp,
+        |  COALESCE(v1.n_v1, 0) AS n_v1,
+        |  COALESCE(m.n_maint, 0) AS n_maint,
+        |  COALESCE(m.sum_maint, 0.0) AS sum_maint,
+        |  COALESCE(r.n_recomp, 0) AS n_recomp,
+        |  COALESCE(r.sum_recomp, 0.0) AS sum_recomp,
+        |  (COALESCE(m.n_maint, 0) = COALESCE(r.n_recomp, 0)
+        |    AND COALESCE(m.sum_maint, 0.0) = COALESCE(r.sum_recomp, 0.0)) AS consistent
+        |FROM m FULL OUTER JOIN r ON m.grp = r.grp
+        |LEFT JOIN v1 ON COALESCE(m.grp, r.grp) = v1.grp
+        |ORDER BY grp""".stripMargin,
     "io_cdf" ->
       """WITH base AS (
         |  SELECT p_partkey AS key, p_retailprice AS price FROM part
