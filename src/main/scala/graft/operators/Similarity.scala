@@ -1079,7 +1079,95 @@ object Similarity {
       .orderBy("stage_id")
   }
 
+  /** INDEX-TIER COMPARISON (ann_tier_compare) — the cost/recall frontier
+    * an ANN deployment reads to PICK an index: every retrieval tier the
+    * engine ships (brute force, sign-LSH, grid-IVF, trained multi-probe)
+    * evaluated on the same query set in one table — candidates scanned
+    * (the cost axis), results returned, hits against the exact top-3,
+    * recall x10000. The brute row anchors the frontier (full scan,
+    * recall 1); the tiers show what each pruning strategy buys. All
+    * counts and the scaled recall are exact integers.
+    *
+    * Scale: each tier's candidate set is the audited shape of its
+    * standalone query (broadcast bounded queries; bucket/cell/cluster
+    * equi-joins = partition pruning on the respective layouts); the
+    * comparison adds only one-row aggregates per tier, unioned into one
+    * job. */
+  def tierCompare(spark: SparkSession, dir: String): DataFrame = {
+    val (dims, assignFull) = kmeansChain(spark, dir)
+    val assign = assignFull.select(col("vec_id"), col("c")).localCheckpoint()
+    val c = corpus(spark, dir)
+      .withColumn("bucket", bucket("embedding"))
+      .withColumn("cell", expr(cellExpr("embedding")))
+      .localCheckpoint() // all four tier corpus sides + query side + exact pass
+    val clustered = c.join(assign, Seq("vec_id")).localCheckpoint()
+    val qb = c.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"),
+        col("bucket"), col("cell"))
+      .localCheckpoint() // one per tier
+    val exact = bruteforceOn(c.filter(col("vec_id") < 10), c, 3)
+      .select(col("qid"), col("cid"))
+      .localCheckpoint() // denominator + four hit joins
+    val nEx = exact.agg(count(lit(1)).as("n_exact")).localCheckpoint()
+    val corp = c.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      col("nrm").as("cn"), col("bucket"), col("cell"))
+    val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    def tierRow(name: String, cand0: DataFrame): DataFrame = {
+      val cand = cand0.localCheckpoint() // candidate count + ranking
+      val top3 = cand
+        .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("cid"))
+        .localCheckpoint() // result count + hit join
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(top3.agg(count(lit(1)).as("n_results")))
+        .crossJoin(top3.join(exact, Seq("qid", "cid")).agg(count(lit(1)).as("n_hits")))
+        .crossJoin(nEx)
+        .select(lit(name).as("tier"), col("n_candidates"), col("n_results"),
+          col("n_hits"), expr("(10000 * n_hits) div n_exact").as("recall_x10000"))
+    }
+    val brute = corp.select(col("cid"), col("cv"), col("cn"))
+      .join(broadcast(qb.select(col("qid"), col("qv"), col("qn"))),
+        col("qid") =!= col("cid"))
+    val lshCand = corp.select(col("cid"), col("cv"), col("cn"), col("bucket"))
+      .join(broadcast(qb.select(col("qid"), col("qv"), col("qn"), col("bucket"))),
+        Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+    val ivfCand = corp.select(col("cid"), col("cv"), col("cn"), col("cell"))
+      .join(broadcast(qb.select(col("qid"), col("qv"), col("qn"), col("cell"))),
+        Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+    val cb = dims.join(assign, Seq("vec_id"))
+      .groupBy("c", "i").agg(sum("xq").as("cS"), count(lit(1)).as("n"))
+    val wp = Window.partitionBy("vec_id").orderBy(
+      (col("p").cast("double") / (col("n") * col("n")).cast("double")).asc,
+      col("c").asc)
+    val probes = dims.filter(col("vec_id") < 10)
+      .join(broadcast(cb), Seq("i"))
+      .withColumn("t", expr("xq * n - cS"))
+      .groupBy("vec_id", "c")
+      .agg(sum(expr("t * t")).as("p"), max(col("n")).as("n"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= MultiProbeP)
+      .select(col("vec_id").as("qid"), col("c"))
+    val mpCand = clustered
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("nrm").as("cn"), col("c"))
+      .join(broadcast(qb.select(col("qid"), col("qv"), col("qn")).join(probes, Seq("qid"))),
+        Seq("c"))
+      .filter(col("qid") =!= col("cid"))
+    Seq(
+      tierRow("1_brute", brute),
+      tierRow("2_lsh", lshCand),
+      tierRow("3_ivf", ivfCand),
+      tierRow("4_multiprobe", mpCand))
+      .reduce(_ unionByName _)
+      .orderBy("tier")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_tier_compare" -> (tierCompare _),
     "pipe_ann" -> (pipeAnn _),
     "ann_hybrid" -> (hybrid _),
     "ann_filtered" -> (filtered _),
@@ -1346,6 +1434,96 @@ object Similarity {
        |JOIN np ON np.qid = exact.qid
        |LEFT JOIN approx ON exact.qid = approx.qid AND exact.cid = approx.cid
        |GROUP BY exact.qid, np.n_probed ORDER BY exact.qid""".stripMargin
+
+  /** ann_tier_compare oracle: every tier's candidate CTE replayed (the
+    * standalone queries' own CTE shapes), per-tier scalar count
+    * subqueries, exact-integer recall. */
+  private def tierCompareSql: String = {
+    def rankTop(cand: String, top: String) =
+      s"""$top AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY ${dotSql("qv", "cv")} / (qn * cn) DESC, cid ASC) AS rank
+         |    FROM $cand) WHERE rank <= 3
+         |)""".stripMargin
+    def tierSel(name: String, cand: String, top: String) =
+      s"""SELECT '$name' AS tier,
+         |  (SELECT COUNT(*) FROM $cand) AS n_candidates,
+         |  (SELECT COUNT(*) FROM $top) AS n_results,
+         |  (SELECT COUNT(*) FROM $top t JOIN exact x
+         |     ON t.qid = x.qid AND t.cid = x.cid) AS n_hits,
+         |  (10000 * (SELECT COUNT(*) FROM $top t JOIN exact x
+         |     ON t.qid = x.qid AND t.cid = x.cid))
+         |    // (SELECT COUNT(*) FROM exact) AS recall_x10000""".stripMargin
+    s"""WITH $kmeansCtes,
+       |e0 AS (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings
+       |),
+       |bk AS (SELECT *, ${bucketSql("embedding")} AS bucket FROM e0),
+       |gc AS (SELECT *, ${cellSql("embedding")} AS cell FROM e0),
+       |bcl AS (
+       |  SELECT e0.vec_id, e0.embedding, e0.nrm, as2.c
+       |  FROM e0 JOIN as2 ON e0.vec_id = as2.vec_id
+       |),
+       |cb AS (
+       |  SELECT as2.c, d.i, CAST(SUM(d.xq) AS BIGINT) AS cS, COUNT(*) AS n
+       |  FROM dims d JOIN as2 ON d.vec_id = as2.vec_id GROUP BY 1, 2
+       |),
+       |pd AS (
+       |  SELECT d.vec_id, c.c,
+       |    CAST(SUM((d.xq * c.n - c.cS) * (d.xq * c.n - c.cS)) AS BIGINT) AS p,
+       |    MAX(c.n) AS n
+       |  FROM dims d JOIN cb c ON d.i = c.i WHERE d.vec_id < 10 GROUP BY 1, 2
+       |),
+       |probes AS (
+       |  SELECT vec_id AS qid, c FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY CAST(p AS DOUBLE) / CAST(n * n AS DOUBLE) ASC, c ASC) AS rn
+       |    FROM pd) WHERE rn <= $MultiProbeP
+       |),
+       |exact AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+       |        c.vec_id ASC) AS rank
+       |    FROM e0 q JOIN e0 c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+       |  ) WHERE rank <= 3
+       |),
+       |cand1 AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qv, q.nrm AS qn,
+       |    c.embedding AS cv, c.nrm AS cn
+       |  FROM e0 q JOIN e0 c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+       |),
+       |${rankTop("cand1", "top1")},
+       |cand2 AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qv, q.nrm AS qn,
+       |    c.embedding AS cv, c.nrm AS cn
+       |  FROM bk q JOIN bk c ON q.bucket = c.bucket
+       |    AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+       |),
+       |${rankTop("cand2", "top2")},
+       |cand3 AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qv, q.nrm AS qn,
+       |    c.embedding AS cv, c.nrm AS cn
+       |  FROM gc q JOIN gc c ON q.cell = c.cell
+       |    AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+       |),
+       |${rankTop("cand3", "top3")},
+       |cand4 AS (
+       |  SELECT p.qid, c.vec_id AS cid, q.embedding AS qv, q.nrm AS qn,
+       |    c.embedding AS cv, c.nrm AS cn
+       |  FROM probes p JOIN e0 q ON q.vec_id = p.qid
+       |  JOIN bcl c ON c.c = p.c AND c.vec_id <> p.qid
+       |),
+       |${rankTop("cand4", "top4")}
+       |SELECT * FROM (
+       |  ${tierSel("1_brute", "cand1", "top1")}
+       |  UNION ALL ${tierSel("2_lsh", "cand2", "top2")}
+       |  UNION ALL ${tierSel("3_ivf", "cand3", "top3")}
+       |  UNION ALL ${tierSel("4_multiprobe", "cand4", "top4")}
+       |) ORDER BY tier""".stripMargin
+  }
 
   /** pipe_ann oracle: the full serving composition replayed — kmeans CTEs,
     * multiprobe candidate set, top-10 serve, exact@3 eval — each stage row
@@ -1637,6 +1815,7 @@ object Similarity {
          |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "dd_semdedup" -> semDedupSql,
     "pipe_ann" -> pipeAnnSql,
+    "ann_tier_compare" -> tierCompareSql,
     "ann_ivfpq" -> ivfpqSql,
     "ann_multiprobe" -> multiprobeSql,
     "ann_recall_curve" -> recallCurveSql,
