@@ -444,6 +444,56 @@ object Geo {
       .orderBy(col("n_cells").desc, col("basin_id"))
       .limit(20)
 
+  /** Isoline levels of zs_contour (cell point-count thresholds). */
+  val ContourLevels = Seq(2L, 5L, 10L, 20L)
+
+  /** CONTOUR DENSITY (zs_contour) — marching-squares-lite isoline
+    * extraction over the density raster: for each level L, a contour
+    * segment is a 4-adjacent OCCUPIED cell pair whose counts straddle L
+    * (min < L <= max), counted once via the E/N-only adjacency probes
+    * (the zs_ridge posture — equi-joins on computed neighbor keys, never
+    * a theta join); n_cells_above is the hypsometric companion (area at
+    * or above each level). Borders against EMPTY cells are not segments
+    * by definition here — the isoline is drawn between sampled cells
+    * (pinned in Round13Spec on a hand-built step grid).
+    *
+    * Scale: two cell-table-sized equi-joins + a |levels| fan-out on the
+    * bounded pair frame, rollups map-side-combinable on 4 keys; the
+    * level spine keeps empty levels visible. */
+  def contour(spark: SparkSession, dir: String): DataFrame =
+    contourOn(points(spark, dir)
+      .withColumn("fx", floor(col("lon")).cast("long"))
+      .withColumn("fy", floor(col("lat")).cast("long"))
+      .groupBy("fx", "fy").agg(count(lit(1)).as("n")))
+
+  /** Same operator over any (fx, fy, n) cell grid. */
+  def contourOn(cellsIn: DataFrame): DataFrame = {
+    val c = cellsIn.localCheckpoint() // both probe sides x2 + area counts
+    def adj(dx: Long, dy: Long) = c
+      .withColumn("ax", col("fx") + lit(dx))
+      .withColumn("ay", col("fy") + lit(dy))
+      .join(c.select(col("fx").as("ax"), col("fy").as("ay"), col("n").as("n2")),
+        Seq("ax", "ay"))
+      .select(col("n"), col("n2"))
+    val lv = array(ContourLevels.map(lit): _*)
+    val segs = adj(1L, 0L).unionByName(adj(0L, 1L))
+      .withColumn("level", explode(lv))
+      .filter(least(col("n"), col("n2")) < col("level")
+        && greatest(col("n"), col("n2")) >= col("level"))
+      .groupBy("level").agg(count(lit(1)).as("ns"))
+    val above = c.withColumn("level", explode(lv))
+      .filter(col("n") >= col("level"))
+      .groupBy("level").agg(count(lit(1)).as("na"))
+    val spine = c.sparkSession.range(1, ContourLevels.length + 1L)
+      .select(element_at(lv, col("id").cast("int")).as("level"))
+    spine.join(segs, Seq("level"), "left_outer")
+      .join(above, Seq("level"), "left_outer")
+      .select(col("level"),
+        coalesce(col("ns"), lit(0L)).as("n_segments"),
+        coalesce(col("na"), lit(0L)).as("n_cells_above"))
+      .orderBy("level")
+  }
+
   /** RIDGE EXTRACTION (zs_ridge) — the divide lines between watersheds
     * (zs_shared_borders' hydrology sibling): a ridge segment is a
     * 4-adjacent cell pair whose members belong to DIFFERENT basins;
@@ -1507,6 +1557,7 @@ object Geo {
     "zs_flowaccum" -> (flowAccum _),
     "zs_watershed" -> (watershed _),
     "zs_ridge" -> (ridge _),
+    "zs_contour" -> (contour _),
     "zs_shared_borders" -> (sharedBorders _),
     "zs_dissolve" -> (dissolve _),
     "zs_kde" -> (kde _),
@@ -1747,6 +1798,33 @@ object Geo {
            |FROM n JOIN grid USING (fx, fy)
            |WHERE w > 0
            |GROUP BY q_id ORDER BY q_id""".stripMargin,
+      "zs_contour" ->
+        s"""WITH pts AS ($pointsSql),
+           |cells AS (
+           |  SELECT CAST(floor(lon) AS BIGINT) AS fx, CAST(floor(lat) AS BIGINT) AS fy,
+           |    COUNT(*) AS n
+           |  FROM pts GROUP BY 1, 2
+           |),
+           |adj AS (
+           |  SELECT a.n AS n, b.n AS n2 FROM cells a
+           |  JOIN cells b ON b.fx = a.fx + 1 AND b.fy = a.fy
+           |  UNION ALL
+           |  SELECT a.n, b.n FROM cells a
+           |  JOIN cells b ON b.fx = a.fx AND b.fy = a.fy + 1
+           |),
+           |lv AS (SELECT CAST(UNNEST([${ContourLevels.mkString(", ")}]) AS BIGINT) AS level),
+           |segs AS (
+           |  SELECT level, COUNT(*) AS ns FROM adj CROSS JOIN lv
+           |  WHERE LEAST(n, n2) < level AND GREATEST(n, n2) >= level GROUP BY level
+           |),
+           |abv AS (
+           |  SELECT level, COUNT(*) AS na FROM cells CROSS JOIN lv
+           |  WHERE n >= level GROUP BY level
+           |)
+           |SELECT lv.level, COALESCE(ns, 0) AS n_segments,
+           |  COALESCE(na, 0) AS n_cells_above
+           |FROM lv LEFT JOIN segs USING (level) LEFT JOIN abv USING (level)
+           |ORDER BY level""".stripMargin,
       "zs_ridge" ->
         s"""WITH RECURSIVE
            |pts AS ($pointsSql),
