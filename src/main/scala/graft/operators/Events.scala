@@ -66,7 +66,9 @@ object Events {
   /** Gap-based sessionization (30-min inactivity): lag + cumulative flag —
     * the classic two-window plan; both windows share the (user_id, ts)
     * partitioning so Catalyst sorts once per user partition. */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-user 30-minute-gap sessions (the frame sessionize reports and
+    * ev_concurrency sweeps): one row per (user_id, session_idx). */
+  private def sessionFrame(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts_sec").asc, col("event_id").asc)
     events(spark, dir)
       .select(col("user_id"), col("event_id"),
@@ -82,7 +84,87 @@ object Events {
         min(col("ts_sec")).as("start_sec"),
         max(col("ts_sec")).as("end_sec"),
         dsum(col("value")).as("sum_value"))
-      .orderBy("user_id", "session_idx")
+  }
+
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionFrame(spark, dir).orderBy("user_id", "session_idx")
+
+  /** PEAK CONCURRENCY (ev_concurrency) — the classic sweep-line occupancy
+    * stat (max concurrent sessions, the capacity-planning number every
+    * serving team publishes per day): each session contributes +1 at its
+    * start and −1 one second after its inclusive end; running
+    * concurrency is a TWO-PHASE prefix sum (the q28/ta_seq_pack rule —
+    * never one global ORDER BY window): per-day delta totals roll up
+    * small, a #days-row cumulative window computes each day's carry-in
+    * (sessions still open from earlier days), and the within-day running
+    * sum is a day-partitioned window on the unique total order
+    * (t, delta, user_id, session_idx) — close-before-open on ties, every
+    * key distinct by the 30-minute session-gap construction, so both
+    * engines walk the identical sequence. Output per day: sessions
+    * started, the peak, and the first second the peak is reached.
+    *
+    * Scale: the day-partitioned window bounds fan-in at a day's deltas
+    * (sub-bucket the partition key by hour at 100 TB and add one more
+    * prefix level — same shape); the carry window touches #days rows. */
+  def concurrency(spark: SparkSession, dir: String): DataFrame = {
+    val s = sessionFrame(spark, dir)
+    val d = s.select(col("start_sec").as("t"), lit(1L).as("dl"),
+        col("user_id"), col("session_idx"))
+      .unionByName(s.select((col("end_sec") + 1L).as("t"), lit(-1L).as("dl"),
+        col("user_id"), col("session_idx")))
+      .withColumn("day", expr("t div 86400"))
+      .localCheckpoint() // day totals + running sum + start counts
+    val off = d.groupBy("day").agg(sum(col("dl")).as("tot"))
+    val wd = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = off
+      .withColumn("carry", coalesce(sum(col("tot")).over(wd), lit(0L)))
+      .select("day", "carry")
+    val wr = Window.partitionBy("day")
+      .orderBy(col("t").asc, col("dl").asc, col("user_id").asc, col("session_idx").asc)
+    val run = d.withColumn("rs", sum(col("dl")).over(wr))
+      .join(broadcast(carry), Seq("day"))
+      .withColumn("conc", col("rs") + col("carry"))
+    val peaks = run
+      .withColumn("mx", max(col("conc")).over(Window.partitionBy("day")))
+      .filter(col("conc") === col("mx"))
+      .groupBy("day")
+      .agg(max(col("conc")).as("peak_concurrency"), min(col("t")).as("peak_sec"))
+    val starts = d.filter(col("dl") === 1L)
+      .groupBy("day").agg(count(lit(1)).as("n_sessions_started"))
+    peaks.join(starts, Seq("day"), "left_outer")
+      .select(col("day"), coalesce(col("n_sessions_started"), lit(0L)).as("n_sessions_started"),
+        col("peak_concurrency"), col("peak_sec"))
+      .orderBy("day")
+  }
+
+  /** SEASONALITY PROFILE (ev_seasonality) — the hour-of-week traffic
+    * shape every ops/capacity team reads next to ev_concurrency's peaks:
+    * per event type, the peak hour-of-week cell (Monday-00 = 0, derived
+    * arithmetically from epoch hours — no engine calendar functions, so
+    * both engines bucket identically), its count, and how concentrated
+    * the week is (top-8 hour cells' share x10000). A flat profile says
+    * batch traffic; a spiked one says human diurnal load.
+    *
+    * Scale: one map-side-combinable (type, how) count — at most
+    * |types| x 168 grouped rows — then windows over that bounded frame. */
+  def seasonality(spark: SparkSession, dir: String): DataFrame = {
+    val counts = events(spark, dir)
+      .select(col("event_type"),
+        // epoch hour 0 is Thursday 00:00 UTC = hour 72 of a Monday-origin week
+        expr("((unix_timestamp(ts) div 3600) + 72) % 168").as("how"))
+      .groupBy("event_type", "how").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy(col("cnt").desc, col("how").asc)
+    counts
+      .withColumn("rk", row_number().over(w))
+      .groupBy("event_type")
+      .agg(sum(col("cnt")).as("n_events"),
+        max(when(col("rk") === 1, col("how"))).as("peak_how"),
+        max(when(col("rk") === 1, col("cnt"))).as("peak_n"),
+        sum(when(col("rk") <= 8, col("cnt")).otherwise(lit(0L))).as("top8"))
+      .withColumn("top8_share_x10000", expr("top8 * 10000 div n_events"))
+      .select("event_type", "n_events", "peak_how", "peak_n", "top8_share_x10000")
+      .orderBy("event_type")
   }
 
   /** JSON property extraction + aggregation (events.props is a JSON blob;
@@ -849,6 +931,8 @@ object Events {
     "ev_sliding_distinct" -> (slidingDistinct _),
     "ev_markov" -> (markov _),
     "ev_sessionize" -> (sessionize _),
+    "ev_concurrency" -> (concurrency _),
+    "ev_seasonality" -> (seasonality _),
     "ev_json" -> (jsonExtract _),
     "ev_funnel" -> (funnel _))
 
@@ -1262,6 +1346,69 @@ object Events {
         |  MIN(ts_sec) AS start_sec, MAX(ts_sec) AS end_sec,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM h GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+    "ev_seasonality" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) + 72) % 168 AS how,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY cnt DESC, how ASC) AS rk
+        |  FROM c
+        |)
+        |SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_events,
+        |  MAX(CASE WHEN rk = 1 THEN how END) AS peak_how,
+        |  MAX(CASE WHEN rk = 1 THEN cnt END) AS peak_n,
+        |  (CAST(SUM(CASE WHEN rk <= 8 THEN cnt ELSE 0 END) AS BIGINT) * 10000)
+        |    // CAST(SUM(cnt) AS BIGINT) AS top8_share_x10000
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ev_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events
+        |), f AS (
+        |  SELECT *, LAG(ts_sec, 1) OVER win AS prev_sec
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)
+        |), g AS (
+        |  SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec >= 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM f
+        |), h AS (
+        |  SELECT *, CAST(SUM(new_session) OVER win AS BIGINT) AS session_idx
+        |  FROM g WINDOW win AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)
+        |), s AS (
+        |  SELECT user_id, session_idx, MIN(ts_sec) AS start_sec, MAX(ts_sec) AS end_sec
+        |  FROM h GROUP BY user_id, session_idx
+        |), d AS (
+        |  SELECT start_sec AS t, CAST(1 AS BIGINT) AS dl, user_id, session_idx FROM s
+        |  UNION ALL
+        |  SELECT end_sec + 1, CAST(-1 AS BIGINT), user_id, session_idx FROM s
+        |), dd AS (
+        |  SELECT *, t // 86400 AS day FROM d
+        |), off AS (
+        |  SELECT day, CAST(SUM(dl) AS BIGINT) AS tot FROM dd GROUP BY day
+        |), carry AS (
+        |  SELECT day, CAST(COALESCE(SUM(tot) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS carry
+        |  FROM off
+        |), run AS (
+        |  SELECT dd.day, dd.t,
+        |    CAST(SUM(dl) OVER (PARTITION BY dd.day
+        |      ORDER BY t ASC, dl ASC, user_id ASC, session_idx ASC) AS BIGINT)
+        |      + carry.carry AS conc
+        |  FROM dd JOIN carry ON dd.day = carry.day
+        |), pk AS (
+        |  SELECT day, t, conc, MAX(conc) OVER (PARTITION BY day) AS mx FROM run
+        |), peaks AS (
+        |  SELECT day, MAX(conc) AS peak_concurrency, MIN(t) AS peak_sec
+        |  FROM pk WHERE conc = mx GROUP BY day
+        |), starts AS (
+        |  SELECT day, COUNT(*) AS n_sessions_started FROM dd WHERE dl = 1 GROUP BY day
+        |)
+        |SELECT peaks.day, COALESCE(n_sessions_started, 0) AS n_sessions_started,
+        |  peak_concurrency, peak_sec
+        |FROM peaks LEFT JOIN starts ON peaks.day = starts.day
+        |ORDER BY peaks.day""".stripMargin,
     "ev_json" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
