@@ -68,7 +68,22 @@ class PlanAuditSpec extends SparkSpecBase {
     "ev_ab_test",
     // ta_topics cross-joins the ONE-ROW token-total aggregate onto the
     // cluster-term table — the gr_triangles sanctioned shape
-    "ta_topics")
+    "ta_topics",
+    // pipe_ann embeds the bounded-broadcast exact baseline for its eval
+    // stage (the ann_recall sanctioned shape) and cross-joins ONE-ROW
+    // stage aggregates (the gr_triangles shape)
+    "pipe_ann",
+    // ann_tier_compare's brute tier IS the sanctioned exact-pass shape
+    // (bounded 10-query broadcast, qid != cid only), and each tier row
+    // cross-joins ONE-ROW count aggregates
+    "ann_tier_compare",
+    // ta_bpe_sweep replays the one-row merges over the held-out slice
+    // (the ta_bpe_encode shape) and crosses the ONE-ROW word total onto
+    // the four cut counts
+    "ta_bpe_sweep",
+    // ta_heaps cross-joins the ONE-ROW max-doc-id aggregate onto the
+    // token and first-occurrence streams — the gr_triangles shape
+    "ta_heaps")
 
   test("no query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
