@@ -1166,7 +1166,77 @@ object Similarity {
       .orderBy("tier")
   }
 
+  /** Tombstone predicate of ann_delete: every 7th vector is deleted. */
+  val DeleteModulus = 7L
+
+  /** INDEX MAINTENANCE (ann_delete) — the serving lifecycle's missing
+    * verb next to pipe_ann (build) and ann_tier_compare (pick): DELETES
+    * against a live IVF index. Production vector stores never rewrite
+    * the index per delete — they TOMBSTONE (the row stays in its posting
+    * list, flagged dead, filtered at serve time) and COMPACT later
+    * (rewrite posting lists without the dead rows) once the tombstone
+    * ratio justifies the IO. This query runs both phases and publishes
+    * the report a maintenance job ships: per posting list (the 16-cell
+    * grid IVF), live/tombstone counts (the compaction-trigger gauge),
+    * results served from that list by the compacted index, and serve
+    * PARITY — the count of (qid, rank, cid) triples identical between
+    * the tombstone-filtered serve over the FULL index and the serve over
+    * the COMPACTED index. Parity == served is the invariant that makes
+    * compaction safe to run online, and the oracle pins exactly that
+    * (its n_match column IS the served count); any divergence between
+    * the two physical paths breaks the hash. The deleted set is the
+    * deterministic batch vec_id % DeleteModulus == 3.
+    *
+    * Scale: tombstoning is a row-wise flag (no shuffle); compaction is
+    * the filter+rewrite of only the posting lists holding tombstones
+    * (here: one localCheckpoint materializes the rewritten index — on a
+    * clustered layout it is a partition-scoped rewrite, io_merge's
+    * touched-partition rule); both serves are the audited bucketed-ANN
+    * shape (bounded query broadcast, cell equi-join = partition
+    * pruning); the report is three map-side-combinable rollups on <= 16
+    * cell keys. */
+  def annDelete(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+      .withColumn("cell", expr(cellExpr("embedding")))
+      .withColumn("tomb", pmod(col("vec_id"), lit(DeleteModulus)) === lit(3L))
+      .localCheckpoint() // cell stats + query side + both serve corpus sides
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("cell"))
+    val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    def serve(index: DataFrame): DataFrame = index
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("cn"), col("cell"))
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"), col("cell"))
+    // phase 1: tombstones filtered at serve time, full index scanned
+    val pre = serve(e.withColumnRenamed("nrm", "cn").filter(!col("tomb")))
+    // phase 2: compacted index — dead rows physically rewritten away
+    // (localCheckpoint materializes the rewrite; serve reads only it)
+    val compacted = e.filter(!col("tomb")).withColumnRenamed("nrm", "cn")
+      .localCheckpoint()
+    val post = serve(compacted).localCheckpoint() // served rollup + parity join
+    val cellStats = e.groupBy("cell").agg(
+      sum(when(col("tomb"), 0L).otherwise(1L)).as("n_live"),
+      sum(when(col("tomb"), 1L).otherwise(0L)).as("n_tombstone"))
+    val served = post.groupBy("cell").agg(count(lit(1)).as("n_served"))
+    val parity = pre.join(post, Seq("qid", "rank", "cid", "cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n_match"))
+    cellStats
+      .join(served, Seq("cell"), "left_outer")
+      .join(parity, Seq("cell"), "left_outer")
+      .select(col("cell"), col("n_live"), col("n_tombstone"),
+        coalesce(col("n_served"), lit(0L)).as("n_served"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"))
+      .orderBy("cell")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_delete" -> (annDelete _),
     "ann_tier_compare" -> (tierCompare _),
     "pipe_ann" -> (pipeAnn _),
     "ann_hybrid" -> (hybrid _),
@@ -1988,5 +2058,37 @@ object Similarity {
          |  SELECT q.vec_id AS qid, c.vec_id AS cid,
          |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
          |  FROM g q JOIN g c ON q.cell = c.cell AND q.vec_id < 10 AND q.vec_id <> c.vec_id
-         |)""".stripMargin, 3))
+         |)""".stripMargin, 3),
+    // ann_delete oracle: ONE serve over the live rows — its count doubles
+    // as the expected n_match, pinning that the Spark side's two physical
+    // paths (tombstone-filtered full index vs compacted index) agree
+    // triple-for-triple. Tombstones: vec_id % DeleteModulus = 3.
+    "ann_delete" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings
+         |),
+         |g AS (SELECT *, ${cellSql("embedding")} AS cell,
+         |  (vec_id % $DeleteModulus = 3) AS tomb FROM e),
+         |serve AS (
+         |  SELECT qid, rank, cid, cell FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS cid, c.cell AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+         |        c.vec_id ASC) AS rank
+         |    FROM g q JOIN g c ON q.cell = c.cell AND q.vec_id < 10
+         |      AND q.vec_id <> c.vec_id AND NOT c.tomb
+         |  ) WHERE rank <= 3
+         |),
+         |cs AS (
+         |  SELECT cell,
+         |    CAST(SUM(CASE WHEN tomb THEN 0 ELSE 1 END) AS BIGINT) AS n_live,
+         |    CAST(SUM(CASE WHEN tomb THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstone
+         |  FROM g GROUP BY cell
+         |),
+         |sv AS (SELECT cell, COUNT(*) AS n_served FROM serve GROUP BY cell)
+         |SELECT cs.cell, cs.n_live, cs.n_tombstone,
+         |  COALESCE(sv.n_served, 0) AS n_served,
+         |  COALESCE(sv.n_served, 0) AS n_match
+         |FROM cs LEFT JOIN sv ON cs.cell = sv.cell
+         |ORDER BY cs.cell""".stripMargin)
 }

@@ -333,6 +333,67 @@ object StreamingJobs {
       .select(col("qid"), (col("pos") + 1).cast("long").as("probe_rank"), col("pr.c").as("c"))
   }
 
+  /** STREAMING ARTIFACT DEPLOY — score a document stream against a
+    * PERSISTED batch-trained model: the train-batch/serve-stream split
+    * every production quality gate runs (the model is ta_nb_train's
+    * 256-row odds table, written to parquet once by a batch job; the
+    * stream reads it back as a STATIC side). The whole scorer is a
+    * STATELESS map stage: the model packs into one broadcast row as a
+    * bucket->odds map (the annProbeRoute packing rule — streams cannot
+    * run ranking windows or re-aggregate per doc without state, so the
+    * per-doc mean runs as an array fold INSIDE the row), features are
+    * the same hashed word bigrams the batch trainer counted (one shared
+    * bucket hash), unseen buckets score the add-one-smoothed neutral
+    * odds (0+1)*10000 div (0+1) = 10000, and keep = mean odds >= 10000
+    * (more likely positive than negative under the NB model). No
+    * watermark, no state growth with ingest; replaying a micro-batch
+    * reproduces identical scores (pure function of row x artifact) —
+    * the idempotence that lets the gate run at-least-once. Batch parity
+    * against an independently-shaped explode+join+groupBy plan is
+    * spec-pinned (StreamingSpec). */
+  def nbScoreStream(docs: DataFrame, model: DataFrame): DataFrame = {
+    val packed = model
+      .agg(expr("map_from_entries(collect_list(struct(bucket, odds_x10000)))").as("m"))
+      .withColumn("jk", lit(1))
+    docs
+      .withColumn("jk", lit(1))
+      .join(broadcast(packed), Seq("jk")) // stream-static inner equi-join
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .withColumn("bs", expr(
+        "transform(sequence(0, size(ws) - 2), i -> " +
+          "CAST(conv(substring(md5(concat('hc:', " +
+          "concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))), 1, 4), 16, 10) AS BIGINT) " +
+          s"% ${graft.operators.TextAnalysis.HcBuckets})"))
+      .withColumn("sw", expr(
+        "aggregate(bs, CAST(0 AS BIGINT), (acc, b) -> " +
+          "acc + coalesce(element_at(m, b), CAST(10000 AS BIGINT)))"))
+      .select(col("doc_id"),
+        expr("sw div size(bs)").as("odds_x10000"),
+        (expr("sw div size(bs)") >= lit(10000L)).as("keep"))
+  }
+
+  /** Batch twin of nbScoreStream, built the OTHER way (explode features,
+    * broadcast-join the model table, per-doc groupBy) — exists so the
+    * parity spec compares two independently-derived plans, not one plan
+    * with itself. */
+  def nbScoreBatch(docs: DataFrame, model: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(ws) - 2), " +
+          "i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))")).as("f"))
+      .withColumn("bucket", expr(
+        s"CAST(conv(substring(md5(concat('hc:', f)), 1, 4), 16, 10) AS BIGINT) " +
+          s"% ${graft.operators.TextAnalysis.HcBuckets}"))
+      .join(broadcast(model.select(col("bucket"), col("odds_x10000").as("odds"))),
+        Seq("bucket"), "left_outer")
+      .groupBy("doc_id")
+      .agg(expr("sum(coalesce(odds, CAST(10000 AS BIGINT))) div count(1)").as("odds_x10000"))
+      .select(col("doc_id"), col("odds_x10000"),
+        (col("odds_x10000") >= lit(10000L)).as("keep"))
+
   /** foreachBatch keyed UPSERT into a bucket-partitioned parquet table —
     * the streaming sink pattern when the store is plain parquet (no
     * transactional table format in this environment): merge each

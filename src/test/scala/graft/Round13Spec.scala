@@ -41,6 +41,58 @@ class Round13Spec extends SparkSpecBase {
     assert(rows("eval")._2 <= rows("eval")._1 * 3)
   }
 
+  test("ev_concurrency: a third (hour) prefix level reproduces the day peaks") {
+    // the 100 TB sub-bucket note made concrete: partition the running sum
+    // by HOUR instead of day, carry in the cumulative hour totals, and
+    // the per-day peaks must come out identical — the extra prefix level
+    // bounds window fan-in at one hour's deltas without changing results.
+    import org.apache.spark.sql.expressions.Window
+    val s = graft.operators.Events.sessionize(spark, sfDir)
+    val d = s.select(col("start_sec").as("t"), lit(1L).as("dl"),
+        col("user_id"), col("session_idx"))
+      .unionByName(s.select((col("end_sec") + 1L).as("t"), lit(-1L).as("dl"),
+        col("user_id"), col("session_idx")))
+      .withColumn("hr", expr("t div 3600"))
+      .localCheckpoint()
+    val wh = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, -1)
+    val carry = d.groupBy("hr").agg(sum(col("dl")).as("tot"))
+      .withColumn("carry", coalesce(sum(col("tot")).over(wh), lit(0L)))
+      .select("hr", "carry")
+    val wrh = Window.partitionBy("hr")
+      .orderBy(col("t").asc, col("dl").asc, col("user_id").asc, col("session_idx").asc)
+    val run = d.withColumn("rs", sum(col("dl")).over(wrh))
+      .join(broadcast(carry), Seq("hr"))
+      .withColumn("conc", col("rs") + col("carry"))
+      .withColumn("day", expr("t div 86400"))
+    val peaks3 = run
+      .withColumn("mx", max(col("conc")).over(Window.partitionBy("day")))
+      .filter(col("conc") === col("mx"))
+      .groupBy("day")
+      .agg(max(col("conc")).as("peak_concurrency"), min(col("t")).as("peak_sec"))
+    val prod = graft.operators.Events.concurrency(spark, sfDir)
+      .select("day", "peak_concurrency", "peak_sec")
+    assert(peaks3.exceptAll(prod).isEmpty && prod.exceptAll(peaks3).isEmpty,
+      "hour-level prefix sums must reproduce the day-level peaks exactly")
+  }
+
+  test("ann_delete: tombstoned rows never serve; compaction preserves results") {
+    val rows = graft.operators.Similarity.annDelete(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (live, tomb, served, matched) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // the online invariant: every post-compaction triple matches the
+      // tombstone-filtered serve over the full index
+      assert(matched == served, s"cell ${r.getString(0)}: parity $matched != served $served")
+      assert(live >= 0 && tomb >= 0)
+    }
+    // the tombstone batch is ~1/DeleteModulus of the corpus
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    val tombs = rows.map(_.getLong(2)).sum
+    assert(tombs == (0L until total).count(v => v % graft.operators.Similarity.DeleteModulus == 3L),
+      "tombstone count must equal the modulus batch over dense ids")
+  }
+
   test("tier compare: brute anchors the frontier at recall 1") {
     val rows = graft.operators.Similarity.tierCompare(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(4))).toMap

@@ -363,6 +363,36 @@ class StreamingSpec extends SparkSpecBase {
       s"stream=${result.count()} batch=${expected.count()}")
   }
 
+  test("streaming NB deploy: persisted artifact, batch parity, replay determinism") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "n_chars")
+    // batch train -> persist the artifact -> read it back (the deploy split)
+    val modelPath = s"/tmp/graft_nb_model_${System.nanoTime()}"
+    graft.operators.TextAnalysis.nbTrainOn(docs).write.parquet(modelPath)
+    val model = spark.read.parquet(modelPath)
+    val rows = docs.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+
+    def runOnce(name: String): org.apache.spark.sql.DataFrame = {
+      val stream = MemoryStream[(Long, String)]
+      val (a, b) = rows.splitAt(rows.length / 2)
+      stream.addData(a.toSeq)
+      stream.addData(b.toSeq) // two micro-batches: scores must not depend on batching
+      val scored = StreamingJobs.nbScoreStream(
+        stream.toDF().toDF("doc_id", "text"), model)
+      StreamingJobs.runToMemory(spark, scored, name, OutputMode.Append())
+    }
+    val streamed = runOnce("nb_deploy")
+    val batch = StreamingJobs.nbScoreBatch(docs, model)
+    assert(streamed.count() > 0, "no documents scored")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      s"stream=${streamed.count()} batch=${batch.count()}")
+    // replay: a fresh stream over the same rows reproduces identical scores
+    val replayed = runOnce("nb_deploy_replay")
+    assert(replayed.exceptAll(streamed).isEmpty && streamed.exceptAll(replayed).isEmpty,
+      "replay must be deterministic")
+  }
+
   test("native session_window sessionization matches the batch gap rule") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
