@@ -1235,7 +1235,88 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** Stale-snapshot predicate of ann_refresh: even vec_ids are the vectors
+    * that already existed when the index was trained (the deterministic
+    * stand-in for "the corpus has doubled since training"). */
+  val StaleModulus = 2L
+
+  /** INDEX REFRESH GAUGE (ann_refresh) — the last verb of the serving
+    * lifecycle: pipe_ann builds, ann_tier_compare picks, ann_delete
+    * deletes, and THIS decides when to RETRAIN. A quantizer trained on a
+    * stale snapshot (even vec_ids) keeps serving as the corpus doubles;
+    * the refresh decision weighs the distortion of the full corpus under
+    * the STALE codebook against one Lloyd refresh round over the full
+    * corpus, plus the migration cost (vectors that change posting list —
+    * each is an index rewrite at refresh time). Per cluster: members +
+    * integer-floor distortion under both codebooks and movers-out. All
+    * arithmetic is the ann_kmeans exact-integer Lloyd machinery (scaled
+    * milli-unit coordinates, (sum, count) centroids, p/n^2 compared as
+    * the IEEE-identical double ratio of identical BIGINTs), so DuckDB
+    * replays the full train→deploy→refresh chain bit-identically.
+    *
+    * Scale: the exploded dims table is checkpointed once and shared by
+    * all four Lloyd stages; every codebook is <= k x 64 rows and
+    * broadcast; per-stage traffic is one map-side-combinable (c, i)
+    * aggregate — the same profile as ann_kmeans, ~2x the stages. The
+    * churn join is a co-partitioned equi-join on vec_id. */
+  def annRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val dims = embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .withColumn("xq", expr("CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)"))
+      .select("vec_id", "label", "i", "xq")
+      .localCheckpoint() // shared by all four Lloyd stages + churn sides
+    val stale = dims.filter(pmod(col("vec_id"), lit(StaleModulus)) === lit(0L))
+    def centroids(train: DataFrame, assign: DataFrame): DataFrame =
+      train.join(assign, Seq("vec_id"))
+        .groupBy(col("c"), col("i"))
+        .agg(sum("xq").as("cS"), count(lit(1)).as("n"))
+    def reassign(target: DataFrame, cb: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(
+        (col("p").cast("double") / (col("n") * col("n")).cast("double")).asc,
+        col("c").asc)
+      target.join(broadcast(cb), Seq("i"))
+        .withColumn("t", expr("xq * n - cS"))
+        .groupBy("vec_id", "c")
+        .agg(sum(expr("t * t")).as("p"), max(col("n")).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("vec_id", "c", "p", "n")
+    }
+    // train on the stale snapshot only (label-seeded, 2 Lloyd rounds —
+    // the ann_kmeans training recipe, run on half the data)
+    val seed = stale.select(col("vec_id"), col("label").cast("long").as("c")).distinct()
+    val st1 = reassign(stale, centroids(stale, seed))
+    val st2 = reassign(stale, centroids(stale, st1.select("vec_id", "c")))
+    // deploy the STALE codebook over the FULL corpus (what serving does
+    // today), then run ONE refresh Lloyd update over the full corpus
+    val aStale = reassign(dims, centroids(stale, st2.select("vec_id", "c")))
+      .localCheckpoint() // stats + fresh centroid build + churn side
+    val aFresh = reassign(dims, centroids(dims, aStale.select("vec_id", "c")))
+      .localCheckpoint() // stats + churn side
+    def stats(a: DataFrame, nCol: String, iCol: String): DataFrame = a
+      .withColumn("pf", expr("p div (n * n)"))
+      .groupBy(col("c").as("cluster"))
+      .agg(count(lit(1)).as(nCol), sum("pf").as(iCol))
+    val churn = aStale.select(col("vec_id"), col("c").as("cluster"))
+      .join(aFresh.select(col("vec_id"), col("c").as("cf")), Seq("vec_id"))
+      .filter(col("cluster") =!= col("cf"))
+      .groupBy("cluster").agg(count(lit(1)).as("n_moved_out"))
+    stats(aStale, "n_stale", "inertia_stale")
+      .join(stats(aFresh, "n_fresh", "inertia_fresh"), Seq("cluster"), "full_outer")
+      .join(churn, Seq("cluster"), "left_outer")
+      .select(col("cluster"),
+        coalesce(col("n_stale"), lit(0L)).as("n_stale"),
+        coalesce(col("inertia_stale"), lit(0L)).as("inertia_stale"),
+        coalesce(col("n_fresh"), lit(0L)).as("n_fresh"),
+        coalesce(col("inertia_fresh"), lit(0L)).as("inertia_fresh"),
+        coalesce(col("n_moved_out"), lit(0L)).as("n_moved_out"))
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_refresh" -> (annRefresh _),
     "ann_delete" -> (annDelete _),
     "ann_tier_compare" -> (tierCompare _),
     "pipe_ann" -> (pipeAnn _),
@@ -1385,6 +1466,65 @@ object Similarity {
 
   /** The WITH-body producing as2 (final kmeans assignment) — shared by
     * the kmeans summary oracle and the recall oracle. */
+  /** ann_refresh oracle: the train(stale)→deploy(full)→refresh(full)
+    * Lloyd chain replayed verbatim — same exact-integer machinery as
+    * kmeansCtes, with the train and assignment target decoupled per
+    * stage. */
+  private def annRefreshSql: String = {
+    def round(train: String, prev: String, target: String, out: String) =
+      s"""cb_$out AS (
+         |  SELECT $prev.c, d.i, CAST(SUM(d.xq) AS BIGINT) AS cS, COUNT(*) AS n
+         |  FROM $train d JOIN $prev ON d.vec_id = $prev.vec_id GROUP BY 1, 2
+         |),
+         |pr_$out AS (
+         |  SELECT d.vec_id, c.c,
+         |    CAST(SUM((d.xq * c.n - c.cS) * (d.xq * c.n - c.cS)) AS BIGINT) AS p,
+         |    MAX(c.n) AS n
+         |  FROM $target d JOIN cb_$out c ON d.i = c.i GROUP BY 1, 2
+         |),
+         |$out AS (
+         |  SELECT vec_id, c, p, n FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY CAST(p AS DOUBLE) / CAST(n * n AS DOUBLE) ASC, c ASC) AS rn
+         |    FROM pr_$out) WHERE rn = 1
+         |)""".stripMargin
+    s"""WITH dims AS (
+       |  SELECT vec_id, label, j - 1 AS i,
+       |    CAST(floor(embedding[j]::DOUBLE * 1000.0 + 0.5) AS BIGINT) AS xq
+       |  FROM embeddings, (SELECT unnest(range(1, ${Dim + 1})) AS j)
+       |),
+       |sdims AS (SELECT * FROM dims WHERE vec_id % $StaleModulus = 0),
+       |seed AS (SELECT DISTINCT vec_id, CAST(label AS BIGINT) AS c FROM sdims),
+       |${round("sdims", "seed", "sdims", "st1")},
+       |${round("sdims", "st1", "sdims", "st2")},
+       |${round("sdims", "st2", "dims", "a_stale")},
+       |${round("dims", "a_stale", "dims", "a_fresh")},
+       |ss AS (
+       |  SELECT c AS cluster, COUNT(*) AS n_stale,
+       |    CAST(SUM(p // (n * n)) AS BIGINT) AS inertia_stale
+       |  FROM a_stale GROUP BY 1
+       |),
+       |sf AS (
+       |  SELECT c AS cluster, COUNT(*) AS n_fresh,
+       |    CAST(SUM(p // (n * n)) AS BIGINT) AS inertia_fresh
+       |  FROM a_fresh GROUP BY 1
+       |),
+       |ch AS (
+       |  SELECT s.c AS cluster, COUNT(*) AS n_moved_out
+       |  FROM a_stale s JOIN a_fresh f ON s.vec_id = f.vec_id
+       |  WHERE s.c <> f.c GROUP BY 1
+       |)
+       |SELECT COALESCE(ss.cluster, sf.cluster) AS cluster,
+       |  COALESCE(n_stale, 0) AS n_stale,
+       |  COALESCE(inertia_stale, 0) AS inertia_stale,
+       |  COALESCE(n_fresh, 0) AS n_fresh,
+       |  COALESCE(inertia_fresh, 0) AS inertia_fresh,
+       |  COALESCE(n_moved_out, 0) AS n_moved_out
+       |FROM ss FULL OUTER JOIN sf ON ss.cluster = sf.cluster
+       |LEFT JOIN ch ON COALESCE(ss.cluster, sf.cluster) = ch.cluster
+       |ORDER BY cluster""".stripMargin
+  }
+
   private def kmeansCtes: String = {
     def round(cbIn: String, asgOut: String, prev: String) =
       s"""cb_$asgOut AS (
@@ -2059,6 +2199,7 @@ object Similarity {
          |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
          |  FROM g q JOIN g c ON q.cell = c.cell AND q.vec_id < 10 AND q.vec_id <> c.vec_id
          |)""".stripMargin, 3),
+    "ann_refresh" -> annRefreshSql,
     // ann_delete oracle: ONE serve over the live rows — its count doubles
     // as the expected n_match, pinning that the Spark side's two physical
     // paths (tombstone-filtered full index vs compacted index) agree

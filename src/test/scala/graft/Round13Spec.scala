@@ -93,6 +93,22 @@ class Round13Spec extends SparkSpecBase {
       "tombstone count must equal the modulus batch over dense ids")
   }
 
+  test("ann_refresh: one refresh round never worsens total distortion") {
+    val rows = graft.operators.Similarity.annRefresh(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nStale = rows.map(_.getLong(1)).sum
+    val nFresh = rows.map(_.getLong(3)).sum
+    assert(nStale == nFresh, "both assignments cover the full corpus")
+    val moved = rows.map(_.getLong(5)).sum
+    assert(moved >= 0 && moved <= nStale)
+    // Lloyd guarantee on the exact objective; each reported inertia is a
+    // per-vector floor, so allow the accumulated floor error (< 1/vector)
+    val iStale = rows.map(_.getLong(2)).sum
+    val iFresh = rows.map(_.getLong(4)).sum
+    assert(iFresh <= iStale + nStale,
+      s"refresh worsened distortion: $iFresh > $iStale + $nStale")
+  }
+
   test("tier compare: brute anchors the frontier at recall 1") {
     val rows = graft.operators.Similarity.tierCompare(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(4))).toMap
