@@ -858,7 +858,82 @@ object ManifestIO {
     fs.delete(tmp, true)
   }
 
+  /** KEY-SKEW PROFILE (io_skew_profile) — the "should I salt this join"
+    * gauge run before any large shuffle lands in production: for each
+    * candidate shuffle key, the exact key cardinality, the hottest key's
+    * row count, the top-10 coverage, scaled key-share ratios, and a salt
+    * hint (hottest key >10x the uniform per-key average — the point where
+    * one reducer partition holds an order of magnitude more than its
+    * peers and AQE skew-split or salting is warranted). This is the
+    * diagnostic that motivated ta_lm_topv's broadcast top-V design and
+    * the AQE skew harness (SkewSpec): measure the skew, then pick the
+    * mitigation.
+    *
+    * Scale: each profile is one map-side-combinable groupBy(key) count;
+    * the counts frame is checkpointed once and read by a one-row rollup
+    * and a TakeOrdered(10) (orderBy+limit — never a global window sort);
+    * everything after is one-row x one-row. Keys are profiled as strings
+    * (nulls to '') so heterogeneous key types share one report schema. */
+  def skewProfileQuery(spark: SparkSession, dir: String): DataFrame = {
+    def profile(name: String, df: DataFrame, key: String): DataFrame = {
+      val cnt = df
+        .groupBy(coalesce(expr(key).cast("string"), lit("")).as("k"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // one-row rollup + TakeOrdered(10) both read it
+      val tot = cnt.agg(count(lit(1)).as("n_keys"), sum("n").as("n_rows"))
+      val top = cnt.orderBy(col("n").desc, col("k").asc).limit(10)
+        .agg(sum("n").as("top10_rows"), max("n").as("max_key_rows"))
+      tot.crossJoin(top) // one-row x one-row
+        .select(lit(name).as("table_key"), col("n_rows"), col("n_keys"),
+          col("max_key_rows"), col("top10_rows"),
+          expr("max_key_rows * 10000 div n_rows").as("share_top1_x10000"),
+          expr("top10_rows * 10000 div n_rows").as("share_top10_x10000"),
+          (col("max_key_rows") > expr("(n_rows * 10) div n_keys")).as("salt_hot"))
+    }
+    profile("documents.lang", Tables.documents(spark, dir), "lang")
+      .unionByName(profile("documents.source", Tables.documents(spark, dir), "source"))
+      .unionByName(profile("events.event_type", Tables.events(spark, dir), "event_type"))
+      .unionByName(profile("events.user_id", Tables.events(spark, dir), "user_id"))
+      .unionByName(profile("lineitem.l_partkey", Tables.lineitem(spark, dir), "l_partkey"))
+      .unionByName(profile("orders.o_custkey", Tables.orders(spark, dir), "o_custkey"))
+      .orderBy("table_key")
+  }
+
+  private def skewProfileSql: String = {
+    def profile(i: Int, name: String, table: String, key: String) =
+      s"""c_$i AS (
+         |  SELECT COALESCE(CAST($key AS VARCHAR), '') AS k, COUNT(*) AS n
+         |  FROM $table GROUP BY 1
+         |),
+         |t_$i AS (
+         |  SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows FROM c_$i
+         |),
+         |o_$i AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS top10_rows,
+         |    CAST(MAX(n) AS BIGINT) AS max_key_rows
+         |  FROM (SELECT n FROM c_$i ORDER BY n DESC, k ASC LIMIT 10)
+         |),
+         |p_$i AS (
+         |  SELECT '$name' AS table_key, n_rows, n_keys, max_key_rows, top10_rows,
+         |    (max_key_rows * 10000) // n_rows AS share_top1_x10000,
+         |    (top10_rows * 10000) // n_rows AS share_top10_x10000,
+         |    max_key_rows > (n_rows * 10) // n_keys AS salt_hot
+         |  FROM t_$i, o_$i
+         |)""".stripMargin
+    val profs = Seq(
+      ("documents.lang", "documents", "lang"),
+      ("documents.source", "documents", "source"),
+      ("events.event_type", "events", "event_type"),
+      ("events.user_id", "events", "user_id"),
+      ("lineitem.l_partkey", "lineitem", "l_partkey"),
+      ("orders.o_custkey", "orders", "o_custkey"))
+    s"""WITH ${profs.zipWithIndex.map { case ((n, t, k), i) => profile(i, n, t, k) }.mkString(",\n")}
+       |${profs.indices.map(i => s"SELECT * FROM p_$i").mkString("\nUNION ALL\n")}
+       |ORDER BY table_key""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_skew_profile" -> (skewProfileQuery _),
     "io_dq_report" -> (dqReportQuery _),
     "io_kanon" -> (kanonQuery _),
     "io_merge" -> (mergeQuery _),
@@ -875,6 +950,7 @@ object ManifestIO {
     "io_partitioned_scan" -> (partitionedScanQuery _))
 
   val oracle: Map[String, String] = Map(
+    "io_skew_profile" -> skewProfileSql,
     "io_col_stats" ->
       """WITH d AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS nr,

@@ -83,7 +83,10 @@ class PlanAuditSpec extends SparkSpecBase {
     "ta_bpe_sweep",
     // ta_heaps cross-joins the ONE-ROW max-doc-id aggregate onto the
     // token and first-occurrence streams — the gr_triangles shape
-    "ta_heaps")
+    "ta_heaps",
+    // io_skew_profile crosses its ONE-ROW totals rollup with the ONE-ROW
+    // top-10 rollup per profiled key — the gr_triangles shape
+    "io_skew_profile")
 
   test("no query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>

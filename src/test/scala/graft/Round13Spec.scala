@@ -93,6 +93,21 @@ class Round13Spec extends SparkSpecBase {
       "tombstone count must equal the modulus batch over dense ids")
   }
 
+  test("io_skew_profile: shares are consistent and bounded") {
+    val rows = graft.sources.ManifestIO.skewProfileQuery(spark, sfDir).collect()
+    assert(rows.length == 6)
+    for (r <- rows) {
+      val (nRows, nKeys, mx, t10) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nKeys >= 1 && nKeys <= nRows)
+      assert(mx <= t10 && t10 <= nRows)
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= 10000)
+      assert(r.getLong(6) >= r.getLong(5) && r.getLong(6) <= 10000)
+      // the hint agrees with its own published numbers
+      assert(r.getBoolean(7) == (mx > (nRows * 10) / nKeys))
+    }
+  }
+
   test("ann_refresh: one refresh round never worsens total distortion") {
     val rows = graft.operators.Similarity.annRefresh(spark, sfDir).collect()
     assert(rows.nonEmpty)
