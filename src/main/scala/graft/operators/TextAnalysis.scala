@@ -866,6 +866,78 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Split-bucket count of ta_split: md5 buckets 0-7 train, 8 val, 9 test. */
+  val SplitBuckets = 10L
+
+  /** LEAKAGE-SAFE STRATIFIED SPLIT (ta_split) — the train/val/test
+    * assignment a training-data pipeline runs AFTER curation and BEFORE
+    * packing: the split unit is the exact-duplicate GROUP (md5 of the
+    * full text — the dd_exact key), not the document, so verbatim copies
+    * of a training document can never land in the eval split (the
+    * contamination class dd_contamination measures, prevented by
+    * construction); the assignment is a pure md5 hash of the group key
+    * (deterministic, coordination-free — any worker computes any doc's
+    * split without a lookup table, and re-runs are stable under corpus
+    * append since no counter or fraction-of-total is involved). The
+    * report is the stratification audit: per (lang, split) docs, groups,
+    * chars, and the within-lang share (x10000) that shows whether the
+    * 80/10/10 hash targets held per stratum — the gauge that decides
+    * whether stratum-wise reassignment is needed.
+    *
+    * Scale: one shuffle on the content hash beyond the scan (the
+    * dd_exact profile; countDistinct rides the same grouping), a
+    * map-side-combinable rollup, and a window over the <= langs x 3
+    * result frame. Nothing is proportional to corpus size but the scan. */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    splitRollup(splitDocs(documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)))
+
+  /** Doc-level split assignment (the deployable map stage): adds gk (the
+    * exact-dup group key) and split. Pure per-row function — no state. */
+  private[graft] def splitDocs(docs: DataFrame): DataFrame = docs
+    .withColumn("gk", md5(concat(lit("sg:"), col("text"))))
+    .withColumn("b", expr(
+      s"CAST(conv(substring(md5(concat('sp:', gk)), 1, 4), 16, 10) AS BIGINT) % $SplitBuckets"))
+    .withColumn("split",
+      when(col("b") <= 7L, "train").when(col("b") === 8L, "val").otherwise("test"))
+
+  private def splitRollup(assigned: DataFrame): DataFrame =
+    assigned
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("gk")).as("n_groups"),
+        sum(col("n_chars").cast("long")).as("n_chars"))
+      .withColumn("share_x10000", expr(
+        s"n_docs * 10000 div sum(n_docs) OVER (PARTITION BY lang)"))
+      .select("lang", "split", "n_docs", "n_groups", "n_chars", "share_x10000")
+      .orderBy("lang", "split")
+
+  private def splitSql: String = {
+    def hex4(e: String) =
+      s"(((strpos('0123456789abcdef', substr($e, 1, 1)) - 1) * 16 " +
+        s"+ strpos('0123456789abcdef', substr($e, 2, 1)) - 1) * 16 " +
+        s"+ strpos('0123456789abcdef', substr($e, 3, 1)) - 1) * 16 " +
+        s"+ strpos('0123456789abcdef', substr($e, 4, 1)) - 1"
+    s"""WITH g AS (
+       |  SELECT lang, n_chars, md5('sg:' || text) AS gk FROM documents
+       |), a AS (
+       |  SELECT lang, n_chars, gk,
+       |    CAST(${hex4("md5('sp:' || gk)")} AS BIGINT) % $SplitBuckets AS b
+       |  FROM g
+       |), s AS (
+       |  SELECT lang,
+       |    CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+       |    COUNT(*) AS n_docs, COUNT(DISTINCT gk) AS n_groups,
+       |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+       |  FROM a GROUP BY 1, 2
+       |)
+       |SELECT lang, split, n_docs, n_groups, n_chars,
+       |  CAST((n_docs * 10000)
+       |    // CAST(SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS BIGINT)
+       |    AS share_x10000
+       |FROM s ORDER BY lang, split""".stripMargin
+  }
+
   /** Bigram language-model scoring — the model-based quality filter
     * (CCNet/KenLM shape) next to ta_quality's rule-based gates: train
     * bigram/unigram counts on the corpus, score every document by the
@@ -1514,6 +1586,7 @@ object TextAnalysis {
     "ta_dsir" -> (dsir _),
     "ta_lm_score" -> (lmScore _),
     "ta_resample" -> (resample _),
+    "ta_split" -> (splitAssign _),
     "ta_mixture" -> (mixture _),
     "ta_bpe_train" -> (bpeTrain _),
     "ta_bpe_encode" -> (bpeEncode _),
@@ -2132,6 +2205,7 @@ object TextAnalysis {
          |  CAST(MAX(doc_score) AS BIGINT) AS max_score
          |FROM d2 GROUP BY source ORDER BY source""".stripMargin
     },
+    "ta_split" -> splitSql,
     "ta_resample" -> {
       // 4-hex-char md5 prefix as an integer: Horner fold of strpos digits
       // (the dd_simhash hex-decode pattern; Spark side uses conv)

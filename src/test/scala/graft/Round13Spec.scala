@@ -93,6 +93,34 @@ class Round13Spec extends SparkSpecBase {
       "tombstone count must equal the modulus batch over dense ids")
   }
 
+  test("ta_split: exact duplicates never straddle splits; shares sum per lang") {
+    import spark.implicits._
+    // planted exact-dup pair (same text, different lang/doc) + real corpus
+    val planted = Seq(
+      (900001L, "the same text twice", "en", "webA", 19),
+      (900002L, "the same text twice", "fr", "webB", 19)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(planted)
+    val assigned = graft.operators.TextAnalysis.splitDocs(docs).localCheckpoint()
+    // every dup group gets exactly one split (assignment is f(gk))
+    val straddlers = assigned.groupBy("gk")
+      .agg(countDistinct("split").as("ns")).filter(col("ns") > 1).count()
+    assert(straddlers == 0)
+    assert(assigned.filter(col("doc_id") === 900001L).select("split").collect()(0) ==
+      assigned.filter(col("doc_id") === 900002L).select("split").collect()(0))
+    // the published rollup's shares cover each lang to within floor error
+    val rows = graft.operators.TextAnalysis.splitAssign(spark, sfDir).collect()
+    val byLang = rows.groupBy(_.getString(0))
+    for ((lang, rs) <- byLang) {
+      val shareSum = rs.map(_.getLong(5)).sum
+      assert(shareSum >= 10000 - rs.length && shareSum <= 10000,
+        s"$lang shares sum to $shareSum")
+      assert(rs.map(_.getString(1)).toSet.subsetOf(Set("train", "val", "test")))
+    }
+  }
+
   test("io_skew_profile: shares are consistent and bounded") {
     val rows = graft.sources.ManifestIO.skewProfileQuery(spark, sfDir).collect()
     assert(rows.length == 6)
