@@ -907,7 +907,64 @@ object Events {
       .orderBy("event_type", "bucket")
   }
 
+  /** Reservoir size of ev_reservoir: events kept per user. */
+  val ReservoirK = 2
+
+  /** PER-KEY RESERVOIR SAMPLE (ev_reservoir) — bounded per-user event
+    * sample via BOTTOM-K HASHING, the distributed equivalent of a
+    * per-key reservoir: rank every event by an md5-derived uniform and
+    * keep each user's K lowest. Mergeable by construction (the bottom-K
+    * of a union is the bottom-K of the parts' bottom-Ks — the same
+    * property HLL registers exploit), deterministic across re-runs and
+    * engines (md5-only hashing rule), and uniform per key since the hash
+    * is independent of everything but event_id. This is both the debug
+    * sample ("show me 2 raw events per user") and the anti-skew data
+    * diet (cap any hot key's contribution before a downstream join).
+    *
+    * Scale: rides the native TopKPerKeyExec — one ClusteredDistribution
+    * shuffle, a bounded K-heap per user, NO per-partition sort (the
+    * rank-window formulation sorts every user's events in full); the
+    * per-user count joins back co-partitioned on the same key. */
+  def reservoir(spark: SparkSession, dir: String): DataFrame = {
+    val h = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("hv", expr(
+        "CAST(conv(substring(md5(concat('rv:', CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("ord", lit(4294967296L) - col("hv"))
+    val sampled = graft.plans.TopKPerKeyNative
+      .topK(h, "user_id", "ord", "event_id", ReservoirK)
+    val counts = events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n_user_events"))
+    sampled
+      .join(counts, Seq("user_id"))
+      .select(col("user_id"), col("topk_rank").as("sample_rank"),
+        col("event_id"), col("event_type"), col("n_user_events"))
+      .orderBy("user_id", "sample_rank")
+  }
+
+  private def reservoirSql: String = {
+    val hex8 = (1 to 8).map(k =>
+        s"(strpos('0123456789abcdef', substr(mh, $k, 1)) - 1)")
+      .reduce((a, b) => s"($a * 16 + $b)")
+    s"""WITH h AS (
+       |  SELECT user_id, event_id, event_type,
+       |    $hex8 AS hv
+       |  FROM (SELECT *, md5('rv:' || CAST(event_id AS VARCHAR)) AS mh FROM events)
+       |), r AS (
+       |  SELECT user_id, event_id, event_type,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY hv ASC, event_id ASC) AS sample_rank,
+       |    COUNT(*) OVER (PARTITION BY user_id) AS n_user_events
+       |  FROM h
+       |)
+       |SELECT user_id, CAST(sample_rank AS BIGINT) AS sample_rank, event_id,
+       |  event_type, CAST(n_user_events AS BIGINT) AS n_user_events
+       |FROM r WHERE sample_rank <= $ReservoirK
+       |ORDER BY user_id, sample_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_reservoir" -> (reservoir _),
     "ev_bot_detect" -> (botDetect _),
     "ev_ltv" -> (ltv _),
     "ev_ab_test" -> (abTest _),
@@ -937,6 +994,7 @@ object Events {
     "ev_funnel" -> (funnel _))
 
   val oracle: Map[String, String] = Map(
+    "ev_reservoir" -> reservoirSql,
     "ev_bot_detect" ->
       s"""WITH ev AS (
          |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es

@@ -568,7 +568,16 @@ object GraphOps {
   /** Same propagation over any symmetric (src, dst) edge frame —
     * Round12Spec pins the argmax tie rule and round count on a
     * two-community bridge graph. */
-  def lpaOn(symEdges: DataFrame, topK: Int): DataFrame = {
+  def lpaOn(symEdges: DataFrame, topK: Int): DataFrame =
+    lpaLabelsOn(symEdges).groupBy("lbl").agg(count(lit(1)).as("n_members"))
+      .select(col("lbl").as("community"), col("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(topK)
+
+  /** Full final LPA label assignment (u, lbl) over a symmetric edge
+    * frame — the shared core of lpaOn's rollup and gr_modularity's
+    * community partition. Per-round shapes as documented on gr_lpa. */
+  private[graft] def lpaLabelsOn(symEdges: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sym = symEdges.localCheckpoint() // reused by every round's join
     var labels = sym.select(col("src").as("u")).distinct()
@@ -582,10 +591,7 @@ object GraphOps {
         .select(col("u"), col("lbl"))
         .localCheckpoint() // next round reads this; lineage house rule
     }
-    labels.groupBy("lbl").agg(count(lit(1)).as("n_members"))
-      .select(col("lbl").as("community"), col("n_members"))
-      .orderBy(col("n_members").desc, col("community"))
-      .limit(topK)
+    labels
   }
 
   /** BIPARTITE HITS (gr_hits) — Kleinberg's hubs-and-authorities on the
@@ -638,6 +644,65 @@ object GraphOps {
     a2.join(a1.select(col("part"), col("a").as("a1")), Seq("part"))
       .select(col("part"), col("a2"), col("a1"), col("n_buyers"))
       .orderBy(col("a2").desc, col("part")).limit(topK)
+  }
+
+  /** COMMUNITY MODULARITY (gr_modularity) — Newman-Girvan Q of the LPA
+    * partition on the co-purchase graph: the quality gauge that tells a
+    * pipeline whether the communities gr_lpa publishes are real structure
+    * or hash noise (Q near 0), and the objective Louvain-style refinement
+    * would climb. Per community: members, degree sum d_c, intra-community
+    * edges m_c; the global score rides every row as
+    * Q = (4m·Σm_c − Σd_c²) / (4m²), computed entirely in DECIMAL(38,0)
+    * (d_c² is the gr_assort wrap class — operands cast BEFORE the
+    * multiply) and published as q_x10000 via the nonneg-shift integer
+    * division (numer ≥ −4m² always, so shifting by 4m²·10⁴ keeps Spark
+    * `div` = DuckDB `//`).
+    *
+    * Scale: reuses gr_lpa's bounded-basket edge build and label rounds;
+    * degree and d_c are map-side-combinable; m_c is two co-partitioned
+    * label lookups on the edge list; the Q row is one-row and cross-joins
+    * only one-row frames. */
+  def modularity(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val inc = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint() // self-join sides must not recompute (house rule)
+    val edges = inc.as("x").join(inc.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b")).agg(count(lit(1)).as("ns"))
+      .filter(col("ns") >= LpaMinShared)
+      .select("a", "b")
+      .localCheckpoint() // m + intra lookup + both sym directions read it
+    val sym = edges.select((col("a") + lit(0L)).as("src"), (col("b") + lit(0L)).as("dst"))
+      .unionByName(edges.select((col("b") + lit(0L)).as("src"), (col("a") + lit(0L)).as("dst")))
+    val labels = lpaLabelsOn(sym).localCheckpoint() // deg rollup + 2 edge lookups
+    val deg = sym.groupBy(col("src").as("u")).agg(count(lit(1)).as("d"))
+    val ds = deg.join(labels, Seq("u"))
+      .groupBy("lbl")
+      .agg(sum("d").as("degree_sum"), count(lit(1)).as("n_members"))
+    val intra = edges
+      .join(labels.select(col("u").as("a"), col("lbl").as("la")), Seq("a"))
+      .join(labels.select(col("u").as("b"), col("lbl").as("lb")), Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("intra_edges"))
+    val per = ds.join(intra, Seq("lbl"), "left_outer")
+      .select(col("lbl"), col("n_members"), col("degree_sum"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"))
+      .localCheckpoint() // global Q sums + published top rows read it
+    val glob = per.agg(
+      sum(col("intra_edges")).as("smc"),
+      sum(expr("CAST(degree_sum AS DECIMAL(19,0)) * CAST(degree_sum AS DECIMAL(19,0))"))
+        .as("sd2"))
+    val mrow = edges.agg(count(lit(1)).as("m"))
+    val q = glob.crossJoin(mrow).select(expr(
+      "CAST((CAST(10000 AS DECIMAL(38,0)) * " +
+        "(CAST(4 AS DECIMAL(38,0)) * m * smc - sd2 + CAST(4 AS DECIMAL(38,0)) * m * m)) " +
+        "div (CAST(4 AS DECIMAL(38,0)) * m * m) - 10000 AS BIGINT)").as("q_x10000"))
+    per.crossJoin(broadcast(q)) // one-row global score onto the top rows
+      .select(col("lbl").as("community"), col("n_members"), col("degree_sum"),
+        col("intra_edges"), col("q_x10000"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(12)
   }
 
   /** DEGREE ASSORTATIVITY (gr_assort) — Newman's r on the co-activity
@@ -695,7 +760,34 @@ object GraphOps {
       .orderBy("n_edges")
   }
 
+  /** Shared LPA oracle CTE chain (inc → edges → sym → l0..lN) — used by
+    * gr_lpa's rollup and gr_modularity's Q computation. */
+  private def lpaCtes: String = {
+    val round = (r: Int) =>
+      s"""l$r AS (
+         |  SELECT u, lbl FROM (
+         |    SELECT s.dst AS u, p.lbl, COUNT(*) AS c,
+         |      ROW_NUMBER() OVER (PARTITION BY s.dst
+         |        ORDER BY COUNT(*) DESC, p.lbl ASC) AS rn
+         |    FROM sym s JOIN l${r - 1} p ON s.src = p.u
+         |    GROUP BY s.dst, p.lbl) t WHERE rn = 1
+         |)""".stripMargin
+    s"""inc AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+       |), edges AS (
+       |  SELECT a, b FROM (
+       |    SELECT x.p AS a, y.p AS b, COUNT(*) AS ns
+       |    FROM inc x JOIN inc y ON x.o = y.o AND x.p < y.p
+       |    GROUP BY 1, 2) t WHERE ns >= $LpaMinShared
+       |), sym AS (
+       |  SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b, a FROM edges
+       |), l0 AS (
+       |  SELECT DISTINCT src AS u, src AS lbl FROM sym
+       |), ${(1 to LpaRounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "gr_modularity" -> (modularity _),
     "gr_assort" -> (assortativity _),
     "gr_hits" -> (hits _),
     "gr_lpa" -> (lpa _),
@@ -765,31 +857,42 @@ object GraphOps {
          |SELECT a2.part, a2.a2, a1.a AS a1, a2.n_buyers
          |FROM a2 JOIN a1 ON a2.part = a1.part
          |ORDER BY a2.a2 DESC, a2.part LIMIT 15""".stripMargin,
-    "gr_lpa" -> {
-      val round = (r: Int) =>
-        s"""l$r AS (
-           |  SELECT u, lbl FROM (
-           |    SELECT s.dst AS u, p.lbl, COUNT(*) AS c,
-           |      ROW_NUMBER() OVER (PARTITION BY s.dst
-           |        ORDER BY COUNT(*) DESC, p.lbl ASC) AS rn
-           |    FROM sym s JOIN l${r - 1} p ON s.src = p.u
-           |    GROUP BY s.dst, p.lbl) t WHERE rn = 1
-           |)""".stripMargin
-      s"""WITH inc AS (
-         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-         |), edges AS (
-         |  SELECT a, b FROM (
-         |    SELECT x.p AS a, y.p AS b, COUNT(*) AS ns
-         |    FROM inc x JOIN inc y ON x.o = y.o AND x.p < y.p
-         |    GROUP BY 1, 2) t WHERE ns >= $LpaMinShared
-         |), sym AS (
-         |  SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b, a FROM edges
-         |), l0 AS (
-         |  SELECT DISTINCT src AS u, src AS lbl FROM sym
-         |), ${(1 to LpaRounds).map(round).mkString(",\n")}
+    "gr_lpa" ->
+      s"""WITH $lpaCtes
          |SELECT lbl AS community, COUNT(*) AS n_members FROM l$LpaRounds
-         |GROUP BY lbl ORDER BY n_members DESC, community LIMIT 25""".stripMargin
-    },
+         |GROUP BY lbl ORDER BY n_members DESC, community LIMIT 25""".stripMargin,
+    "gr_modularity" ->
+      s"""WITH $lpaCtes,
+         |lab AS (SELECT u, lbl FROM l$LpaRounds),
+         |deg AS (SELECT src AS u, COUNT(*) AS d FROM sym GROUP BY 1),
+         |ds AS (
+         |  SELECT lbl, CAST(SUM(d) AS BIGINT) AS degree_sum, COUNT(*) AS n_members
+         |  FROM deg JOIN lab USING (u) GROUP BY 1
+         |),
+         |ia AS (
+         |  SELECT la.lbl AS lbl, COUNT(*) AS intra_edges
+         |  FROM edges e JOIN lab la ON e.a = la.u JOIN lab lb ON e.b = lb.u
+         |  WHERE la.lbl = lb.lbl GROUP BY 1
+         |),
+         |per AS (
+         |  SELECT ds.lbl, n_members, degree_sum,
+         |    COALESCE(intra_edges, 0) AS intra_edges
+         |  FROM ds LEFT JOIN ia ON ds.lbl = ia.lbl
+         |),
+         |gsum AS (
+         |  SELECT CAST(SUM(intra_edges) AS HUGEINT) AS smc,
+         |    SUM(degree_sum::HUGEINT * degree_sum::HUGEINT) AS sd2
+         |  FROM per
+         |),
+         |mrow AS (SELECT COUNT(*)::HUGEINT AS m FROM edges),
+         |qrow AS (
+         |  SELECT CAST((10000::HUGEINT
+         |      * (4::HUGEINT * m * smc - sd2 + 4::HUGEINT * m * m))
+         |    // (4::HUGEINT * m * m) - 10000 AS BIGINT) AS q_x10000
+         |  FROM gsum, mrow
+         |)
+         |SELECT lbl AS community, n_members, degree_sum, intra_edges, q_x10000
+         |FROM per, qrow ORDER BY n_members DESC, community LIMIT 12""".stripMargin,
     "gr_copurchase" ->
       s"""WITH cp0 AS (
         |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part

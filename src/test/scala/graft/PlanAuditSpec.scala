@@ -86,7 +86,10 @@ class PlanAuditSpec extends SparkSpecBase {
     "ta_heaps",
     // io_skew_profile crosses its ONE-ROW totals rollup with the ONE-ROW
     // top-10 rollup per profiled key — the gr_triangles shape
-    "io_skew_profile")
+    "io_skew_profile",
+    // gr_modularity cross-joins the ONE-ROW edge-count and ONE-ROW global
+    // Q aggregates onto the per-community rows — the gr_triangles shape
+    "gr_modularity")
 
   test("no query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -93,6 +93,36 @@ class Round13Spec extends SparkSpecBase {
       "tombstone count must equal the modulus batch over dense ids")
   }
 
+  test("ev_reservoir: native bottom-k matches the rank-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = graft.operators.Events.reservoir(spark, sfDir)
+    val h = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("hv", expr(
+        "CAST(conv(substring(md5(concat('rv:', CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+    val w = Window.partitionBy("user_id").orderBy(col("hv").asc, col("event_id").asc)
+    val cnts = h.groupBy("user_id").agg(count(lit(1)).as("n_user_events"))
+    val declarative = h.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= graft.operators.Events.ReservoirK)
+      .join(cnts, Seq("user_id"))
+      .select("user_id", "sample_rank", "event_id", "event_type", "n_user_events")
+    assert(rows.exceptAll(declarative).isEmpty && declarative.exceptAll(rows).isEmpty)
+  }
+
+  test("gr_modularity: per-community stats are internally consistent") {
+    val rows = graft.operators.GraphOps.modularity(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val q = rows.map(_.getLong(4)).distinct
+    assert(q.length == 1, "global Q must ride every row identically")
+    assert(q(0) >= -10000 && q(0) <= 10000)
+    for (r <- rows) {
+      // intra edges contribute 2 degree-endpoints inside the community
+      assert(2 * r.getLong(3) <= r.getLong(2),
+        s"community ${r.getLong(0)}: intra ${r.getLong(3)} vs dsum ${r.getLong(2)}")
+      assert(r.getLong(1) >= 1)
+    }
+  }
+
   test("ta_split: exact duplicates never straddle splits; shares sum per lang") {
     import spark.implicits._
     // planted exact-dup pair (same text, different lang/doc) + real corpus
