@@ -387,7 +387,46 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Epoch count / shard fan-out of mm_epoch_shuffle. */
+  val ShuffleEpochs = 3
+  val EpochShards = 8L
+
+  /** EPOCH SHUFFLE AUDIT (mm_epoch_shuffle) — the dataloader's other half
+    * next to mm_shard_pack (which packs ONE epoch's order): each training
+    * epoch must see the corpus in a fresh permutation, and a distributed
+    * loader gets one coordination-free by re-sharding on a seeded hash
+    * (shard = md5(epoch, doc_id) — any worker locates any doc's shard for
+    * any epoch without a shuffle table). Report per (epoch, shard): docs,
+    * chars, and n_carryover — docs landing in the SAME shard as the
+    * previous epoch, the decorrelation gauge (a broken seed shows up as
+    * carryover == n_docs; a healthy one hovers near n_docs/shards).
+    *
+    * Scale: assignment is a pure map stage; the carryover join is
+    * co-partitioned on (epoch, doc_id); the rollup map-side combines.
+    * Epochs multiply rows ONLY inside this audit — the loader itself
+    * computes assignments on the fly. */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("n_chars").cast("long").as("nc"))
+    val assigned = (0 until ShuffleEpochs).map { ep =>
+      docs.withColumn("epoch", lit(ep.toLong))
+        .withColumn("shard", expr(
+          s"CAST(conv(substring(md5(concat('ep:$ep:', CAST(doc_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % $EpochShards"))
+    }.reduce(_.unionByName(_))
+      .localCheckpoint() // rollup side + previous-epoch lookup side
+    val prev = assigned.select((col("epoch") + 1L).as("epoch"),
+      col("doc_id"), col("shard").as("prev_shard"))
+    assigned.join(prev, Seq("epoch", "doc_id"), "left_outer")
+      .groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("nc").as("n_chars"),
+        sum(when(col("prev_shard") === col("shard"), 1L).otherwise(0L))
+          .as("n_carryover"))
+      .orderBy("epoch", "shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_epoch_shuffle" -> (epochShuffle _),
     "mm_scene_cut" -> (sceneCut _),
     "mm_av_sync" -> (avSync _),
     "mm_modality_balance" -> (modalityBalance _),
@@ -401,6 +440,30 @@ object Multimodal {
     "mm_embed_knn" -> (embedKnn _))
 
   val oracle: Map[String, String] = Map(
+    "mm_epoch_shuffle" -> {
+      val hex6 = (1 to 6).map(k =>
+          s"(strpos('0123456789abcdef', substr(mh, $k, 1)) - 1)")
+        .reduce((a, b) => s"($a * 16 + $b)")
+      s"""WITH a AS (
+         |  SELECT doc_id, n_chars, epoch,
+         |    CAST($hex6 AS BIGINT) % $EpochShards AS shard
+         |  FROM (
+         |    SELECT doc_id, n_chars, epoch,
+         |      md5('ep:' || CAST(epoch AS VARCHAR) || ':'
+         |        || CAST(doc_id AS VARCHAR)) AS mh
+         |    FROM documents, (SELECT unnest(range(0, $ShuffleEpochs)) AS epoch)
+         |  )
+         |), j AS (
+         |  SELECT a.epoch, a.shard, a.n_chars, p.shard AS prev_shard
+         |  FROM a LEFT JOIN a p
+         |    ON p.doc_id = a.doc_id AND p.epoch = a.epoch - 1
+         |)
+         |SELECT epoch, shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         |  CAST(SUM(CASE WHEN prev_shard = shard THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_carryover
+         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "mm_scene_cut" ->
       """WITH d AS (
         |  SELECT doc_id, text,

@@ -1315,7 +1315,54 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  /** Near-dup exclusion threshold of ann_hard_negatives: candidates at or
+    * above this cosine are presumed positives/duplicates, not negatives. */
+  val HardNegCos = 0.95
+
+  /** HARD-NEGATIVE MINING (ann_hard_negatives) — the contrastive-training
+    * counterpart of ta_pair_mine: that query samples RANDOM negatives per
+    * (anchor, positive) pair; this one mines HARD negatives — the closest
+    * non-duplicate neighbors (DPR/ANCE recipe: negatives near the decision
+    * boundary train retrieval models; random ones are too easy). Per
+    * bounded query: top-3 candidates by cosine BELOW the dup-exclusion
+    * band (cos < HardNegCos; at/above it a candidate is a presumed
+    * positive), plus n_excluded — how many near-dups the miner skipped
+    * (the audit column that distinguishes "no positives nearby" from
+    * "positives correctly excluded"). The cosine compare is safe
+    * cross-engine because the dot fold is bit-identical by construction
+    * (the ann_range precedent).
+    *
+    * Scale: the audited bucketed-ANN serve (bounded query broadcast, cell
+    * equi-join = partition pruning); the candidate frame is checkpointed
+    * once for the exclusion count and the ranked keep. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+      .withColumn("cell", expr(cellExpr("embedding")))
+      .localCheckpoint() // query side + candidate side
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("cell"))
+    val cand = e
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("nrm").as("cn"), col("cell"))
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
+      .localCheckpoint() // exclusion count + ranked keep both read it
+    val excluded = cand.filter(col("cos") >= lit(HardNegCos))
+      .groupBy("qid").agg(count(lit(1)).as("n_excluded"))
+    val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    cand.filter(col("cos") < lit(HardNegCos))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= 3)
+      .join(excluded, Seq("qid"), "left_outer")
+      .select(col("qid"), col("rank"), col("cid"),
+        coalesce(col("n_excluded"), lit(0L)).as("n_excluded"))
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_hard_negatives" -> (hardNegatives _),
     "ann_refresh" -> (annRefresh _),
     "ann_delete" -> (annDelete _),
     "ann_tier_compare" -> (tierCompare _),
@@ -2200,6 +2247,33 @@ object Similarity {
          |  FROM g q JOIN g c ON q.cell = c.cell AND q.vec_id < 10 AND q.vec_id <> c.vec_id
          |)""".stripMargin, 3),
     "ann_refresh" -> annRefreshSql,
+    "ann_hard_negatives" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings
+         |),
+         |g AS (SELECT *, ${cellSql("embedding")} AS cell FROM e),
+         |cand AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |  FROM g q JOIN g c ON q.cell = c.cell AND q.vec_id < 10
+         |    AND q.vec_id <> c.vec_id
+         |),
+         |ex AS (
+         |  SELECT qid, COUNT(*) AS n_excluded FROM cand
+         |  WHERE cos >= $HardNegCos GROUP BY qid
+         |),
+         |kept AS (
+         |  SELECT qid, rank, cid FROM (
+         |    SELECT qid, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY cos DESC, cid ASC) AS rank
+         |    FROM cand WHERE cos < $HardNegCos
+         |  ) WHERE rank <= 3
+         |)
+         |SELECT k.qid, CAST(k.rank AS BIGINT) AS rank, k.cid,
+         |  COALESCE(ex.n_excluded, 0) AS n_excluded
+         |FROM kept k LEFT JOIN ex ON k.qid = ex.qid
+         |ORDER BY k.qid, k.rank""".stripMargin,
     // ann_delete oracle: ONE serve over the live rows — its count doubles
     // as the expected n_match, pinning that the Spark side's two physical
     // paths (tombstone-filtered full index vs compacted index) agree

@@ -93,6 +93,30 @@ class Round13Spec extends SparkSpecBase {
       "tombstone count must equal the modulus batch over dense ids")
   }
 
+  test("mm_epoch_shuffle: epochs cover the corpus; reshuffle decorrelates") {
+    val rows = graft.operators.Multimodal.epochShuffle(spark, sfDir).collect()
+    val n = graft.sources.Tables.documents(spark, sfDir).count()
+    val byEpoch = rows.groupBy(_.getLong(0))
+    assert(byEpoch.keySet == (0L until graft.operators.Multimodal.ShuffleEpochs).toSet)
+    for ((ep, rs) <- byEpoch) {
+      assert(rs.map(_.getLong(2)).sum == n, s"epoch $ep does not cover the corpus")
+      val carry = rs.map(_.getLong(4)).sum
+      if (ep == 0L) assert(carry == 0, "epoch 0 has no previous epoch")
+      else assert(carry < n / 4, // expected n/shards = n/8 for a healthy seed
+        s"epoch $ep carryover $carry of $n — permutation is not fresh")
+    }
+  }
+
+  test("ann_hard_negatives: 3 ranked negatives per query, exclusions counted") {
+    val rows = graft.operators.Similarity.hardNegatives(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    for ((q, rs) <- byQ) {
+      assert(rs.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L), s"qid $q ranks")
+      assert(rs.map(_.getLong(3)).distinct.length == 1, s"qid $q n_excluded varies")
+    }
+  }
+
   test("ev_reservoir: native bottom-k matches the rank-window formulation") {
     import org.apache.spark.sql.expressions.Window
     val rows = graft.operators.Events.reservoir(spark, sfDir)

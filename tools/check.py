@@ -17,6 +17,14 @@ import duckdb
 sfdir, outdir = sys.argv[1], sys.argv[2]
 
 con = duckdb.connect()
+# The heavy unrolled-CTE oracles (ta_bpe_*) OOM DuckDB at sf0.1 under the
+# default all-cores config (32 threads x per-thread buffers exhaust the
+# allocator: "Failed to allocate block" at tiny sizes); 8 threads + an
+# explicit limit + a spill dir outside the repo (the default spilled 51 GB
+# into ./.tmp) runs the same oracle in ~30s.
+con.execute("SET threads=8")
+con.execute("SET memory_limit='48GB'")
+con.execute("SET temp_directory='/tmp/graft_duck_spill'")
 for t in ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split():
     con.execute(
