@@ -394,6 +394,38 @@ object StreamingJobs {
       .select(col("doc_id"), col("odds_x10000"),
         (col("odds_x10000") >= lit(10000L)).as("keep"))
 
+  final case class RsvEv(user_id: Long, event_id: Long, hv: Long)
+  final case class RsvState(items: List[(Long, Long)], n_seen: Long)
+  final case class RsvOut(user_id: Long, n_seen: Long, event_ids: Seq[Long])
+
+  /** STREAMING BOTTOM-K RESERVOIR — ev_reservoir's state kept online:
+    * per user, the K events with the lowest md5-derived hash rank, as a
+    * mapGroupsWithState whose per-key state is a bounded K-list (O(keys
+    * x K), never O(ingest)). The bottom-K set is a MERGE-closed sketch —
+    * bottom-K(union) = bottom-K(bottom-Ks) — so the final state is
+    * independent of micro-batch boundaries AND arrival order; the spec
+    * feeds the same events forwards and reversed and pins identical
+    * reservoirs, both equal to the batch query's. n_seen stamps each
+    * update so a consumer (and the spec) can pick the newest row per
+    * key from an Update-mode sink. */
+  def reservoirStream(events: Dataset[RsvEv], k: Int): Dataset[RsvOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[RsvState, RsvOut](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[RsvEv], state: GroupState[RsvState]) =>
+          val prev = state.getOption.getOrElse(RsvState(Nil, 0L))
+          var n = prev.n_seen
+          val merged = rows.foldLeft(prev.items) { (acc, e) =>
+            n += 1
+            ((e.hv, e.event_id) :: acc).sorted.take(k)
+          }
+          val next = RsvState(merged, n)
+          state.update(next)
+          RsvOut(uid, n, merged.map(_._2).sorted) // canonical id order
+      }
+  }
+
   /** foreachBatch keyed UPSERT into a bucket-partitioned parquet table —
     * the streaming sink pattern when the store is plain parquet (no
     * transactional table format in this environment): merge each

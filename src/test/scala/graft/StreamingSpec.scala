@@ -393,6 +393,40 @@ class StreamingSpec extends SparkSpecBase {
       "replay must be deterministic")
   }
 
+  test("streaming bottom-K reservoir: order-invariant, equals the batch sample") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val k = graft.operators.Events.ReservoirK
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"))
+      .withColumn("hv", expr(
+        "CAST(conv(substring(md5(concat('rv:', CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+      .as[StreamingJobs.RsvEv].collect()
+
+    def finalRows(order: Seq[StreamingJobs.RsvEv], name: String) = {
+      val stream = MemoryStream[StreamingJobs.RsvEv]
+      val (a, b) = order.splitAt(order.length / 2)
+      stream.addData(a)
+      stream.addData(b)
+      val out = StreamingJobs.reservoirStream(stream.toDS(), k)
+      val all = StreamingJobs.runToMemory(spark, out.toDF(), name, OutputMode.Update())
+      // newest update per user (n_seen is the per-key update stamp)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_seen").desc)
+      all.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_ids"))
+    }
+    val fwd = finalRows(evs.toSeq, "rsv_fwd")
+    val rev = finalRows(evs.reverse.toSeq, "rsv_rev")
+    assert(fwd.exceptAll(rev).isEmpty && rev.exceptAll(fwd).isEmpty,
+      "arrival order changed the reservoir")
+    val batch = graft.operators.Events.reservoir(spark, sfDir)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("event_id"))).as("event_ids"))
+    assert(fwd.exceptAll(batch).isEmpty && batch.exceptAll(fwd).isEmpty,
+      s"stream=${fwd.count()} batch=${batch.count()}")
+  }
+
   test("native session_window sessionization matches the batch gap rule") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
