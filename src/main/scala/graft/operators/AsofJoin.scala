@@ -112,7 +112,116 @@ object AsofJoin {
       .orderBy("event_id")
   }
 
+  /** q29: MULTI-GROUP POINT-IN-TIME FEATURE JOIN — the feature-store
+    * shape q14 is one slice of: for every purchase (the training-label
+    * entity), features from TWO groups at different grains, each
+    * STRICTLY before the purchase instant (the leakage rule that makes
+    * offline features match what online serving could have known):
+    *   group 1 (event grain, cumulative): clicks before the purchase —
+    *     count + exact cents. One sweep window per user ordered by the
+    *     unique (sec, kind, event_id) with purchases sorted BEFORE
+    *     same-second clicks, so the running sums exclude same-instant
+    *     activity by construction, never by a fragile < filter on ties.
+    *   group 2 (session grain): the user's last CLOSED session
+    *     (ev_sessionize's 30-min-gap sessions) — size + end time via
+    *     as-of on end_sec + 1 (closed strictly before; the purchase's
+    *     own still-open session can never leak in). No-history
+    *     purchases keep deterministic sentinels (0 / -1).
+    *
+    * Scale: both groups are one user-partitioned pass (window fan-in
+    * bounded per user; sub-bucket by day at 100 TB — the
+    * ev_concurrency prefix rule); the as-of is the tagged-union merge,
+    * one shuffle per side, no per-entity scan. */
+  def pitFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("sec"),
+        col("event_type"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("sec"), col("event_id"), lit(1L).as("kind"),
+        lit(1L).as("is_c"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("sec"), col("event_id"), lit(0L).as("kind"),
+        lit(0L).as("is_c"), lit(0L).as("cents"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("sec").asc, col("kind").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g1 = clicks.unionByName(pur)
+      .withColumn("n_clicks_before", sum(col("is_c")).over(w))
+      .withColumn("click_cents_before", sum(col("cents")).over(w))
+      .filter(col("kind") === 0L)
+      .select(col("user_id"), col("sec"), col("event_id"),
+        col("n_clicks_before"), col("click_cents_before"))
+    val sess = graft.operators.Events.sessionFrame(spark, dir)
+      .select(col("user_id"), (col("end_sec") + 1L).as("sec"),
+        col("n_events").as("sess_events"), col("end_sec"))
+    asofOn(g1, sess, "user_id", "sec", Seq("sess_events", "end_sec"))
+      .select(col("event_id"), col("user_id"), col("sec").as("purchase_sec"),
+        col("n_clicks_before"), col("click_cents_before"),
+        coalesce(col("asof_sess_events"), lit(0L)).as("last_sess_events"),
+        coalesce(col("asof_end_sec"), lit(-1L)).as("last_sess_end_sec"))
+      .orderBy("event_id")
+  }
+
+  private val pitOracleSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |    event_type, value
+      |  FROM events
+      |),
+      |u AS (
+      |  SELECT user_id, sec, event_id, 1 AS kind, 1 AS is_c,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM ev WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, sec, event_id, 0, 0, 0
+      |  FROM ev WHERE event_type = 'purchase'
+      |),
+      |g1 AS (
+      |  SELECT user_id, sec, event_id, kind,
+      |    CAST(SUM(is_c) OVER w AS BIGINT) AS n_clicks_before,
+      |    CAST(SUM(cents) OVER w AS BIGINT) AS click_cents_before
+      |  FROM u WINDOW w AS (PARTITION BY user_id
+      |    ORDER BY sec ASC, kind ASC, event_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |),
+      |p AS (
+      |  SELECT user_id, sec, event_id, n_clicks_before, click_cents_before
+      |  FROM g1 WHERE kind = 0
+      |),
+      |f AS (
+      |  SELECT user_id, event_id, ts_sec,
+      |    CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec >= 1800
+      |      THEN 1 ELSE 0 END AS new_session
+      |  FROM (
+      |    SELECT user_id, event_id, sec AS ts_sec,
+      |      LAG(sec, 1) OVER (PARTITION BY user_id ORDER BY sec ASC, event_id ASC)
+      |        AS prev_sec
+      |    FROM ev)
+      |),
+      |h AS (
+      |  SELECT user_id, ts_sec, CAST(SUM(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY ts_sec ASC, event_id ASC) AS BIGINT) AS session_idx
+      |  FROM f
+      |),
+      |sess AS (
+      |  SELECT user_id, MAX(ts_sec) + 1 AS t, COUNT(*) AS sess_events,
+      |    MAX(ts_sec) AS end_sec
+      |  FROM h GROUP BY user_id, session_idx
+      |),
+      |j AS (
+      |  SELECT p.event_id, p.user_id, p.sec AS purchase_sec,
+      |    p.n_clicks_before, p.click_cents_before, s.sess_events, s.end_sec
+      |  FROM p ASOF LEFT JOIN sess s ON p.user_id = s.user_id AND s.t <= p.sec
+      |)
+      |SELECT event_id, user_id, purchase_sec, n_clicks_before,
+      |  click_cents_before,
+      |  COALESCE(sess_events, 0) AS last_sess_events,
+      |  COALESCE(end_sec, -1) AS last_sess_end_sec
+      |FROM j ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_pit_features" -> (pitFeatures _),
     "q14_asof_join" -> (purchaseAsofClick _),
     "q14_asof_native" -> (purchaseAsofClickNative _),
     "q17_range_join" -> (purchaseClicksInWindow _))
@@ -130,6 +239,7 @@ object AsofJoin {
       |ORDER BY p.event_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q29_pit_features" -> pitOracleSql,
     "q14_asof_native" -> asofOracleSql,
     "q17_range_join" ->
       """WITH ev AS (

@@ -68,7 +68,7 @@ object Events {
     * partitioning so Catalyst sorts once per user partition. */
   /** Per-user 30-minute-gap sessions (the frame sessionize reports and
     * ev_concurrency sweeps): one row per (user_id, session_idx). */
-  private def sessionFrame(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def sessionFrame(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts_sec").asc, col("event_id").asc)
     events(spark, dir)
       .select(col("user_id"), col("event_id"),

@@ -93,6 +93,17 @@ class Round13Spec extends SparkSpecBase {
       "tombstone count must equal the modulus batch over dense ids")
   }
 
+  test("q29_pit_features: nothing at or after the purchase instant leaks in") {
+    val rows = graft.operators.AsofJoin.pitFeatures(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (pSec, sessEv, sessEnd) = (r.getLong(2), r.getLong(5), r.getLong(6))
+      assert(sessEnd < pSec, s"event ${r.getLong(0)}: closed session ends at/after purchase")
+      assert((sessEv == 0L) == (sessEnd == -1L), "sentinel pair must agree")
+      assert(r.getLong(3) >= 0 && r.getLong(4) >= 0)
+    }
+  }
+
   test("mm_epoch_shuffle: epochs cover the corpus; reshuffle decorrelates") {
     val rows = graft.operators.Multimodal.epochShuffle(spark, sfDir).collect()
     val n = graft.sources.Tables.documents(spark, sfDir).count()
