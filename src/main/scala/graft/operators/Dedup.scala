@@ -858,7 +858,113 @@ object Dedup {
       .orderBy("bucket")
   }
 
+  /** SUFFIX-ADJACENCY SUBSTRING DEDUP (dd_substring) — the exact
+    * cross-document repeated-substring detector (the suffix-array pass of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", re-expressed relationally): every suffix of a bounded
+    * 64-char document slice is sorted globally; any cross-document pair
+    * sharing a >= 16-char substring is witnessed by two SORT-ADJACENT
+    * suffixes from different docs (for any cross-doc pair (i, j) in
+    * suffix order, some adjacent cross-doc pair between them has LCP >=
+    * LCP(i, j)), so adjacent-lag comparison finds every duplicated
+    * substring without ever generating the quadratic pair set.
+    *
+    * The LCP of adjacent suffixes is computed by a 6-step doubling probe
+    * (32/16/8/4/2/1) — flat chained CASE arithmetic, whole-stage codegen,
+    * never a per-char HOF loop (SURVEY §6: interpreted HOFs on the hot
+    * path are 25x slower). Equal-when-truncated steps can overshoot only
+    * when both remainders are exhausted and identical, so the final clamp
+    * to min(suffix lengths) restores exactness.
+    *
+    * Scale: the global suffix sort is re-expressed as a shuffle on the
+    * 16-char suffix prefix (adjacent pairs with LCP >= 16 NEVER straddle
+    * a prefix16 boundary, so per-group windows lose no qualifying pair) —
+    * the same bounded-bucket shape as every other near-dup operator here;
+    * hot prefixes are AQE-skew-split. Suffix fan-out is bounded at 49 rows
+    * per doc by the slice. */
+  def substringDedupOn(docs: DataFrame, minLcp: Int = 16, slice: Int = 64,
+      topK: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sufs = docs
+      .select(col("doc_id"), substring(lower(col("text")), 1, slice).as("t64"))
+      .filter(length(col("t64")) >= minLcp)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1L, cast(length(t64) as bigint) - ${minLcp - 1}L)")).as("sp"),
+        col("t64"))
+      .select(col("doc_id"), col("sp"), expr("substring(t64, cast(sp as int))").as("suf"))
+      .withColumn("p16", substring(col("suf"), 1, minLcp))
+    val w = Window.partitionBy("p16").orderBy(col("suf"), col("doc_id"), col("sp"))
+    val adj = sufs
+      .withColumn("psuf", lag(col("suf"), 1).over(w))
+      .withColumn("pdoc", lag(col("doc_id"), 1).over(w))
+      .filter(col("psuf").isNotNull && col("pdoc") =!= col("doc_id"))
+    val probed = Seq(32, 16, 8, 4, 2, 1).foldLeft(adj.withColumn("o", lit(0L))) {
+      (d, k) =>
+        d.withColumn("o", expr(
+          s"o + (case when substring(suf, cast(o + 1 as int), $k) = " +
+            s"substring(psuf, cast(o + 1 as int), $k) then ${k}L else 0L end)"))
+    }
+    probed
+      .withColumn("lcp", least(col("o"), length(col("suf")).cast("long"),
+        length(col("psuf")).cast("long")))
+      .filter(col("lcp") >= minLcp.toLong)
+      .select(col("lcp"),
+        expr("substring(suf, 1, cast(lcp as int))").as("sub"),
+        least(col("doc_id"), col("pdoc")).as("doc_a"),
+        greatest(col("doc_id"), col("pdoc")).as("doc_b"))
+      .distinct()
+      .orderBy(col("lcp").desc, col("sub"), col("doc_a"), col("doc_b"))
+      .limit(topK)
+  }
+
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringDedupOn(documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  /** ENTITY RESOLUTION (dd_entity) — the classic record-linkage plan
+    * (blocking + pairwise edit-distance verify) over document title
+    * mentions (first 4 words, lowered): candidate pairs are generated
+    * ONLY inside a blocking key (the first 2 words), verified with
+    * Levenshtein distance, and thresholded. Both engines implement the
+    * textbook unit-cost Wagner-Fischer distance, so the scores are exact
+    * integers — no float discipline needed.
+    *
+    * Scale: the block key is the shuffle key (never a corpus self-join);
+    * each block is capped at a deterministic first-`blockCap` members by
+    * doc_id BEFORE pair generation (the gr_common_neighbors hub-cap
+    * pattern, mirrored in the oracle), so pair fan-out is bounded at
+    * cap^2/2 per block regardless of skew; hot blocks AQE-split. The
+    * top-50 is a TakeOrdered, never a full sort. */
+  def entityOn(docs: DataFrame, maxDist: Long = 6, blockCap: Int = 64,
+      topK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= 4)
+      .select(col("doc_id"),
+        expr("concat_ws(' ', slice(ws, 1, 4))").as("mention"),
+        expr("concat_ws(' ', slice(ws, 1, 2))").as("blk"))
+    val capped = m
+      .withColumn("rn", row_number().over(Window.partitionBy("blk").orderBy("doc_id")))
+      .filter(col("rn") <= blockCap)
+      .drop("rn")
+    capped.as("a").join(capped.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.mention"), col("b.mention")).cast("long").as("dist"),
+        col("a.mention").as("mention_a"), col("b.mention").as("mention_b"))
+      .filter(col("dist") <= maxDist)
+      .orderBy(col("dist"), col("doc_a"), col("doc_b"))
+      .limit(topK)
+  }
+
+  def entity(spark: SparkSession, dir: String): DataFrame =
+    entityOn(documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_substring" -> (substringDedup _),
+    "dd_entity" -> (entity _),
     "dd_lsh_tune" -> (lshTune _),
     "dd_contamination" -> (contamination _),
     "dd_span" -> (spanDedup _),
@@ -881,6 +987,53 @@ object Dedup {
     "dd_embed_cosine" -> (embedCosine _))
 
   val oracle: Map[String, String] = Map(
+    "dd_entity" ->
+      """WITH m0 AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |m AS (SELECT doc_id,
+        |  array_to_string(ws[1:4], ' ') AS mention,
+        |  array_to_string(ws[1:2], ' ') AS blk
+        |  FROM m0 WHERE len(ws) >= 4),
+        |c AS (SELECT doc_id, mention, blk,
+        |  ROW_NUMBER() OVER (PARTITION BY blk ORDER BY doc_id) AS rn FROM m),
+        |k AS (SELECT doc_id, mention, blk FROM c WHERE rn <= 64)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.mention, b.mention) AS BIGINT) AS dist,
+        |  a.mention AS mention_a, b.mention AS mention_b
+        |FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.mention, b.mention) <= 6
+        |ORDER BY dist, doc_a, doc_b LIMIT 50""".stripMargin,
+    "dd_substring" ->
+      """WITH t AS (
+        |  SELECT doc_id, substr(lower(text), 1, 64) AS t64 FROM documents
+        |  WHERE len(text) >= 16),
+        |s0 AS (SELECT doc_id, UNNEST(range(1, len(t64) - 14)) AS sp, t64 FROM t),
+        |s AS (SELECT doc_id, sp, substr(t64, CAST(sp AS INT)) AS suf FROM s0),
+        |p AS (SELECT doc_id, sp, suf, substr(suf, 1, 16) AS p16 FROM s),
+        |a AS (SELECT doc_id, suf,
+        |  LAG(suf) OVER (PARTITION BY p16 ORDER BY suf, doc_id, sp) AS psuf,
+        |  LAG(doc_id) OVER (PARTITION BY p16 ORDER BY suf, doc_id, sp) AS pdoc
+        |  FROM p),
+        |f AS (SELECT doc_id, suf, psuf, pdoc FROM a
+        |  WHERE psuf IS NOT NULL AND pdoc <> doc_id),
+        |l32 AS (SELECT doc_id, suf, psuf, pdoc,
+        |  (CASE WHEN substr(suf, 1, 32) = substr(psuf, 1, 32) THEN 32 ELSE 0 END) AS o FROM f),
+        |l16 AS (SELECT doc_id, suf, psuf, pdoc,
+        |  o + (CASE WHEN substr(suf, CAST(o + 1 AS INT), 16) = substr(psuf, CAST(o + 1 AS INT), 16) THEN 16 ELSE 0 END) AS o FROM l32),
+        |l8 AS (SELECT doc_id, suf, psuf, pdoc,
+        |  o + (CASE WHEN substr(suf, CAST(o + 1 AS INT), 8) = substr(psuf, CAST(o + 1 AS INT), 8) THEN 8 ELSE 0 END) AS o FROM l16),
+        |l4 AS (SELECT doc_id, suf, psuf, pdoc,
+        |  o + (CASE WHEN substr(suf, CAST(o + 1 AS INT), 4) = substr(psuf, CAST(o + 1 AS INT), 4) THEN 4 ELSE 0 END) AS o FROM l8),
+        |l2 AS (SELECT doc_id, suf, psuf, pdoc,
+        |  o + (CASE WHEN substr(suf, CAST(o + 1 AS INT), 2) = substr(psuf, CAST(o + 1 AS INT), 2) THEN 2 ELSE 0 END) AS o FROM l4),
+        |l1 AS (SELECT doc_id, suf, psuf, pdoc,
+        |  o + (CASE WHEN substr(suf, CAST(o + 1 AS INT), 1) = substr(psuf, CAST(o + 1 AS INT), 1) THEN 1 ELSE 0 END) AS o FROM l2),
+        |lcpd AS (SELECT doc_id, suf, pdoc,
+        |  CAST(LEAST(o, len(suf), len(psuf)) AS BIGINT) AS lcp FROM l1)
+        |SELECT DISTINCT lcp, substr(suf, 1, CAST(lcp AS INT)) AS sub,
+        |  LEAST(doc_id, pdoc) AS doc_a, GREATEST(doc_id, pdoc) AS doc_b
+        |FROM lcpd WHERE lcp >= 16
+        |ORDER BY lcp DESC, sub, doc_a, doc_b LIMIT 25""".stripMargin,
     "dd_lsh_tune" ->
       s"""WITH sh AS ($shinglesSql),
          |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),

@@ -1611,26 +1611,36 @@ object TextAnalysis {
     * key. */
   /** Symbol-table base CTE of a 40-char slice starting at `off`. */
   private def bpeBaseCte(name: String, off: Int): String =
-    s"""$name AS (SELECT doc_id, pos, sym FROM (
-       |  SELECT doc_id, i AS pos, substr(substring(lower(text), $off, 40), i, 1) AS sym
-       |  FROM documents, range(1, 41) t(i)) sub WHERE sym <> '')""".stripMargin
+    // the 40-char slice is projected BEFORE the range cross join: carrying
+    // full text through the 40x explode made DuckDB spill tens of GB at
+    // sf0.1 (SURVEY §6 oracle-resource note)
+    s"""$name AS MATERIALIZED (SELECT doc_id, pos, sym FROM (
+       |  SELECT doc_id, i AS pos, substr(t40, i, 1) AS sym
+       |  FROM (SELECT doc_id, substring(lower(text), $off, 40) AS t40
+       |        FROM documents) dt, range(1, 41) t(i)) sub WHERE sym <> '')""".stripMargin
 
   /** The merge-application CTE chain (flag -> run parity -> renumber) for
     * round `r` with CTE-name prefix `pre`, reading pairs from `nSrc` and
     * the learned pair from `bSrc` — shared by the train and encode
     * oracles exactly as bpeApply is shared on the Spark side. */
   private def bpeApplyCtes(pre: String, r: Int, nSrc: String, bSrc: String): String =
-    s"""${pre}m$r AS (SELECT n.doc_id, n.pos, n.sym, n.nxt, b.bl, b.br,
+    // every stage lists ONLY the columns the next stage reads — SELECT *
+    // through six windowed stages doubled the spill width (§6 note)
+    s"""${pre}m$r AS MATERIALIZED (SELECT n.doc_id, n.pos, n.sym, b.bl, b.br,
        |  (n.nxt IS NOT NULL AND n.sym = b.bl AND n.nxt = b.br) AS m
        |  FROM $nSrc n CROSS JOIN $bSrc b),
-       |${pre}o$r AS (SELECT *, pos - SUM(CASE WHEN m THEN 1 ELSE 0 END)
+       |${pre}o$r AS MATERIALIZED (SELECT doc_id, pos, sym, bl, br, m,
+       |  pos - SUM(CASE WHEN m THEN 1 ELSE 0 END)
        |  OVER (PARTITION BY doc_id ORDER BY pos) AS run_id FROM ${pre}m$r),
-       |${pre}s$r AS (SELECT *, MIN(CASE WHEN m THEN pos END)
+       |${pre}s$r AS MATERIALIZED (SELECT doc_id, pos, sym, bl, br, m,
+       |  MIN(CASE WHEN m THEN pos END)
        |  OVER (PARTITION BY doc_id, run_id) AS run_start FROM ${pre}o$r),
-       |${pre}g$r AS (SELECT *, (m AND (pos - run_start) % 2 = 0) AS mg FROM ${pre}s$r),
-       |${pre}c$r AS (SELECT *, COALESCE(LAG(mg) OVER (PARTITION BY doc_id ORDER BY pos),
+       |${pre}g$r AS MATERIALIZED (SELECT doc_id, pos, sym, bl, br,
+       |  (m AND (pos - run_start) % 2 = 0) AS mg FROM ${pre}s$r),
+       |${pre}c$r AS MATERIALIZED (SELECT doc_id, pos, sym, bl, br, mg,
+       |  COALESCE(LAG(mg) OVER (PARTITION BY doc_id ORDER BY pos),
        |  false) AS consumed FROM ${pre}g$r),
-       |${pre}p$r AS (SELECT doc_id,
+       |${pre}p$r AS MATERIALIZED (SELECT doc_id,
        |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
        |  CASE WHEN mg THEN bl || br ELSE sym END AS sym
        |  FROM ${pre}c$r WHERE NOT consumed)""".stripMargin
@@ -1638,9 +1648,9 @@ object TextAnalysis {
   /** One training round: pair counts + argmax + application. */
   private def bpeTrainRoundCtes(r: Int): String = {
     val prev = if (r == 1) "base" else s"p${r - 1}"
-    s"""n$r AS (SELECT doc_id, pos, sym,
+    s"""n$r AS MATERIALIZED (SELECT doc_id, pos, sym,
        |  lead(sym) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM $prev),
-       |b$r AS (SELECT sym AS bl, nxt AS br, COUNT(*) AS n_pair FROM n$r
+       |b$r AS MATERIALIZED (SELECT sym AS bl, nxt AS br, COUNT(*) AS n_pair FROM n$r
        |  WHERE nxt IS NOT NULL AND sym NOT LIKE '% %' AND nxt NOT LIKE '% %'
        |  GROUP BY 1, 2 ORDER BY n_pair DESC, bl, br LIMIT 1),
        |${bpeApplyCtes("", r, s"n$r", s"b$r")}""".stripMargin
@@ -1673,7 +1683,7 @@ object TextAnalysis {
     val rounds = (1 to BpeRounds).map { r =>
       val prevE = if (r == 1) "basee" else s"ep${r - 1}"
       s"""${bpeTrainRoundCtes(r)},
-         |en$r AS (SELECT doc_id, pos, sym,
+         |en$r AS MATERIALIZED (SELECT doc_id, pos, sym,
          |  lead(sym) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM $prevE),
          |${bpeApplyCtes("e", r, s"en$r", s"b$r")}""".stripMargin
     }.mkString(",\n")
@@ -1702,7 +1712,7 @@ object TextAnalysis {
     val rounds = (1 to BpeSweepRounds).map { r =>
       val prevE = if (r == 1) "basee" else s"ep${r - 1}"
       s"""${bpeTrainRoundCtes(r)},
-         |en$r AS (SELECT doc_id, pos, sym,
+         |en$r AS MATERIALIZED (SELECT doc_id, pos, sym,
          |  lead(sym) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM $prevE),
          |${bpeApplyCtes("e", r, s"en$r", s"b$r")}""".stripMargin
     }.mkString(",\n")
@@ -1729,7 +1739,7 @@ object TextAnalysis {
     val rounds = (1 to BpeRounds).map { r =>
       val prevE = if (r == 1) "basee" else s"ep${r - 1}"
       s"""${bpeTrainRoundCtes(r)},
-         |en$r AS (SELECT doc_id, pos, sym,
+         |en$r AS MATERIALIZED (SELECT doc_id, pos, sym,
          |  lead(sym) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM $prevE),
          |${bpeApplyCtes("e", r, s"en$r", s"b$r")},
          |est$r AS (SELECT CAST($r AS BIGINT) AS round,
