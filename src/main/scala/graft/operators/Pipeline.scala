@@ -129,10 +129,85 @@ object Pipeline {
       .orderBy("layer", "zone_id")
   }
 
+  /** TRAINING-SHARD EXPORT (pipe_export) — the final verb of a pretrain
+    * data pipeline, downstream of every other pipe_* capstone: exact-dedup
+    * the corpus (Dedup.exactOn keep-set, min-doc_id per content hash),
+    * pack the survivors into fixed 2048-token contexts
+    * (TextAnalysis.seqPackOn — the identical two-phase prefix-sum core
+    * ta_seq_pack checks), group 4 contexts to a shard, and emit the
+    * shard manifest a trainer consumes: sequence/doc-slot/token counts,
+    * the doc_id range for provenance, and the fill ratio (10000 = every
+    * context fully packed; only the tail shard ever reads lower).
+    *
+    * Composition over re-implementation: both stages ARE the
+    * oracle-checked cores, so this manifest cannot fork from the
+    * operators it composes; the oracle replays the same chain as CTEs.
+    *
+    * Scale: the dedup keep-set is one map-side-combinable groupBy; the
+    * pack is seqPackOn's bounded two-phase prefix sum; the shard rollup
+    * is a groupBy on seq_id div 4 — nothing new shuffles the corpus. */
+  def pipeExport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val keep = Dedup.exactOn(docs).select(col("keep_id").as("doc_id"))
+    val surv = docs.join(keep, Seq("doc_id"), "left_semi")
+    TextAnalysis.seqPackOn(surv, TextAnalysis.SeqLen)
+      .withColumn("shard_id", expr("seq_id div 4"))
+      .groupBy("shard_id")
+      .agg(
+        count(lit(1)).as("n_seqs"),
+        sum(col("n_docs")).as("n_doc_slots"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("first_doc")).as("first_doc"),
+        max(col("last_doc")).as("last_doc"))
+      .withColumn("fill_x10000",
+        expr(s"n_tokens * 10000 div (n_seqs * ${TextAnalysis.SeqLen})"))
+      .orderBy("shard_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_export" -> (pipeExport _),
     "pipe_incremental" -> (pipeQuery _))
 
   val oracle: Map[String, String] = Map(
+    "pipe_export" ->
+      s"""WITH keep AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+         |), d AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+         |    doc_id // 100 AS rng
+         |  FROM documents JOIN keep USING (doc_id)
+         |), rt AS (
+         |  SELECT rng, SUM(nt) AS tot FROM d GROUP BY rng
+         |), ro AS (
+         |  SELECT rng, CAST(SUM(tot) OVER (ORDER BY rng
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tot AS BIGINT) AS range_off
+         |  FROM rt
+         |), s AS (
+         |  SELECT d.doc_id, d.nt,
+         |    range_off + CAST(SUM(nt) OVER (PARTITION BY d.rng ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt AS BIGINT) AS strt
+         |  FROM d JOIN ro ON d.rng = ro.rng
+         |), e AS (
+         |  SELECT doc_id, nt, strt, strt + nt AS fin,
+         |    UNNEST(range(strt // ${TextAnalysis.SeqLen},
+         |      (strt + nt - 1) // ${TextAnalysis.SeqLen} + 1)) AS seq_id
+         |  FROM s
+         |), sq AS (
+         |  SELECT seq_id, COUNT(*) AS n_docs,
+         |    CAST(SUM(LEAST(fin, (seq_id + 1) * ${TextAnalysis.SeqLen})
+         |      - GREATEST(strt, seq_id * ${TextAnalysis.SeqLen})) AS BIGINT) AS n_tokens,
+         |    MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |  FROM e GROUP BY seq_id
+         |)
+         |SELECT seq_id // 4 AS shard_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_seqs,
+         |  CAST(SUM(n_docs) AS BIGINT) AS n_doc_slots,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  MIN(first_doc) AS first_doc, MAX(last_doc) AS last_doc,
+         |  (CAST(SUM(n_tokens) AS BIGINT) * 10000)
+         |    // (CAST(COUNT(*) AS BIGINT) * ${TextAnalysis.SeqLen}) AS fill_x10000
+         |FROM sq GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     "pipe_incremental" ->
       s"""WITH pts AS (${Geo.pointsSql}), z AS (${Geo.zonesSql}),
          |l AS (

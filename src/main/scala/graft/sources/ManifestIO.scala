@@ -567,6 +567,58 @@ object ManifestIO {
       .orderBy("table_name", "column_name")
   }
 
+  /** EQUI-HEIGHT HISTOGRAM (io_histogram) — the ANALYZE-style catalog
+    * statistic a cost-based optimizer consumes (Spark's own
+    * `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` builds exactly
+    * this shape): 8 equal-row-count buckets over orders.o_totalprice
+    * (scaled to integer cents for cross-engine exactness), each with its
+    * value range, row count, and distinct count.
+    *
+    * The oracle states the spec directly as ntile(8) over the raw rows
+    * (unique (v, o_orderkey) tie-break per SURVEY §4); the Spark side
+    * computes the SAME partitioning without ever sorting raw rows
+    * globally: aggregate to a value-count table (one shuffle, O(ndv)
+    * rows), prefix-sum ranks on that small frame, then place each
+    * value's contiguous rank block [lo_rank, cum] into ntile's bucket
+    * rank ranges with integer arithmetic — values straddling a boundary
+    * explode into each bucket they touch with exact overlap counts.
+    * ntile bucket k (1-based, q = N div 8, m = N mod 8) holds ranks
+    * ((k-1)*q + min(k-1, m) + 1) .. (k*q + min(k, m)); rank r lives in
+    * bucket (r-1) div (q+1) + 1 while r <= m*(q+1), else
+    * m + (r - m*(q+1) - 1) div q + 1.
+    *
+    * Scale: the only global window runs over the O(ndv) value-count
+    * frame (the seqPack range-offset shape), never the corpus; N is a
+    * one-row collect. At 100 TB the raw-row ntile the oracle runs would
+    * be a single-partition sort — this plan is WHY the histogram stays
+    * buildable. */
+  def histogramQuery(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val B = 8L
+    val g = Tables.orders(spark, dir)
+      .select(expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+    val n = g.agg(sum(col("cnt"))).collect()(0).getLong(0) // one-row agg
+    val q = n / B
+    val m = n % B
+    def bucketOfRank(r: String): String =
+      s"CASE WHEN $r <= ${m * (q + 1)} THEN ($r - 1) div ${q + 1} + 1 " +
+        s"ELSE $m + ($r - ${m * (q + 1)} - 1) div $q + 1 END"
+    g.withColumn("cum", sum(col("cnt")).over(
+        w.orderBy("v").rowsBetween(w.unboundedPreceding, w.currentRow)))
+      .withColumn("lo_rank", col("cum") - col("cnt") + 1L)
+      .withColumn("b1", expr(bucketOfRank("lo_rank")))
+      .withColumn("b2", expr(bucketOfRank("cum")))
+      .withColumn("bucket", explode(expr("sequence(b1, b2)")))
+      .withColumn("bs", (col("bucket") - 1L) * q + least(col("bucket") - 1L, lit(m)) + 1L)
+      .withColumn("be", col("bucket") * q + least(col("bucket"), lit(m)))
+      .withColumn("n_in", least(col("cum"), col("be")) - greatest(col("lo_rank"), col("bs")) + 1L)
+      .groupBy("bucket")
+      .agg(min(col("v")).as("lo_cents"), max(col("v")).as("hi_cents"),
+        sum(col("n_in")).as("n_rows"), count(lit(1)).as("n_distinct"))
+      .orderBy("bucket")
+  }
+
   /** Min/max zone-map data skipping — the RANGE complement to
     * bloomIndex's point lookups: one (min, max) interval per data file
     * over a clustering key, consulted before scheduling so files whose
@@ -937,6 +989,7 @@ object ManifestIO {
     "io_dq_report" -> (dqReportQuery _),
     "io_kanon" -> (kanonQuery _),
     "io_merge" -> (mergeQuery _),
+    "io_histogram" -> (histogramQuery _),
     "io_vacuum" -> (vacuumQuery _),
     "io_cdf" -> (cdfQuery _),
     "io_ivm" -> (ivmQuery _),
@@ -950,6 +1003,16 @@ object ManifestIO {
     "io_partitioned_scan" -> (partitionedScanQuery _))
 
   val oracle: Map[String, String] = Map(
+    "io_histogram" ->
+      """WITH c AS (
+        |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v, o_orderkey
+        |  FROM orders),
+        |n AS (SELECT v, ntile(8) OVER (ORDER BY v, o_orderkey) AS bucket FROM c)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  MIN(v) AS lo_cents, MAX(v) AS hi_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct
+        |FROM n GROUP BY bucket ORDER BY bucket""".stripMargin,
     "io_skew_profile" -> skewProfileSql,
     "io_col_stats" ->
       """WITH d AS (

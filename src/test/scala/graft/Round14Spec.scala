@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 additions (session 3): suffix-LCP substring dedup semantics,
+  * blocking-window entity resolution, the equi-height histogram's exact
+  * ntile equivalence, and the export-shard manifest invariants. */
+class Round14Spec extends SparkSpecBase {
+
+  test("dd_substring: finds the planted cross-doc substring, clamps exact dups") {
+    import spark.implicits._
+    // doc 1 and 2 share exactly a 24-char run ("shared quadrant alpha ye");
+    // doc 3 overlaps doc 1 by < 16 chars only; docs 4 and 5 are identical
+    // 30-char texts (the clamp case: the doubling probe overshoots on
+    // equal-when-truncated steps and must clamp to the true length).
+    val docs = Seq(
+      (1L, "shared quadrant alpha yellow aa"),
+      (2L, "shared quadrant alpha yeti bb"),
+      (3L, "shared quadra zz"),
+      (4L, "identical thirty char texts aa"),
+      (5L, "identical thirty char texts aa")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.substringDedupOn(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // the identical pair's longest witness is the whole 30-char text
+    assert(got.head == ((30L, "identical thirty char texts aa", 4L, 5L)), s"got ${got.head}")
+    // the planted 24-char overlap is witnessed at its exact length
+    val planted = got.filter(t => t._3 == 1L && t._4 == 2L).map(_._2)
+    assert(planted.contains("shared quadrant alpha ye"), s"got ${planted.toSeq}")
+    assert(got.forall(_._1 >= 16L))
+    // no witness pairs doc 3 with anyone (max common run < 16 chars)
+    assert(!got.exists(t => t._3 == 3L || t._4 == 3L))
+  }
+
+  test("dd_entity: pairs only within a block, Levenshtein integer-exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "acme corp north unit extra words"),
+      (2L, "acme corp north unyt more stuff"), // dist 1 from doc 1 mention
+      (3L, "acme corp south unit extra"), //     same blk, dist 2 from doc 1
+      (4L, "zeta corp north unit extra")) //     dist 4 from doc 1 but a
+      .toDF("doc_id", "text") //                 different blk: never paired
+    val got = graft.operators.Dedup.entityOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 3L)), s"got $got")
+  }
+
+  test("dd_entity: the block cap bounds pair generation deterministically") {
+    import spark.implicits._
+    val docs = (1L to 10L).map(i => (i, s"blk key word$i tail$i filler pad")).toDF("doc_id", "text")
+    // cap 3 keeps docs 1..3 (lowest doc_id) -> exactly C(3,2)=3 pairs
+    val got = graft.operators.Dedup.entityOn(docs, maxDist = 100L, blockCap = 3)
+    assert(got.count() == 3L)
+    assert(got.agg(max("doc_b")).collect()(0).getLong(0) == 3L)
+  }
+
+  test("io_histogram: exact ntile(8) equivalence without a raw-row global sort") {
+    val h = graft.sources.ManifestIO.histogramQuery(spark, sfDir).collect()
+    assert(h.length == 8)
+    val n = h.map(_.getLong(3)).sum
+    // equi-height: bucket sizes are floor/ceil of N/8 in ntile's layout
+    val q = n / 8
+    val m = n % 8
+    h.zipWithIndex.foreach { case (r, i) =>
+      val want = if (i < m) q + 1 else q
+      assert(r.getLong(3) == want, s"bucket ${i + 1}: ${r.getLong(3)} != $want")
+    }
+    // ranges tile the value axis in order
+    h.zip(h.drop(1)).foreach { case (a, b) =>
+      assert(a.getLong(2) <= b.getLong(1), "hi of bucket k must not exceed lo of k+1")
+    }
+  }
+
+  test("pipe_export: shard manifest conserves tokens and fills non-tail shards") {
+    val shards = graft.operators.Pipeline.pipeExport(spark, sfDir).collect()
+    assert(shards.nonEmpty)
+    val seqLen = graft.operators.TextAnalysis.SeqLen
+    // every shard but the last holds exactly 4 fully packed contexts
+    shards.dropRight(1).foreach { r =>
+      assert(r.getLong(1) == 4L, s"non-tail shard ${r.getLong(0)} has ${r.getLong(1)} seqs")
+      assert(r.getLong(6) == 10000L, s"non-tail shard ${r.getLong(0)} fill ${r.getLong(6)}")
+    }
+    assert(shards.last.getLong(1) <= 4L)
+    // token conservation: shard totals == deduped corpus token count
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val dedupTokens = docs
+      .join(graft.operators.Dedup.exactOn(docs).select(col("keep_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .select(size(split(col("text"), " ")).cast("long").as("nt"))
+      .agg(sum("nt")).collect()(0).getLong(0)
+    assert(shards.map(_.getLong(3)).sum == dedupTokens)
+  }
+}
