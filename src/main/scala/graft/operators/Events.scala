@@ -386,6 +386,127 @@ object Events {
       .orderBy("hour_epoch", "event_type")
   }
 
+  /** CUSUM CHANGE-POINT DETECTION (ev_changepoint) — the level-shift
+    * locator a monitoring pipeline runs after ev_anomaly flags a drift:
+    * for each event type's dense hourly count series (the gapFill spine,
+    * so empty hours count as zero instead of vanishing), find the hour
+    * that maximizes the centered cumulative-sum statistic
+    * |H * S_t - (t+1) * S_H| — the classic CUSUM deviation from the
+    * uniform-rate null, kept in exact BIGINT by cross-multiplying
+    * instead of comparing against the fractional expected line
+    * (H <= ~750 hours x S <= corpus count stays far under 2^63).
+    * Output per type: the change-point hour, the scaled statistic, and
+    * the before/after event counts and per-hour milli-rates.
+    *
+    * Scale: hourly pre-aggregation is map-side combinable; the cumsum
+    * window and the argmax row_number both partition by event_type over
+    * the O(hours) aggregate frame — never raw events. Tie-break is
+    * (stat desc, hour asc): deterministic on both engines. */
+  def changepoint(spark: SparkSession, dir: String): DataFrame =
+    changepointOn(events(spark, dir)
+      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type")))
+
+  /** Same operator over any (hour_epoch, event_type) frame — Round14Spec
+    * plants a level shift and checks the located hour. */
+  def changepointOn(hours: DataFrame): DataFrame = {
+    val counts = hours
+      .groupBy("hour_epoch", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val bounds = counts.agg(min("hour_epoch").as("mn"), max("hour_epoch").as("mx"))
+    val types = counts.select("event_type").distinct()
+    val spine = bounds
+      .select(explode(expr("sequence(mn, mx, 3600L)")).as("hour_epoch"))
+      .crossJoin(broadcast(types))
+    val dense = spine.join(counts, Seq("hour_epoch", "event_type"), "left_outer")
+      .select(col("event_type"), col("hour_epoch"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val wCum = Window.partitionBy("event_type").orderBy("hour_epoch")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wType = Window.partitionBy("event_type")
+    val scored = dense
+      .withColumn("t1", count(lit(1)).over(wCum)) // t+1 (1-based hour index)
+      .withColumn("s_t", sum(col("n")).over(wCum))
+      .withColumn("hh", count(lit(1)).over(wType)) // H hours
+      .withColumn("s_h", sum(col("n")).over(wType))
+      .withColumn("stat", abs(col("hh") * col("s_t") - col("t1") * col("s_h")))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("stat").desc, col("hour_epoch"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("hour_epoch").as("cp_hour"), col("stat"),
+        col("s_t").as("n_before"), (col("s_h") - col("s_t")).as("n_after"),
+        expr("s_t * 1000 div t1").as("rate_before_x1000"),
+        when(col("hh") === col("t1"), lit(0L))
+          .otherwise(expr("(s_h - s_t) * 1000 div (hh - t1)")).as("rate_after_x1000"))
+      .orderBy("event_type")
+  }
+
+  /** LTTB DOWNSAMPLING (ev_lttb) — Steinarsson's largest-triangle
+    * three-buckets chart downsampling (the series-to-~60-points reducer
+    * every dashboard runs before plotting), in its parallel bucket-anchor
+    * variant: split each type's series into ~60 equal-count buckets, keep
+    * the two endpoints exactly, and from each interior bucket keep the
+    * point with the largest triangle area against the NEIGHBOR BUCKET
+    * AVERAGES (true LTTB anchors on the previously-selected point — a
+    * sequential chain; anchoring on bucket averages is the standard
+    * parallel approximation and is what makes this one Spark job).
+    *
+    * Determinism: the area comparison never divides by the anchor counts —
+    * the 2x-area rational is cross-multiplied into one BIGINT
+    * |(sxp - cp*x)*(svn - cn*v) - (sxn - cn*x)*(svp - cp*v)| (epoch
+    * offsets cancel in the differences; bounded by bucket_count^2 x
+    * time-span x milli-value-range ~ 1e16 at sf1 — switch to
+    * DECIMAL(38,0) beyond sf10). Tie-break (area desc, xs, event_id).
+    *
+    * Scale: one window pass over raw events per type for bucket indexing,
+    * then everything runs on the O(buckets) aggregate frame; the argmax
+    * is a per-bucket row_number, never a sort of the full series. A
+    * monster single series would sub-bucket by day first — same
+    * two-phase shape as seqPackOn. */
+  def lttb(spark: SparkSession, dir: String): DataFrame =
+    lttbOn(events(spark, dir)
+      .select(col("event_type"), unix_timestamp(col("ts")).as("xs"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("vm"), col("event_id")))
+
+  /** Same operator over any (event_type, xs, vm, event_id) series frame —
+    * Round14Spec plants a spike and checks it survives downsampling. */
+  def lttbOn(pts: DataFrame, target: Long = 60L): DataFrame = {
+    val wOrd = Window.partitionBy("event_type").orderBy(col("xs"), col("event_id"))
+    val wType = Window.partitionBy("event_type")
+    val idx = pts
+      .withColumn("rn", row_number().over(wOrd).cast("long") - 1L)
+      .withColumn("n", count(lit(1)).over(wType))
+      .withColumn("bsize", expr(s"(n + ${target - 1}) div $target"))
+      .withColumn("bucket", expr("rn div bsize"))
+      .withColumn("nb", expr("(n + bsize - 1) div bsize"))
+      .localCheckpoint() // consumers: bucket aggregates + point-side join
+    val agg = idx.groupBy("event_type", "bucket")
+      .agg(sum(col("xs")).as("sx"), sum(col("vm")).as("sv"), count(lit(1)).as("cnt"))
+    val wB = Window.partitionBy("event_type").orderBy("bucket")
+    val anch = agg
+      .withColumn("sxp", lag(col("sx"), 1).over(wB))
+      .withColumn("svp", lag(col("sv"), 1).over(wB))
+      .withColumn("cp", lag(col("cnt"), 1).over(wB))
+      .withColumn("sxn", lead(col("sx"), 1).over(wB))
+      .withColumn("svn", lead(col("sv"), 1).over(wB))
+      .withColumn("cn", lead(col("cnt"), 1).over(wB))
+      .filter(col("sxp").isNotNull && col("sxn").isNotNull)
+      .select("event_type", "bucket", "sxp", "svp", "cp", "sxn", "svn", "cn")
+    val interior = idx.join(anch, Seq("event_type", "bucket"))
+      .withColumn("area2", abs(
+        (col("sxp") - col("cp") * col("xs")) * (col("svn") - col("cn") * col("vm"))
+          - (col("sxn") - col("cn") * col("xs")) * (col("svp") - col("cp") * col("vm"))))
+      .withColumn("rk", row_number().over(Window.partitionBy("event_type", "bucket")
+        .orderBy(col("area2").desc, col("xs"), col("event_id"))))
+      .filter(col("rk") === 1)
+    val ends = idx.filter(col("rn") === 0L || col("rn") === col("n") - 1L)
+    interior.select("event_type", "xs", "vm")
+      .unionByName(ends.select("event_type", "xs", "vm"))
+      .select(col("event_type"), col("xs").as("ts_sec"), col("vm").as("value_milli"))
+      .orderBy("event_type", "ts_sec", "value_milli")
+  }
+
   /** CDC changelog → SCD2 dimension: treat each event as an upsert of
     * `value` for key (user_id, event_type) and materialize type-2 history
     * rows with [valid_from, valid_to) intervals; the open row (valid_to
@@ -976,6 +1097,8 @@ object Events {
     "ev_absence" -> (absence _),
     "ev_lateness" -> (lateness _),
     "ev_cdc_scd2" -> (cdcScd2 _),
+    "ev_changepoint" -> (changepoint _),
+    "ev_lttb" -> (lttb _),
     "ev_gap_fill" -> (gapFill _),
     "ev_json_nested" -> (jsonNested _),
     "ev_topk_per_window" -> (topkPerWindow _),
@@ -1247,6 +1370,72 @@ object Events {
         |  LEAD(ts_sec, 1) OVER win IS NULL AS is_current
         |FROM e WINDOW win AS (PARTITION BY user_id, event_type ORDER BY ts_sec, event_id)
         |ORDER BY user_id, event_type, version""".stripMargin,
+    "ev_lttb" ->
+      """WITH p AS (
+        |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS xs,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm, event_id
+        |  FROM events
+        |),
+        |i AS (SELECT event_type, xs, vm, event_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY xs, event_id) - 1 AS BIGINT) AS rn,
+        |  CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM p),
+        |i2 AS (SELECT event_type, xs, vm, event_id, rn, n, (n + 59) // 60 AS bsize FROM i),
+        |i3 AS (SELECT event_type, xs, vm, event_id, rn, n,
+        |  rn // bsize AS bucket FROM i2),
+        |a AS (SELECT event_type, bucket, SUM(xs) AS sx, SUM(vm) AS sv,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt FROM i3 GROUP BY 1, 2),
+        |an AS (SELECT event_type, bucket,
+        |  LAG(sx) OVER (PARTITION BY event_type ORDER BY bucket) AS sxp,
+        |  LAG(sv) OVER (PARTITION BY event_type ORDER BY bucket) AS svp,
+        |  LAG(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cp,
+        |  LEAD(sx) OVER (PARTITION BY event_type ORDER BY bucket) AS sxn,
+        |  LEAD(sv) OVER (PARTITION BY event_type ORDER BY bucket) AS svn,
+        |  LEAD(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cn
+        |  FROM a),
+        |x AS (SELECT i3.event_type, i3.xs, i3.vm, i3.event_id, i3.bucket,
+        |  abs((sxp - cp * xs) * (svn - cn * vm) - (sxn - cn * xs) * (svp - cp * vm)) AS area2
+        |  FROM i3 JOIN an ON i3.event_type = an.event_type AND i3.bucket = an.bucket
+        |  WHERE sxp IS NOT NULL AND sxn IS NOT NULL),
+        |r AS (SELECT event_type, xs, vm,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+        |    ORDER BY area2 DESC, xs, event_id) AS rk FROM x),
+        |sel AS (SELECT event_type, xs, vm FROM r WHERE rk = 1
+        |  UNION ALL
+        |  SELECT event_type, xs, vm FROM i3 WHERE rn = 0 OR rn = n - 1)
+        |SELECT event_type, xs AS ts_sec, vm AS value_milli FROM sel
+        |ORDER BY event_type, ts_sec, value_milli""".stripMargin,
+    "ev_changepoint" ->
+      """WITH c AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        |    event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |),
+        |b AS (SELECT MIN(hour_epoch) AS mn, MAX(hour_epoch) AS mx FROM c),
+        |s AS (SELECT unnest(range(mn, mx + 1, 3600)) AS hour_epoch FROM b),
+        |t AS (SELECT DISTINCT event_type FROM c),
+        |g AS (SELECT hour_epoch, event_type FROM s CROSS JOIN t),
+        |d AS (SELECT g.event_type, g.hour_epoch, CAST(COALESCE(n, 0) AS BIGINT) AS n
+        |  FROM g LEFT JOIN c ON g.hour_epoch = c.hour_epoch AND g.event_type = c.event_type),
+        |sc AS (SELECT event_type, hour_epoch, n,
+        |  CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY hour_epoch
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS t1,
+        |  CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY hour_epoch
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s_t,
+        |  CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS hh,
+        |  CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS s_h
+        |  FROM d),
+        |st AS (SELECT event_type, hour_epoch, t1, s_t, hh, s_h,
+        |  abs(hh * s_t - t1 * s_h) AS stat FROM sc),
+        |rk AS (SELECT event_type, hour_epoch, t1, s_t, hh, s_h, stat,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY stat DESC, hour_epoch) AS rk FROM st)
+        |SELECT event_type, hour_epoch AS cp_hour, CAST(stat AS BIGINT) AS stat,
+        |  s_t AS n_before, s_h - s_t AS n_after,
+        |  (s_t * 1000) // t1 AS rate_before_x1000,
+        |  CASE WHEN hh = t1 THEN CAST(0 AS BIGINT)
+        |    ELSE ((s_h - s_t) * 1000) // (hh - t1) END AS rate_after_x1000
+        |FROM rk WHERE rk = 1 ORDER BY event_type""".stripMargin,
     "ev_gap_fill" ->
       """WITH c AS (
         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,

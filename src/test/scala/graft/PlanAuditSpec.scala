@@ -18,7 +18,11 @@ class PlanAuditSpec extends SparkSpecBase {
   // cross-joins four ONE-ROW aggregates for its final stat row
   // ann_pq's first pass scans reconstructions against the bounded
   // broadcast query set — same sanctioned shape as ann_sq's code scan
+  // ev_changepoint builds the same dense hour spine as ev_gap_fill: a
+  // 1-row bounds frame exploded to hours, cross-joined with the tiny
+  // broadcast distinct-type set — O(|types| x hours), never data-sized
   private val allowNestedLoop = Set("ann_bruteforce", "ann_recall", "ann_sq", "ev_gap_fill",
+    "ev_changepoint",
     "ann_mmr", "gr_triangles", "ann_pq",
     // ann_kmeans_recall, ann_multiprobe, and ann_recall_curve embed the
     // same bounded-broadcast exact baseline as ann_recall for their

@@ -70,6 +70,40 @@ class Round14Spec extends SparkSpecBase {
     }
   }
 
+  test("ev_changepoint: locates a planted level shift at its exact hour") {
+    import spark.implicits._
+    // type "a": 1 event/hour for 50 hours, then 5/hour for 50 hours —
+    // the CUSUM statistic peaks exactly at the last pre-shift hour (t=50).
+    // Dense spine matters: type "b" has events only in hours 0 and 99 and
+    // must still score over all 100 hours.
+    val base = 1700000000L
+    val a = (0 until 50).map(h => (base + h * 3600L, "a")) ++
+      (50 until 100).flatMap(h => Seq.fill(5)((base + h * 3600L, "a")))
+    val b = Seq((base, "b"), (base + 99 * 3600L, "b"))
+    val got = graft.operators.Events.changepointOn(
+        (a ++ b).toDF("hour_epoch", "event_type")).collect()
+    val ra = got.find(_.getString(0) == "a").get
+    assert(ra.getLong(1) == base + 49 * 3600L, s"cp_hour ${ra.getLong(1)}")
+    assert(ra.getLong(3) == 50L && ra.getLong(4) == 250L) // n_before/after
+    assert(ra.getLong(5) == 1000L && ra.getLong(6) == 5000L) // rates x1000
+    assert(got.map(_.getString(0)).toSet == Set("a", "b"))
+  }
+
+  test("ev_lttb: keeps endpoints and the planted spike, hits the target size") {
+    import spark.implicits._
+    // 600 points of a flat series (vm=100) with one spike (vm=90000) at
+    // x=300: the spike's bucket must select the spike, endpoints survive,
+    // and the output is ~target+1 points.
+    val pts = (0 until 600).map { i =>
+      ("s", 1000L + i, if (i == 300) 90000L else 100L, i.toLong)
+    }
+    val got = graft.operators.Events.lttbOn(pts.toDF("event_type", "xs", "vm", "event_id"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.length == 60, s"got ${got.length} points") // 58 interior + 2 ends
+    assert(got.contains((1000L, 100L)) && got.contains((1599L, 100L)), "endpoints kept")
+    assert(got.contains((1300L, 90000L)), "spike dropped by downsampling")
+  }
+
   test("pipe_export: shard manifest conserves tokens and fills non-tail shards") {
     val shards = graft.operators.Pipeline.pipeExport(spark, sfDir).collect()
     assert(shards.nonEmpty)
