@@ -266,6 +266,44 @@ object GraphOps {
       .orderBy(col("rank_x1e12").desc, col("user_id"))
   }
 
+  /** PERSONALIZED PAGERANK (gr_ppr) — random-walk-with-restart relevance
+    * from a seed set (the recommendation / related-items primitive;
+    * Haveliwala 2002): same damped power iteration as gr_pagerank, but
+    * restart mass returns to the 5 lowest-id seed users instead of
+    * spreading uniformly, so scores measure proximity TO THE SEEDS.
+    * Two unrolled steps in the same 1e12 scaled-integer arithmetic
+    * (every operation is BIGINT div/mult — bit-identical cross-engine,
+    * the gr_pagerank discipline). Mass only flows along edges from
+    * already-reached nodes, so the rank frame stays sparse: after two
+    * steps it covers exactly the 2-hop ball around the seeds.
+    *
+    * Scale: identical plan shape to gr_pagerank (degree join + message
+    * groupBy per step on the shared checkpointed symmetric edge list);
+    * the seed table is 5 rows, the restart join a broadcast. */
+  def ppr(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val ed = coActivityEdges(spark, dir)
+    val sym = ed.select((col("a") + lit(0L)).as("src"), (col("b") + lit(0L)).as("dst"))
+      .unionByName(ed.select((col("b") + lit(0L)).as("src"), (col("a") + lit(0L)).as("dst")))
+      .localCheckpoint() // reused: degree + both iteration joins
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("d"))
+    val seeds = deg.select(col("src").as("u")).orderBy("u").limit(5)
+      .localCheckpoint() // consumers: r0 + both restart joins
+    val r0 = seeds.withColumn("r", lit(1000000000000L))
+    def step(r: DataFrame): DataFrame =
+      sym.join(r.withColumnRenamed("u", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("u"), expr("r div d").as("c"))
+        .groupBy("u").agg(sum(col("c")).as("msum"))
+        .join(seeds.withColumn("s", lit(1L)), Seq("u"), "full_outer")
+        .select(col("u"),
+          (coalesce(expr("(msum * 85) div 100"), lit(0L))
+            + when(col("s").isNotNull, lit(150000000000L)).otherwise(lit(0L))).as("r"))
+    step(step(r0))
+      .orderBy(col("r").desc, col("u").asc).limit(15)
+      .select(col("u").as("user_id"), col("r").as("ppr_x1e12"))
+      .orderBy(col("ppr_x1e12").desc, col("user_id"))
+  }
+
   /** Degree cap of gr_common_neighbors' wedge enumeration: centers with
     * more than this many neighbors are excluded from pair generation
     * (quadratic fan-out cap, same rule as the <=20-user activity buckets
@@ -797,6 +835,7 @@ object GraphOps {
     "gr_khop" -> (khop _),
     "gr_common_neighbors" -> (commonNeighbors _),
     "gr_pagerank" -> (pagerank _),
+    "gr_ppr" -> (ppr _),
     "gr_triangles" -> (triangleStats _))
 
   val oracle: Map[String, String] = Map(
@@ -1028,6 +1067,47 @@ object GraphOps {
          |JOIN deg da ON da.u = p.a
          |JOIN deg db ON db.u = p.b
          |ORDER BY p.n_common DESC, p.a, p.b LIMIT 20""".stripMargin,
+    "gr_ppr" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr FROM events
+        |), sizes AS (
+        |  SELECT event_type, hr FROM (
+        |    SELECT event_type, hr, COUNT(*) AS n FROM act GROUP BY 1, 2) WHERE n <= 20
+        |), ok AS (
+        |  SELECT act.* FROM act JOIN sizes USING (event_type, hr)
+        |), edges AS (
+        |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+        |  FROM ok x JOIN ok y ON x.event_type = y.event_type AND x.hr = y.hr
+        |    AND x.user_id < y.user_id
+        |), sym AS (
+        |  SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b, a FROM edges
+        |), deg AS (
+        |  SELECT src, COUNT(*) AS d FROM sym GROUP BY src
+        |), seeds AS (
+        |  SELECT src AS u FROM deg ORDER BY src LIMIT 5
+        |), r0 AS (
+        |  SELECT u, CAST(1000000000000 AS BIGINT) AS r FROM seeds
+        |), m1 AS (
+        |  SELECT s.dst AS u, CAST(SUM(r0.r // deg.d) AS BIGINT) AS msum
+        |  FROM sym s JOIN r0 ON s.src = r0.u JOIN deg ON s.src = deg.src
+        |  GROUP BY s.dst
+        |), r1 AS (
+        |  SELECT COALESCE(m.u, sd.u) AS u,
+        |    COALESCE((m.msum * 85) // 100, 0)
+        |      + CASE WHEN sd.u IS NOT NULL THEN 150000000000 ELSE 0 END AS r
+        |  FROM m1 m FULL OUTER JOIN seeds sd ON m.u = sd.u
+        |), m2 AS (
+        |  SELECT s.dst AS u, CAST(SUM(r1.r // deg.d) AS BIGINT) AS msum
+        |  FROM sym s JOIN r1 ON s.src = r1.u JOIN deg ON s.src = deg.src
+        |  GROUP BY s.dst
+        |), r2 AS (
+        |  SELECT COALESCE(m.u, sd.u) AS u,
+        |    COALESCE((m.msum * 85) // 100, 0)
+        |      + CASE WHEN sd.u IS NOT NULL THEN 150000000000 ELSE 0 END AS r
+        |  FROM m2 m FULL OUTER JOIN seeds sd ON m.u = sd.u
+        |)
+        |SELECT u AS user_id, CAST(r AS BIGINT) AS ppr_x1e12 FROM r2
+        |ORDER BY r DESC, u LIMIT 15""".stripMargin,
     "gr_pagerank" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr FROM events

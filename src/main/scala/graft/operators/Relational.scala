@@ -498,7 +498,28 @@ object Relational {
       .orderBy("r_score", "f_score", "m_score")
   }
 
+  /** WIDE-TO-LONG UNPIVOT (q30_unpivot) — the melt/UNPIVOT relational
+    * verb (the inverse of q16_pivot, completing the reshape pair):
+    * lineitem's four measure columns unpivot to (measure, v) rows which
+    * then aggregate per (returnflag, measure). Spark expresses the melt
+    * with codegen'd stack(); the DuckDB oracle uses its native UNPIVOT
+    * clause — same semantics, measure labels = source column names.
+    * Sums ride DECIMAL(18,4) accumulation (SURVEY §4 double-sum rule).
+    *
+    * Scale: stack multiplies rows 4x but the projection is 2 narrow
+    * columns and the aggregate is map-side combinable — the shuffle
+    * moves O(flags x measures) partials, not the melted rows. */
+  def q30Unpivot(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select(col("l_returnflag"), expr(
+        "stack(4, 'l_quantity', l_quantity, 'l_extendedprice', l_extendedprice, " +
+          "'l_discount', l_discount, 'l_tax', l_tax) AS (measure, v)"))
+      .groupBy("l_returnflag", "measure")
+      .agg(dsum(col("v")).as("total"), count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "measure")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_unpivot" -> (q30Unpivot _),
     "q28_rfm" -> (q28Rfm _),
     "q27_range_window" -> (q27RangeWindow _),
     "q26_topk_native" -> (q26TopkNative _),
@@ -527,6 +548,15 @@ object Relational {
     "q12_union_dedup" -> (q12UnionDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q30_unpivot" ->
+      """SELECT l_returnflag, name AS measure,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM (SELECT l_returnflag, l_quantity, l_extendedprice, l_discount, l_tax
+        |      FROM lineitem)
+        |UNPIVOT (value FOR name IN (l_quantity, l_extendedprice, l_discount, l_tax))
+        |GROUP BY l_returnflag, name
+        |ORDER BY l_returnflag, measure""".stripMargin,
     "q28_rfm" ->
       """WITH rfm AS (
         |  SELECT o_custkey,

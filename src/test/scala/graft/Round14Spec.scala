@@ -104,6 +104,40 @@ class Round14Spec extends SparkSpecBase {
     assert(got.contains((1300L, 90000L)), "spike dropped by downsampling")
   }
 
+  test("gr_ppr: mass stays within the 2-hop ball of the seed set") {
+    import spark.implicits._
+    val got = graft.operators.GraphOps.ppr(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty && got.length <= 15)
+    assert(got.map(_._2).toSeq == got.map(_._2).sortBy(-_).toSeq, "descending")
+    assert(got.forall(_._2 > 0L))
+    // reachability: every ranked node is a seed or within 2 hops of one
+    val ed = graft.operators.GraphOps.coActivityEdges(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (ed ++ ed.map(_.swap)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val seeds = adj.keySet.toSeq.sorted.take(5).toSet
+    val hop1 = seeds ++ seeds.flatMap(s => adj.getOrElse(s, Set.empty))
+    val hop2 = hop1 ++ hop1.flatMap(s => adj.getOrElse(s, Set.empty))
+    assert(got.map(_._1).forall(hop2), "a ranked node is outside the 2-hop seed ball")
+  }
+
+  test("q30_unpivot: long-form totals equal the wide aggregation") {
+    val long = graft.operators.Relational.q30Unpivot(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    val wide = graft.sources.Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(graft.sources.Tables.dsum(col("l_quantity")).as("q"),
+        graft.sources.Tables.dsum(col("l_tax")).as("t"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(long.size == wide.length * 4)
+    wide.foreach { r =>
+      val f = r.getString(0)
+      assert(long((f, "l_quantity")) == ((r.getDouble(1), r.getLong(3))))
+      assert(long((f, "l_tax")) == ((r.getDouble(2), r.getLong(3))))
+    }
+  }
+
   test("pipe_export: shard manifest conserves tokens and fills non-tail shards") {
     val shards = graft.operators.Pipeline.pipeExport(spark, sfDir).collect()
     assert(shards.nonEmpty)
