@@ -1361,7 +1361,52 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** CROSS-MODAL ALIGNMENT EVAL (mm_align) — the CLIP-style paired-
+    * retrieval check a multimodal corpus build runs before training:
+    * split the embedding table into a "text" side (even vec_ids) and an
+    * "image" side (odd vec_ids) with ground-truth pair (t, t+1) — the
+    * deterministic modality stand-in, mm stub doctrine — then for 40
+    * text queries retrieve the top-5 images by cosine and report
+    * recall@1 / recall@5 of the true pair per label bucket. A corpus
+    * whose pairs don't rank near the top has an alignment problem the
+    * trainer will inherit.
+    *
+    * Determinism: cosines ride the bit-identical vector_dot fold; ranks
+    * tie-break (cos desc, cid) — the ann_recall discipline throughout.
+    *
+    * Scale: the sanctioned bounded-broadcast exact pass (40 queries x
+    * image side, one corpus scan), ranked per query — at scale the scan
+    * side composes with the IVF tiers exactly like ann_recall does. */
+  def mmAlign(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"), col("label").cast("long").as("label"),
+        norm("embedding").as("nrm"))
+      .localCheckpoint() // text query side + image corpus side
+    val q = e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 80)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("label"))
+    val img = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cn"))
+    val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    val ranked = img.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= 5)
+      .withColumn("pair_rank", when(col("cid") === col("qid") + 1L, col("rank")))
+      .groupBy("qid", "label")
+      .agg(min(col("pair_rank")).as("pr")) // null if the pair missed top-5
+    ranked
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("pr") === 1L, 1L).otherwise(0L)).as("hits_at_1"),
+        sum(when(col("pr").isNotNull, 1L).otherwise(0L)).as("hits_at_5"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_align" -> (mmAlign _),
     "ann_hard_negatives" -> (hardNegatives _),
     "ann_refresh" -> (annRefresh _),
     "ann_delete" -> (annDelete _),
@@ -2015,6 +2060,30 @@ object Similarity {
        |ORDER BY p.vec_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "mm_align" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, CAST(label AS BIGINT) AS label,
+         |    ${normSql("embedding")} AS nrm
+         |  FROM embeddings
+         |),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn, label
+         |  FROM e WHERE vec_id % 2 = 0 AND vec_id < 80),
+         |img AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cn
+         |  FROM e WHERE vec_id % 2 = 1),
+         |cand AS (
+         |  SELECT qid, label, cid, ${dotSql("qv", "cv")} / (qn * cn) AS cos
+         |  FROM img JOIN q ON qid <> cid
+         |),
+         |r AS (SELECT qid, label, cid,
+         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+         |  FROM cand),
+         |t5 AS (SELECT qid, label,
+         |  MIN(CASE WHEN cid = qid + 1 THEN rnk END) AS pr
+         |  FROM r WHERE rnk <= 5 GROUP BY qid, label)
+         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |  CAST(SUM(CASE WHEN pr = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_1,
+         |  CAST(SUM(CASE WHEN pr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_5
+         |FROM t5 GROUP BY label ORDER BY label""".stripMargin,
     "ann_hybrid" ->
       s"""WITH words AS (
          |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents

@@ -21,8 +21,10 @@ class PlanAuditSpec extends SparkSpecBase {
   // ev_changepoint builds the same dense hour spine as ev_gap_fill: a
   // 1-row bounds frame exploded to hours, cross-joined with the tiny
   // broadcast distinct-type set — O(|types| x hours), never data-sized
+  // mm_align runs the sanctioned bounded-broadcast exact pass (40 text
+  // queries against the image side) — the ann_bruteforce shape
   private val allowNestedLoop = Set("ann_bruteforce", "ann_recall", "ann_sq", "ev_gap_fill",
-    "ev_changepoint",
+    "ev_changepoint", "mm_align",
     "ann_mmr", "gr_triangles", "ann_pq",
     // ann_kmeans_recall, ann_multiprobe, and ann_recall_curve embed the
     // same bounded-broadcast exact baseline as ann_recall for their

@@ -138,6 +138,15 @@ class Round14Spec extends SparkSpecBase {
     }
   }
 
+  test("mm_align: recall ordering and query accounting hold") {
+    val got = graft.operators.Similarity.mmAlign(spark, sfDir).collect()
+    assert(got.map(_.getLong(1)).sum == 40L, "40 text queries accounted")
+    got.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3), "hits@1 <= hits@5")
+      assert(r.getLong(3) <= r.getLong(1), "hits@5 <= n_queries")
+    }
+  }
+
   test("pipe_export: shard manifest conserves tokens and fills non-tail shards") {
     val shards = graft.operators.Pipeline.pipeExport(spark, sfDir).collect()
     assert(shards.nonEmpty)
