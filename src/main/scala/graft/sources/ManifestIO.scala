@@ -567,6 +567,53 @@ object ManifestIO {
       .orderBy("table_name", "column_name")
   }
 
+  /** PARTITION-SPEC EVOLUTION (io_partition_evolution) — the Iceberg
+    * partition-evolution contract: a table's OLD files keep their old
+    * layout while NEW files land under a finer spec, and reads union
+    * both generations transparently. Generation 1 (even orderkeys) is
+    * partitioned by status only; generation 2 (odd orderkeys) by
+    * (status, priority). A priority-filtered read prunes gen-2 at the
+    * DIRECTORY level but must scan every row of the matching gen-1
+    * status dirs and filter late — the scan-amplification gauge this
+    * query outputs per (generation, status): rows the layout forces the
+    * scan to read vs rows actually matched. That measured gap is the
+    * case for running a layout rewrite (io_zorder / compact) after an
+    * evolution.
+    *
+    * Round14Spec pins the physical contract: the gen-2 plan carries the
+    * priority in PartitionFilters; the gen-1 plan pushes it only as a
+    * post-scan data filter. Oracle: pure parity arithmetic on orders.
+    * Scratch layout is written once per sfDir (idempotent exists-check,
+    * the partitionedScanQuery convention). */
+  def partitionEvolutionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_io/pevo_${Integer.toHexString(dir.hashCode)}"
+    val (g1, g2) = (s"$root/gen1", s"$root/gen2")
+    if (!new java.io.File(g1).exists()) {
+      val o = Tables.orders(spark, dir)
+      writePartitioned(o.filter(col("o_orderkey") % 2 === 0), g1,
+        "o_orderstatus", "o_orderkey")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .repartition(col("o_orderstatus"), col("o_orderpriority"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("o_orderstatus", "o_orderpriority").parquet(g2)
+    }
+    def gauge(path: String, gen: Long, pruned: Boolean): DataFrame = {
+      val scanned =
+        (if (pruned) spark.read.parquet(path).filter(col("o_orderpriority") === "1-URGENT")
+         else spark.read.parquet(path))
+          .groupBy("o_orderstatus").agg(count(lit(1)).as("n_scanned"))
+      val matched = spark.read.parquet(path)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n_matched"))
+      scanned.join(matched, Seq("o_orderstatus"), "left_outer")
+        .select(lit(gen).as("generation"), col("o_orderstatus"),
+          col("n_scanned"), coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+    }
+    gauge(g1, 1L, pruned = false).unionByName(gauge(g2, 2L, pruned = true))
+      .orderBy("generation", "o_orderstatus")
+  }
+
   /** EQUI-HEIGHT HISTOGRAM (io_histogram) — the ANALYZE-style catalog
     * statistic a cost-based optimizer consumes (Spark's own
     * `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` builds exactly
@@ -990,6 +1037,7 @@ object ManifestIO {
     "io_kanon" -> (kanonQuery _),
     "io_merge" -> (mergeQuery _),
     "io_histogram" -> (histogramQuery _),
+    "io_partition_evolution" -> (partitionEvolutionQuery _),
     "io_vacuum" -> (vacuumQuery _),
     "io_cdf" -> (cdfQuery _),
     "io_ivm" -> (ivmQuery _),
@@ -1003,6 +1051,20 @@ object ManifestIO {
     "io_partitioned_scan" -> (partitionedScanQuery _))
 
   val oracle: Map[String, String] = Map(
+    "io_partition_evolution" ->
+      """WITH g AS (
+        |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS generation,
+        |    o_orderstatus, o_orderpriority
+        |  FROM orders)
+        |SELECT CAST(generation AS BIGINT) AS generation, o_orderstatus,
+        |  CAST(SUM(CASE WHEN generation = 1 OR o_orderpriority = '1-URGENT'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_matched
+        |FROM g GROUP BY generation, o_orderstatus
+        |HAVING SUM(CASE WHEN generation = 1 OR o_orderpriority = '1-URGENT'
+        |  THEN 1 ELSE 0 END) > 0
+        |ORDER BY generation, o_orderstatus""".stripMargin,
     "io_histogram" ->
       """WITH c AS (
         |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v, o_orderkey

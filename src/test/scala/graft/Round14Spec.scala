@@ -147,6 +147,27 @@ class Round14Spec extends SparkSpecBase {
     }
   }
 
+  test("io_partition_evolution: gen-2 prunes by directory, gen-1 filters late") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.sources.ManifestIO.partitionEvolutionQuery(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L))
+    // gen-1 (status-only layout): the priority filter cannot prune, so the
+    // scan reads more rows than it matches; gen-2 (evolved spec): the
+    // directory pruning makes scanned == matched exactly
+    rows.filter(_.getLong(0) == 1L).foreach(r =>
+      assert(r.getLong(2) > r.getLong(3), s"gen1 ${r.getString(1)} not amplified"))
+    rows.filter(_.getLong(0) == 2L).foreach(r =>
+      assert(r.getLong(2) == r.getLong(3), s"gen2 ${r.getString(1)} not pruned"))
+    // physical contract: priority appears in gen-2's PartitionFilters and
+    // NOT in gen-1's (where it is a late data filter)
+    val root = s"/tmp/graft_io/pevo_${Integer.toHexString(sfDir.hashCode)}"
+    def pf(path: String): String =
+      plan(spark.read.parquet(path).filter(col("o_orderpriority") === "1-URGENT"))
+        .linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pf(s"$root/gen2").contains("o_orderpriority"), "gen2 must dir-prune")
+    assert(!pf(s"$root/gen1").contains("o_orderpriority"), "gen1 cannot dir-prune")
+  }
+
   test("pipe_export: shard manifest conserves tokens and fills non-tail shards") {
     val shards = graft.operators.Pipeline.pipeExport(spark, sfDir).collect()
     assert(shards.nonEmpty)
