@@ -858,6 +858,71 @@ object Dedup {
       .orderBy("bucket")
   }
 
+  /** CONTAINMENT SCORING (dd_containment) — the ASYMMETRIC similarity
+    * Jaccard structurally misses: C(A,B) = |A∩B| / min(|A|,|B|) is ~100
+    * when a short document's shingles live inside a long one (quotation,
+    * template wrapping, embedded copies) even while Jaccard stays low
+    * because the union is dominated by the longer doc. Broder's
+    * containment measure, the standard companion to resemblance. Both
+    * scores are published as exact scaled integers per pair; output is
+    * the top-25 by containment (this corpus has no planted asymmetric
+    * pairs — Round14Spec plants one and pins cont=100 / low jaccard).
+    *
+    * Scale: the identical inverted-index pair plan as dd_ngram_jaccard
+    * (shingle-key shuffle, a<b triangularization, per-doc count join) —
+    * nothing new shuffles; the top-25 is a TakeOrdered. */
+  def containmentOn(shingleSet: DataFrame, topK: Int = 25): DataFrame = {
+    val sh = shingleSet.localCheckpoint() // two join sides + counts
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.withColumnRenamed("doc_id", "da").withColumnRenamed("n_sh", "na"), "da")
+      .join(counts.withColumnRenamed("doc_id", "db").withColumnRenamed("n_sh", "nb"), "db")
+      .withColumn("cont_x100", expr("n_inter * 100 div least(na, nb)"))
+      .withColumn("jac_x100", expr("n_inter * 100 div (na + nb - n_inter)"))
+      .select("da", "db", "na", "nb", "n_inter", "cont_x100", "jac_x100")
+      .orderBy(col("cont_x100").desc, col("da"), col("db"))
+      .limit(topK)
+  }
+
+  def containment(spark: SparkSession, dir: String): DataFrame =
+    containmentOn(shingles(spark, dir))
+
+  /** DUPLICATION PROFILE (dd_profile) — the report every dedup run
+    * prints before anyone trusts it: duplicate-cluster sizes bucketed
+    * ({1, 2, 3-4, 5-8, 9+}), with cluster counts, document mass, and
+    * the corpus share each bucket holds (scaled integer). The cluster
+    * key is the lowered 40-char HEAD — the boilerplate-template
+    * detector (web scrapes share page headers long before they share
+    * whole bodies; this corpus has shared heads at every SF while
+    * full-text md5 is almost entirely unique). The "1" bucket is the
+    * unique mass; the rest sizes the near-dup work ahead — the go/no-go
+    * gauge for scheduling the heavier dedup tiers.
+    *
+    * Scale: one map-side-combinable groupBy on the head key; the
+    * bucket rollup and the share window run on a <= 5-row frame. */
+  def dupProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    documents(spark, dir)
+      .groupBy(substring(lower(col("text")), 1, 40).as("head"))
+      .agg(count(lit(1)).as("group_size"))
+      .withColumn("bucket",
+        when(col("group_size") === 1L, "1_unique")
+          .when(col("group_size") === 2L, "2_pair")
+          .when(col("group_size") <= 4L, "3_small")
+          .when(col("group_size") <= 8L, "4_medium")
+          .otherwise("5_large"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_clusters"), sum(col("group_size")).as("n_docs"))
+      .withColumn("total", sum(col("n_docs")).over(Window.partitionBy()))
+      .withColumn("share_x10000", expr("n_docs * 10000 div total"))
+      .drop("total")
+      .orderBy("bucket")
+  }
+
   /** SUFFIX-ADJACENCY SUBSTRING DEDUP (dd_substring) — the exact
     * cross-document repeated-substring detector (the suffix-array pass of
     * Lee et al., "Deduplicating Training Data Makes Language Models
@@ -963,6 +1028,8 @@ object Dedup {
       .repartition(spark.sparkContext.defaultParallelism))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_containment" -> (containment _),
+    "dd_profile" -> (dupProfile _),
     "dd_substring" -> (substringDedup _),
     "dd_entity" -> (entity _),
     "dd_lsh_tune" -> (lshTune _),
@@ -987,6 +1054,37 @@ object Dedup {
     "dd_embed_cosine" -> (embedCosine _))
 
   val oracle: Map[String, String] = Map(
+    "dd_containment" ->
+      s"""WITH sh AS ($shinglesSql),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2
+         |)
+         |SELECT da, db, ca.n_sh AS na, cb.n_sh AS nb, n_inter,
+         |  (n_inter * 100) // LEAST(ca.n_sh, cb.n_sh) AS cont_x100,
+         |  (n_inter * 100) // (ca.n_sh + cb.n_sh - n_inter) AS jac_x100
+         |FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+         |ORDER BY cont_x100 DESC, da, db LIMIT 25""".stripMargin,
+    "dd_profile" ->
+      """WITH g AS (
+        |  SELECT COUNT(*) AS group_size
+        |  FROM documents GROUP BY substring(lower(text), 1, 40)
+        |), b AS (
+        |  SELECT CASE WHEN group_size = 1 THEN '1_unique'
+        |    WHEN group_size = 2 THEN '2_pair'
+        |    WHEN group_size <= 4 THEN '3_small'
+        |    WHEN group_size <= 8 THEN '4_medium'
+        |    ELSE '5_large' END AS bucket, group_size
+        |  FROM g
+        |), r AS (
+        |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |    CAST(SUM(group_size) AS BIGINT) AS n_docs
+        |  FROM b GROUP BY bucket
+        |)
+        |SELECT bucket, n_clusters, n_docs,
+        |  (n_docs * 10000) // CAST(SUM(n_docs) OVER () AS BIGINT) AS share_x10000
+        |FROM r ORDER BY bucket""".stripMargin,
     "dd_entity" ->
       """WITH m0 AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),

@@ -104,6 +104,31 @@ class Round14Spec extends SparkSpecBase {
     assert(got.contains((1300L, 90000L)), "spike dropped by downsampling")
   }
 
+  test("dd_containment: detects the asymmetric doc-in-doc pair Jaccard misses") {
+    import spark.implicits._
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val short = "zeta eta theta iota kappa lambda mu nu" // inside `long`
+    val docs = Seq((1L, long), (2L, short), (3L, "totally different words here now")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.containmentOn(graft.operators.Dedup.shinglesOn(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5), r.getLong(6)))
+    // pair (1,2): every short-doc shingle is in the long doc -> cont=100,
+    // while jaccard = 6/18 = 33 — the asymmetric class
+    assert(got.head._1 == 1L && got.head._2 == 2L)
+    assert(got.head._3 == 100L, s"containment ${got.head._3}")
+    assert(got.head._4 <= 50L, s"jaccard ${got.head._4} should stay low")
+  }
+
+  test("dd_profile: buckets conserve document mass and shares") {
+    val rows = graft.operators.Dedup.dupProfile(spark, sfDir).collect()
+    val totalDocs = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(2)).sum == totalDocs, "document mass conserved")
+    val shareSum = rows.map(_.getLong(3)).sum
+    assert(shareSum <= 10000L && shareSum > 10000L - 5 * rows.length,
+      s"shares sum $shareSum out of truncation band")
+    assert(rows.forall(r => r.getLong(1) <= r.getLong(2)), "clusters <= docs per bucket")
+  }
+
   test("gr_ppr: mass stays within the 2-hop ball of the seed set") {
     import spark.implicits._
     val got = graft.operators.GraphOps.ppr(spark, sfDir).collect()
