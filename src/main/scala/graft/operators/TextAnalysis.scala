@@ -955,6 +955,43 @@ object TextAnalysis {
     * and broadcast it, the ta_boilerplate pattern); the two rollups are
     * standard map-side-combinable groupBys. Everything stays in
     * nonneg integers, so Spark `div` = DuckDB `//` exactly. */
+  /** VOCABULARY COVERAGE / OOV RATE (ta_oov) — the deploy-side sizing
+    * gauge next to ta_heaps' growth curve: build the top-V word vocab on
+    * the train split (doc_id % 10 != 0), measure what fraction of
+    * HELD-OUT tokens (doc_id % 10 == 0) each V cut {8, 64, 256} covers.
+    * The coverage-vs-V elbow is how a vocab budget is actually chosen;
+    * the complement is the OOV rate the runtime will eat as <unk>.
+    *
+    * Scale: word counts are one map-side-combinable shuffle; the rank
+    * window runs over the O(vocab) count frame (not the corpus); the
+    * top-256 table broadcasts onto one held-out pass; all three cuts
+    * read that single pass via conditional sums + stack. */
+  def oov(spark: SparkSession, dir: String): DataFrame = {
+    val words = documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .localCheckpoint() // train counts + held-out probe
+    val ranked = words.filter(col("doc_id") % 10 =!= 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("c").desc, col("w"))).cast("long"))
+      .filter(col("rk") <= 256L)
+      .select("w", "rk")
+    words.filter(col("doc_id") % 10 === 0)
+      .join(broadcast(ranked), Seq("w"), "left_outer")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("rk") <= 8L, 1L).otherwise(0L)).as("c8"),
+        sum(when(col("rk") <= 64L, 1L).otherwise(0L)).as("c64"),
+        sum(when(col("rk") <= 256L, 1L).otherwise(0L)).as("c256"))
+      .select(expr("stack(3, 8L, c8, 64L, c64, 256L, c256) AS (v_cut, n_covered)"),
+        col("n_tokens"))
+      .withColumn("cov_x10000", expr("n_covered * 10000 div n_tokens"))
+      .select("v_cut", "n_tokens", "n_covered", "cov_x10000")
+      .orderBy("v_cut")
+  }
+
   def lmScore(spark: SparkSession, dir: String): DataFrame =
     lmScoreOn(documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism))
@@ -1585,6 +1622,7 @@ object TextAnalysis {
     "ta_hash_classify" -> (hashClassify _),
     "ta_dsir" -> (dsir _),
     "ta_lm_score" -> (lmScore _),
+    "ta_oov" -> (oov _),
     "ta_resample" -> (resample _),
     "ta_split" -> (splitAssign _),
     "ta_mixture" -> (mixture _),
@@ -2264,6 +2302,29 @@ object TextAnalysis {
         |  CAST(n_tokens * 10000 // total_tokens AS BIGINT) AS share_x10000,
         |  CAST(total_tokens * 10000 // (n_sources * n_tokens) AS BIGINT) AS weight_x10000
         |FROM t ORDER BY source""".stripMargin,
+    "ta_oov" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+        |),
+        |ww AS (SELECT doc_id, w FROM w0 WHERE len(w) > 0),
+        |tr AS (SELECT w, COUNT(*) AS c FROM ww WHERE doc_id % 10 <> 0 GROUP BY w),
+        |rk0 AS (SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS BIGINT) AS rk FROM tr),
+        |rk AS (SELECT w, rk FROM rk0 WHERE rk <= 256),
+        |he AS (SELECT ww.w, rk.rk FROM ww LEFT JOIN rk ON ww.w = rk.w
+        |  WHERE ww.doc_id % 10 = 0),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN rk <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS c8,
+        |  CAST(SUM(CASE WHEN rk <= 64 THEN 1 ELSE 0 END) AS BIGINT) AS c64,
+        |  CAST(SUM(CASE WHEN rk <= 256 THEN 1 ELSE 0 END) AS BIGINT) AS c256
+        |  FROM he),
+        |u AS (
+        |  SELECT CAST(8 AS BIGINT) AS v_cut, n_tokens, c8 AS n_covered FROM s
+        |  UNION ALL SELECT 64, n_tokens, c64 FROM s
+        |  UNION ALL SELECT 256, n_tokens, c256 FROM s
+        |)
+        |SELECT v_cut, n_tokens, n_covered,
+        |  (n_covered * 10000) // n_tokens AS cov_x10000
+        |FROM u ORDER BY v_cut""".stripMargin,
     "ta_bpe_train" -> bpeOracleSql,
     "ta_bpe_sweep" -> bpeSweepOracleSql,
     "ta_heaps" ->
