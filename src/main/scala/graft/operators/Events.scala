@@ -442,6 +442,39 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** ACTIVITY STREAKS (ev_streaks) — the gaps-and-islands idiom in its
+    * classic row_number-difference form: a user's distinct active DAYS,
+    * minus a per-user day-rank, is constant exactly within a run of
+    * consecutive days — grouping on that difference materializes the
+    * islands with zero self-joins. Output: top-20 users by longest
+    * daily streak (longest, n_streaks, n_active_days; ties broken by
+    * user_id — a total order).
+    *
+    * Scale: distinct (user, day) is one map-side-combinable shuffle;
+    * the rank window partitions by user over day counts (bounded by
+    * calendar days, not events); the rollups reuse the same partition
+    * key — one shuffle chain end to end, AQE splits hot users. */
+  def streaks(spark: SparkSession, dir: String): DataFrame =
+    streaksOn(events(spark, dir)
+      .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day")))
+
+  /** Same operator over any (user_id, day) frame — Round14Spec plants
+    * broken runs and pins the island arithmetic. */
+  def streaksOn(userDays: DataFrame): DataFrame = {
+    val days = userDays.distinct()
+    val wU = Window.partitionBy("user_id").orderBy("day")
+    days
+      .withColumn("grp", col("day") - row_number().over(wU).cast("long"))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max(col("len")).as("longest"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("n_active_days"))
+      .orderBy(col("longest").desc, col("user_id"))
+      .limit(20)
+      .orderBy(col("longest").desc, col("user_id"))
+  }
+
   /** LTTB DOWNSAMPLING (ev_lttb) — Steinarsson's largest-triangle
     * three-buckets chart downsampling (the series-to-~60-points reducer
     * every dashboard runs before plotting), in its parallel bucket-anchor
@@ -1098,6 +1131,7 @@ object Events {
     "ev_lateness" -> (lateness _),
     "ev_cdc_scd2" -> (cdcScd2 _),
     "ev_changepoint" -> (changepoint _),
+    "ev_streaks" -> (streaks _),
     "ev_lttb" -> (lttb _),
     "ev_gap_fill" -> (gapFill _),
     "ev_json_nested" -> (jsonNested _),
@@ -1370,6 +1404,22 @@ object Events {
         |  LEAD(ts_sec, 1) OVER win IS NULL AS is_current
         |FROM e WINDOW win AS (PARTITION BY user_id, event_type ORDER BY ts_sec, event_id)
         |ORDER BY user_id, event_type, version""".stripMargin,
+    "ev_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events
+        |),
+        |g AS (SELECT user_id, day,
+        |  day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM d),
+        |runs AS (SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM g GROUP BY user_id, grp)
+        |SELECT user_id, MAX(len) AS longest,
+        |  CAST(COUNT(*) AS BIGINT) AS n_streaks,
+        |  CAST(SUM(len) AS BIGINT) AS n_active_days
+        |FROM runs GROUP BY user_id
+        |ORDER BY longest DESC, user_id LIMIT 20""".stripMargin,
     "ev_lttb" ->
       """WITH p AS (
         |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS xs,

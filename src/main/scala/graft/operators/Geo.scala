@@ -1551,7 +1551,41 @@ object Geo {
       .orderBy("hq", "hr")
   }
 
+  /** TEMPORAL CHANGE DETECTION (zs_epoch_delta) — the two-epoch per-cell
+    * delta map every monitoring pipeline renders (the NDVI/nightlights
+    * change-detection shape): split the point stream at its day-range
+    * midpoint (computed from the data — one-row agg, deterministic
+    * integer arithmetic), count each 1-degree cell per epoch with
+    * conditional sums (a cell active in only one epoch naturally reads 0
+    * in the other — no outer join needed), and report the top-20 cells
+    * by absolute change. Cell keys ride the house floor(lon) convention.
+    *
+    * Scale: one map-side-combinable groupBy on the cell key; the epoch
+    * midpoint is a one-row collect (the seeds/N precedent); the top-20
+    * is a TakeOrdered on (|delta| desc, fx, fy) — a total order. */
+  def epochDelta(spark: SparkSession, dir: String): DataFrame = {
+    val pts = graft.sources.Tables.events(spark, dir).select(
+      expr("unix_timestamp(ts) div 86400").as("day"),
+      ((col("event_id") * lit(7919L)) % lit(36000L)).cast("double")
+        .divide(lit(100.0)).minus(lit(180.0)).as("lon"),
+      ((col("event_id") * lit(104729L)) % lit(7000L)).cast("double")
+        .divide(lit(100.0)).minus(lit(35.0)).as("lat"))
+    val b = pts.agg(min("day").as("d0"), max("day").as("d1")).collect()(0)
+    val mid = (b.getLong(0) + b.getLong(1) + 1L) / 2L
+    pts
+      .withColumn("fx", floor(col("lon")).cast("long"))
+      .withColumn("fy", floor(col("lat")).cast("long"))
+      .groupBy("fx", "fy")
+      .agg(sum(when(col("day") < mid, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("day") >= mid, 1L).otherwise(0L)).as("n2"))
+      .withColumn("delta", col("n2") - col("n1"))
+      .orderBy(abs(col("delta")).desc, col("fx"), col("fy"))
+      .limit(20)
+      .orderBy(abs(col("delta")).desc, col("fx"), col("fy"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zs_epoch_delta" -> (epochDelta _),
     "zs_hexbin" -> (hexbin _),
     "zs_flowdir" -> (flowDir _),
     "zs_flowaccum" -> (flowAccum _),
@@ -1595,6 +1629,23 @@ object Geo {
          |FROM z10 GROUP BY 1, 2, 3""".stripMargin
     }.mkString("\nUNION ALL\n")
     Map(
+      "zs_epoch_delta" ->
+        """WITH p AS (
+          |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+          |    CAST(event_id * 7919 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon,
+          |    CAST(event_id * 104729 % 7000 AS DOUBLE) / 100.0 - 35.0 AS lat
+          |  FROM events
+          |),
+          |b AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM p),
+          |c AS (
+          |  SELECT CAST(floor(lon) AS BIGINT) AS fx, CAST(floor(lat) AS BIGINT) AS fy,
+          |    SUM(CASE WHEN day < mid THEN 1 ELSE 0 END) AS n1,
+          |    SUM(CASE WHEN day >= mid THEN 1 ELSE 0 END) AS n2
+          |  FROM p CROSS JOIN b GROUP BY 1, 2
+          |)
+          |SELECT fx, fy, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+          |  CAST(n2 - n1 AS BIGINT) AS delta
+          |FROM c ORDER BY abs(n2 - n1) DESC, fx, fy LIMIT 20""".stripMargin,
       "zs_hexbin" -> {
         // chain the same expression steps as nested CTE selects so each
         // name is computed ONCE with the identical text the Spark plan ran

@@ -163,6 +163,29 @@ class Round14Spec extends SparkSpecBase {
     }
   }
 
+  test("ev_streaks: the row_number-difference islands count runs exactly") {
+    import spark.implicits._
+    val days = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), (1L, 14L), (1L, 15L), // runs 3 + 2
+      (1L, 14L), //                                  duplicate day collapses
+      (2L, 5L), (2L, 7L), (2L, 9L), //               three singleton runs
+      (3L, 20L)).toDF("user_id", "day")
+    val got = graft.operators.Events.streaksOn(days).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 3L, 2L, 5L), (2L, 1L, 3L, 3L), (3L, 1L, 1L, 1L)), s"got $got")
+  }
+
+  test("zs_epoch_delta: top-20 deltas are sane and sorted") {
+    val rows = graft.operators.Geo.epochDelta(spark, sfDir).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val absd = rows.map(r => math.abs(r.getLong(4)))
+    assert(absd.toSeq == absd.sortBy(-_).toSeq, "sorted by |delta| desc")
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(3) - r.getLong(2), "delta = n2 - n1")
+      assert(r.getLong(2) + r.getLong(3) > 0L)
+    }
+  }
+
   test("mm_align: recall ordering and query accounting hold") {
     val got = graft.operators.Similarity.mmAlign(spark, sfDir).collect()
     assert(got.map(_.getLong(1)).sum == 40L, "40 text queries accounted")
