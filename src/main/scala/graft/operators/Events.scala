@@ -442,6 +442,42 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** ROLLING ACTIVE USERS (ev_dau) — the DAU/WAU/MAU triple every
+    * product dashboard leads with: per calendar day, distinct users
+    * active that day / in the trailing 7 days / in the trailing 30.
+    * Windowed COUNT DISTINCT does not decompose, so the scale shape is
+    * contribution explosion over the DISTINCT (user, day) frame: a
+    * user-day contributes to WAU(d) for the 7 days d in [day, day+6]
+    * (30 for MAU), and a two-stage distinct count per day finishes the
+    * job — the fan-out is 7x/30x on user-days (already deduped), never
+    * on raw events. Days past the observed range are clipped.
+    *
+    * Scale: distinct user-days is one map-side-combinable shuffle; the
+    * explode emits bounded rows; countDistinct is Spark's two-stage
+    * partial-distinct aggregate; hot days AQE-split. */
+  def dau(spark: SparkSession, dir: String): DataFrame = {
+    val ud = events(spark, dir)
+      .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+      .distinct()
+      .localCheckpoint() // three window consumers + bounds
+    val b = ud.agg(min("day").as("d0"), max("day").as("d1")).collect()(0)
+    val (d0, d1) = (b.getLong(0), b.getLong(1))
+    def rolling(span: Int, name: String): DataFrame =
+      ud.select(col("user_id"),
+          explode(expr(s"sequence(day, least(day + ${span - 1}, ${d1}L))")).as("d"))
+        .groupBy("d").agg(countDistinct(col("user_id")).as(name))
+    val spine = spark.range(d0, d1 + 1).select(col("id").as("d"))
+    spine
+      .join(rolling(1, "dau"), Seq("d"), "left_outer")
+      .join(rolling(7, "wau"), Seq("d"), "left_outer")
+      .join(rolling(30, "mau"), Seq("d"), "left_outer")
+      .select(col("d").as("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"),
+        coalesce(col("mau"), lit(0L)).as("mau"))
+      .orderBy("day")
+  }
+
   /** ACTIVITY STREAKS (ev_streaks) — the gaps-and-islands idiom in its
     * classic row_number-difference form: a user's distinct active DAYS,
     * minus a per-user day-rank, is constant exactly within a run of
@@ -1132,6 +1168,7 @@ object Events {
     "ev_cdc_scd2" -> (cdcScd2 _),
     "ev_changepoint" -> (changepoint _),
     "ev_streaks" -> (streaks _),
+    "ev_dau" -> (dau _),
     "ev_lttb" -> (lttb _),
     "ev_gap_fill" -> (gapFill _),
     "ev_json_nested" -> (jsonNested _),
@@ -1404,6 +1441,30 @@ object Events {
         |  LEAD(ts_sec, 1) OVER win IS NULL AS is_current
         |FROM e WINDOW win AS (PARTITION BY user_id, event_type ORDER BY ts_sec, event_id)
         |ORDER BY user_id, event_type, version""".stripMargin,
+    "ev_dau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events
+        |),
+        |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ud),
+        |spine AS (SELECT unnest(range(d0, d1 + 1)) AS d FROM b),
+        |dau AS (SELECT day AS d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM ud GROUP BY day),
+        |w7 AS (SELECT ud.user_id, ud.day + o.i AS d
+        |  FROM ud, range(0, 7) o(i)),
+        |wau AS (SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM w7 GROUP BY d),
+        |w30 AS (SELECT ud.user_id, ud.day + o.i AS d
+        |  FROM ud, range(0, 30) o(i)),
+        |mau AS (SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+        |  FROM w30 GROUP BY d)
+        |SELECT spine.d AS day,
+        |  COALESCE(dau.dau, 0) AS dau, COALESCE(wau.wau, 0) AS wau,
+        |  COALESCE(mau.mau, 0) AS mau
+        |FROM spine LEFT JOIN dau ON spine.d = dau.d
+        |LEFT JOIN wau ON spine.d = wau.d LEFT JOIN mau ON spine.d = mau.d
+        |ORDER BY day""".stripMargin,
     "ev_streaks" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id,
