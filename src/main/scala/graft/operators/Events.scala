@@ -442,6 +442,57 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** ROBUST ANOMALY DETECTION (ev_anomaly_mad) — ev_anomaly's robust
+    * twin: hours whose count deviates from the per-type MEDIAN by more
+    * than 3x the MEDIAN ABSOLUTE DEVIATION. Mean/stddev z-scores (the
+    * ev_anomaly gauge) are dragged by the very outliers they hunt; the
+    * median/MAD pair has a 50% breakdown point — the standard robust
+    * alternative. Every statistic is an exact integer: both medians use
+    * the q21 ceil-rank lower-median pick (smallest value whose
+    * cumulative count reaches half — an actual data value, never an
+    * interpolation), so dev and the 3x threshold compare in pure BIGINT.
+    * Runs on the dense hour spine (an empty hour is a zero-count
+    * candidate anomaly, not a silently missing row).
+    *
+    * Scale: hourly counts map-side combine; both median picks run hist +
+    * cum-window per type over O(distinct counts) frames; the two stat
+    * tables broadcast back onto the O(hours x types) dense frame. */
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val counts = events(spark, dir)
+      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .groupBy("hour_epoch", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val bounds = counts.agg(min("hour_epoch").as("mn"), max("hour_epoch").as("mx"))
+    val types = counts.select("event_type").distinct()
+    val dense = bounds
+      .select(explode(expr("sequence(mn, mx, 3600L)")).as("hour_epoch"))
+      .crossJoin(broadcast(types))
+      .join(counts, Seq("hour_epoch", "event_type"), "left_outer")
+      .select(col("event_type"), col("hour_epoch"), coalesce(col("n"), lit(0L)).as("n"))
+      .localCheckpoint() // histogram + dev + flagged output
+    def lowerMedian(df: DataFrame, valCol: String, out: String): DataFrame = {
+      val hist = df.groupBy(col("event_type"), col(valCol).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy("event_type")
+      hist.withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("nn", sum(col("cnt")).over(tot))
+        .groupBy("event_type")
+        .agg(min(when(col("cum") * 2 >= col("nn"), col("v"))).as(out))
+    }
+    val dev = dense
+      .join(broadcast(lowerMedian(dense, "n", "med")), Seq("event_type"))
+      .withColumn("dv", abs(col("n") - col("med")))
+      .localCheckpoint() // mad histogram + flag filter
+    dev
+      .join(broadcast(lowerMedian(dev, "dv", "mad")), Seq("event_type"))
+      .filter(col("dv") > lit(3L) * col("mad"))
+      .select("event_type", "hour_epoch", "n", "med", "mad")
+      .orderBy("event_type", "hour_epoch")
+  }
+
   /** ROLLING ACTIVE USERS (ev_dau) — the DAU/WAU/MAU triple every
     * product dashboard leads with: per calendar day, distinct users
     * active that day / in the trailing 7 days / in the trailing 30.
@@ -1169,6 +1220,7 @@ object Events {
     "ev_changepoint" -> (changepoint _),
     "ev_streaks" -> (streaks _),
     "ev_dau" -> (dau _),
+    "ev_anomaly_mad" -> (anomalyMad _),
     "ev_lttb" -> (lttb _),
     "ev_gap_fill" -> (gapFill _),
     "ev_json_nested" -> (jsonNested _),
@@ -1441,6 +1493,38 @@ object Events {
         |  LEAD(ts_sec, 1) OVER win IS NULL AS is_current
         |FROM e WINDOW win AS (PARTITION BY user_id, event_type ORDER BY ts_sec, event_id)
         |ORDER BY user_id, event_type, version""".stripMargin,
+    "ev_anomaly_mad" ->
+      """WITH c AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        |    event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |),
+        |b AS (SELECT MIN(hour_epoch) AS mn, MAX(hour_epoch) AS mx FROM c),
+        |s AS (SELECT unnest(range(mn, mx + 1, 3600)) AS hour_epoch FROM b),
+        |t AS (SELECT DISTINCT event_type FROM c),
+        |d AS (SELECT t.event_type, s.hour_epoch, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |  FROM s CROSS JOIN t
+        |  LEFT JOIN c ON s.hour_epoch = c.hour_epoch AND t.event_type = c.event_type),
+        |h1 AS (SELECT event_type, n AS v, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+        |c1 AS (SELECT event_type, v,
+        |  SUM(cnt) OVER (PARTITION BY event_type ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  SUM(cnt) OVER (PARTITION BY event_type) AS nn FROM h1),
+        |med AS (SELECT event_type, MIN(CASE WHEN cum * 2 >= nn THEN v END) AS med
+        |  FROM c1 GROUP BY event_type),
+        |dev AS (SELECT d.event_type, d.hour_epoch, d.n, med.med,
+        |  abs(d.n - med.med) AS dv FROM d JOIN med USING (event_type)),
+        |h2 AS (SELECT event_type, dv AS v, COUNT(*) AS cnt FROM dev GROUP BY 1, 2),
+        |c2 AS (SELECT event_type, v,
+        |  SUM(cnt) OVER (PARTITION BY event_type ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  SUM(cnt) OVER (PARTITION BY event_type) AS nn FROM h2),
+        |mad AS (SELECT event_type, MIN(CASE WHEN cum * 2 >= nn THEN v END) AS mad
+        |  FROM c2 GROUP BY event_type)
+        |SELECT dev.event_type, dev.hour_epoch, dev.n, dev.med, mad.mad
+        |FROM dev JOIN mad USING (event_type)
+        |WHERE dev.dv > 3 * mad.mad
+        |ORDER BY event_type, hour_epoch""".stripMargin,
     "ev_dau" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id,

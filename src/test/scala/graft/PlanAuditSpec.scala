@@ -24,7 +24,7 @@ class PlanAuditSpec extends SparkSpecBase {
   // mm_align runs the sanctioned bounded-broadcast exact pass (40 text
   // queries against the image side) — the ann_bruteforce shape
   private val allowNestedLoop = Set("ann_bruteforce", "ann_recall", "ann_sq", "ev_gap_fill",
-    "ev_changepoint", "mm_align",
+    "ev_changepoint", "ev_anomaly_mad", "mm_align",
     "ann_mmr", "gr_triangles", "ann_pq",
     // ann_kmeans_recall, ann_multiprobe, and ann_recall_curve embed the
     // same bounded-broadcast exact baseline as ann_recall for their
