@@ -457,10 +457,16 @@ object Events {
     * Scale: hourly counts map-side combine; both median picks run hist +
     * cum-window per type over O(distinct counts) frames; the two stat
     * tables broadcast back onto the O(hours x types) dense frame. */
-  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
-    val counts = events(spark, dir)
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame =
+    anomalyMadOn(events(spark, dir)
       .select(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
-        col("event_type"))
+        col("event_type")))
+
+  /** Same operator over any (hour_epoch, event_type) frame — Round14Spec
+    * plants a spike over a flat series (the MAD=0 edge) and pins the
+    * flagged hour. */
+  def anomalyMadOn(hours: DataFrame): DataFrame = {
+    val counts = hours
       .groupBy("hour_epoch", "event_type")
       .agg(count(lit(1)).as("n"))
     val bounds = counts.agg(min("hour_epoch").as("mn"), max("hour_epoch").as("mx"))

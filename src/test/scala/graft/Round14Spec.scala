@@ -89,6 +89,21 @@ class Round14Spec extends SparkSpecBase {
     assert(got.map(_.getString(0)).toSet == Set("a", "b"))
   }
 
+  test("ev_anomaly_mad: flags exactly the planted spike (MAD=0 edge)") {
+    import spark.implicits._
+    // flat 10/hour for 100 hours except hour 40 at 100 events: median 10,
+    // MAD 0 (a perfectly flat background), so ANY deviation flags — the
+    // robust detector catches the spike a dragged stddev could swallow
+    val base = 1700000000L
+    val rows = (0 until 100).flatMap { h =>
+      val k = if (h == 40) 100 else 10
+      Seq.fill(k)((base + h * 3600L, "a"))
+    }
+    val got = graft.operators.Events.anomalyMadOn(rows.toDF("hour_epoch", "event_type"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((base + 40 * 3600L, 100L, 10L, 0L)), s"got ${got.toSeq}")
+  }
+
   test("ev_lttb: keeps endpoints and the planted spike, hits the target size") {
     import spark.implicits._
     // 600 points of a flat series (vm=100) with one spike (vm=90000) at
