@@ -408,6 +408,47 @@ object StreamingJobs {
     * reservoirs, both equal to the batch query's. n_seen stamps each
     * update so a consumer (and the spec) can pick the newest row per
     * key from an Update-mode sink. */
+  final case class Scd2Ev(user_id: Long, event_type: String,
+      ts: java.sql.Timestamp, event_id: Long, value: Double)
+  final case class Scd2State(version: Long, from_sec: Long, value: Double)
+  final case class Scd2Closed(user_id: Long, event_type: String, version: Long,
+      value: Double, valid_from_sec: Long, valid_to_sec: Long)
+
+  /** Streaming SCD2 history builder — the streaming twin of
+    * Events.cdcScd2: each arriving upsert CLOSES the key's open version
+    * (valid_to = the newcomer's valid_from) and opens its own. Closed
+    * versions emit in Append mode the moment they close; the open row
+    * lives only in state (one record per key — O(keys), never history-
+    * sized: the history already streamed out). Within a micro-batch
+    * events sort by (event time, event_id) — the batch operator's exact
+    * version order; across batches the in-order feed + watermark carry
+    * the guarantee (SCD2 is inherently order-DEPENDENT, unlike the
+    * merge-closed reservoir). Round15Spec replays the same feed under
+    * different batch boundaries and pins identical closed history,
+    * equal to the batch operator's non-current rows. */
+  def scd2Stream(updates: Dataset[Scd2Ev]): Dataset[Scd2Closed] = {
+    import updates.sparkSession.implicits._
+    updates
+      .withWatermark("ts", "10 seconds")
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Scd2State, Scd2Closed](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((uid, et), rows, state) =>
+          val sorted = rows.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var open = state.getOption
+          val out = Vector.newBuilder[Scd2Closed]
+          for (e <- sorted) {
+            val sec = e.ts.getTime / 1000L
+            open.foreach { s =>
+              out += Scd2Closed(uid, et, s.version, s.value, s.from_sec, sec)
+            }
+            open = Some(Scd2State(open.map(_.version).getOrElse(0L) + 1L, sec, e.value))
+          }
+          open.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   def reservoirStream(events: Dataset[RsvEv], k: Int): Dataset[RsvOut] = {
     import events.sparkSession.implicits._
     events
