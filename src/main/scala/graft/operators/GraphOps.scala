@@ -304,6 +304,50 @@ object GraphOps {
       .orderBy(col("ppr_x1e12").desc, col("user_id"))
   }
 
+  /** PPR CONVERGENCE GAUGE (gr_ppr_converge) — the stopping-rule readout
+    * both fixed-round walkers (gr_pagerank, gr_ppr) leave implicit: run a
+    * THIRD power-iteration step and report, per transition, the L1 mass
+    * delta and the reached-node count — the two numbers an iterative
+    * scheduler thresholds on ("stop when ||r_t − r_{t−1}||_1 < eps").
+    * All deltas are exact BIGINT sums over full-outer-joined rank frames
+    * (absent node = 0 mass), so the gauge hash-matches cross-engine.
+    *
+    * Scale: same per-step plan as gr_ppr; the L1 rollups are one-row
+    * aggregates per transition unioned into a single job. */
+  def pprConverge(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val ed = coActivityEdges(spark, dir)
+    val sym = ed.select((col("a") + lit(0L)).as("src"), (col("b") + lit(0L)).as("dst"))
+      .unionByName(ed.select((col("b") + lit(0L)).as("src"), (col("a") + lit(0L)).as("dst")))
+      .localCheckpoint() // degree + three iteration joins
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("d"))
+    val seeds = deg.select(col("src").as("u")).orderBy("u").limit(5)
+      .localCheckpoint() // r0 + three restart joins
+    val r0 = seeds.withColumn("r", lit(1000000000000L))
+    def step(r: DataFrame): DataFrame =
+      sym.join(r.withColumnRenamed("u", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("u"), expr("r div d").as("c"))
+        .groupBy("u").agg(sum(col("c")).as("msum"))
+        .join(seeds.withColumn("s", lit(1L)), Seq("u"), "full_outer")
+        .select(col("u"),
+          (coalesce(expr("(msum * 85) div 100"), lit(0L))
+            + when(col("s").isNotNull, lit(150000000000L)).otherwise(lit(0L))).as("r"))
+        .localCheckpoint() // consumed by the next step AND two L1 deltas
+    val r1 = step(r0.localCheckpoint())
+    val r2 = step(r1)
+    val r3 = step(r2)
+    def l1(iter: Long, a: DataFrame, b: DataFrame): DataFrame =
+      a.select(col("u"), col("r").as("ra"))
+        .join(b.select(col("u"), col("r").as("rb")), Seq("u"), "full_outer")
+        .agg(lit(iter).as("iter"),
+          sum(abs(coalesce(col("rb"), lit(0L)) - coalesce(col("ra"), lit(0L))))
+            .as("l1_delta"),
+          sum(when(coalesce(col("rb"), lit(0L)) =!= 0L, 1L).otherwise(0L))
+            .as("n_reached"))
+    l1(1L, r0, r1).unionByName(l1(2L, r1, r2)).unionByName(l1(3L, r2, r3))
+      .orderBy("iter")
+  }
+
   /** Degree cap of gr_common_neighbors' wedge enumeration: centers with
     * more than this many neighbors are excluded from pair generation
     * (quadratic fan-out cap, same rule as the <=20-user activity buckets
@@ -836,6 +880,7 @@ object GraphOps {
     "gr_common_neighbors" -> (commonNeighbors _),
     "gr_pagerank" -> (pagerank _),
     "gr_ppr" -> (ppr _),
+    "gr_ppr_converge" -> (pprConverge _),
     "gr_triangles" -> (triangleStats _))
 
   val oracle: Map[String, String] = Map(
@@ -1067,6 +1112,65 @@ object GraphOps {
          |JOIN deg da ON da.u = p.a
          |JOIN deg db ON db.u = p.b
          |ORDER BY p.n_common DESC, p.a, p.b LIMIT 20""".stripMargin,
+    "gr_ppr_converge" ->
+      """WITH act AS MATERIALIZED (
+        |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr FROM events
+        |), sizes AS MATERIALIZED (
+        |  SELECT event_type, hr FROM (
+        |    SELECT event_type, hr, COUNT(*) AS n FROM act GROUP BY 1, 2) WHERE n <= 20
+        |), ok AS MATERIALIZED (
+        |  SELECT act.* FROM act JOIN sizes USING (event_type, hr)
+        |), edges AS MATERIALIZED (
+        |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+        |  FROM ok x JOIN ok y ON x.event_type = y.event_type AND x.hr = y.hr
+        |    AND x.user_id < y.user_id
+        |), sym AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b, a FROM edges
+        |), deg AS MATERIALIZED (
+        |  SELECT src, COUNT(*) AS d FROM sym GROUP BY src
+        |), seeds AS MATERIALIZED (
+        |  SELECT src AS u FROM deg ORDER BY src LIMIT 5
+        |), r0 AS MATERIALIZED (
+        |  SELECT u, CAST(1000000000000 AS BIGINT) AS r FROM seeds
+        |), m1 AS MATERIALIZED (
+        |  SELECT s.dst AS u, CAST(SUM(r0.r // deg.d) AS BIGINT) AS msum
+        |  FROM sym s JOIN r0 ON s.src = r0.u JOIN deg ON s.src = deg.src GROUP BY s.dst
+        |), r1 AS MATERIALIZED (
+        |  SELECT COALESCE(m.u, sd.u) AS u,
+        |    COALESCE((m.msum * 85) // 100, 0)
+        |      + CASE WHEN sd.u IS NOT NULL THEN 150000000000 ELSE 0 END AS r
+        |  FROM m1 m FULL OUTER JOIN seeds sd ON m.u = sd.u
+        |), m2 AS MATERIALIZED (
+        |  SELECT s.dst AS u, CAST(SUM(r1.r // deg.d) AS BIGINT) AS msum
+        |  FROM sym s JOIN r1 ON s.src = r1.u JOIN deg ON s.src = deg.src GROUP BY s.dst
+        |), r2 AS MATERIALIZED (
+        |  SELECT COALESCE(m.u, sd.u) AS u,
+        |    COALESCE((m.msum * 85) // 100, 0)
+        |      + CASE WHEN sd.u IS NOT NULL THEN 150000000000 ELSE 0 END AS r
+        |  FROM m2 m FULL OUTER JOIN seeds sd ON m.u = sd.u
+        |), m3 AS MATERIALIZED (
+        |  SELECT s.dst AS u, CAST(SUM(r2.r // deg.d) AS BIGINT) AS msum
+        |  FROM sym s JOIN r2 ON s.src = r2.u JOIN deg ON s.src = deg.src GROUP BY s.dst
+        |), r3 AS MATERIALIZED (
+        |  SELECT COALESCE(m.u, sd.u) AS u,
+        |    COALESCE((m.msum * 85) // 100, 0)
+        |      + CASE WHEN sd.u IS NOT NULL THEN 150000000000 ELSE 0 END AS r
+        |  FROM m3 m FULL OUTER JOIN seeds sd ON m.u = sd.u
+        |)
+        |SELECT iter, l1_delta, n_reached FROM (
+        |  SELECT CAST(1 AS BIGINT) AS iter,
+        |    CAST(SUM(abs(COALESCE(b.r, 0) - COALESCE(a.r, 0))) AS BIGINT) AS l1_delta,
+        |    CAST(SUM(CASE WHEN COALESCE(b.r, 0) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_reached
+        |  FROM r0 a FULL OUTER JOIN r1 b ON a.u = b.u
+        |  UNION ALL
+        |  SELECT 2, CAST(SUM(abs(COALESCE(b.r, 0) - COALESCE(a.r, 0))) AS BIGINT),
+        |    CAST(SUM(CASE WHEN COALESCE(b.r, 0) <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM r1 a FULL OUTER JOIN r2 b ON a.u = b.u
+        |  UNION ALL
+        |  SELECT 3, CAST(SUM(abs(COALESCE(b.r, 0) - COALESCE(a.r, 0))) AS BIGINT),
+        |    CAST(SUM(CASE WHEN COALESCE(b.r, 0) <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM r2 a FULL OUTER JOIN r3 b ON a.u = b.u
+        |) u ORDER BY iter""".stripMargin,
     "gr_ppr" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr FROM events
