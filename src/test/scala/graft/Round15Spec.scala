@@ -80,6 +80,39 @@ class Round15Spec extends SparkSpecBase {
       s"stream closed ${half.size} vs batch non-current ${batch.size}")
   }
 
+  test("runtime bloom-filter join pruning: injected, and semantics-preserving") {
+    // Catalyst's runtime row-level filter: a selective build side injects
+    // bloom_filter_might_contain onto the probe-side scan of a shuffle
+    // join — the row-level complement of partition pruning, and the
+    // mechanism that makes selective fact-dim joins scan-light at 100 TB.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      def q = graft.sources.Tables.lineitem(spark, sfDir)
+        .join(graft.sources.Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+      val withFilter = q
+      assert(withFilter.queryExecution.executedPlan.toString.contains("might_contain"),
+        "runtime bloom filter not injected on the probe side")
+      val expected = withFilter.collect().toSeq
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val baseline = q
+      assert(!baseline.queryExecution.executedPlan.toString.contains("might_contain"))
+      assert(baseline.collect().toSeq == expected, "pruning changed results")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("io_histogram: equi-height buckets estimate range selectivity") {
     val h = graft.sources.ManifestIO.histogramQuery(spark, sfDir).collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))) // lo, hi, n
