@@ -113,6 +113,45 @@ class Round15Spec extends SparkSpecBase {
     }
   }
 
+  test("dynamic partition pruning: the dim filter prunes fact partitions at runtime") {
+    // the directory-level counterpart to the bloom-filter spec above: a
+    // filtered dim subquery prunes which partitions of the fact layout
+    // are scanned at all — the star-schema scan-saver at 100 TB
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled",
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+      .map(k => k -> conf.getOption(k))
+    val tmp = s"/tmp/graft_io/orders_part_${Integer.toHexString(sfDir.hashCode)}"
+    if (!new java.io.File(tmp).exists())
+      graft.sources.ManifestIO.writePartitioned(
+        graft.sources.Tables.orders(spark, sfDir), tmp, "o_orderpriority", "o_orderkey")
+    val dimPath = "/tmp/graft_io/dpp_dim"
+    if (!new java.io.File(dimPath).exists()) {
+      import spark.implicits._
+      Seq(("1-URGENT", 10L), ("2-HIGH", 20L), ("3-MEDIUM", 30L)).toDF("prio", "w")
+        .write.mode("overwrite").parquet(dimPath)
+    }
+    try {
+      conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "10.0")
+      def q = spark.read.parquet(tmp)
+        .join(spark.read.parquet(dimPath).filter(col("w") === 10L),
+          col("o_orderpriority") === col("prio"))
+        .groupBy("prio").agg(count(lit(1)).as("n")).orderBy("prio")
+      conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+      val pruned = q
+      assert(pruned.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+        "DPP subquery not injected")
+      val expected = pruned.collect().toSeq
+      conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+      val baseline = q
+      assert(!baseline.queryExecution.executedPlan.toString.contains("dynamicpruning"))
+      assert(baseline.collect().toSeq == expected, "pruning changed results")
+    } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("io_histogram: equi-height buckets estimate range selectivity") {
     val h = graft.sources.ManifestIO.histogramQuery(spark, sfDir).collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))) // lo, hi, n
