@@ -152,6 +152,35 @@ class Round15Spec extends SparkSpecBase {
     } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
   }
 
+  test("SQL front door: literal spark.sql over registered views matches the DataFrame API") {
+    // a reference user who writes SQL can drive graft's tables directly:
+    // register the loaders as temp views and the engine's ANSI surface
+    // (agg, join, window, rollup) is available verbatim — same Catalyst
+    // plans, same results as the DataFrame operators
+    graft.sources.Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem_v")
+    graft.sources.Tables.orders(spark, sfDir).createOrReplaceTempView("orders_v")
+    val sql = spark.sql(
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem_v GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    val api = graft.sources.Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(graft.sources.Tables.dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+    assert(sql.collect().toSeq == api.collect().toSeq)
+    // a SQL window + join round-trips identically too
+    val sql2 = spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n_top FROM (
+        |  SELECT o_orderpriority,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders_v) WHERE rk <= 3
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin).collect()
+    assert(sql2.forall(_.getLong(1) == 3L) && sql2.length == 5)
+  }
+
   test("io_histogram: equi-height buckets estimate range selectivity") {
     val h = graft.sources.ManifestIO.histogramQuery(spark, sfDir).collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))) // lo, hi, n
