@@ -947,8 +947,42 @@ object Dedup {
     * the same bounded-bucket shape as every other near-dup operator here;
     * hot prefixes are AQE-skew-split. Suffix fan-out is bounded at 49 rows
     * per doc by the slice. */
-  def substringDedupOn(docs: DataFrame, minLcp: Int = 16, slice: Int = 64,
-      topK: Int = 25): DataFrame = {
+  /** Oracle twin of [[substringWitnessOn]] — the shared CTE chain (ends
+    * in `wit`: doc_id, sp, suf, pdoc, psp, lcp with lcp >= 16). */
+  private val substringWitnessSql: String =
+    """t AS (
+      |  SELECT doc_id, substr(lower(text), 1, 64) AS t64 FROM documents
+      |  WHERE len(text) >= 16),
+      |s0 AS (SELECT doc_id, UNNEST(range(1, len(t64) - 14)) AS sp, t64 FROM t),
+      |s AS (SELECT doc_id, sp, substr(t64, CAST(sp AS INT)) AS suf FROM s0),
+      |p AS (SELECT doc_id, sp, suf, substr(suf, 1, 16) AS p16 FROM s),
+      |a AS (SELECT doc_id, sp, suf,
+      |  LAG(suf) OVER (PARTITION BY p16 ORDER BY suf, doc_id, sp) AS psuf,
+      |  LAG(doc_id) OVER (PARTITION BY p16 ORDER BY suf, doc_id, sp) AS pdoc,
+      |  LAG(sp) OVER (PARTITION BY p16 ORDER BY suf, doc_id, sp) AS psp
+      |  FROM p),
+      |f AS (SELECT doc_id, sp, suf, psuf, pdoc, psp FROM a
+      |  WHERE psuf IS NOT NULL AND pdoc <> doc_id),
+      |l32 AS (SELECT doc_id, sp, suf, psuf, pdoc, psp,
+      |  (CASE WHEN substr(suf, 1, 32) = substr(psuf, 1, 32) THEN 32 ELSE 0 END) AS o FROM f),
+      |l16 AS (SELECT doc_id, sp, suf, psuf, pdoc, psp,
+      |  o + (CASE WHEN substr(suf, CAST(o + 1 AS INT), 16) = substr(psuf, CAST(o + 1 AS INT), 16) THEN 16 ELSE 0 END) AS o FROM l32),
+      |l8 AS (SELECT doc_id, sp, suf, psuf, pdoc, psp,
+      |  o + (CASE WHEN substr(suf, CAST(o + 1 AS INT), 8) = substr(psuf, CAST(o + 1 AS INT), 8) THEN 8 ELSE 0 END) AS o FROM l16),
+      |l4 AS (SELECT doc_id, sp, suf, psuf, pdoc, psp,
+      |  o + (CASE WHEN substr(suf, CAST(o + 1 AS INT), 4) = substr(psuf, CAST(o + 1 AS INT), 4) THEN 4 ELSE 0 END) AS o FROM l8),
+      |l2 AS (SELECT doc_id, sp, suf, psuf, pdoc, psp,
+      |  o + (CASE WHEN substr(suf, CAST(o + 1 AS INT), 2) = substr(psuf, CAST(o + 1 AS INT), 2) THEN 2 ELSE 0 END) AS o FROM l4),
+      |l1 AS (SELECT doc_id, sp, suf, psuf, pdoc, psp,
+      |  o + (CASE WHEN substr(suf, CAST(o + 1 AS INT), 1) = substr(psuf, CAST(o + 1 AS INT), 1) THEN 1 ELSE 0 END) AS o FROM l2),
+      |wit AS (SELECT doc_id, sp, suf, pdoc, psp,
+      |  CAST(LEAST(o, len(suf), len(psuf)) AS BIGINT) AS lcp FROM l1
+      |  WHERE CAST(LEAST(o, len(suf), len(psuf)) AS BIGINT) >= 16)""".stripMargin
+
+  /** The adjacent-suffix witness frame both substring operators read:
+    * one row per sort-adjacent cross-doc suffix pair with LCP >=
+    * `minLcp` — columns (doc_id, sp, suf, pdoc, psp, psuf, lcp). */
+  private def substringWitnessOn(docs: DataFrame, minLcp: Int, slice: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sufs = docs
       .select(col("doc_id"), substring(lower(col("text")), 1, slice).as("t64"))
@@ -962,17 +996,22 @@ object Dedup {
     val adj = sufs
       .withColumn("psuf", lag(col("suf"), 1).over(w))
       .withColumn("pdoc", lag(col("doc_id"), 1).over(w))
+      .withColumn("psp", lag(col("sp"), 1).over(w))
       .filter(col("psuf").isNotNull && col("pdoc") =!= col("doc_id"))
-    val probed = Seq(32, 16, 8, 4, 2, 1).foldLeft(adj.withColumn("o", lit(0L))) {
+    Seq(32, 16, 8, 4, 2, 1).foldLeft(adj.withColumn("o", lit(0L))) {
       (d, k) =>
         d.withColumn("o", expr(
           s"o + (case when substring(suf, cast(o + 1 as int), $k) = " +
             s"substring(psuf, cast(o + 1 as int), $k) then ${k}L else 0L end)"))
     }
-    probed
       .withColumn("lcp", least(col("o"), length(col("suf")).cast("long"),
         length(col("psuf")).cast("long")))
       .filter(col("lcp") >= minLcp.toLong)
+  }
+
+  def substringDedupOn(docs: DataFrame, minLcp: Int = 16, slice: Int = 64,
+      topK: Int = 25): DataFrame = {
+    substringWitnessOn(docs, minLcp, slice)
       .select(col("lcp"),
         expr("substring(suf, 1, cast(lcp as int))").as("sub"),
         least(col("doc_id"), col("pdoc")).as("doc_a"),
@@ -984,6 +1023,47 @@ object Dedup {
 
   def substringDedup(spark: SparkSession, dir: String): DataFrame =
     substringDedupOn(documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  /** SUBSTRING REMOVAL RANGES (dd_substring_cut) — the actionable output
+    * of the suffix pass: character-precise cut ranges per document (the
+    * ranges Lee et al.'s dedup actually deletes). Each witness marks the
+    * HIGHER doc_id's occurrence [sp, sp+lcp-1] for removal
+    * (keep-first-occurrence, the dd_exact keep-min convention); a doc's
+    * marks then merge into maximal disjoint ranges with the islands
+    * idiom: ordered by start, a range opens a new island iff its start
+    * exceeds the running max end + 1 (overlap AND adjacency merge).
+    * Output: one row per merged range with its length — the total
+    * cut_len is the dedup's reclaimable character mass.
+    *
+    * Scale: the witness frame is dd_substring's bucket-shuffle plan; the
+    * merge is one window per doc over that doc's O(slice) marks. */
+  def substringCutOn(docs: DataFrame, minLcp: Int = 16, slice: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val marks = substringWitnessOn(docs, minLcp, slice)
+      .select(
+        when(col("doc_id") > col("pdoc"), col("doc_id")).otherwise(col("pdoc")).as("doc_id"),
+        when(col("doc_id") > col("pdoc"), col("sp")).otherwise(col("psp")).as("cs"),
+        (when(col("doc_id") > col("pdoc"), col("sp")).otherwise(col("psp"))
+          + col("lcp") - 1L).as("ce"))
+      .distinct()
+    val wOrd = Window.partitionBy("doc_id").orderBy(col("cs"), col("ce"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    marks
+      .withColumn("runmax", max(col("ce")).over(wRun))
+      .withColumn("fresh",
+        when(col("runmax").isNull || col("cs") > col("runmax") + 1L, 1L).otherwise(0L))
+      .withColumn("island", sum(col("fresh")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min(col("cs")).as("cut_start"), max(col("ce")).as("cut_end"))
+      .withColumn("cut_len", col("cut_end") - col("cut_start") + 1L)
+      .select("doc_id", "cut_start", "cut_end", "cut_len")
+      .orderBy("doc_id", "cut_start")
+  }
+
+  def substringCut(spark: SparkSession, dir: String): DataFrame =
+    substringCutOn(documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism))
 
   /** ENTITY RESOLUTION (dd_entity) — the classic record-linkage plan
@@ -1031,6 +1111,7 @@ object Dedup {
     "dd_containment" -> (containment _),
     "dd_profile" -> (dupProfile _),
     "dd_substring" -> (substringDedup _),
+    "dd_substring_cut" -> (substringCut _),
     "dd_entity" -> (entity _),
     "dd_lsh_tune" -> (lshTune _),
     "dd_contamination" -> (contamination _),
@@ -1102,36 +1183,33 @@ object Dedup {
         |WHERE levenshtein(a.mention, b.mention) <= 6
         |ORDER BY dist, doc_a, doc_b LIMIT 50""".stripMargin,
     "dd_substring" ->
-      """WITH t AS (
-        |  SELECT doc_id, substr(lower(text), 1, 64) AS t64 FROM documents
-        |  WHERE len(text) >= 16),
-        |s0 AS (SELECT doc_id, UNNEST(range(1, len(t64) - 14)) AS sp, t64 FROM t),
-        |s AS (SELECT doc_id, sp, substr(t64, CAST(sp AS INT)) AS suf FROM s0),
-        |p AS (SELECT doc_id, sp, suf, substr(suf, 1, 16) AS p16 FROM s),
-        |a AS (SELECT doc_id, suf,
-        |  LAG(suf) OVER (PARTITION BY p16 ORDER BY suf, doc_id, sp) AS psuf,
-        |  LAG(doc_id) OVER (PARTITION BY p16 ORDER BY suf, doc_id, sp) AS pdoc
-        |  FROM p),
-        |f AS (SELECT doc_id, suf, psuf, pdoc FROM a
-        |  WHERE psuf IS NOT NULL AND pdoc <> doc_id),
-        |l32 AS (SELECT doc_id, suf, psuf, pdoc,
-        |  (CASE WHEN substr(suf, 1, 32) = substr(psuf, 1, 32) THEN 32 ELSE 0 END) AS o FROM f),
-        |l16 AS (SELECT doc_id, suf, psuf, pdoc,
-        |  o + (CASE WHEN substr(suf, CAST(o + 1 AS INT), 16) = substr(psuf, CAST(o + 1 AS INT), 16) THEN 16 ELSE 0 END) AS o FROM l32),
-        |l8 AS (SELECT doc_id, suf, psuf, pdoc,
-        |  o + (CASE WHEN substr(suf, CAST(o + 1 AS INT), 8) = substr(psuf, CAST(o + 1 AS INT), 8) THEN 8 ELSE 0 END) AS o FROM l16),
-        |l4 AS (SELECT doc_id, suf, psuf, pdoc,
-        |  o + (CASE WHEN substr(suf, CAST(o + 1 AS INT), 4) = substr(psuf, CAST(o + 1 AS INT), 4) THEN 4 ELSE 0 END) AS o FROM l8),
-        |l2 AS (SELECT doc_id, suf, psuf, pdoc,
-        |  o + (CASE WHEN substr(suf, CAST(o + 1 AS INT), 2) = substr(psuf, CAST(o + 1 AS INT), 2) THEN 2 ELSE 0 END) AS o FROM l4),
-        |l1 AS (SELECT doc_id, suf, psuf, pdoc,
-        |  o + (CASE WHEN substr(suf, CAST(o + 1 AS INT), 1) = substr(psuf, CAST(o + 1 AS INT), 1) THEN 1 ELSE 0 END) AS o FROM l2),
-        |lcpd AS (SELECT doc_id, suf, pdoc,
-        |  CAST(LEAST(o, len(suf), len(psuf)) AS BIGINT) AS lcp FROM l1)
-        |SELECT DISTINCT lcp, substr(suf, 1, CAST(lcp AS INT)) AS sub,
-        |  LEAST(doc_id, pdoc) AS doc_a, GREATEST(doc_id, pdoc) AS doc_b
-        |FROM lcpd WHERE lcp >= 16
-        |ORDER BY lcp DESC, sub, doc_a, doc_b LIMIT 25""".stripMargin,
+      s"""WITH $substringWitnessSql
+         |SELECT DISTINCT lcp, substr(suf, 1, CAST(lcp AS INT)) AS sub,
+         |  LEAST(doc_id, pdoc) AS doc_a, GREATEST(doc_id, pdoc) AS doc_b
+         |FROM wit
+         |ORDER BY lcp DESC, sub, doc_a, doc_b LIMIT 25""".stripMargin,
+    "dd_substring_cut" ->
+      s"""WITH $substringWitnessSql,
+         |marks AS (
+         |  SELECT DISTINCT
+         |    CASE WHEN doc_id > pdoc THEN doc_id ELSE pdoc END AS doc_id,
+         |    CASE WHEN doc_id > pdoc THEN sp ELSE psp END AS cs,
+         |    (CASE WHEN doc_id > pdoc THEN sp ELSE psp END) + lcp - 1 AS ce
+         |  FROM wit
+         |),
+         |run AS (SELECT doc_id, cs, ce,
+         |  MAX(ce) OVER (PARTITION BY doc_id ORDER BY cs, ce
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+         |  FROM marks),
+         |isl AS (SELECT doc_id, cs, ce,
+         |  SUM(CASE WHEN runmax IS NULL OR cs > runmax + 1 THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY cs, ce
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM run)
+         |SELECT doc_id, MIN(cs) AS cut_start, MAX(ce) AS cut_end,
+         |  MAX(ce) - MIN(cs) + 1 AS cut_len
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, cut_start""".stripMargin,
     "dd_lsh_tune" ->
       s"""WITH sh AS ($shinglesSql),
          |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),

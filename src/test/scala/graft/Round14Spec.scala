@@ -31,6 +31,20 @@ class Round14Spec extends SparkSpecBase {
     assert(!got.exists(t => t._3 == 3L || t._4 == 3L))
   }
 
+  test("dd_substring_cut: merges witness marks into keep-first removal ranges") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared quadrant alpha yellow aa"),
+      (2L, "shared quadrant alpha yeti bb"), //   24-char shared prefix
+      (4L, "identical thirty char texts aa"),
+      (5L, "identical thirty char texts aa")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.substringCutOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // keep-first: only the HIGHER doc of each pair is cut; per-suffix
+    // marks [k, 24] / [k, 30] merge into one maximal range each
+    assert(got == Seq((2L, 1L, 24L, 24L), (5L, 1L, 30L, 30L)), s"got $got")
+  }
+
   test("dd_entity: pairs only within a block, Levenshtein integer-exact") {
     import spark.implicits._
     val docs = Seq(
