@@ -934,8 +934,8 @@ object Dedup {
     * LCP(i, j)), so adjacent-lag comparison finds every duplicated
     * substring without ever generating the quadratic pair set.
     *
-    * The LCP of adjacent suffixes is computed by a 6-step doubling probe
-    * (32/16/8/4/2/1) — flat chained CASE arithmetic, whole-stage codegen,
+    * The LCP of adjacent suffixes is computed by a 7-step doubling probe
+    * (64/32/16/8/4/2/1) — flat chained CASE arithmetic, whole-stage codegen,
     * never a per-char HOF loop (SURVEY §6: interpreted HOFs on the hot
     * path are 25x slower). Equal-when-truncated steps can overshoot only
     * when both remainders are exhausted and identical, so the final clamp
@@ -963,8 +963,10 @@ object Dedup {
       |  FROM p),
       |f AS (SELECT doc_id, sp, suf, psuf, pdoc, psp FROM a
       |  WHERE psuf IS NOT NULL AND pdoc <> doc_id),
+      |l64 AS (SELECT doc_id, sp, suf, psuf, pdoc, psp,
+      |  (CASE WHEN substr(suf, 1, 64) = substr(psuf, 1, 64) THEN 64 ELSE 0 END) AS o FROM f),
       |l32 AS (SELECT doc_id, sp, suf, psuf, pdoc, psp,
-      |  (CASE WHEN substr(suf, 1, 32) = substr(psuf, 1, 32) THEN 32 ELSE 0 END) AS o FROM f),
+      |  o + (CASE WHEN substr(suf, CAST(o + 1 AS INT), 32) = substr(psuf, CAST(o + 1 AS INT), 32) THEN 32 ELSE 0 END) AS o FROM l64),
       |l16 AS (SELECT doc_id, sp, suf, psuf, pdoc, psp,
       |  o + (CASE WHEN substr(suf, CAST(o + 1 AS INT), 16) = substr(psuf, CAST(o + 1 AS INT), 16) THEN 16 ELSE 0 END) AS o FROM l32),
       |l8 AS (SELECT doc_id, sp, suf, psuf, pdoc, psp,
@@ -998,7 +1000,7 @@ object Dedup {
       .withColumn("pdoc", lag(col("doc_id"), 1).over(w))
       .withColumn("psp", lag(col("sp"), 1).over(w))
       .filter(col("psuf").isNotNull && col("pdoc") =!= col("doc_id"))
-    Seq(32, 16, 8, 4, 2, 1).foldLeft(adj.withColumn("o", lit(0L))) {
+    Seq(64, 32, 16, 8, 4, 2, 1).foldLeft(adj.withColumn("o", lit(0L))) {
       (d, k) =>
         d.withColumn("o", expr(
           s"o + (case when substring(suf, cast(o + 1 as int), $k) = " +

@@ -407,20 +407,27 @@ object Events {
       .select(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
         col("event_type")))
 
-  /** Same operator over any (hour_epoch, event_type) frame — Round14Spec
-    * plants a level shift and checks the located hour. */
-  def changepointOn(hours: DataFrame): DataFrame = {
+  /** Dense per-type hourly count spine shared by changepointOn /
+    * anomalyMadOn — missing hours materialize as zero counts (gapFill
+    * keeps its own variant: it additionally carries sum_value/LOCF). */
+  private def denseHourlyCountsOn(hours: DataFrame): DataFrame = {
     val counts = hours
       .groupBy("hour_epoch", "event_type")
       .agg(count(lit(1)).as("n"))
     val bounds = counts.agg(min("hour_epoch").as("mn"), max("hour_epoch").as("mx"))
     val types = counts.select("event_type").distinct()
-    val spine = bounds
+    bounds
       .select(explode(expr("sequence(mn, mx, 3600L)")).as("hour_epoch"))
       .crossJoin(broadcast(types))
-    val dense = spine.join(counts, Seq("hour_epoch", "event_type"), "left_outer")
+      .join(counts, Seq("hour_epoch", "event_type"), "left_outer")
       .select(col("event_type"), col("hour_epoch"),
         coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Same operator over any (hour_epoch, event_type) frame — Round14Spec
+    * plants a level shift and checks the located hour. */
+  def changepointOn(hours: DataFrame): DataFrame = {
+    val dense = denseHourlyCountsOn(hours)
     val wCum = Window.partitionBy("event_type").orderBy("hour_epoch")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wType = Window.partitionBy("event_type")
@@ -466,16 +473,7 @@ object Events {
     * plants a spike over a flat series (the MAD=0 edge) and pins the
     * flagged hour. */
   def anomalyMadOn(hours: DataFrame): DataFrame = {
-    val counts = hours
-      .groupBy("hour_epoch", "event_type")
-      .agg(count(lit(1)).as("n"))
-    val bounds = counts.agg(min("hour_epoch").as("mn"), max("hour_epoch").as("mx"))
-    val types = counts.select("event_type").distinct()
-    val dense = bounds
-      .select(explode(expr("sequence(mn, mx, 3600L)")).as("hour_epoch"))
-      .crossJoin(broadcast(types))
-      .join(counts, Seq("hour_epoch", "event_type"), "left_outer")
-      .select(col("event_type"), col("hour_epoch"), coalesce(col("n"), lit(0L)).as("n"))
+    val dense = denseHourlyCountsOn(hours)
       .localCheckpoint() // histogram + dev + flagged output
     def lowerMedian(df: DataFrame, valCol: String, out: String): DataFrame = {
       val hist = df.groupBy(col("event_type"), col(valCol).as("v"))
@@ -523,9 +521,12 @@ object Events {
       ud.select(col("user_id"),
           explode(expr(s"sequence(day, least(day + ${span - 1}, ${d1}L))")).as("d"))
         .groupBy("d").agg(countDistinct(col("user_id")).as(name))
+    // DAU needs no contribution fan-out: the user-day frame aggregates
+    // per day directly (exactly the oracle's dau CTE)
+    val dau1 = ud.groupBy(col("day").as("d")).agg(countDistinct(col("user_id")).as("dau"))
     val spine = spark.range(d0, d1 + 1).select(col("id").as("d"))
     spine
-      .join(rolling(1, "dau"), Seq("d"), "left_outer")
+      .join(dau1, Seq("d"), "left_outer")
       .join(rolling(7, "wau"), Seq("d"), "left_outer")
       .join(rolling(30, "mau"), Seq("d"), "left_outer")
       .select(col("d").as("day"),
@@ -605,7 +606,6 @@ object Events {
       .withColumn("n", count(lit(1)).over(wType))
       .withColumn("bsize", expr(s"(n + ${target - 1}) div $target"))
       .withColumn("bucket", expr("rn div bsize"))
-      .withColumn("nb", expr("(n + bsize - 1) div bsize"))
       .localCheckpoint() // consumers: bucket aggregates + point-side join
     val agg = idx.groupBy("event_type", "bucket")
       .agg(sum(col("xs")).as("sx"), sum(col("vm")).as("sv"), count(lit(1)).as("cnt"))

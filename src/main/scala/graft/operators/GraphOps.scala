@@ -280,25 +280,42 @@ object GraphOps {
     * Scale: identical plan shape to gr_pagerank (degree join + message
     * groupBy per step on the shared checkpointed symmetric edge list);
     * the seed table is 5 rows, the restart join a broadcast. */
-  def ppr(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  /** The shared PPR machinery: checkpointed symmetric edges, degrees, the
+    * 5 lowest-id seeds, and one damped restart step — gr_ppr and
+    * gr_ppr_converge run the SAME arithmetic by construction. */
+  private def pprGraph(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
     val ed = coActivityEdges(spark, dir)
     val sym = ed.select((col("a") + lit(0L)).as("src"), (col("b") + lit(0L)).as("dst"))
       .unionByName(ed.select((col("b") + lit(0L)).as("src"), (col("a") + lit(0L)).as("dst")))
-      .localCheckpoint() // reused: degree + both iteration joins
+      .localCheckpoint() // reused: degree + every iteration join
     val deg = sym.groupBy("src").agg(count(lit(1)).as("d"))
     val seeds = deg.select(col("src").as("u")).orderBy("u").limit(5)
-      .localCheckpoint() // consumers: r0 + both restart joins
+      .localCheckpoint() // consumers: r0 + every restart join
+    (sym, deg, seeds)
+  }
+
+  /** One damped PPR power-iteration step (1e12 scaled-integer arithmetic,
+    * restart mass to the seeds). `checkpoint` when the result frame has
+    * multiple consumers (the L1 gauge reads each rank frame twice). */
+  private def pprStep(sym: DataFrame, deg: DataFrame, seeds: DataFrame)(
+      r: DataFrame, checkpoint: Boolean = false): DataFrame = {
+    val next = sym.join(r.withColumnRenamed("u", "src"), Seq("src"))
+      .join(deg, Seq("src"))
+      .select(col("dst").as("u"), expr("r div d").as("c"))
+      .groupBy("u").agg(sum(col("c")).as("msum"))
+      .join(seeds.withColumn("s", lit(1L)), Seq("u"), "full_outer")
+      .select(col("u"),
+        (coalesce(expr("(msum * 85) div 100"), lit(0L))
+          + when(col("s").isNotNull, lit(150000000000L)).otherwise(lit(0L))).as("r"))
+    if (checkpoint) next.localCheckpoint() else next
+  }
+
+  def ppr(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val (sym, deg, seeds) = pprGraph(spark, dir)
+    val step = pprStep(sym, deg, seeds) _
     val r0 = seeds.withColumn("r", lit(1000000000000L))
-    def step(r: DataFrame): DataFrame =
-      sym.join(r.withColumnRenamed("u", "src"), Seq("src"))
-        .join(deg, Seq("src"))
-        .select(col("dst").as("u"), expr("r div d").as("c"))
-        .groupBy("u").agg(sum(col("c")).as("msum"))
-        .join(seeds.withColumn("s", lit(1L)), Seq("u"), "full_outer")
-        .select(col("u"),
-          (coalesce(expr("(msum * 85) div 100"), lit(0L))
-            + when(col("s").isNotNull, lit(150000000000L)).otherwise(lit(0L))).as("r"))
-    step(step(r0))
+    step(step(r0, false), false)
       .orderBy(col("r").desc, col("u").asc).limit(15)
       .select(col("u").as("user_id"), col("r").as("ppr_x1e12"))
       .orderBy(col("ppr_x1e12").desc, col("user_id"))
@@ -315,27 +332,13 @@ object GraphOps {
     * Scale: same per-step plan as gr_ppr; the L1 rollups are one-row
     * aggregates per transition unioned into a single job. */
   def pprConverge(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val ed = coActivityEdges(spark, dir)
-    val sym = ed.select((col("a") + lit(0L)).as("src"), (col("b") + lit(0L)).as("dst"))
-      .unionByName(ed.select((col("b") + lit(0L)).as("src"), (col("a") + lit(0L)).as("dst")))
-      .localCheckpoint() // degree + three iteration joins
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("d"))
-    val seeds = deg.select(col("src").as("u")).orderBy("u").limit(5)
-      .localCheckpoint() // r0 + three restart joins
+    val (sym, deg, seeds) = pprGraph(spark, dir)
+    val step = pprStep(sym, deg, seeds) _
     val r0 = seeds.withColumn("r", lit(1000000000000L))
-    def step(r: DataFrame): DataFrame =
-      sym.join(r.withColumnRenamed("u", "src"), Seq("src"))
-        .join(deg, Seq("src"))
-        .select(col("dst").as("u"), expr("r div d").as("c"))
-        .groupBy("u").agg(sum(col("c")).as("msum"))
-        .join(seeds.withColumn("s", lit(1L)), Seq("u"), "full_outer")
-        .select(col("u"),
-          (coalesce(expr("(msum * 85) div 100"), lit(0L))
-            + when(col("s").isNotNull, lit(150000000000L)).otherwise(lit(0L))).as("r"))
-        .localCheckpoint() // consumed by the next step AND two L1 deltas
-    val r1 = step(r0.localCheckpoint())
-    val r2 = step(r1)
-    val r3 = step(r2)
+    // each rank frame is consumed by the next step AND two L1 deltas
+    val r1 = step(r0.localCheckpoint(), true)
+    val r2 = step(r1, true)
+    val r3 = step(r2, true)
     def l1(iter: Long, a: DataFrame, b: DataFrame): DataFrame =
       a.select(col("u"), col("r").as("ra"))
         .join(b.select(col("u"), col("r").as("rb")), Seq("u"), "full_outer")

@@ -588,7 +588,9 @@ object ManifestIO {
   def partitionEvolutionQuery(spark: SparkSession, dir: String): DataFrame = {
     val root = s"/tmp/graft_io/pevo_${Integer.toHexString(dir.hashCode)}"
     val (g1, g2) = (s"$root/gen1", s"$root/gen2")
-    if (!new java.io.File(g1).exists()) {
+    // probe the LAST-written dir: an interrupted first run that landed g1
+    // but not g2 must rebuild, not skip into a missing-path read
+    if (!new java.io.File(g2).exists()) {
       val o = Tables.orders(spark, dir)
       writePartitioned(o.filter(col("o_orderkey") % 2 === 0), g1,
         "o_orderstatus", "o_orderkey")

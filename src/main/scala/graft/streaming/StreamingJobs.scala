@@ -434,7 +434,9 @@ object StreamingJobs {
       .flatMapGroupsWithState[Scd2State, Scd2Closed](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case ((uid, et), rows, state) =>
-          val sorted = rows.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // whole-second key: the batch operator versions by (ts_sec,
+          // event_id) — millisecond ordering would flip same-second pairs
+          val sorted = rows.toIndexedSeq.sortBy(e => (e.ts.getTime / 1000L, e.event_id))
           var open = state.getOption
           val out = Vector.newBuilder[Scd2Closed]
           for (e <- sorted) {

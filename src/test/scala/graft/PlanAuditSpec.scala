@@ -18,9 +18,10 @@ class PlanAuditSpec extends SparkSpecBase {
   // cross-joins four ONE-ROW aggregates for its final stat row
   // ann_pq's first pass scans reconstructions against the bounded
   // broadcast query set — same sanctioned shape as ann_sq's code scan
-  // ev_changepoint builds the same dense hour spine as ev_gap_fill: a
-  // 1-row bounds frame exploded to hours, cross-joined with the tiny
-  // broadcast distinct-type set — O(|types| x hours), never data-sized
+  // ev_changepoint and ev_anomaly_mad build the same dense hour spine as
+  // ev_gap_fill: a 1-row bounds frame exploded to hours, cross-joined
+  // with the tiny broadcast distinct-type set — O(|types| x hours),
+  // never data-sized
   // mm_align runs the sanctioned bounded-broadcast exact pass (40 text
   // queries against the image side) — the ann_bruteforce shape
   private val allowNestedLoop = Set("ann_bruteforce", "ann_recall", "ann_sq", "ev_gap_fill",
