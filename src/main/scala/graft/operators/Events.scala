@@ -1210,7 +1210,96 @@ object Events {
        |ORDER BY user_id, sample_rank""".stripMargin
   }
 
+  /** SURVIVAL / LIFE TABLE (ev_survival) — the Kaplan-Meier input table
+    * over SESSION DURATIONS with honest right-censoring: a session whose
+    * last event is within 1800s of the corpus observation end may still
+    * be open (its closing gap has not provably elapsed), so it is
+    * CENSORED at its observed length; every other session "dies" at its
+    * length. Per duration t (whole minutes): n_risk(t) = sessions with
+    * observed duration >= t, d_end(t) = sessions ending at exactly t,
+    * c_cens(t) = sessions censored at t, cum_end = running deaths. All
+    * integer-exact — the KM product S(t) = prod(1 - d/n) is a chain of
+    * data-dependent rationals (not cross-engine exact), so the checked
+    * output is the risk table the estimate is computed FROM; Round15Spec
+    * pins the S(t) monotonicity + the censoring rule on a planted frame.
+    *
+    * Scale: one (user_id) shuffle builds sessions, one map-side-
+    * combinable groupBy collapses to O(distinct durations) rows (~70 at
+    * any SF — durations are gap-bounded), and the two cumulative windows
+    * run on that tiny frame (single-partition by design, never on raw
+    * rows). */
+  def survival(spark: SparkSession, dir: String): DataFrame =
+    survivalOn(sessionFrame(spark, dir))
+
+  /** Same operator over any (start_sec, end_sec) session frame. */
+  def survivalOn(sess: DataFrame): DataFrame = {
+    val s = sess.select(col("start_sec"), col("end_sec"))
+      .localCheckpoint() // consumers: obs-end agg + duration table
+    val obsEnd = s.agg(max(col("end_sec"))).collect()(0).getLong(0)
+    val durs = s.select(
+      expr("(end_sec - start_sec) div 60").as("t_min"),
+      when(col("end_sec") > lit(obsEnd - 1800L), lit(1L)).otherwise(lit(0L)).as("cens"))
+    val tab = durs.groupBy("t_min")
+      .agg(sum(lit(1L) - col("cens")).as("d_end"), sum(col("cens")).as("c_cens"))
+    // tiny frame (O(distinct minutes)): a global-order window is safe here
+    val wPrev = Window.orderBy("t_min").rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy("t_min")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCum = Window.orderBy("t_min").rowsBetween(Window.unboundedPreceding, 0)
+    tab
+      .withColumn("n_risk",
+        sum(col("d_end") + col("c_cens")).over(wAll)
+          - coalesce(sum(col("d_end") + col("c_cens")).over(wPrev), lit(0L)))
+      .withColumn("cum_end", sum(col("d_end")).over(wCum))
+      .select("t_min", "n_risk", "d_end", "c_cens", "cum_end")
+      .orderBy("t_min")
+  }
+
+  /** INTERVAL-OVERLAP JOIN (ev_overlap_join) — the missing join primitive
+    * between q17's range join (point-in-interval) and the stream-stream
+    * interval join spec: which CROSS-USER session pairs were open at the
+    * same time, per day. Never an inequality-only join: both sides
+    * explode to the hour cells they span (sessions are gap-bounded, so
+    * the fan-out is small and bounded by ceil(len/3600)+1), the join is
+    * an EQUI-join on the cell, the exact overlap predicate filters inside
+    * it, and each qualifying pair is counted ONCE by the responsibility
+    * rule — only the cell containing max(start_a, start_b) reports the
+    * pair (the standard grid-join dedup, same rule as the zonal cell
+    * joins). Overlap pairs are symmetric, kept once as user_a < user_b.
+    *
+    * Scale: the cell equi-join shuffles on O(#hours) keys with AQE skew
+    * split for hot hours; the oracle's direct theta-join (DuckDB IEJoin)
+    * is the small-data luxury the Spark plan deliberately avoids. Sum of
+    * overlap seconds stays BIGINT (peak pairs x max gap-bounded length
+    * ~ 1e10 at sf10 — re-check DECIMAL past sf100). */
+  def overlapJoin(spark: SparkSession, dir: String): DataFrame =
+    overlapJoinOn(sessionFrame(spark, dir))
+
+  /** Same operator over any (user_id, start_sec, end_sec) session frame —
+    * Round15Spec plants touching / nested / disjoint / cross-cell pairs. */
+  def overlapJoinOn(sess: DataFrame): DataFrame = {
+    val cells = sess
+      .select(col("user_id"), col("start_sec"), col("end_sec"),
+        explode(expr("sequence(start_sec div 3600, end_sec div 3600)")).as("cell"))
+      .localCheckpoint() // both sides of the pair join
+    val a = cells.select(col("cell"), col("user_id").as("ua"),
+      col("start_sec").as("sa"), col("end_sec").as("ea"))
+    val b = cells.select(col("cell"), col("user_id").as("ub"),
+      col("start_sec").as("sb"), col("end_sec").as("eb"))
+    a.join(b, Seq("cell"))
+      .filter(col("ua") < col("ub")
+        && col("sa") <= col("eb") && col("sb") <= col("ea")
+        && expr("greatest(sa, sb) div 3600") === col("cell"))
+      .select(expr("greatest(sa, sb) div 86400").as("day"),
+        (least(col("ea"), col("eb")) - greatest(col("sa"), col("sb"))).as("ov"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("ov")).as("sum_overlap_sec"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_survival" -> (survival _),
+    "ev_overlap_join" -> (overlapJoin _),
     "ev_reservoir" -> (reservoir _),
     "ev_bot_detect" -> (botDetect _),
     "ev_ltv" -> (ltv _),
@@ -1245,7 +1334,58 @@ object Events {
     "ev_json" -> (jsonExtract _),
     "ev_funnel" -> (funnel _))
 
+  /** The gap-sessionization preamble shared by the session-derived
+    * oracles (mirror of sessionFrame; same text as ev_sessionize's). */
+  private val sessCte: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+      |  FROM events
+      |), f AS (
+      |  SELECT *, LAG(ts_sec, 1) OVER win AS prev_sec
+      |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)
+      |), g AS (
+      |  SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec >= 1800 THEN 1 ELSE 0 END AS new_session
+      |  FROM f
+      |), h AS (
+      |  SELECT *, CAST(SUM(new_session) OVER win AS BIGINT) AS session_idx
+      |  FROM g WINDOW win AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)
+      |), s AS (
+      |  SELECT user_id, session_idx, MIN(ts_sec) AS st, MAX(ts_sec) AS en
+      |  FROM h GROUP BY user_id, session_idx
+      |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "ev_survival" ->
+      s"""$sessCte,
+         |b AS (SELECT MAX(en) AS obs FROM s),
+         |d AS (
+         |  SELECT (en - st) // 60 AS t_min,
+         |    CASE WHEN en > (SELECT obs FROM b) - 1800 THEN 1 ELSE 0 END AS cens
+         |  FROM s
+         |), t AS (
+         |  SELECT t_min, CAST(SUM(1 - cens) AS BIGINT) AS d_end,
+         |    CAST(SUM(cens) AS BIGINT) AS c_cens
+         |  FROM d GROUP BY t_min
+         |)
+         |SELECT t_min,
+         |  CAST(SUM(d_end + c_cens) OVER ()
+         |    - COALESCE(SUM(d_end + c_cens) OVER (ORDER BY t_min
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk,
+         |  d_end, c_cens,
+         |  CAST(SUM(d_end) OVER (ORDER BY t_min
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+         |FROM t ORDER BY t_min""".stripMargin,
+    "ev_overlap_join" ->
+      s"""$sessCte,
+         |p AS (
+         |  SELECT greatest(a.st, b.st) // 86400 AS day,
+         |    least(a.en, b.en) - greatest(a.st, b.st) AS ov
+         |  FROM s a JOIN s b
+         |    ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
+         |)
+         |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(ov) AS BIGINT) AS sum_overlap_sec
+         |FROM p GROUP BY day ORDER BY day""".stripMargin,
     "ev_reservoir" -> reservoirSql,
     "ev_bot_detect" ->
       s"""WITH ev AS (

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 session-4 specs: the survival life table's censoring rule +
+  * KM monotonicity, and the interval-overlap join's edge semantics
+  * (touching, nested, cross-cell dedup). */
+class Round16Spec extends SparkSpecBase {
+
+  test("ev_survival: censoring rule, risk-set arithmetic, KM monotone") {
+    import spark.implicits._
+    // durations (min): 0,1,1,2 ended long before obs end (deaths); one
+    // session ends AT the observation end (not provably closed) -> censored
+    val sess = Seq(
+      (0L, 0L), (100L, 160L), (1000L, 1075L), (5000L, 5130L), (20000L, 20180L))
+      .toDF("start_sec", "end_sec")
+    val got = graft.operators.Events.survivalOn(sess)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (0L, 5L, 1L, 0L, 1L),
+      (1L, 4L, 2L, 0L, 3L),
+      (2L, 2L, 1L, 0L, 4L),
+      (3L, 1L, 0L, 1L, 4L)))
+    // Kaplan-Meier S(t) = prod(1 - d/n) over the table must be monotone
+    // non-increasing and stay in (0, 1]
+    val km = got.scanLeft(1.0) { case (s, (_, n, d, _, _)) => s * (1.0 - d.toDouble / n) }.tail
+    assert(km.zip(km.tail).forall { case (a, b) => b <= a + 1e-12 })
+    assert(km.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("ev_overlap_join: touching/nested/disjoint pairs, cross-cell dedup") {
+    import spark.implicits._
+    val sess = Seq(
+      (1L, 100L, 500L),   // A
+      (2L, 400L, 900L),   // B: overlaps A by 100s
+      (3L, 901L, 1000L),  // C: disjoint from A and B (gap of 1s after B)
+      (1L, 3000L, 8000L), // D: spans hour cells 0,1,2
+      (2L, 3500L, 7400L), // E: spans the same three cells as D (dedup test)
+      (3L, 7400L, 7500L)) // F: touches E exactly at one second (ov = 0)
+      .toDF("user_id", "start_sec", "end_sec")
+    val got = graft.operators.Events.overlapJoinOn(sess).collect()
+    // pairs: (A,B,100) (D,E,3900 — counted ONCE despite 3 shared cells)
+    //        (E,F,0 — touching) (D,F,100); C joins nothing
+    assert(got.length === 1)
+    assert((got(0).getLong(0), got(0).getLong(1), got(0).getLong(2)) === (0L, 4L, 4100L))
+  }
+}
