@@ -518,7 +518,34 @@ object Relational {
       .agg(dsum(col("v")).as("total"), count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag", "measure")
 
+  /** LATERAL JOIN (q31_lateral) — the correlated table subquery through
+    * the SQL surface: each customer joins the top-2 of ITS OWN orders
+    * (ORDER BY price DESC LIMIT 2 inside the lateral body). Catalyst's
+    * DecorrelateInnerQuery rewrites the per-row LIMIT into a partitioned
+    * rank filter over ONE join — never a per-customer subquery execution
+    * — so the plan is the q26 top-k-per-key shape arrived at from SQL.
+    * Price compares as exact cents with the orderkey tiebreak (the
+    * repo-wide unique-sort-key window rule, which the lateral ORDER BY
+    * inherits). Customers with no orders drop (inner lateral).
+    *
+    * Scale: one shuffle on the correlation key; the rank filter holds
+    * bounded per-key state. The oracle runs DuckDB's native LATERAL. */
+  def q31Lateral(spark: SparkSession, dir: String): DataFrame = {
+    customer(spark, dir).createOrReplaceTempView("customer_lat")
+    orders(spark, dir).createOrReplaceTempView("orders_lat")
+    spark.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.price_cents
+        |FROM customer_lat c, LATERAL (
+        |  SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders_lat o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY price_cents DESC, o_orderkey ASC LIMIT 2) t
+        |ORDER BY c.c_custkey, t.price_cents DESC, t.o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_lateral" -> (q31Lateral _),
     "q30_unpivot" -> (q30Unpivot _),
     "q28_rfm" -> (q28Rfm _),
     "q27_range_window" -> (q27RangeWindow _),
@@ -548,6 +575,15 @@ object Relational {
     "q12_union_dedup" -> (q12UnionDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q31_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.price_cents
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY price_cents DESC, o_orderkey ASC LIMIT 2) t
+        |ORDER BY c.c_custkey, t.price_cents DESC, t.o_orderkey""".stripMargin,
     "q30_unpivot" ->
       """SELECT l_returnflag, name AS measure,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,

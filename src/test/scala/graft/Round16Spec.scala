@@ -28,6 +28,24 @@ class Round16Spec extends SparkSpecBase {
     assert(km.forall(s => s >= 0.0 && s <= 1.0))
   }
 
+  test("q31_lateral: decorrelates to WindowGroupLimit, never a per-row loop") {
+    val df = graft.operators.Relational.q31Lateral(spark, sfDir)
+    val p = plan(df)
+    // the correlated ORDER BY ... LIMIT must become a group-limit window
+    // (bounded per-key state, partial before the exchange), not a nested
+    // loop over customers
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    // top-2 per customer, price-cents descending with orderkey tiebreak
+    val rows = df.collect()
+    val byCust = rows.groupBy(_.getLong(0))
+    assert(byCust.values.forall(_.length <= 2))
+    assert(byCust.values.forall { g =>
+      val pcs = g.map(r => (-r.getLong(2), r.getLong(1))).toSeq
+      pcs == pcs.sorted
+    })
+  }
+
   test("ev_overlap_join: touching/nested/disjoint pairs, cross-cell dedup") {
     import spark.implicits._
     val sess = Seq(
