@@ -1607,7 +1607,49 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** READABILITY GRADING (ta_readability) — the Flesch reading-ease gate
+    * (words/sentence + syllables/word) every curation stack runs next to
+    * the length/stopword gates (ta_quality), kept cross-engine exact by
+    * never materializing the score as a float: F = 206.835 −
+    * 1.015·(w/se) − 84.6·(sy/w) multiplied through by the positive
+    * denominator w·se gives num = 206835·w·se − 1015·w² − 84600·sy·se,
+    * and every bucket cut compares num against cut·den in BIGINT (num
+    * can be NEGATIVE for dense text, so no integer division anywhere —
+    * Spark div truncates, DuckDB // floors, they diverge below zero).
+    * Counts are regex-run counts (identical Java/RE2 semantics on these
+    * ASCII classes): words = \S+ runs, sentences = max(1, [.!?]+ runs),
+    * syllables ≈ [aeiouy]+ runs (the standard vowel-group
+    * approximation). The driver corpus has no punctuation (se = 1
+    * everywhere); Round16Spec plants punctuated docs to exercise the
+    * sentence term — the *On rule.
+    *
+    * Scale: per-row regex counting then one map-side-combinable
+    * (lang, bucket) aggregate; BIGINT holds to ~1e6-word docs at 1e5
+    * sentences (num ~ 2e16) — DECIMAL(38,0) beyond that. */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    readabilityOn(documents(spark, dir))
+
+  /** Same operator over any (lang, text) frame. */
+  def readabilityOn(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long").as("w"),
+        greatest(lit(1L),
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long")).as("se"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))).cast("long").as("sy"))
+      .filter(col("w") > 0)
+      .withColumn("num", expr("206835*w*se - 1015*w*w - 84600*sy*se"))
+      .withColumn("den", expr("w*se"))
+      .withColumn("bucket",
+        when(col("num") >= expr("60000*den"), lit("easy"))
+          .when(col("num") >= expr("30000*den"), lit("medium"))
+          .otherwise(lit("hard")))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sum_words"),
+        sum(col("se")).as("sum_sentences"), sum(col("sy")).as("sum_syllables"))
+      .orderBy("lang", "bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_readability" -> (readability _),
     "ta_lid_eval" -> (lidEval _),
     "ta_nb_train" -> (nbTrain _),
     "ta_fertility" -> (fertility _),
@@ -1892,6 +1934,25 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "ta_readability" ->
+      """WITH m AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS w,
+        |    GREATEST(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS se,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS sy
+        |  FROM documents
+        |), s AS (
+        |  SELECT lang, w, se, sy,
+        |    206835*w*se - 1015*w*w - 84600*sy*se AS num, w*se AS den
+        |  FROM m WHERE w > 0
+        |)
+        |SELECT lang,
+        |  CASE WHEN num >= 60000*den THEN 'easy'
+        |       WHEN num >= 30000*den THEN 'medium' ELSE 'hard' END AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(w) AS BIGINT) AS sum_words,
+        |  CAST(SUM(se) AS BIGINT) AS sum_sentences,
+        |  CAST(SUM(sy) AS BIGINT) AS sum_syllables
+        |FROM s GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
     "ta_lid_eval" ->
       """WITH words AS (
         |  SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS word

@@ -46,6 +46,25 @@ class Round16Spec extends SparkSpecBase {
     })
   }
 
+  test("ta_readability: sentence term, negative-score text, bucket cuts") {
+    import spark.implicits._
+    val docs = Seq(
+      // easy: short words, two sentences (F ~ 118)
+      ("en", "The cat sat. It sat on a mat!"),
+      // hard: F goes NEGATIVE — exercises the no-integer-division rule
+      ("en", "incomprehensibility extraordinarily unquestionably"),
+      // medium: 10 words, 17 vowel groups, one sentence (F ~ 53)
+      ("fr", "data table vector stream filter merge sort window column row"))
+      .toDF("lang", "text")
+    val got = graft.operators.TextAnalysis.readabilityOn(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      ("en", "easy", 1L, 8L, 2L, 8L),
+      ("en", "hard", 1L, 3L, 1L, 19L),
+      ("fr", "medium", 1L, 10L, 1L, 17L)))
+  }
+
   test("ev_overlap_join: touching/nested/disjoint pairs, cross-cell dedup") {
     import spark.implicits._
     val sess = Seq(
