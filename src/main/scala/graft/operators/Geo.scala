@@ -1584,7 +1584,81 @@ object Geo {
       .orderBy(abs(col("delta")).desc, col("fx"), col("fy"))
   }
 
+  /** Relaxation rounds for zs_cost_distance — like FlowAccumRounds, the
+    * honest bounded-rounds cap (full cost-distance iterates to the
+    * longest cheapest path; the checked operator reports the within-R-
+    * relaxations field, stated in the output as the unreached bucket). */
+  val CostDistRounds = 6
+
+  /** COST DISTANCE (zs_cost_distance) — the accumulated-cost surface of
+    * GRASS r.cost / the proximity family GDAL ships: cheapest travel
+    * cost from the 5 densest cells (the "facilities", deterministic
+    * n-desc/fx/fy pick) to every other cell, where a step costs the
+    * octile integer weight (10 cardinal / 14 diagonal — the public
+    * pathfinding approximation of sqrt2, kept integer so both engines
+    * agree bit-for-bit) plus the DESTINATION cell's point density as
+    * terrain friction. Bounded Bellman-Ford: R rounds of relax-and-min
+    * (dist := min(dist, min over in-edges of dist(u) + w)), the gr_sssp
+    * shape on the 8-neighbor grid graph. Output: cost-bucket histogram
+    * (cost div 50; unreached-within-R = bucket -1) with per-bucket min
+    * and max cost.
+    *
+    * Scale: edges are cell-table-sized (8 per occupied cell, built by
+    * explode + one equi-join, never a theta join); each round is one
+    * co-partitioned join + a map-side-combinable min; rounds
+    * localCheckpointed (the iterative-algorithm rule). The oracle's
+    * chained round-CTEs are AS MATERIALIZED — each d_{r-1} is referenced
+    * twice, the §6 DuckDB-inlining rule. */
+  def costDistance(spark: SparkSession, dir: String): DataFrame =
+    costDistanceOn(points(spark, dir)
+      .withColumn("fx", floor(col("lon")).cast("long"))
+      .withColumn("fy", floor(col("lat")).cast("long"))
+      .groupBy("fx", "fy").agg(count(lit(1)).as("n")))
+
+  /** Same operator over any (fx, fy, n) cell grid — Round16Spec pins the
+    * diagonal-vs-two-cardinals choice and the unreached cap on a hand
+    * grid. */
+  def costDistanceOn(cellsIn: DataFrame, nSources: Int = 5): DataFrame = {
+    val cells = cellsIn
+      .localCheckpoint() // consumers: edge build (2 sides), sources, final spine
+    val dxA = "array(1, 1, 0, -1, -1, -1, 0, 1)"
+    val dyA = "array(0, 1, 1, 1, 0, -1, -1, -1)"
+    val wA = "array(10, 14, 10, 14, 10, 14, 10, 14)"
+    val edges = cells
+      .withColumn("d", explode(expr("sequence(0, 7)")))
+      .withColumn("vx", expr(s"fx + element_at($dxA, CAST(d + 1 AS INT))"))
+      .withColumn("vy", expr(s"fy + element_at($dyA, CAST(d + 1 AS INT))"))
+      .withColumn("wstep", expr(s"element_at($wA, CAST(d + 1 AS INT))"))
+      .join(cells.select(col("fx").as("vx"), col("fy").as("vy"), col("n").as("nv")),
+        Seq("vx", "vy"))
+      .select(col("fx").as("ux"), col("fy").as("uy"), col("vx"), col("vy"),
+        (col("wstep") + col("nv")).as("wcost"))
+      .localCheckpoint() // one join per round
+    var dist = cells.orderBy(col("n").desc, col("fx"), col("fy")).limit(nSources)
+      .select(col("fx"), col("fy"), lit(0L).as("cost"))
+      .localCheckpoint()
+    for (_ <- 1 to CostDistRounds) {
+      val relaxed = edges
+        .join(dist.select(col("fx").as("ux"), col("fy").as("uy"), col("cost")),
+          Seq("ux", "uy"))
+        .select(col("vx").as("fx"), col("vy").as("fy"),
+          (col("cost") + col("wcost")).as("cost"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("fx", "fy").agg(min(col("cost")).as("cost"))
+        .localCheckpoint() // next round + final read
+    }
+    cells.join(dist, Seq("fx", "fy"), "left_outer")
+      .withColumn("bucket",
+        when(col("cost").isNull, lit(-1L)).otherwise(expr("cost div 50")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_cells"),
+        coalesce(min(col("cost")), lit(-1L)).as("min_cost"),
+        coalesce(max(col("cost")), lit(-1L)).as("max_cost"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zs_cost_distance" -> (costDistance _),
     "zs_epoch_delta" -> (epochDelta _),
     "zs_hexbin" -> (hexbin _),
     "zs_flowdir" -> (flowDir _),
@@ -1629,6 +1703,42 @@ object Geo {
          |FROM z10 GROUP BY 1, 2, 3""".stripMargin
     }.mkString("\nUNION ALL\n")
     Map(
+      "zs_cost_distance" -> {
+        val round = (r: Int) =>
+          s"""d$r AS MATERIALIZED (
+             |  SELECT fx, fy, MIN(cost) AS cost FROM (
+             |    SELECT fx, fy, cost FROM d${r - 1}
+             |    UNION ALL
+             |    SELECT e.vx AS fx, e.vy AS fy, p.cost + e.wcost AS cost
+             |    FROM edges e JOIN d${r - 1} p ON e.ux = p.fx AND e.uy = p.fy
+             |  ) GROUP BY fx, fy
+             |)""".stripMargin
+        s"""WITH pts AS ($pointsSql),
+           |cells AS MATERIALIZED (
+           |  SELECT CAST(floor(lon) AS BIGINT) AS fx, CAST(floor(lat) AS BIGINT) AS fy,
+           |    COUNT(*) AS n
+           |  FROM pts GROUP BY 1, 2
+           |),
+           |dirs(d, dx, dy, w) AS (
+           |  VALUES (0, 1, 0, 10), (1, 1, 1, 14), (2, 0, 1, 10), (3, -1, 1, 14),
+           |    (4, -1, 0, 10), (5, -1, -1, 14), (6, 0, -1, 10), (7, 1, -1, 14)
+           |),
+           |edges AS MATERIALIZED (
+           |  SELECT c.fx AS ux, c.fy AS uy, c.fx + d.dx AS vx, c.fy + d.dy AS vy,
+           |    d.w + nb.n AS wcost
+           |  FROM cells c CROSS JOIN dirs d
+           |  JOIN cells nb ON nb.fx = c.fx + d.dx AND nb.fy = c.fy + d.dy
+           |),
+           |d0 AS (SELECT fx, fy, CAST(0 AS BIGINT) AS cost
+           |  FROM cells ORDER BY n DESC, fx, fy LIMIT 5),
+           |${(1 to CostDistRounds).map(round).mkString(",\n")}
+           |SELECT CASE WHEN d.cost IS NULL THEN -1 ELSE d.cost // 50 END AS bucket,
+           |  CAST(COUNT(*) AS BIGINT) AS n_cells,
+           |  COALESCE(MIN(d.cost), -1) AS min_cost,
+           |  COALESCE(MAX(d.cost), -1) AS max_cost
+           |FROM cells c LEFT JOIN d$CostDistRounds d ON c.fx = d.fx AND c.fy = d.fy
+           |GROUP BY bucket ORDER BY bucket""".stripMargin
+      },
       "zs_epoch_delta" ->
         """WITH p AS (
           |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,

@@ -65,6 +65,22 @@ class Round16Spec extends SparkSpecBase {
       ("fr", "medium", 1L, 10L, 1L, 17L)))
   }
 
+  test("zs_cost_distance: octile route-around-friction, unreached cap") {
+    import spark.implicits._
+    // source (0,0) [densest]; (1,0) is high-friction: the cheap route to
+    // (2,0) goes diagonally around it (14+1 + 14+1 = 30 vs 10+50+10+1 = 71);
+    // (10,10) is disconnected -> unreached bucket -1
+    val grid = Seq(
+      (0L, 0L, 100L), (1L, 0L, 50L), (1L, 1L, 1L), (2L, 0L, 1L), (10L, 10L, 7L))
+      .toDF("fx", "fy", "n")
+    val got = graft.operators.Geo.costDistanceOn(grid, nSources = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (-1L, 1L, -1L, -1L),   // disconnected cell never relaxed
+      (0L, 3L, 0L, 30L),     // source 0, diagonal 15, around-friction 30
+      (1L, 1L, 60L, 60L)))   // the high-friction cell itself: direct 10+50
+  }
+
   test("ev_overlap_join: touching/nested/disjoint pairs, cross-cell dedup") {
     import spark.implicits._
     val sess = Seq(
