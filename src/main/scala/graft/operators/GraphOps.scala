@@ -884,9 +884,93 @@ object GraphOps {
     "gr_pagerank" -> (pagerank _),
     "gr_ppr" -> (ppr _),
     "gr_ppr_converge" -> (pprConverge _),
-    "gr_triangles" -> (triangleStats _))
+    "gr_triangles" -> (triangleStats _),
+    "gr_local_cc" -> (localClustering _))
+
+  /** LOCAL CLUSTERING COEFFICIENT (gr_local_cc) — gr_triangles' global
+    * gcc dropped to node granularity (Watts-Strogatz 1998): per node,
+    * lcc = 2·t(v) / (d(v)·(d(v)−1)) — how close each ego-net is to a
+    * clique, the per-node cohesion score community detection and bot
+    * heuristics both read. Triangle enumeration reuses the degree-
+    * ordered orientation (each triangle materializes ONCE, out-degrees
+    * bounded by arboricity — no hub wedge blowup), then every triangle
+    * credits its three corners via explode and a map-side-combinable
+    * count. lcc stays exact as (20000·t) div (d·(d−1)) on nonnegatives;
+    * d ≥ 2 filter keeps the denominator positive on both engines.
+    * Output: top-20 by (lcc, node) with t and degree.
+    *
+    * Scale: identical join shape to gr_triangles (the bounded closure),
+    * plus one O(#triangles) explode and a groupBy — nothing new
+    * materializes beyond the triangle list. */
+  def localClustering(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    localClusteringOn(coActivityEdges(spark, dir))
+
+  /** Same operator over any undirected a<b edge set — Round16Spec pins a
+    * planted clique + a bridge node. */
+  def localClusteringOn(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn
+      .localCheckpoint() // degree + orientation builds
+    val deg = edges.select(col("a").as("u"))
+      .unionAll(edges.select(col("b").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("d"))
+      .localCheckpoint() // orientation lookups + final join
+    val o = edges
+      .join(deg.select(col("u").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("u").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst"), col("db").as("dd")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"), col("da").as("dd")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
+      .localCheckpoint() // three join sides
+    val triCorners = o.as("e1")
+      .join(o.as("e2"), col("e1.src") === col("e2.src")
+        && (col("e1.dd") < col("e2.dd")
+          || (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("n0"), col("e1.dst").as("tv"), col("e2.dst").as("tw"))
+      .join(o.as("e3"), col("tv") === col("e3.src") && col("tw") === col("e3.dst"))
+      .select(explode(array(col("n0"), col("tv"), col("tw"))).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("t"))
+    deg.filter(col("d") >= 2)
+      .join(triCorners, Seq("u"), "left_outer")
+      .select(col("u").as("node"), coalesce(col("t"), lit(0L)).as("n_tri"),
+        col("d").as("deg"))
+      .withColumn("lcc_x10000", expr("(20000 * n_tri) div (deg * (deg - 1))"))
+      .orderBy(col("lcc_x10000").desc, col("node")).limit(20)
+      .select("node", "n_tri", "deg", "lcc_x10000")
+      .orderBy(col("lcc_x10000").desc, col("node"))
+  }
 
   val oracle: Map[String, String] = Map(
+    "gr_local_cc" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr FROM events
+        |), sizes AS (
+        |  SELECT event_type, hr FROM (
+        |    SELECT event_type, hr, COUNT(*) AS n FROM act GROUP BY 1, 2) WHERE n <= 20
+        |), ok AS (
+        |  SELECT act.* FROM act JOIN sizes USING (event_type, hr)
+        |), edges AS (
+        |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+        |  FROM ok x JOIN ok y ON x.event_type = y.event_type AND x.hr = y.hr
+        |    AND x.user_id < y.user_id
+        |), deg AS (
+        |  SELECT u, CAST(COUNT(*) AS BIGINT) AS d
+        |  FROM (SELECT a AS u FROM edges UNION ALL SELECT b AS u FROM edges) GROUP BY u
+        |), tri AS (
+        |  SELECT e1.a AS n0, e1.b AS n1, e2.b AS n2
+        |  FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+        |  JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b
+        |), tn AS (
+        |  SELECT u, CAST(COUNT(*) AS BIGINT) AS t FROM (
+        |    SELECT UNNEST([n0, n1, n2]) AS u FROM tri) GROUP BY u
+        |)
+        |SELECT d.u AS node, COALESCE(tn.t, 0) AS n_tri, d.d AS deg,
+        |  (20000 * COALESCE(tn.t, 0)) // (d.d * (d.d - 1)) AS lcc_x10000
+        |FROM deg d LEFT JOIN tn ON d.u = tn.u
+        |WHERE d.d >= 2
+        |ORDER BY lcc_x10000 DESC, node LIMIT 20""".stripMargin,
     "gr_assort" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr FROM events

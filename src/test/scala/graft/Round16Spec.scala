@@ -81,6 +81,20 @@ class Round16Spec extends SparkSpecBase {
       (1L, 1L, 60L, 60L)))   // the high-friction cell itself: direct 10+50
   }
 
+  test("gr_local_cc: planted K4 clique, bridge dilution, degree-1 filter") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}; node 5 bridges 1 and leaf 6 (degree-1, filtered out)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (5L, 6L)).toDF("a", "b")
+    val got = graft.operators.GraphOps.localClusteringOn(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (2L, 3L, 3L, 10000L), (3L, 3L, 3L, 10000L), (4L, 3L, 3L, 10000L),
+      (1L, 3L, 4L, 5000L),  // the clique node diluted by its bridge edge
+      (5L, 0L, 2L, 0L)))    // wedge node: two edges, no closure
+  }
+
   test("ev_overlap_join: touching/nested/disjoint pairs, cross-cell dedup") {
     import spark.implicits._
     val sess = Seq(
