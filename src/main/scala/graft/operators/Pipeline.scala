@@ -165,11 +165,97 @@ object Pipeline {
       .orderBy("shard_id")
   }
 
+  /** EVAL-SET CONSTRUCTION (pipe_eval) — the held-out-benchmark capstone
+    * every training pipeline runs before publishing an eval suite,
+    * composing three checked cores: the hash split (ta_split's
+    * exact-dup-group-keyed assignment, so a test doc's duplicates can
+    * never sit in train), 8-gram decontamination AGAINST THE TRAIN SPLIT
+    * (dd_contamination's shingle machinery with train as the
+    * contamination source — a test doc sharing any 8-gram with train
+    * leaks and is dropped), and a per-lang composition report
+    * (candidates / contaminated / final docs / final exact-dup groups /
+    * final chars).
+    *
+    * Scale: the train gram index is O(corpus) and is deliberately NOT
+    * broadcast (dd_contamination's bounded-benchmark broadcast rule does
+    * not apply when the index side is the 80% split) — the semi join is
+    * a shuffle equi-join on the gram hash where the test side is ~1/10
+    * of the corpus; docs under 8 words emit no grams and pass unscreened
+    * (stated, same rule as dd_contamination). */
+  def evalSet(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val docs = TextAnalysis.splitDocs(
+        Tables.documents(spark, dir)
+          .repartition(spark.sparkContext.defaultParallelism))
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"),
+        col("gk"), col("split"), col("text"))
+      .localCheckpoint() // consumers: train gram index + test candidates
+    def grams(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(ws) - 8), " +
+          "i -> md5(concat_ws(' ', slice(ws, i + 1, 8))))"))).as("sh"))
+    val test = docs.filter(col("split") === "test")
+    val trainSh = grams(docs.filter(col("split") === "train"))
+      .select("sh").distinct()
+    val contaminated = grams(test).join(trainSh, Seq("sh"))
+      .select("doc_id").distinct()
+      .withColumn("hit", lit(1L))
+    test.join(contaminated, Seq("doc_id"), "left_outer")
+      .withColumn("hit", coalesce(col("hit"), lit(0L)))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(col("hit")).as("n_contaminated"),
+        sum(lit(1L) - col("hit")).as("n_final"),
+        countDistinct(when(col("hit") === 0L, col("gk"))).as("n_final_groups"),
+        sum(when(col("hit") === 0L, col("n_chars")).otherwise(lit(0L))).as("n_chars_final"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_eval" -> (evalSet _),
     "pipe_export" -> (pipeExport _),
     "pipe_incremental" -> (pipeQuery _))
 
+  private def hex4Sql(e: String) =
+    s"(((strpos('0123456789abcdef', substr($e, 1, 1)) - 1) * 16 " +
+      s"+ strpos('0123456789abcdef', substr($e, 2, 1)) - 1) * 16 " +
+      s"+ strpos('0123456789abcdef', substr($e, 3, 1)) - 1) * 16 " +
+      s"+ strpos('0123456789abcdef', substr($e, 4, 1)) - 1"
+
   val oracle: Map[String, String] = Map(
+    "pipe_eval" ->
+      s"""WITH g0 AS (
+         |  SELECT doc_id, lang, n_chars, text, md5('sg:' || text) AS gk FROM documents
+         |), a AS (
+         |  SELECT doc_id, lang, n_chars, text, gk,
+         |    CAST(${hex4Sql("md5('sp:' || gk)")} AS BIGINT) % ${TextAnalysis.SplitBuckets} AS b
+         |  FROM g0
+         |), s AS (
+         |  SELECT doc_id, lang, n_chars, text, gk,
+         |    CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+         |  FROM a
+         |), d AS (
+         |  SELECT doc_id, split, string_split(text, ' ') AS ws FROM s
+         |), g AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, split,
+         |    md5(array_to_string(list_slice(ws, i, i + 7), ' ')) AS sh
+         |  FROM (SELECT doc_id, split, ws, unnest(range(1, len(ws) - 6)) AS i
+         |        FROM d WHERE len(ws) >= 8)
+         |), tr AS (
+         |  SELECT DISTINCT sh FROM g WHERE split = 'train'
+         |), cont AS (
+         |  SELECT DISTINCT g.doc_id FROM g JOIN tr USING (sh) WHERE g.split = 'test'
+         |)
+         |SELECT s.lang, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |  CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_contaminated,
+         |  CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+         |  CAST(COUNT(DISTINCT CASE WHEN c.doc_id IS NULL THEN s.gk END) AS BIGINT) AS n_final_groups,
+         |  CAST(SUM(CASE WHEN c.doc_id IS NULL THEN s.n_chars ELSE 0 END) AS BIGINT) AS n_chars_final
+         |FROM s LEFT JOIN cont c ON s.doc_id = c.doc_id
+         |WHERE s.split = 'test'
+         |GROUP BY s.lang ORDER BY s.lang""".stripMargin,
     "pipe_export" ->
       s"""WITH keep AS (
          |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
