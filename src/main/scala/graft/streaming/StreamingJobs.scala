@@ -76,6 +76,46 @@ object StreamingJobs {
       }
   }
 
+  /** The SAME running aggregate on Spark 4's transformWithState — the
+    * arbitrary-stateful-processing v2 API that replaces mapGroupsWithState
+    * for new jobs (typed ValueState/ListState/MapState handles, timers,
+    * state TTL, and RocksDB-backed state with changelog checkpointing).
+    * Semantics are pinned identical to userRunningAgg: one ValueState per
+    * user holding the decimal-exact running (count, sum, max-ts), one
+    * output row per key per micro-batch. StreamingSpec runs the three-way
+    * parity (batch agg == mapGroupsWithState == transformWithState) with
+    * the input split across micro-batches so cross-batch state restore is
+    * exercised. Requires the RocksDB state store provider (the v2 API
+    * contract; set in the spec, and the production default at scale —
+    * state no longer bounded by executor heap). */
+  class RunningAggProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, UserAgg] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[UserAgg] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[UserAgg]("agg",
+        org.apache.spark.sql.Encoders.product[UserAgg],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[UserAgg] = {
+      val prev = if (st.exists()) st.get() else UserAgg(key, 0L, 0.0, Long.MinValue)
+      val next = rows.foldLeft(prev) { (a, e) =>
+        UserAgg(key, a.n_events + 1,
+          (BigDecimal(a.sum_value) + BigDecimal(e.value)).toDouble,
+          math.max(a.max_ts_sec, e.ts_sec))
+      }
+      st.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def userRunningAggTws(events: Dataset[Ev]): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningAggProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   final case class SessEv(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessState(start_sec: Long, last_sec: Long, n: Long, sum: java.math.BigDecimal)
   final case class SessionOut(user_id: Long, start_sec: Long, end_sec: Long,

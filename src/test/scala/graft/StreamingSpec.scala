@@ -227,6 +227,50 @@ class StreamingSpec extends SparkSpecBase {
       s"stream=${result.count()} batch=${expected.count()}")
   }
 
+  test("transformWithState running agg: v2 API parity across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    implicit val sq = spark.sqlContext
+    // the v2 API contract: RocksDB-backed state (also the at-scale default)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = Tables.events(spark, sfDir)
+        .select(col("user_id"), unix_timestamp(col("ts")).as("ts_sec"), col("value"))
+        .as[StreamingJobs.Ev].collect()
+      val stream = MemoryStream[StreamingJobs.Ev]
+      val out = StreamingJobs.userRunningAggTws(stream.toDS())
+      val q = out.toDF().writeStream.format("memory").queryName("user_agg_tws")
+        .outputMode(OutputMode.Update()).start()
+      // three micro-batches so cross-batch ValueState restore is exercised
+      evs.grouped(evs.length / 3 + 1).foreach { chunk =>
+        stream.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      // Update mode emits one row per key per touching batch; the final
+      // state row per key is the one with the largest running count
+      val result = spark.table("user_agg_tws")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("n_events").desc)))
+        .filter(col("rn") === 1).drop("rn")
+      val expected = Tables.events(spark, sfDir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          Tables.dsum(col("value")).as("sum_value"),
+          max(unix_timestamp(col("ts"))).as("max_ts_sec"))
+      assert(result.exceptAll(expected).isEmpty && expected.exceptAll(result).isEmpty,
+        s"tws=${result.count()} batch=${expected.count()}")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream interval join matches the batch range join pair set") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
