@@ -1648,7 +1648,69 @@ object TextAnalysis {
         sum(col("se")).as("sum_sentences"), sum(col("sy")).as("sum_syllables"))
       .orderBy("lang", "bucket")
 
+  /** RAKE stopword delimiters (the corpus' two function words). */
+  val RakeStops: Seq[String] = Seq("a", "the")
+
+  /** KEYPHRASE EXTRACTION (ta_keyphrase) — RAKE (Rose et al. 2010), the
+    * stopword-delimited phrase miner: candidate phrases are maximal runs
+    * of non-stopwords; a word scores deg(w)/freq(w) where freq counts
+    * its phrase occurrences and deg sums the lengths of the phrases it
+    * appears in (degree rewards co-occurrence); a phrase scores the sum
+    * of its words' scores. Kept cross-engine exact by the documented
+    * integer variant: word score = (10000·deg) div freq (nonnegative —
+    * both engines floor identically), phrase score = BIGINT sum of those.
+    * Output: top-15 phrases by (score, phrase) with length and corpus
+    * occurrence count.
+    *
+    * Scale: phrase segmentation is a per-doc window (doc-bounded state);
+    * word stats ride two map-side-combinable groupBys; the word-score
+    * join is a shuffle equi-join on the word (never a broadcast of the
+    * O(vocab) side); phrase reassembly sorts WITHIN one phrase's words
+    * (bounded by the inter-stopword run, never a doc sort — the q22
+    * rank-filter rule does not apply to construction-bounded groups). */
+  def keyphrase(spark: SparkSession, dir: String): DataFrame =
+    keyphraseOn(documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  /** Same operator over any (doc_id, text) frame — Round16Spec works a
+    * tiny corpus' deg/freq table by hand. */
+  def keyphraseOn(docs: DataFrame): DataFrame = {
+    val stopList = RakeStops.map(s => s"'$s'").mkString(", ")
+    val wordsAll = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .withColumn("is_stop", expr(s"word IN ($stopList)"))
+    val wByDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val words = wordsAll
+      .withColumn("phrase_id", sum(col("is_stop").cast("long")).over(wByDoc))
+      .filter(!col("is_stop") && col("word") =!= "")
+      .select("doc_id", "phrase_id", "pos", "word")
+      .localCheckpoint() // consumers: phrase-length stats + phrase build
+    val plen = words.groupBy("doc_id", "phrase_id")
+      .agg(count(lit(1)).as("plen"))
+    val wstats = words.join(plen, Seq("doc_id", "phrase_id"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("wscore", expr("(10000 * deg) div freq"))
+    val phrases = words.groupBy("doc_id", "phrase_id")
+      .agg(
+        concat_ws(" ", expr("transform(sort_array(collect_list(struct(pos, word))), s -> s.word)"))
+          .as("phrase"),
+        count(lit(1)).as("n_words"))
+    val scored = words.join(wstats.select("word", "wscore"), Seq("word"))
+      .groupBy("doc_id", "phrase_id")
+      .agg(sum(col("wscore")).as("score_x10000"))
+    phrases.join(scored, Seq("doc_id", "phrase_id"))
+      .groupBy("phrase")
+      .agg(max(col("n_words")).as("n_words"),
+        count(lit(1)).as("n_occurrences"),
+        max(col("score_x10000")).as("score_x10000"))
+      .orderBy(col("score_x10000").desc, col("phrase")).limit(15)
+      .select("phrase", "n_words", "n_occurrences", "score_x10000")
+      .orderBy(col("score_x10000").desc, col("phrase"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_keyphrase" -> (keyphrase _),
     "ta_readability" -> (readability _),
     "ta_lid_eval" -> (lidEval _),
     "ta_nb_train" -> (nbTrain _),
@@ -1934,6 +1996,46 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "ta_keyphrase" -> {
+      val stopList = RakeStops.map(s => s"'$s'").mkString(", ")
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |), w0 AS (
+         |  SELECT doc_id, pos, list_extract(ws, pos) AS word
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos FROM d)
+         |), w1 AS (
+         |  SELECT doc_id, pos, word,
+         |    SUM(CASE WHEN word IN ($stopList) THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id,
+         |    word IN ($stopList) AS is_stop
+         |  FROM w0
+         |), words AS MATERIALIZED (
+         |  SELECT doc_id, phrase_id, pos, word FROM w1
+         |  WHERE NOT is_stop AND word <> ''
+         |), plen AS (
+         |  SELECT doc_id, phrase_id, CAST(COUNT(*) AS BIGINT) AS plen
+         |  FROM words GROUP BY 1, 2
+         |), wstats AS (
+         |  SELECT word, (10000 * CAST(SUM(plen) AS BIGINT))
+         |    // CAST(COUNT(*) AS BIGINT) AS wscore
+         |  FROM words JOIN plen USING (doc_id, phrase_id)
+         |  GROUP BY word
+         |), phrases AS (
+         |  SELECT doc_id, phrase_id,
+         |    string_agg(word, ' ' ORDER BY pos) AS phrase,
+         |    CAST(COUNT(*) AS BIGINT) AS n_words
+         |  FROM words GROUP BY 1, 2
+         |), scored AS (
+         |  SELECT doc_id, phrase_id, CAST(SUM(wscore) AS BIGINT) AS score_x10000
+         |  FROM words JOIN wstats USING (word) GROUP BY 1, 2
+         |)
+         |SELECT phrase, MAX(n_words) AS n_words,
+         |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         |  MAX(score_x10000) AS score_x10000
+         |FROM phrases JOIN scored USING (doc_id, phrase_id)
+         |GROUP BY phrase
+         |ORDER BY score_x10000 DESC, phrase LIMIT 15""".stripMargin
+    },
     "ta_readability" ->
       """WITH m AS (
         |  SELECT lang,

@@ -95,6 +95,22 @@ class Round16Spec extends SparkSpecBase {
       (5L, 0L, 2L, 0L)))    // wedge node: two edges, no closure
   }
 
+  test("ta_keyphrase: RAKE deg/freq arithmetic on a hand-worked corpus") {
+    import spark.implicits._
+    // big/data: freq 2, deg 4 (two 2-word phrases) -> 20000
+    // fast: freq 2, deg 3 (one 2-word + one 1-word phrase) -> 15000
+    // sort: freq 1, deg 2 -> 20000
+    val docs = Seq(
+      (1L, "big data the fast sort"), (2L, "big data"), (3L, "fast"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.keyphraseOn(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("big data", 2L, 2L, 40000L),
+      ("fast sort", 2L, 1L, 35000L),
+      ("fast", 1L, 1L, 15000L)))
+  }
+
   test("ev_overlap_join: touching/nested/disjoint pairs, cross-cell dedup") {
     import spark.implicits._
     val sess = Seq(
