@@ -1297,7 +1297,45 @@ object Events {
       .orderBy("day")
   }
 
+  /** SLO breach threshold for ev_latency_slo, in milli-units. */
+  val SloThresholdMilli = 250000L
+
+  /** LATENCY SLO REPORT (ev_latency_slo) — the SRE percentile panel
+    * (p50/p95/p99 + breach share against a fixed objective) computed
+    * EXACTLY at any scale: values quantize to milli-units, the
+    * percentile is the q21 value-count histogram pick (ceil-rank over
+    * the cumulative count — shuffle O(distinct values), never a raw-row
+    * global sort), and the breach share is a conditional count published
+    * as a x10000 integer share. approx_percentile would be
+    * engine-divergent AND run-unstable; the histogram pick is exact,
+    * deterministic, and cheaper than a sort at 100 TB.
+    *
+    * Scale: one map-side-combinable (type, vm) groupBy; the cumulative
+    * window runs per type over O(distinct millis) rows. */
+  def latencySlo(spark: SparkSession, dir: String): DataFrame = {
+    val hist = events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("vm"))
+      .groupBy("event_type", "vm")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("vm")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("event_type")
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(tot))
+    def pick(pct: Int) = min(when(col("cum") * 100 >= lit(pct) * col("n"), col("vm")))
+    cum.groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        pick(50).as("p50_milli"), pick(95).as("p95_milli"), pick(99).as("p99_milli"),
+        sum(when(col("vm") > lit(SloThresholdMilli), col("cnt")).otherwise(lit(0L)))
+          .as("n_over_slo"))
+      .withColumn("over_slo_x10000", expr("(n_over_slo * 10000) div n"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_latency_slo" -> (latencySlo _),
     "ev_survival" -> (survival _),
     "ev_overlap_join" -> (overlapJoin _),
     "ev_reservoir" -> (reservoir _),
@@ -1355,6 +1393,27 @@ object Events {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ev_latency_slo" ->
+      s"""WITH h AS (
+         |  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS vm,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2
+         |), c AS (
+         |  SELECT event_type, vm, cnt,
+         |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY vm
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |  FROM h
+         |)
+         |SELECT event_type, MAX(n) AS n,
+         |  MIN(CASE WHEN cum * 100 >= 50 * n THEN vm END) AS p50_milli,
+         |  MIN(CASE WHEN cum * 100 >= 95 * n THEN vm END) AS p95_milli,
+         |  MIN(CASE WHEN cum * 100 >= 99 * n THEN vm END) AS p99_milli,
+         |  CAST(SUM(CASE WHEN vm > $SloThresholdMilli THEN cnt ELSE 0 END) AS BIGINT)
+         |    AS n_over_slo,
+         |  (CAST(SUM(CASE WHEN vm > $SloThresholdMilli THEN cnt ELSE 0 END) AS BIGINT)
+         |    * 10000) // MAX(n) AS over_slo_x10000
+         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ev_survival" ->
       s"""$sessCte,
          |b AS (SELECT MAX(en) AS obs FROM s),
