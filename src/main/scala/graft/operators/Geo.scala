@@ -1657,7 +1657,53 @@ object Geo {
       .orderBy("bucket")
   }
 
+  /** TERRAIN RUGGEDNESS INDEX (zs_tri) — Riley et al. 1999's TRI over
+    * the density-as-elevation grid: per occupied cell, the sum of
+    * absolute elevation differences to its 8 neighbors (absent
+    * neighbors are elevation 0 — the flowdir water rule), classed into
+    * Riley's level/intermediate/rugged bands scaled to the corpus
+    * (cut at 8·n-bar style fixed integer cuts 16/80). Pure integers
+    * end to end; the per-class rollup publishes cell counts and the
+    * index mass.
+    *
+    * Scale: the same one-equi-join-on-computed-neighbor-key shape as
+    * zs_focal_mean — cell-table-sized, never points; the final rollup
+    * is 3 keys. */
+  def tri(spark: SparkSession, dir: String): DataFrame =
+    triOn(points(spark, dir)
+      .withColumn("fx", floor(col("lon")).cast("long"))
+      .withColumn("fy", floor(col("lat")).cast("long"))
+      .groupBy("fx", "fy").agg(count(lit(1)).as("n")))
+
+  /** Same operator over any (fx, fy, n) cell grid — the driver corpus
+    * never reaches the rugged band (max TRI ~43 at sf0.1), so Round16Spec
+    * plants a spike cell to pin the third class. */
+  def triOn(cellsIn: DataFrame): DataFrame = {
+    val cells = cellsIn
+      .localCheckpoint() // self-join both sides
+    val dxA = "array(1, 1, 0, -1, -1, -1, 0, 1)"
+    val dyA = "array(0, 1, 1, 1, 0, -1, -1, -1)"
+    cells
+      .withColumn("d", explode(expr("sequence(0, 7)")))
+      .withColumn("nx", expr(s"fx + element_at($dxA, CAST(d + 1 AS INT))"))
+      .withColumn("ny", expr(s"fy + element_at($dyA, CAST(d + 1 AS INT))"))
+      .join(cells.select(col("fx").as("nx"), col("fy").as("ny"), col("n").as("nn")),
+        Seq("nx", "ny"), "left_outer")
+      .withColumn("nn", coalesce(col("nn"), lit(0L)))
+      .groupBy("fx", "fy")
+      .agg(max(col("n")).as("n"), sum(abs(col("n") - col("nn"))).as("tri"))
+      .withColumn("tri_class",
+        when(col("tri") < 16L, lit("level"))
+          .when(col("tri") < 80L, lit("intermediate"))
+          .otherwise(lit("rugged")))
+      .groupBy("tri_class")
+      .agg(count(lit(1)).as("n_cells"), sum(col("tri")).as("tri_mass"),
+        min(col("tri")).as("min_tri"), max(col("tri")).as("max_tri"))
+      .orderBy("tri_class")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zs_tri" -> (tri _),
     "zs_cost_distance" -> (costDistance _),
     "zs_epoch_delta" -> (epochDelta _),
     "zs_hexbin" -> (hexbin _),
@@ -1703,6 +1749,31 @@ object Geo {
          |FROM z10 GROUP BY 1, 2, 3""".stripMargin
     }.mkString("\nUNION ALL\n")
     Map(
+      "zs_tri" ->
+        s"""WITH pts AS ($pointsSql),
+           |cells AS MATERIALIZED (
+           |  SELECT CAST(floor(lon) AS BIGINT) AS fx, CAST(floor(lat) AS BIGINT) AS fy,
+           |    CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM pts GROUP BY 1, 2
+           |),
+           |dirs(dx, dy) AS (
+           |  VALUES (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1)
+           |),
+           |t AS (
+           |  SELECT c.fx, c.fy, MAX(c.n) AS n,
+           |    CAST(SUM(ABS(c.n - COALESCE(nb.n, 0))) AS BIGINT) AS tri
+           |  FROM cells c CROSS JOIN dirs d
+           |  LEFT JOIN cells nb ON nb.fx = c.fx + d.dx AND nb.fy = c.fy + d.dy
+           |  GROUP BY c.fx, c.fy
+           |), k AS (
+           |  SELECT CASE WHEN tri < 16 THEN 'level'
+           |    WHEN tri < 80 THEN 'intermediate' ELSE 'rugged' END AS tri_class, tri
+           |  FROM t
+           |)
+           |SELECT tri_class, CAST(COUNT(*) AS BIGINT) AS n_cells,
+           |  CAST(SUM(tri) AS BIGINT) AS tri_mass,
+           |  MIN(tri) AS min_tri, MAX(tri) AS max_tri
+           |FROM k GROUP BY tri_class ORDER BY tri_class""".stripMargin,
       "zs_cost_distance" -> {
         val round = (r: Int) =>
           s"""d$r AS MATERIALIZED (

@@ -111,6 +111,22 @@ class Round16Spec extends SparkSpecBase {
       ("fast", 1L, 1L, 15000L)))
   }
 
+  test("zs_tri: spike cell reaches the rugged band, absent neighbors are 0") {
+    import spark.implicits._
+    val grid = Seq(
+      (0L, 0L, 100L), (1L, 0L, 2L), // spike + its foothill: both rugged
+      (5L, 5L, 9L),                 // isolated: 8*9 = 72 -> intermediate
+      (9L, 9L, 1L))                 // isolated: 8*1 = 8 -> level
+      .toDF("fx", "fy", "n")
+    val got = graft.operators.Geo.triOn(grid)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      ("intermediate", 1L, 72L, 72L, 72L),
+      ("level", 1L, 8L, 8L, 8L),
+      // spike: |100-2| + 7*100 = 798; foothill: |2-100| + 7*2 = 112
+      ("rugged", 2L, 910L, 112L, 798L)))
+  }
+
   test("ev_overlap_join: touching/nested/disjoint pairs, cross-cell dedup") {
     import spark.implicits._
     val sess = Seq(
