@@ -116,6 +116,80 @@ object StreamingJobs {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  /** Gap sessionization on transformWithState with EVENT-TIME TIMERS —
+    * the v2 API's timer surface (registerTimer / handleExpiredTimer),
+    * exercised the way a production sessionizer needs it: each batch
+    * folds the user's events into the open-session ValueState, deletes
+    * any stale timer, and re-arms one at (last event + gap); the timer
+    * fires when the WATERMARK passes it and handleExpiredTimer closes
+    * the session — the exact fMGWS setTimeoutTimestamp semantics on the
+    * new API, with the same decimal accumulator, so StreamingSpec pins
+    * session-for-session parity with batch ev_sessionize AND the fMGWS
+    * job. Mid-batch gap splits close inline; only the open tail rides a
+    * timer. */
+  class SessionizeProcessor(gapSec: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessEv, SessionOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[SessState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SessState]("open",
+        org.apache.spark.sql.Encoders.product[SessState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    private def close(uid: Long, s: SessState): SessionOut =
+      SessionOut(uid, s.start_sec, s.last_sec, s.n, s.sum.doubleValue())
+    override def handleInputRows(uid: Long, rows: Iterator[SessEv],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toIndexedSeq.sortBy(_.ts.getTime)
+      var open = if (st.exists()) Some(st.get()) else None
+      val out = Vector.newBuilder[SessionOut]
+      sorted.foreach { e =>
+        val sec = e.ts.getTime / 1000L
+        val v = java.math.BigDecimal.valueOf(e.value).setScale(4)
+        open match {
+          case Some(s) if sec - s.last_sec < gapSec =>
+            open = Some(SessState(s.start_sec, sec, s.n + 1, s.sum.add(v)))
+          case Some(s) =>
+            out += close(uid, s)
+            open = Some(SessState(sec, sec, 1L, v))
+          case None =>
+            open = Some(SessState(sec, sec, 1L, v))
+        }
+      }
+      open.foreach { s =>
+        st.update(s)
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(math.max(
+          (s.last_sec + gapSec) * 1000L, tv.getCurrentWatermarkInMs() + 1))
+      }
+      out.result().iterator
+    }
+    override def handleExpiredTimer(uid: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (!st.exists()) Iterator.empty
+      else {
+        val s = st.get()
+        if (tv.getCurrentWatermarkInMs() >= (s.last_sec + gapSec) * 1000L) {
+          st.clear()
+          Iterator.single(close(uid, s))
+        } else {
+          // a stale firing (session was extended): re-arm for the tail
+          getHandle.registerTimer((s.last_sec + gapSec) * 1000L)
+          Iterator.empty
+        }
+      }
+    }
+  }
+
+  def sessionizeTws(events: Dataset[SessEv], gapSec: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionizeProcessor(gapSec),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   final case class SessEv(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessState(start_sec: Long, last_sec: Long, n: Long, sum: java.math.BigDecimal)
   final case class SessionOut(user_id: Long, start_sec: Long, end_sec: Long,

@@ -227,6 +227,48 @@ class StreamingSpec extends SparkSpecBase {
       s"stream=${result.count()} batch=${expected.count()}")
   }
 
+  test("transformWithState sessionization: event-time timers close sessions") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // time-sorted so the second batch is never late against the
+      // watermark the first one advanced (split-boundary sessions stitch)
+      val real = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[StreamingJobs.SessEv].collect().sortBy(_.ts.getTime)
+      val maxTs = real.map(_.ts.getTime).max
+      def sentinel(offsetMs: Long) =
+        StreamingJobs.SessEv(-1L, new Timestamp(maxTs + offsetMs), 0.0)
+      val stream = MemoryStream[StreamingJobs.SessEv]
+      val q = StreamingJobs.sessionizeTws(stream.toDS(), gapSec = 1800L)
+        .toDF().writeStream.format("memory").queryName("sess_tws")
+        .outputMode("append").start()
+      // two real batches (cross-batch session stitching) + two sentinel
+      // batches pushing the watermark past every close timer
+      val (h1, h2) = real.splitAt(real.length / 2)
+      stream.addData(h1.toSeq); q.processAllAvailable()
+      stream.addData(h2.toSeq); q.processAllAvailable()
+      stream.addData(sentinel(86400000L)); q.processAllAvailable()
+      stream.addData(sentinel(86400000L * 2)); q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("sess_tws").filter(col("user_id") >= 0)
+        .select("user_id", "start_sec", "end_sec", "n_events", "sum_value")
+      val batch = Events.sessionize(spark, sfDir)
+        .select("user_id", "start_sec", "end_sec", "n_events", "sum_value")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        s"tws=${streamed.count()} batch=${batch.count()}")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState running agg: v2 API parity across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
