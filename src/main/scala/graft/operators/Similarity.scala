@@ -231,6 +231,76 @@ object Similarity {
     trace.reduce(_ unionByName _).orderBy("round")
   }
 
+  /** Out-degree / beam width / hop count for ann_graph_search. */
+  val GsOutK = 8
+  val GsBeam = 8
+  val GsHops = 3
+
+  /** GRAPH-BASED ANN SEARCH (ann_graph_search) — the SERVING pattern of
+    * the HNSW/DiskANN family: beam search over a kNN graph. Per query,
+    * keep a beam of the W best-scored nodes; each hop expands the beam
+    * through the symmetrized graph, exact-rescores the frontier on the
+    * native vector_dot, and re-trims to W (greedy best-first with a
+    * bounded frontier — Malkov & Yashunin's ef-search loop, hop-bounded
+    * by the repo's fixed-rounds rule). The graph here is the
+    * DETERMINISTIC random K-out init (the NN-Descent starting graph,
+    * 'gs:'-seeded) so the checked object is the SEARCH — the build is
+    * ann_nndescent's already-checked concern; on a random graph the
+    * beam's hop-by-hop climb is the visible behavior. Entry point is
+    * fixed (node 0; node 1 for query 0 — never self). Output: each
+    * query's final top-3 (rank, id, 4dp cosine).
+    *
+    * Scale: per hop ONE bounded join — beam rows (queries x W) against
+    * the ≤2K-out-degree symmetric adjacency — then a broadcast-query
+    * rescore and a per-query top-W window; nothing touches more than
+    * queries x W x 2K rows per hop, independent of corpus size. Beams
+    * localCheckpoint per hop (the iterative-algorithm rule). */
+  def graphSearch(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+      .localCheckpoint() // graph init + rescore lookups x hops + query side
+    val nTot = c.agg(count(lit(1)).as("n"))
+    val g0 = c.select(col("vec_id").as("src")).crossJoin(broadcast(nTot))
+      .select(col("src"), col("n"), explode(expr(s"sequence(0, ${GsOutK - 1})")).as("j"))
+      .withColumn("h", expr("CAST(conv(substring(md5(concat('gs:', " +
+        "CAST(src AS STRING), ':', CAST(j AS STRING))), 1, 6), 16, 10) AS BIGINT) % n"))
+      .withColumn("dst", expr("CASE WHEN h = src THEN (h + 1) % n ELSE h END"))
+      .select("src", "dst").distinct()
+    val sym = g0.select((col("src") + lit(0L)).as("src"), (col("dst") + lit(0L)).as("dst"))
+      .unionByName(g0.select((col("dst") + lit(0L)).as("src"), (col("src") + lit(0L)).as("dst")))
+      .distinct()
+      .localCheckpoint() // one adjacency join per hop
+    val q = c.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+      .localCheckpoint() // rescore joins x hops
+    def score(cand: DataFrame): DataFrame = cand
+      .join(broadcast(q), Seq("qid"))
+      .join(c.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("nrm").as("cn")), Seq("cid"))
+      .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
+      .select("qid", "cid", "cos")
+    val wB = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    var beam = score(q.select(col("qid"))
+        .withColumn("cid", expr("CASE WHEN qid = 0 THEN 1L ELSE 0L END")))
+      .localCheckpoint()
+    for (_ <- 1 to GsHops) {
+      val expand = beam.select(col("qid"), col("cid").as("src"))
+        .join(sym, Seq("src"))
+        .select(col("qid"), col("dst").as("cid"))
+        .filter(col("qid") =!= col("cid"))
+        .distinct()
+      beam = score(expand).unionByName(beam)
+        // a frontier node already in the beam scores identically — max dedups
+        .groupBy("qid", "cid").agg(max(col("cos")).as("cos"))
+        .withColumn("rn", row_number().over(wB)).filter(col("rn") <= GsBeam)
+        .select("qid", "cid", "cos")
+        .localCheckpoint() // next hop + final trim
+    }
+    beam
+      .withColumn("rank", row_number().over(wB)).filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"), r4(col("cos")).as("cos_sim"))
+      .orderBy("qid", "rank")
+  }
+
   /** Generic exact top-k: any (vec_id, embedding, nrm) query set against a
     * corpus of the same shape — broadcast the queries, one parallel pass
     * over the corpus, per-query top-k via window. */
@@ -1417,6 +1487,7 @@ object Similarity {
     "ta_topics" -> (topics _),
     "ann_recall_curve" -> (recallCurve _),
     "ann_nndescent" -> (nndescent _),
+    "ann_graph_search" -> (graphSearch _),
     "ann_range" -> (rangeSearch _),
     "dd_semdedup" -> (semDedup _),
     "ann_ivfpq" -> (ivfpq _),
@@ -2228,6 +2299,59 @@ object Similarity {
          |  ${graft.sources.Tables.r4Sql("CAST(SUM(COALESCE(hit, 0)) AS DOUBLE) / COUNT(*)")} AS recall_at_3
          |FROM exact LEFT JOIN approx ON exact.qid = approx.qid AND exact.cid = approx.cid
          |GROUP BY exact.qid ORDER BY exact.qid""".stripMargin,
+    "ann_graph_search" -> {
+      val hex = (k: Int) => s"(strpos('0123456789abcdef', substr(mh, $k, 1)) - 1)"
+      val h6 = (1 to 6).map(hex).reduce((a, b) => s"($a * 16 + $b)")
+      val hop = (r: Int) =>
+        s"""b$r AS MATERIALIZED (
+           |  SELECT qid, cid, cos FROM (
+           |    SELECT u.qid, u.cid, u.cos,
+           |      ROW_NUMBER() OVER (PARTITION BY u.qid
+           |        ORDER BY u.cos DESC, u.cid ASC) AS rn
+           |    FROM (
+           |      SELECT qid, cid, MAX(cos) AS cos FROM (
+           |        SELECT qid, cid, cos FROM b${r - 1}
+           |        UNION ALL
+           |        SELECT x.qid, s.dst AS cid,
+           |          ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+           |        FROM b${r - 1} x JOIN sym s ON x.cid = s.src
+           |        JOIN q ON q.qid = x.qid JOIN e c ON c.vec_id = s.dst
+           |        WHERE s.dst <> x.qid
+           |      ) z GROUP BY qid, cid
+           |    ) u
+           |  ) WHERE rn <= $GsBeam
+           |)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings
+         |),
+         |nt AS (SELECT COUNT(*) AS n FROM e),
+         |g0 AS (
+         |  SELECT DISTINCT src, CASE WHEN h = src THEN (h + 1) % n ELSE h END AS dst
+         |  FROM (
+         |    SELECT src, n, $h6 % n AS h FROM (
+         |      SELECT e.vec_id AS src, nt.n AS n,
+         |        md5('gs:' || CAST(e.vec_id AS VARCHAR) || ':' || CAST(ga AS VARCHAR)) AS mh
+         |      FROM e CROSS JOIN nt CROSS JOIN range(0, $GsOutK) t(ga)) s0) s1
+         |),
+         |sym AS MATERIALIZED (
+         |  SELECT src, dst FROM g0 UNION SELECT dst, src FROM g0
+         |),
+         |q AS MATERIALIZED (
+         |  SELECT vec_id AS qid, embedding, nrm FROM e WHERE vec_id < 10
+         |),
+         |b0 AS MATERIALIZED (
+         |  SELECT q.qid, c.vec_id AS cid,
+         |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |  FROM q JOIN e c ON c.vec_id = CASE WHEN q.qid = 0 THEN 1 ELSE 0 END
+         |),
+         |${(1 to GsHops).map(hop).mkString(",\n")}
+         |SELECT qid, rank, cid, ${graft.sources.Tables.r4Sql("cos")} AS cos_sim
+         |FROM (
+         |  SELECT qid, cid, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+         |  FROM b$GsHops) f
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+    },
     "ann_nndescent" -> {
       val hex = (k: Int) => s"(strpos('0123456789abcdef', substr(mh, $k, 1)) - 1)"
       val h6 = (1 to 6).map(hex).reduce((a, b) => s"($a * 16 + $b)")

@@ -127,6 +127,25 @@ class Round16Spec extends SparkSpecBase {
       ("rugged", 2L, 910L, 112L, 798L)))
   }
 
+  test("ann_graph_search: full beams, ordered ranks, nontrivial recall") {
+    val got = graft.operators.Similarity.graphSearch(spark, sfDir).collect()
+    val byQ = got.groupBy(_.getLong(0))
+    assert(byQ.size === 10 && byQ.values.forall(_.length === 3))
+    // per query: ranks 1..3 with non-increasing cosine
+    assert(byQ.values.forall { g =>
+      val sorted = g.sortBy(_.getInt(1))
+      sorted.map(_.getInt(1)).toSeq == Seq(1, 2, 3) &&
+        sorted.sliding(2).forall(p => p(0).getDouble(3) >= p(1).getDouble(3))
+    })
+    // the 3-hop beam over the random 8-out graph recovers a nontrivial
+    // slice of the exact top-3 (measured 9/30 at sf0.001; floor 5)
+    val beam = got.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = graft.operators.Similarity.bruteforce(spark, sfDir)
+      .filter(col("rank") <= 3).select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((beam & exact).size >= 5, s"overlap=${(beam & exact).size}")
+  }
+
   test("ev_overlap_join: touching/nested/disjoint pairs, cross-cell dedup") {
     import spark.implicits._
     val sess = Seq(
