@@ -1334,7 +1334,44 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** CART ABANDONMENT (ev_cart_abandon) — the commerce funnel's session-
+    * level readout: per day, sessions that clicked but never purchased
+    * before the gap closed them. Rides the same two-window gap
+    * sessionization as ev_sessionize with per-type flags folded in the
+    * SAME session aggregate (no extra shuffle), then one tiny day
+    * rollup; the rate publishes as a x10000 integer share guarded
+    * against zero click-sessions days.
+    *
+    * Scale: identical to ev_sessionize (one user shuffle, day rollup is
+    * map-side-combinable). */
+  def cartAbandon(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_sec").asc, col("event_id").asc)
+    val sess = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_sec"))
+      .withColumn("prev_sec", lag(col("ts_sec"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") >= lit(1800L), lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("session_idx", sum(col("new_session")).over(byUser))
+      .groupBy("user_id", "session_idx")
+      .agg(min(col("ts_sec")).as("start_sec"),
+        max(when(col("event_type") === "click", lit(1L)).otherwise(lit(0L))).as("has_click"),
+        max(when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L))).as("has_purchase"))
+    sess
+      .select(expr("start_sec div 86400").as("day"), col("has_click"), col("has_purchase"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("has_click")).as("n_click_sessions"),
+        sum(col("has_click") * (lit(1L) - col("has_purchase"))).as("n_abandoned"))
+      .withColumn("abandon_x10000", expr(
+        "CASE WHEN n_click_sessions = 0 THEN 0L " +
+          "ELSE (n_abandoned * 10000) div n_click_sessions END"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_cart_abandon" -> (cartAbandon _),
     "ev_latency_slo" -> (latencySlo _),
     "ev_survival" -> (survival _),
     "ev_overlap_join" -> (overlapJoin _),
@@ -1393,6 +1430,36 @@ object Events {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ev_cart_abandon" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events
+        |), f AS (
+        |  SELECT *, LAG(ts_sec, 1) OVER win AS prev_sec
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)
+        |), g AS (
+        |  SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec >= 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM f
+        |), h AS (
+        |  SELECT *, CAST(SUM(new_session) OVER win AS BIGINT) AS session_idx
+        |  FROM g WINDOW win AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)
+        |), s AS (
+        |  SELECT user_id, session_idx, MIN(ts_sec) AS start_sec,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+        |  FROM h GROUP BY user_id, session_idx
+        |), d AS (
+        |  SELECT start_sec // 86400 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |    CAST(SUM(has_click) AS BIGINT) AS n_click_sessions,
+        |    CAST(SUM(has_click * (1 - has_purchase)) AS BIGINT) AS n_abandoned
+        |  FROM s GROUP BY 1
+        |)
+        |SELECT day, n_sessions, n_click_sessions, n_abandoned,
+        |  CASE WHEN n_click_sessions = 0 THEN 0
+        |    ELSE (n_abandoned * 10000) // n_click_sessions END AS abandon_x10000
+        |FROM d ORDER BY day""".stripMargin,
     "ev_latency_slo" ->
       s"""WITH h AS (
          |  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS vm,

@@ -1702,7 +1702,41 @@ object Geo {
       .orderBy("tri_class")
   }
 
+  /** MAJORITY (MODE) RESAMPLING (zs_resample_majority) — the categorical
+    * sibling of zs_grid_downsample: a CLASSED raster downsamples by
+    * majority vote (GDAL's `-r mode`), never by mean — averaging class
+    * codes is meaningless. Fine 1° cells carry class = density mod 4 (the
+    * polygonize classing); each 4x4 block elects the class covering the
+    * most fine cells, ties to the smallest class code (deterministic
+    * mode, spec-pinned). Output per coarse cell: the winning class, its
+    * cell count, the class diversity, and total fine cells.
+    *
+    * Scale: two map-side-combinable groupBys (cell → class counts →
+    * block) and a per-block argmax window over ≤4 class rows; nonneg
+    * shift before div so Spark div = DuckDB //. */
+  def resampleMajority(spark: SparkSession, dir: String): DataFrame = {
+    val fine = points(spark, dir)
+      .withColumn("fx", floor(col("lon")).cast("long") + lit(180L))
+      .withColumn("fy", floor(col("lat")).cast("long") + lit(35L))
+      .groupBy("fx", "fy").agg(count(lit(1)).as("n"))
+      .withColumn("cls", col("n") % lit(4L))
+    val byClass = fine
+      .select(expr("fx div 4").as("cx"), expr("fy div 4").as("cy"), col("cls"))
+      .groupBy("cx", "cy", "cls").agg(count(lit(1)).as("n_cells"))
+    val wMaj = Window.partitionBy("cx", "cy")
+      .orderBy(col("n_cells").desc, col("cls").asc)
+    byClass
+      .withColumn("rn", row_number().over(wMaj))
+      .withColumn("n_classes", count(lit(1)).over(Window.partitionBy("cx", "cy")))
+      .withColumn("n_fine", sum(col("n_cells")).over(Window.partitionBy("cx", "cy")))
+      .filter(col("rn") === 1)
+      .select(col("cx"), col("cy"), col("cls").as("maj_cls"),
+        col("n_cells").as("maj_cells"), col("n_classes"), col("n_fine"))
+      .orderBy("cx", "cy")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zs_resample_majority" -> (resampleMajority _),
     "zs_tri" -> (tri _),
     "zs_cost_distance" -> (costDistance _),
     "zs_epoch_delta" -> (epochDelta _),
@@ -1749,6 +1783,26 @@ object Geo {
          |FROM z10 GROUP BY 1, 2, 3""".stripMargin
     }.mkString("\nUNION ALL\n")
     Map(
+      "zs_resample_majority" ->
+        s"""WITH pts AS ($pointsSql),
+           |fine AS (
+           |  SELECT CAST(floor(lon) AS BIGINT) + 180 AS fx,
+           |    CAST(floor(lat) AS BIGINT) + 35 AS fy, COUNT(*) AS n
+           |  FROM pts GROUP BY 1, 2
+           |), bc AS (
+           |  SELECT fx // 4 AS cx, fy // 4 AS cy, n % 4 AS cls,
+           |    CAST(COUNT(*) AS BIGINT) AS n_cells
+           |  FROM fine GROUP BY 1, 2, 3
+           |), r AS (
+           |  SELECT cx, cy, cls, n_cells,
+           |    ROW_NUMBER() OVER (PARTITION BY cx, cy
+           |      ORDER BY n_cells DESC, cls ASC) AS rn,
+           |    CAST(COUNT(*) OVER (PARTITION BY cx, cy) AS BIGINT) AS n_classes,
+           |    CAST(SUM(n_cells) OVER (PARTITION BY cx, cy) AS BIGINT) AS n_fine
+           |  FROM bc
+           |)
+           |SELECT cx, cy, cls AS maj_cls, n_cells AS maj_cells, n_classes, n_fine
+           |FROM r WHERE rn = 1 ORDER BY cx, cy""".stripMargin,
       "zs_tri" ->
         s"""WITH pts AS ($pointsSql),
            |cells AS MATERIALIZED (
