@@ -1033,7 +1033,61 @@ object ManifestIO {
        |ORDER BY table_key""".stripMargin
   }
 
+  /** DELETION VECTORS (io_deletion_vectors) — Iceberg-v3/Delta-DV
+    * row-level deletes WITHOUT rewriting data files: the base table
+    * lands once as 8 file groups (bucket by l_orderkey % 8) with an
+    * explicit in-file position column (real DVs address physical parquet
+    * row positions; a stored position is the portable stand-in, stated),
+    * a DELETE predicate (returned small lines: l_returnflag = 'R' AND
+    * l_quantity < 10) is executed by writing ONLY a positional sidecar
+    * `_deletes` (file_id, pos) — the data files never rewrite — and the
+    * read path applies the DV as an anti-join on (file_id, pos). The
+    * checked output is the per-file accounting (rows / deleted / live /
+    * live quantity mass); the ORACLE applies the logical predicate to
+    * raw lineitem directly, proving the positional path reproduces the
+    * logical delete exactly — the equivalence a lakehouse DV
+    * implementation must maintain.
+    *
+    * Scale: the DV sidecar is deletes-sized (the point: a 100 TB base
+    * with a 0.1% delete takes a GB-scale sidecar and zero data-file
+    * churn until compaction); the anti-join broadcasts it per file
+    * group; the write is one pass with a per-bucket position window
+    * (bucket-partitioned sort, never global). Scratch path is
+    * per-invocation unique (the mergeQuery race rule). */
+  def deletionVectorsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_io/dv_${Integer.toHexString(dir.hashCode)}_${System.nanoTime()}"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("file_id").orderBy("l_orderkey", "l_linenumber")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"), (col("l_orderkey") % 8).as("file_id"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .write.mode(SaveMode.Overwrite).partitionBy("file_id").parquet(s"$root/data")
+    val base = spark.read.parquet(s"$root/data")
+    // the DELETE executes as a positional sidecar — data files untouched
+    base.filter(col("l_returnflag") === "R" && col("l_quantity") < 10)
+      .select(col("file_id"), col("pos"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/_deletes")
+    val dv = spark.read.parquet(s"$root/_deletes")
+    val live = base.join(broadcast(dv), Seq("file_id", "pos"), "left_anti")
+    val out = base.groupBy("file_id").agg(count(lit(1)).as("n_rows"))
+      .join(dv.groupBy("file_id").agg(count(lit(1)).as("n_deleted")),
+        Seq("file_id"), "left_outer")
+      .join(live.groupBy("file_id").agg(count(lit(1)).as("n_live"),
+          Tables.dsum(col("l_quantity")).as("live_qty")),
+        Seq("file_id"))
+      .select(col("file_id"), col("n_rows"),
+        coalesce(col("n_deleted"), lit(0L)).as("n_deleted"),
+        col("n_live"), col("live_qty"))
+      .orderBy("file_id")
+      .localCheckpoint() // materialize before the scratch dir is reclaimed
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .deleteOnExit(new org.apache.hadoop.fs.Path(root))
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_deletion_vectors" -> (deletionVectorsQuery _),
     "io_skew_profile" -> (skewProfileQuery _),
     "io_dq_report" -> (dqReportQuery _),
     "io_kanon" -> (kanonQuery _),
@@ -1053,6 +1107,20 @@ object ManifestIO {
     "io_partitioned_scan" -> (partitionedScanQuery _))
 
   val oracle: Map[String, String] = Map(
+    // the logical form of the positional delete: the DV path must
+    // reproduce this exactly
+    "io_deletion_vectors" ->
+      """WITH b AS (
+        |  SELECT l_orderkey % 8 AS file_id, l_quantity,
+        |    (l_returnflag = 'R' AND l_quantity < 10) AS del
+        |  FROM lineitem
+        |)
+        |SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+        |  CAST(SUM(CASE WHEN del THEN 0 ELSE 1 END) AS BIGINT) AS n_live,
+        |  CAST(SUM(CASE WHEN del THEN NULL
+        |    ELSE CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS live_qty
+        |FROM b GROUP BY file_id ORDER BY file_id""".stripMargin,
     "io_partition_evolution" ->
       """WITH g AS (
         |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS generation,
