@@ -885,7 +885,70 @@ object GraphOps {
     "gr_ppr" -> (ppr _),
     "gr_ppr_converge" -> (pprConverge _),
     "gr_triangles" -> (triangleStats _),
-    "gr_local_cc" -> (localClustering _))
+    "gr_local_cc" -> (localClustering _),
+    "gr_temporal_reach" -> (temporalReach _))
+
+  /** Rounds for gr_temporal_reach (the bounded-rounds rule). */
+  val TemporalReachRounds = 3
+
+  /** TIME-RESPECTING REACHABILITY (gr_temporal_reach) — the temporal-
+    * graph primitive static reachability gets WRONG (Holme & Saramäki's
+    * time-respecting paths): u reaches w only through edges whose
+    * timestamps are NON-DECREASING along the path — influence /
+    * contagion can't travel backwards in time. Edges are the co-activity
+    * pairs STAMPED with the hour that formed them; per seed (user_id
+    * < 5), earliest-arrival iterates arr(v) = min over edges (u,v,hs)
+    * with hs >= arr(u) — the temporal Bellman-Ford, R bounded rounds.
+    * Output: the per-round reach trace (root, round, n_reached) — the
+    * influence-spread curve, monotone by construction.
+    *
+    * Scale: per round ONE co-partitioned join of the O(seeds x reached)
+    * arrival frame against the capped edge table + a map-side min;
+    * rounds localCheckpointed. The hour filter rides IN the join — no
+    * post-explosion. */
+  def temporalReach(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("hs"))
+      .distinct()
+    val sizes = act.groupBy("event_type", "hs").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= 20)
+    val ok = act.join(sizes.select("event_type", "hs"), Seq("event_type", "hs"))
+    val e = ok.as("x").join(ok.as("y"),
+        col("x.event_type") === col("y.event_type") && col("x.hs") === col("y.hs")
+          && col("x.user_id") < col("y.user_id"))
+      .select(col("x.user_id").as("a"), col("y.user_id").as("b"), col("x.hs").as("hs"))
+      .distinct()
+    temporalReachOn(e)
+  }
+
+  /** Same operator over any undirected timestamped (a, b, hs) edge set —
+    * Round16Spec plants a path whose edge times DECREASE and pins that
+    * static reachability does not leak through it. */
+  def temporalReachOn(e: DataFrame, seedBelow: Long = 5L): DataFrame = {
+    val sym = e.select((col("a") + lit(0L)).as("u"), (col("b") + lit(0L)).as("v"), col("hs"))
+      .unionByName(e.select((col("b") + lit(0L)).as("u"), (col("a") + lit(0L)).as("v"), col("hs")))
+      .localCheckpoint() // one join per round
+    var arr = sym.select(col("u")).filter(col("u") < seedBelow).distinct()
+      .select(col("u").as("root"), col("u").as("node"), lit(-1L).as("arr"))
+      .localCheckpoint()
+    val trace = Seq.newBuilder[DataFrame]
+    trace += arr.groupBy("root").agg(count(lit(1)).as("n_reached"))
+      .select(col("root"), lit(0L).as("round"), col("n_reached"))
+    for (r <- 1 to TemporalReachRounds) {
+      val cand = arr.select(col("root"), col("node").as("u"), col("arr"))
+        .join(sym, Seq("u"))
+        .filter(col("hs") >= col("arr"))
+        .select(col("root"), col("v").as("node"), col("hs").as("arr"))
+      arr = arr.unionByName(cand)
+        .groupBy("root", "node").agg(min(col("arr")).as("arr"))
+        .localCheckpoint() // next round + trace read
+      trace += arr.groupBy("root").agg(count(lit(1)).as("n_reached"))
+        .select(col("root"), lit(r.toLong).as("round"), col("n_reached"))
+    }
+    trace.result().reduce(_ unionByName _).orderBy("root", "round")
+  }
 
   /** LOCAL CLUSTERING COEFFICIENT (gr_local_cc) — gr_triangles' global
     * gcc dropped to node granularity (Watts-Strogatz 1998): per node,
@@ -943,6 +1006,49 @@ object GraphOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "gr_temporal_reach" -> {
+      val round = (r: Int) =>
+        s"""a$r AS MATERIALIZED (
+           |  SELECT root, node, MIN(arr) AS arr FROM (
+           |    SELECT root, node, arr FROM a${r - 1}
+           |    UNION ALL
+           |    SELECT p.root, s.v AS node, s.hs AS arr
+           |    FROM a${r - 1} p JOIN sym s ON p.node = s.u
+           |    WHERE s.hs >= p.arr
+           |  ) z GROUP BY root, node
+           |), t$r AS (
+           |  SELECT root, CAST($r AS BIGINT) AS round,
+           |    CAST(COUNT(*) AS BIGINT) AS n_reached
+           |  FROM a$r GROUP BY root
+           |)""".stripMargin
+      s"""WITH act AS (
+         |  SELECT DISTINCT user_id, event_type,
+         |    CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600 AS hs
+         |  FROM events
+         |), sizes AS (
+         |  SELECT event_type, hs FROM (
+         |    SELECT event_type, hs, COUNT(*) AS n FROM act GROUP BY 1, 2) WHERE n <= 20
+         |), ok AS (
+         |  SELECT act.* FROM act JOIN sizes USING (event_type, hs)
+         |), e AS (
+         |  SELECT DISTINCT x.user_id AS a, y.user_id AS b, x.hs AS hs
+         |  FROM ok x JOIN ok y ON x.event_type = y.event_type AND x.hs = y.hs
+         |    AND x.user_id < y.user_id
+         |), sym AS MATERIALIZED (
+         |  SELECT a AS u, b AS v, hs FROM e UNION ALL SELECT b AS u, a AS v, hs FROM e
+         |), a0 AS MATERIALIZED (
+         |  SELECT DISTINCT u AS root, u AS node, CAST(-1 AS BIGINT) AS arr
+         |  FROM sym WHERE u < 5
+         |), t0 AS (
+         |  SELECT root, CAST(0 AS BIGINT) AS round,
+         |    CAST(COUNT(*) AS BIGINT) AS n_reached
+         |  FROM a0 GROUP BY root
+         |),
+         |${(1 to TemporalReachRounds).map(round).mkString(",\n")}
+         |SELECT root, round, n_reached FROM (
+         |  ${(0 to TemporalReachRounds).map(r => s"SELECT * FROM t$r").mkString(" UNION ALL ")}
+         |) u ORDER BY root, round""".stripMargin
+    },
     "gr_local_cc" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr FROM events

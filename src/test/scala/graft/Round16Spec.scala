@@ -146,6 +146,20 @@ class Round16Spec extends SparkSpecBase {
     assert((beam & exact).size >= 5, s"overlap=${(beam & exact).size}")
   }
 
+  test("gr_temporal_reach: decreasing-time paths do not leak reachability") {
+    import spark.implicits._
+    // 0 -5-> 10 -7-> 20 -3-> 30: the 20->30 edge happened BEFORE influence
+    // arrived at 20 — statically connected, temporally unreachable.
+    // 0 -9-> 50 -9-> 60: equal times are non-decreasing (allowed).
+    val edges = Seq(
+      (0L, 10L, 5L), (10L, 20L, 7L), (20L, 30L, 3L),
+      (0L, 50L, 9L), (50L, 60L, 9L)).toDF("a", "b", "hs")
+    val got = graft.operators.GraphOps.temporalReachOn(edges, seedBelow = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (0L, 0L, 1L), (0L, 1L, 3L), (0L, 2L, 5L), (0L, 3L, 5L)))
+  }
+
   test("ev_overlap_join: touching/nested/disjoint pairs, cross-cell dedup") {
     import spark.implicits._
     val sess = Seq(
