@@ -1370,7 +1370,43 @@ object Events {
       .orderBy("day")
   }
 
+  /** MULTI-WINDOW BURN-RATE ALERTS (ev_burn_rate) — the Google-SRE
+    * error-budget alerting rule: page only when BOTH a fast window (1h)
+    * and a slow window (6h) burn the budget — the fast window gives
+    * detection speed, the slow one kills flapping on transient spikes.
+    * Budget here is error share ≤ 25% (the corpus' five uniform types
+    * make 1% degenerate — stated); burn > 1 compares as 4·errors >
+    * total in pure integers, never a rate division. Windows ride the
+    * DENSE hour spine (missing hours are zero traffic, burn 0 — a gap
+    * must not freeze the slow window). Output per hour: both windows'
+    * counts + fire flags + the page verdict.
+    *
+    * Scale: one map-side-combinable hour rollup, a #hours spine, and
+    * two trailing-window sums over the O(hours) frame — raw events are
+    * touched exactly once. */
+  def burnRate(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .select(expr("unix_timestamp(ts) div 3600").as("h"),
+        when(col("event_type") === "error", lit(1L)).otherwise(lit(0L)).as("is_err"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("t1"), sum(col("is_err")).as("e1"))
+      .localCheckpoint() // bounds read + spine join
+    val b = hourly.agg(min("h").as("h0"), max("h").as("h1")).collect()(0)
+    val spine = spark.range(b.getLong(0), b.getLong(1) + 1).select(col("id").as("h"))
+    val w6 = Window.orderBy("h").rowsBetween(-5, 0)
+    spine.join(hourly, Seq("h"), "left_outer")
+      .select(col("h"), coalesce(col("t1"), lit(0L)).as("t1"),
+        coalesce(col("e1"), lit(0L)).as("e1"))
+      .withColumn("t6", sum(col("t1")).over(w6))
+      .withColumn("e6", sum(col("e1")).over(w6))
+      .withColumn("fast_fires", (col("e1") * 4 > col("t1")).cast("long"))
+      .withColumn("slow_fires", (col("e6") * 4 > col("t6")).cast("long"))
+      .withColumn("page", col("fast_fires") * col("slow_fires"))
+      .orderBy("h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_burn_rate" -> (burnRate _),
     "ev_cart_abandon" -> (cartAbandon _),
     "ev_latency_slo" -> (latencySlo _),
     "ev_survival" -> (survival _),
@@ -1430,6 +1466,30 @@ object Events {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ev_burn_rate" ->
+      """WITH hr AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS t1,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS e1
+        |  FROM events GROUP BY 1
+        |), b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hr),
+        |spine AS (SELECT unnest(range(h0, h1 + 1)) AS h FROM b),
+        |j AS (
+        |  SELECT spine.h, COALESCE(t1, 0) AS t1, COALESCE(e1, 0) AS e1
+        |  FROM spine LEFT JOIN hr ON spine.h = hr.h
+        |), wnd AS (
+        |  SELECT h, t1, e1,
+        |    CAST(SUM(t1) OVER (ORDER BY h
+        |      ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS t6,
+        |    CAST(SUM(e1) OVER (ORDER BY h
+        |      ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS e6
+        |  FROM j
+        |)
+        |SELECT h, t1, e1, t6, e6,
+        |  CAST(CASE WHEN e1 * 4 > t1 THEN 1 ELSE 0 END AS BIGINT) AS fast_fires,
+        |  CAST(CASE WHEN e6 * 4 > t6 THEN 1 ELSE 0 END AS BIGINT) AS slow_fires,
+        |  CAST(CASE WHEN e1 * 4 > t1 AND e6 * 4 > t6 THEN 1 ELSE 0 END AS BIGINT) AS page
+        |FROM wnd ORDER BY h""".stripMargin,
     "ev_cart_abandon" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,
