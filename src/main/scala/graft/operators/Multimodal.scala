@@ -425,7 +425,49 @@ object Multimodal {
       .orderBy("epoch", "shard")
   }
 
+  /** ASPECT-RATIO BUCKETING (mm_aspect_bucket) — the SDXL-style batch
+    * grouping every image-training pipeline runs: images batch only with
+    * same-aspect peers so resize-to-target wastes no pixels. Dimensions
+    * derive deterministically from the payload byte length (the synthetic
+    * -geometry doctrine — no codec in this container); each image elects
+    * the closest rung on the {1:1, 4:3, 3:4, 16:9, 9:16} ladder by
+    * minimizing |w/h − rw/rh| EXACTLY: the distance is the rational
+    * |w·rh − rw·h| / rh (h > 0 cancels across rungs), and multiplying by
+    * 144/rh (144 = lcm of the ladder's rh values) turns the argmin into
+    * a pure-BIGINT comparison — no float ratio ever materializes. Ties
+    * break to the smallest rung index.
+    *
+    * Scale: per-row arithmetic + a 5-way generated explode + one
+    * map-side-combinable rollup; the argmin window fans in exactly 5
+    * rows per image. */
+  def aspectBucket(spark: SparkSession, dir: String): DataFrame = {
+    val dims = withPayload(spark, dir)
+      .select(col("doc_id"), length(col("payload")).cast("long").as("bl"))
+      .withColumn("w", expr("256 + (bl * 7919) % 768"))
+      .withColumn("h", expr("256 + (bl * 104729) % 768"))
+    val ladder = Seq((0, 1, 1, "1:1"), (1, 4, 3, "4:3"), (2, 3, 4, "3:4"),
+        (3, 16, 9, "16:9"), (4, 9, 16, "9:16"))
+      .map { case (i, rw, rh, s) =>
+        s"struct(${i}L AS i, ${rw}L AS rw, ${rh}L AS rh, '$s' AS rung)" }
+      .mkString("array(", ", ", ")")
+    val wSel = Window.partitionBy("doc_id").orderBy(col("score").asc, col("i").asc)
+    dims
+      .select(col("doc_id"), col("w"), col("h"), explode(expr(ladder)).as("r"))
+      .select(col("doc_id"), col("w"), col("h"),
+        col("r.i").as("i"), col("r.rw").as("rw"), col("r.rh").as("rh"),
+        col("r.rung").as("rung"))
+      .withColumn("score", expr("abs(w * rh - rw * h) * (144 div rh)"))
+      .withColumn("rn", row_number().over(wSel))
+      .filter(col("rn") === 1)
+      .groupBy("i", "rung")
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("w")).as("sum_w"), sum(col("h")).as("sum_h"))
+      .select("rung", "n_images", "sum_w", "sum_h")
+      .orderBy("rung")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_aspect_bucket" -> (aspectBucket _),
     "mm_epoch_shuffle" -> (epochShuffle _),
     "mm_scene_cut" -> (sceneCut _),
     "mm_av_sync" -> (avSync _),
@@ -440,6 +482,27 @@ object Multimodal {
     "mm_embed_knn" -> (embedKnn _))
 
   val oracle: Map[String, String] = Map(
+    "mm_aspect_bucket" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS bl FROM documents
+        |), dims AS (
+        |  SELECT doc_id, 256 + (bl * 7919) % 768 AS w,
+        |    256 + (bl * 104729) % 768 AS h
+        |  FROM d
+        |), ladder(i, rw, rh, rung) AS (
+        |  VALUES (0, 1, 1, '1:1'), (1, 4, 3, '4:3'), (2, 3, 4, '3:4'),
+        |    (3, 16, 9, '16:9'), (4, 9, 16, '9:16')
+        |), scored AS (
+        |  SELECT doc_id, w, h, i, rung,
+        |    ABS(w * rh - rw * h) * (144 // rh) AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY ABS(w * rh - rw * h) * (144 // rh) ASC, i ASC) AS rn
+        |  FROM dims CROSS JOIN ladder
+        |)
+        |SELECT rung, CAST(COUNT(*) AS BIGINT) AS n_images,
+        |  CAST(SUM(w) AS BIGINT) AS sum_w, CAST(SUM(h) AS BIGINT) AS sum_h
+        |FROM scored WHERE rn = 1
+        |GROUP BY i, rung ORDER BY rung""".stripMargin,
     "mm_epoch_shuffle" -> {
       val hex6 = (1 to 6).map(k =>
           s"(strpos('0123456789abcdef', substr(mh, $k, 1)) - 1)")
