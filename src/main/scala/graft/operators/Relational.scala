@@ -544,7 +544,35 @@ object Relational {
         |ORDER BY c.c_custkey, t.price_cents DESC, t.o_orderkey""".stripMargin)
   }
 
+  /** MULTISET SET OPS (q32_setops_all) — INTERSECT ALL / EXCEPT ALL, the
+    * multiplicity-aware half q18 doesn't cover (bag semantics: a user
+    * with 5 clicks and 2 purchases matches 2 and keeps 3 — min(m,n) /
+    * max(0, m−n) per dup group): the click-user multiset against the
+    * purchase-user multiset, rolled up per user, top-20. Spark plans
+    * intersectAll/exceptAll as count-generate aggregates (one shuffle
+    * each, no join explosion); the DuckDB oracle runs its native
+    * INTERSECT ALL / EXCEPT ALL — same ANSI bag algebra. */
+  def q32SetOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"))
+      .localCheckpoint() // both multiset sides read it twice
+    val clicks = ev.filter(col("event_type") === "click").select("user_id")
+    val purch = ev.filter(col("event_type") === "purchase").select("user_id")
+    val matched = clicks.intersectAll(purch)
+      .groupBy("user_id").agg(count(lit(1)).as("n_matched"))
+    val unmatched = clicks.exceptAll(purch)
+      .groupBy("user_id").agg(count(lit(1)).as("n_unmatched"))
+    matched.join(unmatched, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        coalesce(col("n_unmatched"), lit(0L)).as("n_unmatched"))
+      .orderBy(col("n_matched").desc, col("user_id")).limit(20)
+      .orderBy(col("n_matched").desc, col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_setops_all" -> (q32SetOpsAll _),
     "q31_lateral" -> (q31Lateral _),
     "q30_unpivot" -> (q30Unpivot _),
     "q28_rfm" -> (q28Rfm _),
@@ -575,6 +603,23 @@ object Relational {
     "q12_union_dedup" -> (q12UnionDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q32_setops_all" ->
+      """WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_matched
+        |  FROM (SELECT user_id FROM c INTERSECT ALL SELECT user_id FROM p)
+        |  GROUP BY user_id
+        |), u AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_unmatched
+        |  FROM (SELECT user_id FROM c EXCEPT ALL SELECT user_id FROM p)
+        |  GROUP BY user_id
+        |)
+        |SELECT COALESCE(m.user_id, u.user_id) AS user_id,
+        |  COALESCE(n_matched, 0) AS n_matched,
+        |  COALESCE(n_unmatched, 0) AS n_unmatched
+        |FROM m FULL OUTER JOIN u ON m.user_id = u.user_id
+        |ORDER BY n_matched DESC, user_id LIMIT 20""".stripMargin,
     "q31_lateral" ->
       """SELECT c.c_custkey, t.o_orderkey, t.price_cents
         |FROM customer c, LATERAL (
