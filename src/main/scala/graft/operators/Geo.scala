@@ -294,11 +294,18 @@ object Geo {
   /** Per-cell D8 selection (fx, fy, n, d, nx, ny, nn, eff at the argmax
     * direction) — shared by zs_flowdir's histogram and zs_flowaccum's
     * drainage forest. */
+  /** The ONE copy of the D8 neighbor direction tables (index d = 0..7,
+    * E counter-clockwise) — flowSel, costDistanceOn, and triOn all expand
+    * neighbors through these, and the oracle-side dirs VALUES lists must
+    * stay in this order. */
+  private val D8dxA = "array(1, 1, 0, -1, -1, -1, 0, 1)"
+  private val D8dyA = "array(0, 1, 1, 1, 0, -1, -1, -1)"
+
   private[graft] def flowSel(cellsIn: DataFrame): DataFrame = {
     val cells = cellsIn
       .localCheckpoint() // grid base + neighbor lookup side
-    val dxA = "array(1, 1, 0, -1, -1, -1, 0, 1)"
-    val dyA = "array(0, 1, 1, 1, 0, -1, -1, -1)"
+    val dxA = D8dxA
+    val dyA = D8dyA
     val wA = "array(10, 7, 10, 7, 10, 7, 10, 7)"
     val wSel = Window.partitionBy("fx", "fy").orderBy(col("eff").desc, col("d").asc)
     cells
@@ -1621,8 +1628,8 @@ object Geo {
   def costDistanceOn(cellsIn: DataFrame, nSources: Int = 5): DataFrame = {
     val cells = cellsIn
       .localCheckpoint() // consumers: edge build (2 sides), sources, final spine
-    val dxA = "array(1, 1, 0, -1, -1, -1, 0, 1)"
-    val dyA = "array(0, 1, 1, 1, 0, -1, -1, -1)"
+    val dxA = D8dxA
+    val dyA = D8dyA
     val wA = "array(10, 14, 10, 14, 10, 14, 10, 14)"
     val edges = cells
       .withColumn("d", explode(expr("sequence(0, 7)")))
@@ -1681,8 +1688,8 @@ object Geo {
   def triOn(cellsIn: DataFrame): DataFrame = {
     val cells = cellsIn
       .localCheckpoint() // self-join both sides
-    val dxA = "array(1, 1, 0, -1, -1, -1, 0, 1)"
-    val dyA = "array(0, 1, 1, 1, 0, -1, -1, -1)"
+    val dxA = D8dxA
+    val dyA = D8dyA
     cells
       .withColumn("d", explode(expr("sequence(0, 7)")))
       .withColumn("nx", expr(s"fx + element_at($dxA, CAST(d + 1 AS INT))"))

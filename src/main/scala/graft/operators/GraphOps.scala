@@ -173,7 +173,12 @@ object GraphOps {
     * hour) bucket, buckets over 20 users dropped before pair generation —
     * the quadratic-fan-out cap shared with the dedup indexes): undirected,
     * kept once as a < b. Shared by gr_triangles and gr_pagerank. */
-  private[graft] def coActivityEdges(
+  /** Raw co-activity pairs — one row per (a < b, type, hour) cell
+    * co-occurrence after the ≤20-per-cell hub cap. The ONE copy of the
+    * capped pair build; coActivityEdges (distinct pairs), sssp (pair
+    * multiplicity as weight), and temporalReach (hour-stamped edges)
+    * all derive from it. */
+  private[graft] def coActivityPairs(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import graft.sources.Tables
     val act = Tables.events(spark, dir)
@@ -185,9 +190,12 @@ object GraphOps {
     ok.as("x").join(ok.as("y"),
         col("x.event_type") === col("y.event_type") && col("x.hr") === col("y.hr")
           && col("x.user_id") < col("y.user_id"))
-      .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
-      .distinct()
+      .select(col("x.user_id").as("a"), col("y.user_id").as("b"), col("x.hr").as("hr"))
   }
+
+  private[graft] def coActivityEdges(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    coActivityPairs(spark, dir).select("a", "b").distinct()
 
   def triangleStats(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val edges = coActivityEdges(spark, dir)
@@ -469,17 +477,8 @@ object GraphOps {
     * standing recompute rule for loop-carried frames). Distances and
     * weights are BIGINT throughout — no float path costs to drift. */
   def sssp(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    import graft.sources.Tables
-    val act = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type"), date_trunc("hour", col("ts")).as("hr"))
-      .distinct()
-    val sizes = act.groupBy("event_type", "hr").agg(count(lit(1)).as("n"))
-      .filter(col("n") <= 20)
-    val ok = act.join(sizes.select("event_type", "hr"), Seq("event_type", "hr"))
-    val we = ok.as("x").join(ok.as("y"),
-        col("x.event_type") === col("y.event_type") && col("x.hr") === col("y.hr")
-          && col("x.user_id") < col("y.user_id"))
-      .groupBy(col("x.user_id").as("a"), col("y.user_id").as("b"))
+    val we = coActivityPairs(spark, dir)
+      .groupBy("a", "b")
       .agg(count(lit(1)).as("n"))
       .select(col("a"), col("b"), greatest(lit(1L), lit(11L) - col("n")).as("w"))
     val sym = we.select(col("a").as("src"), col("b").as("dst"), col("w"))
@@ -906,22 +905,10 @@ object GraphOps {
     * arrival frame against the capped edge table + a map-side min;
     * rounds localCheckpointed. The hour filter rides IN the join — no
     * post-explosion. */
-  def temporalReach(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    import graft.sources.Tables
-    val act = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type"),
-        expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("hs"))
-      .distinct()
-    val sizes = act.groupBy("event_type", "hs").agg(count(lit(1)).as("n"))
-      .filter(col("n") <= 20)
-    val ok = act.join(sizes.select("event_type", "hs"), Seq("event_type", "hs"))
-    val e = ok.as("x").join(ok.as("y"),
-        col("x.event_type") === col("y.event_type") && col("x.hs") === col("y.hs")
-          && col("x.user_id") < col("y.user_id"))
-      .select(col("x.user_id").as("a"), col("y.user_id").as("b"), col("x.hs").as("hs"))
-      .distinct()
-    temporalReachOn(e)
-  }
+  def temporalReach(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    temporalReachOn(coActivityPairs(spark, dir)
+      .select(col("a"), col("b"), expr("unix_timestamp(hr) div 3600").as("hs"))
+      .distinct())
 
   /** Same operator over any undirected timestamped (a, b, hs) edge set —
     * Round16Spec plants a path whose edge times DECREASE and pins that

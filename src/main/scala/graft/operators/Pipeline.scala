@@ -218,11 +218,9 @@ object Pipeline {
     "pipe_export" -> (pipeExport _),
     "pipe_incremental" -> (pipeQuery _))
 
-  private def hex4Sql(e: String) =
-    s"(((strpos('0123456789abcdef', substr($e, 1, 1)) - 1) * 16 " +
-      s"+ strpos('0123456789abcdef', substr($e, 2, 1)) - 1) * 16 " +
-      s"+ strpos('0123456789abcdef', substr($e, 3, 1)) - 1) * 16 " +
-      s"+ strpos('0123456789abcdef', substr($e, 4, 1)) - 1"
+  // the split-hash oracle helper is TextAnalysis's — one definition for
+  // both the ta_split and pipe_eval oracles
+  private def hex4Sql(e: String) = TextAnalysis.hex4Sql(e)
 
   val oracle: Map[String, String] = Map(
     "pipe_eval" ->

@@ -1502,6 +1502,15 @@ object Similarity {
     "ann_lsh" -> (lsh _),
     "ann_ivf" -> (ivf _))
 
+  /** DuckDB SQL: first 6 md5 hex chars (column `mh`) as an integer —
+    * must encode the same convention as the Spark-side
+    * conv(substring(md5(...), 1, 6), 16, 10); shared by the
+    * ann_nndescent and ann_graph_search graph-init oracles. */
+  private def md5Hex6Sql: String = {
+    val hex = (k: Int) => s"(strpos('0123456789abcdef', substr(mh, $k, 1)) - 1)"
+    (1 to 6).map(hex).reduce((a, b) => s"($a * 16 + $b)")
+  }
+
   private def annSql(candJoin: String, k: Int): String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings
@@ -2300,8 +2309,7 @@ object Similarity {
          |FROM exact LEFT JOIN approx ON exact.qid = approx.qid AND exact.cid = approx.cid
          |GROUP BY exact.qid ORDER BY exact.qid""".stripMargin,
     "ann_graph_search" -> {
-      val hex = (k: Int) => s"(strpos('0123456789abcdef', substr(mh, $k, 1)) - 1)"
-      val h6 = (1 to 6).map(hex).reduce((a, b) => s"($a * 16 + $b)")
+      val h6 = md5Hex6Sql
       val hop = (r: Int) =>
         s"""b$r AS MATERIALIZED (
            |  SELECT qid, cid, cos FROM (
@@ -2353,8 +2361,7 @@ object Similarity {
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
     },
     "ann_nndescent" -> {
-      val hex = (k: Int) => s"(strpos('0123456789abcdef', substr(mh, $k, 1)) - 1)"
-      val h6 = (1 to 6).map(hex).reduce((a, b) => s"($a * 16 + $b)")
+      val h6 = md5Hex6Sql
       val round = (r: Int) =>
         s"""s$r AS (
            |  SELECT src, dst FROM g${r - 1} UNION SELECT dst, src FROM g${r - 1}

@@ -912,12 +912,17 @@ object TextAnalysis {
       .select("lang", "split", "n_docs", "n_groups", "n_chars", "share_x10000")
       .orderBy("lang", "split")
 
+  /** DuckDB SQL for the first 4 md5 hex chars as an integer — the split
+    * hash's oracle half; shared with pipe_eval's oracle (Pipeline), which
+    * re-states the same split assignment. */
+  private[graft] def hex4Sql(e: String): String =
+    s"(((strpos('0123456789abcdef', substr($e, 1, 1)) - 1) * 16 " +
+      s"+ strpos('0123456789abcdef', substr($e, 2, 1)) - 1) * 16 " +
+      s"+ strpos('0123456789abcdef', substr($e, 3, 1)) - 1) * 16 " +
+      s"+ strpos('0123456789abcdef', substr($e, 4, 1)) - 1"
+
   private def splitSql: String = {
-    def hex4(e: String) =
-      s"(((strpos('0123456789abcdef', substr($e, 1, 1)) - 1) * 16 " +
-        s"+ strpos('0123456789abcdef', substr($e, 2, 1)) - 1) * 16 " +
-        s"+ strpos('0123456789abcdef', substr($e, 3, 1)) - 1) * 16 " +
-        s"+ strpos('0123456789abcdef', substr($e, 4, 1)) - 1"
+    def hex4(e: String) = hex4Sql(e)
     s"""WITH g AS (
        |  SELECT lang, n_chars, md5('sg:' || text) AS gk FROM documents
        |), a AS (

@@ -1069,21 +1069,30 @@ object ManifestIO {
       .select(col("file_id"), col("pos"))
       .write.mode(SaveMode.Overwrite).parquet(s"$root/_deletes")
     val dv = spark.read.parquet(s"$root/_deletes")
-    val live = base.join(broadcast(dv), Seq("file_id", "pos"), "left_anti")
-    val out = base.groupBy("file_id").agg(count(lit(1)).as("n_rows"))
-      .join(dv.groupBy("file_id").agg(count(lit(1)).as("n_deleted")),
-        Seq("file_id"), "left_outer")
-      .join(live.groupBy("file_id").agg(count(lit(1)).as("n_live"),
-          Tables.dsum(col("l_quantity")).as("live_qty")),
-        Seq("file_id"))
-      .select(col("file_id"), col("n_rows"),
-        coalesce(col("n_deleted"), lit(0L)).as("n_deleted"),
-        col("n_live"), col("live_qty"))
-      .orderBy("file_id")
+    val out = dvAccounting(base, dv)
       .localCheckpoint() // materialize before the scratch dir is reclaimed
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       .deleteOnExit(new org.apache.hadoop.fs.Path(root))
     out
+  }
+
+  /** The DV-scan accounting, separated so Round16Spec can plant a file
+    * group whose rows are ALL deleted: left_outer joins keep it in the
+    * report with (n_live = 0, live_qty NULL) — the oracle's
+    * unconditional GROUP BY emits it, so an inner join here would
+    * hash-mismatch the moment a group's delete fraction hits 100%. */
+  private[graft] def dvAccounting(base: DataFrame, dv: DataFrame): DataFrame = {
+    val live = base.join(broadcast(dv), Seq("file_id", "pos"), "left_anti")
+    base.groupBy("file_id").agg(count(lit(1)).as("n_rows"))
+      .join(dv.groupBy("file_id").agg(count(lit(1)).as("n_deleted")),
+        Seq("file_id"), "left_outer")
+      .join(live.groupBy("file_id").agg(count(lit(1)).as("n_live"),
+          Tables.dsum(col("l_quantity")).as("live_qty")),
+        Seq("file_id"), "left_outer")
+      .select(col("file_id"), col("n_rows"),
+        coalesce(col("n_deleted"), lit(0L)).as("n_deleted"),
+        coalesce(col("n_live"), lit(0L)).as("n_live"), col("live_qty"))
+      .orderBy("file_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

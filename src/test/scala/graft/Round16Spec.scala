@@ -2,10 +2,33 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Round-9 session-4 specs: the survival life table's censoring rule +
-  * KM monotonicity, and the interval-overlap join's edge semantics
-  * (touching, nested, cross-cell dedup). */
+/** Round-9 session-4 specs, one per operator landed this session:
+  * survival censoring + KM monotonicity, interval-overlap edge semantics
+  * (touching/nested/cross-cell dedup), LATERAL decorrelation plan shape,
+  * readability's sentence term + negative-score path, cost-distance
+  * route-around-friction + the unreached cap, the K4 clustering
+  * coefficient, RAKE deg/freq arithmetic, TRI's rugged band, graph-beam
+  * search invariants + recall floor, temporal reachability's
+  * decreasing-time exclusion, and the deletion-vector all-deleted file
+  * group. */
 class Round16Spec extends SparkSpecBase {
+
+  test("io_deletion_vectors: an all-deleted file group stays in the report") {
+    import spark.implicits._
+    val base = Seq(
+      (0L, 1L, 5.0), (0L, 2L, 7.0),  // group 0: both rows deleted
+      (1L, 1L, 3.0), (1L, 2L, 4.0))  // group 1: one row deleted
+      .toDF("file_id", "pos", "l_quantity")
+    val dv = Seq((0L, 1L), (0L, 2L), (1L, 1L)).toDF("file_id", "pos")
+    val got = graft.sources.ManifestIO.dvAccounting(base, dv).collect()
+    assert(got.length === 2)
+    // group 0 must survive with n_live = 0 and a NULL quantity mass —
+    // exactly what the oracle's unconditional GROUP BY emits
+    assert((got(0).getLong(0), got(0).getLong(1), got(0).getLong(2),
+      got(0).getLong(3), got(0).isNullAt(4)) === (0L, 2L, 2L, 0L, true))
+    assert((got(1).getLong(0), got(1).getLong(1), got(1).getLong(2),
+      got(1).getLong(3), got(1).getDouble(4)) === (1L, 2L, 1L, 1L, 4.0))
+  }
 
   test("ev_survival: censoring rule, risk-set arithmetic, KM monotone") {
     import spark.implicits._
