@@ -1054,7 +1054,10 @@ object ManifestIO {
     * group; the write is one pass with a per-bucket position window
     * (bucket-partitioned sort, never global). Scratch path is
     * per-invocation unique (the mergeQuery race rule). */
-  def deletionVectorsQuery(spark: SparkSession, dir: String): DataFrame = {
+  /** Lands the DV demo layout (8 file groups + the positional `_deletes`
+    * sidecar) under a fresh scratch root; shared by io_deletion_vectors
+    * and io_dv_compact. Returns (base, dv, root). */
+  private def writeDvLayout(spark: SparkSession, dir: String): (DataFrame, DataFrame, String) = {
     val root = s"/tmp/graft_io/dv_${Integer.toHexString(dir.hashCode)}_${System.nanoTime()}"
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("file_id").orderBy("l_orderkey", "l_linenumber")
@@ -1068,11 +1071,70 @@ object ManifestIO {
     base.filter(col("l_returnflag") === "R" && col("l_quantity") < 10)
       .select(col("file_id"), col("pos"))
       .write.mode(SaveMode.Overwrite).parquet(s"$root/_deletes")
-    val dv = spark.read.parquet(s"$root/_deletes")
-    val out = dvAccounting(base, dv)
-      .localCheckpoint() // materialize before the scratch dir is reclaimed
+    (base, spark.read.parquet(s"$root/_deletes"), root)
+  }
+
+  private def reclaimOnExit(spark: SparkSession, root: String): Unit =
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       .deleteOnExit(new org.apache.hadoop.fs.Path(root))
+
+  def deletionVectorsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val (base, dv, root) = writeDvLayout(spark, dir)
+    val out = dvAccounting(base, dv)
+      .localCheckpoint() // materialize before the scratch dir is reclaimed
+    reclaimOnExit(spark, root)
+    out
+  }
+
+  /** DV COMPACTION (io_dv_compact) — the lifecycle's second half: a file
+    * group whose delete fraction exceeds 6.2% gets REWRITTEN (live rows
+    * only, fresh positions) and its DV entries dropped; below the
+    * threshold the group keeps its data file + sidecar (reading through
+    * the DV stays cheaper than churning the file). The rewrite actually
+    * LANDS (dynamic-partition write of the rewritten groups; counts
+    * come from the landed parquet, the pipe_incremental rule) and the
+    * report shows before/after rows + DV entries per group with the
+    * conservation invariant visible: n_rows_after − n_dv_after is the
+    * live count on both paths.
+    *
+    * Scale: the threshold decision is an 8-row stats frame (broadcast
+    * join, never a collect-driven plan); only rewritten groups' rows
+    * move; the DV drop is an anti-join of the deletes-sized sidecar. */
+  def dvCompactQuery(spark: SparkSession, dir: String): DataFrame = {
+    val (base, dv, root) = writeDvLayout(spark, dir)
+    val stats = base.groupBy("file_id").agg(count(lit(1)).as("n_rows"))
+      .join(dv.groupBy("file_id").agg(count(lit(1)).as("n_deleted")),
+        Seq("file_id"), "left_outer")
+      .select(col("file_id"), col("n_rows"),
+        coalesce(col("n_deleted"), lit(0L)).as("n_deleted"))
+      .withColumn("rewrite",
+        (col("n_deleted") * 1000 > col("n_rows") * 62).cast("long"))
+      .localCheckpoint() // decision + report spine
+    val rewriteIds = stats.filter(col("rewrite") === 1L).select("file_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("file_id").orderBy("l_orderkey", "l_linenumber")
+    base.join(broadcast(dv), Seq("file_id", "pos"), "left_anti")
+      .join(broadcast(rewriteIds), Seq("file_id"))
+      .drop("pos").withColumn("pos", row_number().over(w).cast("long"))
+      .write.mode(SaveMode.Overwrite).partitionBy("file_id").parquet(s"$root/data2")
+    // a corpus where no group crosses the threshold lands nothing — an
+    // empty parquet dir has no inferable schema, so guard the read-back
+    val landed =
+      if (stats.filter(col("rewrite") === 1L).isEmpty)
+        stats.select(col("file_id")).limit(0).withColumn("n_landed", lit(0L))
+      else spark.read.parquet(s"$root/data2")
+        .groupBy("file_id").agg(count(lit(1)).as("n_landed"))
+    val out = stats
+      .join(landed, Seq("file_id"), "left_outer")
+      .select(col("file_id"), col("n_rows"), col("n_deleted"),
+        col("rewrite").as("rewritten"),
+        when(col("rewrite") === 1L, coalesce(col("n_landed"), lit(0L)))
+          .otherwise(col("n_rows")).as("n_rows_after"),
+        when(col("rewrite") === 1L, lit(0L))
+          .otherwise(col("n_deleted")).as("n_dv_after"))
+      .orderBy("file_id")
+      .localCheckpoint() // materialize before the scratch dir is reclaimed
+    reclaimOnExit(spark, root)
     out
   }
 
@@ -1097,6 +1159,7 @@ object ManifestIO {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "io_deletion_vectors" -> (deletionVectorsQuery _),
+    "io_dv_compact" -> (dvCompactQuery _),
     "io_skew_profile" -> (skewProfileQuery _),
     "io_dq_report" -> (dqReportQuery _),
     "io_kanon" -> (kanonQuery _),
@@ -1118,6 +1181,24 @@ object ManifestIO {
   val oracle: Map[String, String] = Map(
     // the logical form of the positional delete: the DV path must
     // reproduce this exactly
+    // logical form of the compaction decision + its outcome: the landed
+    // rewrite must reproduce these counts exactly
+    "io_dv_compact" ->
+      """WITH b AS (
+        |  SELECT l_orderkey % 8 AS file_id,
+        |    (l_returnflag = 'R' AND l_quantity < 10) AS del
+        |  FROM lineitem
+        |), s AS (
+        |  SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted
+        |  FROM b GROUP BY file_id
+        |)
+        |SELECT file_id, n_rows, n_deleted,
+        |  CAST(CASE WHEN n_deleted * 1000 > n_rows * 62 THEN 1 ELSE 0 END AS BIGINT) AS rewritten,
+        |  CASE WHEN n_deleted * 1000 > n_rows * 62 THEN n_rows - n_deleted ELSE n_rows END
+        |    AS n_rows_after,
+        |  CASE WHEN n_deleted * 1000 > n_rows * 62 THEN 0 ELSE n_deleted END AS n_dv_after
+        |FROM s ORDER BY file_id""".stripMargin,
     "io_deletion_vectors" ->
       """WITH b AS (
         |  SELECT l_orderkey % 8 AS file_id, l_quantity,

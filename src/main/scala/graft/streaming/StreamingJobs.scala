@@ -181,6 +181,42 @@ object StreamingJobs {
     }
   }
 
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** Per-(user, type) running counts on transformWithState MapState —
+    * the v2 API's keyed-sub-state surface (ValueState and timers are
+    * covered by the two jobs above; MapState completes the sweep): one
+    * map entry per event type under each user key, updated per batch,
+    * the full map re-emitted so Update-mode output converges to the
+    * batch groupBy. At scale this is the per-key feature-map shape
+    * (bounded sub-keys per user) that would otherwise need a composite
+    * grouping key and a second shuffle. */
+  class TypeCountProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, String), TypeCount] {
+    @transient private var st: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getMapState[String, Long]("bytype",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeCount] = {
+      rows.foreach { case (_, t) =>
+        val cur = if (st.containsKey(t)) st.getValue(t) else 0L
+        st.updateValue(t, cur + 1L)
+      }
+      st.iterator().map { case (t, n) => TypeCount(key, t, n) }.toVector.iterator
+    }
+  }
+
+  def typeCountsTws(events: Dataset[(Long, String)]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .transformWithState(new TypeCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   def sessionizeTws(events: Dataset[SessEv], gapSec: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events

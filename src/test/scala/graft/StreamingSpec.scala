@@ -269,6 +269,42 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("transformWithState MapState: per-type counts converge to batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"))
+        .as[(Long, String)].collect()
+      val stream = MemoryStream[(Long, String)]
+      val q = StreamingJobs.typeCountsTws(stream.toDS())
+        .toDF().writeStream.format("memory").queryName("type_counts_tws")
+        .outputMode(OutputMode.Update()).start()
+      evs.grouped(evs.length / 3 + 1).foreach { chunk =>
+        stream.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      // counts are monotone per (user, type): the final state row is the max
+      val result = spark.table("type_counts_tws")
+        .groupBy("user_id", "event_type").agg(max(col("n")).as("n"))
+      val expected = Tables.events(spark, sfDir)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      assert(result.exceptAll(expected).isEmpty && expected.exceptAll(result).isEmpty,
+        s"tws=${result.count()} batch=${expected.count()}")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState running agg: v2 API parity across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
