@@ -33,11 +33,21 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    // Artifact-cache telemetry (judge directive r9 #8): with the shared
+    // train-once/deploy-many model cache under /tmp/graft_models (BPE
+    // merges, k-means codebooks), per-query times depend on RUN ORDER —
+    // whichever consumer runs first in a fresh environment pays the train.
+    // Record which samples cold-trained so artifact-cold and artifact-warm
+    // timings are separable in BENCH_FULL.json.
+    val coldHits = scala.collection.mutable.Map.empty[String, Int]
     def runPass(pass: Iterable[String]): Unit = for (name <- pass) {
       val t0 = System.nanoTime()
+      val trains0 = ModelTelemetry.trains.get()
       try {
         SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
         samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples.getOrElse(name, Nil)
+        if (ModelTelemetry.trains.get() > trains0)
+          coldHits(name) = coldHits.getOrElse(name, 0) + 1
       } catch {
         case e: Throwable =>
           errors.getOrElseUpdate(name, e.toString.linesIterator.next().take(200))
@@ -85,8 +95,15 @@ object Bench {
     //   3. the 12 slowest queries individually (~400B — the keys a judge
     //      audits for plan regressions),
     //   4. the short headline total line LAST (<200B, always survives).
+    // order_index = position in the (sorted) run sequence; cold_hits maps
+    // each key that cold-trained a model artifact during this run to how
+    // many of its samples paid a train (file-only — too big for stdout)
+    val orderIdx = names.zipWithIndex
+      .map { case (k, i) => "\"" + k + "\":" + i }.mkString("{", ",", "}")
+    val colds = coldHits.toSeq.sortBy(_._1)
+      .map { case (k, c) => "\"" + k + "\":" + c }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"per_query","unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","n_queries":${results.size},"total":${fmt(total)}}"""
+      s"""{"metric":"per_query","unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","n_queries":${results.size},"total":${fmt(total)},"order_index":$orderIdx,"cold_hits":$colds}"""
     try {
       val repoDir = new java.io.File("/root/repo")
       val outFile = new java.io.File(if (repoDir.isDirectory) repoDir else new java.io.File(sys.props("user.dir")), "BENCH_FULL.json")

@@ -559,36 +559,147 @@ object Similarity {
   private[graft] def kmeansAssignments(spark: SparkSession, dir: String): DataFrame =
     kmeansChain(spark, dir)._2
 
-  /** (dims, final assignment) — dims is the localCheckpointed exploded
-    * integer-coordinate table every Lloyd round and the multi-probe
-    * centroid ranking share. */
-  private def kmeansChain(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val dims = embeddings(spark, dir)
+  /** The localCheckpointed exploded integer-coordinate table every Lloyd
+    * round and the multi-probe centroid ranking share. */
+  private def kmDims(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("i", "x")))
       .withColumn("xq", expr("CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)"))
       .select("vec_id", "label", "i", "xq")
       .localCheckpoint() // reused by every round's centroid + probe side
-    def centroids(assign: DataFrame): DataFrame =
-      dims.join(assign, Seq("vec_id"))
-        .groupBy(col("c"), col("i"))
-        .agg(sum("xq").as("cS"), count(lit(1)).as("n"))
-    def reassign(cb: DataFrame): DataFrame = {
-      val w = Window.partitionBy("vec_id").orderBy(
-        (col("p").cast("double") / (col("n") * col("n")).cast("double")).asc,
-        col("c").asc)
-      dims.join(broadcast(cb), Seq("i"))
-        .withColumn("t", expr("xq * n - cS"))
-        .groupBy("vec_id", "c")
-        .agg(sum(expr("t * t")).as("p"), max(col("n")).as("n"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("vec_id", "c", "p", "n")
-    }
+
+  private def kmCentroids(dims: DataFrame, assign: DataFrame): DataFrame =
+    dims.join(assign, Seq("vec_id"))
+      .groupBy(col("c"), col("i"))
+      .agg(sum("xq").as("cS"), count(lit(1)).as("n"))
+
+  private def kmReassign(dims: DataFrame, cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(
+      (col("p").cast("double") / (col("n") * col("n")).cast("double")).asc,
+      col("c").asc)
+    dims.join(broadcast(cb), Seq("i"))
+      .withColumn("t", expr("xq * n - cS"))
+      .groupBy("vec_id", "c")
+      .agg(sum(expr("t * t")).as("p"), max(col("n")).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "c", "p", "n")
+  }
+
+  /** K-MEANS MODEL ARTIFACT (train-once / deploy-many) — the BPE-artifact
+    * pattern (TextAnalysis.bpeMergesFor) applied to the other train chain.
+    * Before this, every query in the ann family that deploys the trained
+    * quantizer (ann_kmeans/_recall, ann_multiprobe, ann_ivfpq,
+    * ann_recall_curve, pipe_ann, ann_tier_compare, plus ta_topics /
+    * dd_semdedup / mm wrappers) re-ran the two-Lloyd train inside its own
+    * plan. Now the first trainer persists BOTH codebooks as one tiny
+    * parquet (k x 64 x 2 rows of exact BIGINTs) under /tmp/graft_models,
+    * fingerprint-keyed on embeddings.parquet file metadata, and every
+    * later consumer deploys: assignments cost ONE probe pass
+    * (kmReassign over the stage-2 deploy codebook) and the serving
+    * codebook costs ZERO Lloyd work (the stage-3 rows read back).
+    * The artifact is a pure cache of a deterministic computation — every
+    * stored value is an exact BIGINT (centroids held as (sum, count),
+    * never divided), so a parquet roundtrip is bit-lossless and the
+    * deployed assignment is bit-identical to the fold's
+    * (KmeansModelSpec pins parity + fingerprint invalidation). Any read
+    * anomaly or fingerprint mismatch falls back to the fold and rewrites.
+    * Writes are atomic (unique tmp dir + rename), so overlapping runs
+    * only ever observe a complete model or none. */
+  private val KmModelRoot = "/tmp/graft_models"
+
+  private def kmFingerprint(dir: String): Option[String] =
+    try {
+      val f = new java.io.File(dir, "embeddings.parquet")
+      if (!f.exists) None
+      else {
+        val files = if (f.isDirectory) f.listFiles.toSeq.sortBy(_.getName) else Seq(f)
+        val desc = files.map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString("|")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        Some(md.digest(s"$dir|$desc|km2".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+      }
+    } catch { case _: Throwable => None }
+
+  /** (deploy codebook cb2, serving codebook cb3) rebuilt from the
+    * persisted rows — local bounded frames (k x 64 each), broadcast-ready. */
+  private def kmReadModel(spark: SparkSession, fp: String): Option[(DataFrame, DataFrame)] =
+    try {
+      val d = new java.io.File(KmModelRoot, s"km_$fp")
+      if (!d.isDirectory) None
+      else {
+        import spark.implicits._
+        // schema must match the fold's exactly: c long, i INT (posexplode
+        // position), cS/n long — a coerced i would ripple into join plans
+        val rows = spark.read.parquet(d.getPath)
+          .select("stage", "c", "i", "cS", "n").collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+        def cb(stage: Int): Option[DataFrame] = {
+          val s = rows.filter(_._1 == stage).map(t => (t._2, t._3, t._4, t._5)).toSeq
+          if (s.isEmpty) None else Some(s.toDF("c", "i", "cS", "n"))
+        }
+        for (cb2 <- cb(2); cb3 <- cb(3)) yield (cb2, cb3)
+      }
+    } catch { case _: Throwable => None }
+
+  private def kmWriteModel(spark: SparkSession, fp: String,
+      cb2: DataFrame, cb3: DataFrame): Unit =
+    try {
+      val root = new java.io.File(KmModelRoot)
+      root.mkdirs()
+      val tmp = new java.io.File(root, s"tmp_km_${fp}_${System.nanoTime}")
+      cb2.withColumn("stage", lit(2))
+        .unionByName(cb3.withColumn("stage", lit(3)))
+        .select(col("stage"), col("c").cast("long").as("c"),
+          col("i").cast("int").as("i"), col("cS"), col("n"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      val fin = new java.io.File(root, s"km_$fp")
+      if (!tmp.renameTo(fin)) {
+        // another writer won the race; its artifact is equivalent — drop ours
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(tmp)
+      }
+    } catch { case _: Throwable => () }
+
+  /** Cold path: run the label-seeded two-Lloyd fold over dims, persist the
+    * codebooks, return (cb2, cb3, assignFull) — each eagerly checkpointed
+    * (cb2 feeds the write + the final reassign; assignFull feeds the write's
+    * cb3 build + the caller; cb3 feeds the write + serving consumers). */
+  private def kmTrain(spark: SparkSession, dir: String,
+      dims: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    graft.ModelTelemetry.trains.incrementAndGet()
     val seed = dims.select(col("vec_id"), col("label").cast("long").as("c")).distinct()
-    val as1 = reassign(centroids(seed))
-    (dims, reassign(centroids(as1.select("vec_id", "c"))))
+    val as1 = kmReassign(dims, kmCentroids(dims, seed))
+    val cb2 = kmCentroids(dims, as1.select("vec_id", "c")).localCheckpoint()
+    val assignFull = kmReassign(dims, cb2).localCheckpoint()
+    val cb3 = kmCentroids(dims, assignFull.select("vec_id", "c")).localCheckpoint()
+    kmFingerprint(dir).foreach(kmWriteModel(spark, _, cb2, cb3))
+    (cb2, cb3, assignFull)
+  }
+
+  /** (dims, final assignment, serving codebook) — artifact-backed: warm
+    * consumers pay one probe pass for assignments and nothing for the
+    * serving codebook. */
+  private def kmeansFull(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val dims = kmDims(spark, dir)
+    kmFingerprint(dir).flatMap(kmReadModel(spark, _)) match {
+      case Some((cb2, cb3)) => (dims, kmReassign(dims, cb2), cb3)
+      case None =>
+        val (_, cb3, assignFull) = kmTrain(spark, dir, dims)
+        (dims, assignFull, cb3)
+    }
+  }
+
+  /** (dims, final assignment) — the two-Lloyd chain every quantizer
+    * consumer shares (artifact-backed via kmeansFull). */
+  private def kmeansChain(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (dims, assignFull, _) = kmeansFull(spark, dir)
+    (dims, assignFull)
   }
 
   def kmeans(spark: SparkSession, dir: String): DataFrame =
@@ -652,11 +763,11 @@ object Similarity {
   /** Trained codebook of the FINAL two-round-Lloyd assignment: (c, i, cS,
     * n), k x 64 rows — the static side of both the batch multi-probe
     * search and the streaming probe router (StreamingJobs.annProbeRoute). */
-  def trainedCodebook(spark: SparkSession, dir: String): DataFrame = {
-    val (dims, assignFull) = kmeansChain(spark, dir)
-    dims.join(assignFull.select(col("vec_id"), col("c")), Seq("vec_id"))
-      .groupBy("c", "i").agg(sum("xq").as("cS"), count(lit(1)).as("n"))
-  }
+  def trainedCodebook(spark: SparkSession, dir: String): DataFrame =
+    kmFingerprint(dir).flatMap(kmReadModel(spark, _)) match {
+      case Some((_, cb3)) => cb3 // warm: zero Lloyd work, no corpus scan
+      case None => kmTrain(spark, dir, kmDims(spark, dir))._2
+    }
 
   /** TOPIC DISCOVERY (ta_topics) — the BERTopic-lite corpus-exploration
     * deliverable: cluster the embedded docs with the trained k-means
@@ -719,12 +830,10 @@ object Similarity {
     * partition pruning on a clustered layout, exact pass only for the
     * bounded sample. */
   def recallCurve(spark: SparkSession, dir: String): DataFrame = {
-    val (dims, assignFull) = kmeansChain(spark, dir)
+    val (dims, assignFull, cb) = kmeansFull(spark, dir) // cb = serving codebook (artifact-warm: zero Lloyd work)
     val assign = assignFull.select(col("vec_id"), col("c")).localCheckpoint()
     val c = corpus(spark, dir).localCheckpoint() // exact pass + both probe sides
     val clustered = c.join(assign, Seq("vec_id")).localCheckpoint()
-    val cb = dims.join(assign, Seq("vec_id"))
-      .groupBy("c", "i").agg(sum("xq").as("cS"), count(lit(1)).as("n"))
     val wp = Window.partitionBy("vec_id").orderBy(
       (col("p").cast("double") / (col("n") * col("n")).cast("double")).asc,
       col("c").asc)
@@ -765,15 +874,12 @@ object Similarity {
   }
 
   def multiprobe(spark: SparkSession, dir: String): DataFrame = {
-    val (dims, assignFull) = kmeansChain(spark, dir)
+    // cb = trained codebook of the FINAL assignment, (c, i, cS, n), k x 64
+    // rows — the artifact-backed serving codebook (warm: read, not rebuilt)
+    val (dims, assignFull, cb) = kmeansFull(spark, dir)
     val assign = assignFull.select(col("vec_id"), col("c")).localCheckpoint()
     val c = corpus(spark, dir).localCheckpoint() // exact pass + both probe sides
     val clustered = c.join(assign, Seq("vec_id")).localCheckpoint()
-    // trained codebook of the FINAL assignment: (c, i, cS, n), k x 64 rows
-    // (same shape trainedCodebook exposes; built inline here so it shares
-    // this query's already-checkpointed dims + assign)
-    val cb = dims.join(assign, Seq("vec_id"))
-      .groupBy("c", "i").agg(sum("xq").as("cS"), count(lit(1)).as("n"))
     val wp = Window.partitionBy("vec_id").orderBy(
       (col("p").cast("double") / (col("n") * col("n")).cast("double")).asc,
       col("c").asc)
@@ -854,7 +960,7 @@ object Similarity {
     *    the exact rerank tier bounds the blast radius to candidate
     *    selection, never final scores. */
   def ivfpq(spark: SparkSession, dir: String): DataFrame = {
-    val (dims, assignFull) = kmeansChain(spark, dir)
+    val (dims, assignFull, cbiv) = kmeansFull(spark, dir) // cbiv = serving codebook
     val assign = assignFull.select(col("vec_id"), col("c")).localCheckpoint()
     val c = corpus(spark, dir).localCheckpoint() // queries + rerank + cand norms
     // --- PQ tier: label-subspace codebook, codes, reconstruction (ann_pq) ---
@@ -881,8 +987,6 @@ object Similarity {
       .groupBy("vec_id")
       .agg(expr("flatten(transform(array_sort(collect_list(struct(s, rvec))), e -> e.rvec))").as("rec"))
     // --- IVF tier: rank trained centroids per query, probe top-P (ann_multiprobe) ---
-    val cbiv = dims.join(assign, Seq("vec_id"))
-      .groupBy("c", "i").agg(sum("xq").as("cS"), count(lit(1)).as("n"))
     val wp = Window.partitionBy("vec_id").orderBy(
       (col("p").cast("double") / (col("n") * col("n")).cast("double")).asc,
       col("c").asc)
@@ -1093,13 +1197,11 @@ object Similarity {
     * clustered layout), exact pass only for the bounded sample. The five
     * one-row stage aggregates union into ONE job. */
   def pipeAnn(spark: SparkSession, dir: String): DataFrame = {
-    val (dims, assignFull) = kmeansChain(spark, dir)
+    val (dims, assignFull, cb) = kmeansFull(spark, dir) // cb = serving codebook
     val assign = assignFull.select(col("vec_id"), col("c")).localCheckpoint()
     val c = corpus(spark, dir).localCheckpoint() // stage-1 count + exact pass + both probe sides
     val clustered = c.join(assign, Seq("vec_id"))
       .localCheckpoint() // stage-3 counts + candidate side + query side
-    val cb = dims.join(assign, Seq("vec_id"))
-      .groupBy("c", "i").agg(sum("xq").as("cS"), count(lit(1)).as("n"))
     val wp = Window.partitionBy("vec_id").orderBy(
       (col("p").cast("double") / (col("n") * col("n")).cast("double")).asc,
       col("c").asc)
@@ -1164,7 +1266,7 @@ object Similarity {
     * comparison adds only one-row aggregates per tier, unioned into one
     * job. */
   def tierCompare(spark: SparkSession, dir: String): DataFrame = {
-    val (dims, assignFull) = kmeansChain(spark, dir)
+    val (dims, assignFull, cb) = kmeansFull(spark, dir) // cb = serving codebook
     val assign = assignFull.select(col("vec_id"), col("c")).localCheckpoint()
     val c = corpus(spark, dir)
       .withColumn("bucket", bucket("embedding"))
@@ -1208,8 +1310,6 @@ object Similarity {
       .join(broadcast(qb.select(col("qid"), col("qv"), col("qn"), col("cell"))),
         Seq("cell"))
       .filter(col("qid") =!= col("cid"))
-    val cb = dims.join(assign, Seq("vec_id"))
-      .groupBy("c", "i").agg(sum("xq").as("cS"), count(lit(1)).as("n"))
     val wp = Window.partitionBy("vec_id").orderBy(
       (col("p").cast("double") / (col("n") * col("n")).cast("double")).asc,
       col("c").asc)

@@ -298,6 +298,7 @@ object TextAnalysis {
         // argmax barriers vanish; token counts still come from the data
         bpeTrainAssemble(pairsN, bpeReplayFrames(docs, pairsN, off = 1))
       case None =>
+        graft.ModelTelemetry.trains.incrementAndGet()
         val (pairsN, frames) = bpeLearn(docs)
         fp.foreach(bpeWriteModel(spark, _, pairsN))
         bpeTrainAssemble(pairsN, frames)
@@ -374,6 +375,7 @@ object TextAnalysis {
       docs: => DataFrame, rounds: Int = BpeRounds): Seq[(String, String, Long)] = {
     val fp = bpeFingerprint(dir, rounds)
     fp.flatMap(bpeReadModel(spark, _, rounds)).getOrElse {
+      graft.ModelTelemetry.trains.incrementAndGet()
       val (pairsN, _) = bpeLearn(docs, rounds)
       fp.foreach(bpeWriteModel(spark, _, pairsN))
       pairsN
