@@ -926,13 +926,20 @@ object Dedup {
   /** SUFFIX-ADJACENCY SUBSTRING DEDUP (dd_substring) — the exact
     * cross-document repeated-substring detector (the suffix-array pass of
     * Lee et al., "Deduplicating Training Data Makes Language Models
-    * Better", re-expressed relationally): every suffix of a bounded
-    * 64-char document slice is sorted globally; any cross-document pair
-    * sharing a >= 16-char substring is witnessed by two SORT-ADJACENT
-    * suffixes from different docs (for any cross-doc pair (i, j) in
-    * suffix order, some adjacent cross-doc pair between them has LCP >=
-    * LCP(i, j)), so adjacent-lag comparison finds every duplicated
-    * substring without ever generating the quadratic pair set.
+    * Better", re-expressed relationally): every suffix of a STRIDED
+    * SAMPLE of 64-char document windows (offsets 1, 1+stride, ... —
+    * SubstringMaxWindows of them, so mid-document duplicates are seen,
+    * not just the head; suffix positions stay GLOBAL so cut ranges are
+    * character-precise) is sorted globally; any cross-document pair
+    * sharing a >= 16-char substring inside sampled windows is witnessed
+    * by two SORT-ADJACENT suffixes from different docs (for any
+    * cross-doc pair (i, j) in suffix order, some adjacent cross-doc pair
+    * between them has LCP >= LCP(i, j)), so adjacent-lag comparison
+    * finds every duplicated substring without ever generating the
+    * quadratic pair set. A duplicate straddling a window boundary is
+    * honestly outside the sample — coverage is slice/stride of each doc,
+    * the knob a deployment turns (stride = slice is Lee et al.'s full
+    * pass; suffix count stays O(windows x slice) per doc either way).
     *
     * The LCP of adjacent suffixes is computed by a 7-step doubling probe
     * (64/32/16/8/4/2/1) — flat chained CASE arithmetic, whole-stage codegen,
@@ -945,16 +952,29 @@ object Dedup {
     * 16-char suffix prefix (adjacent pairs with LCP >= 16 NEVER straddle
     * a prefix16 boundary, so per-group windows lose no qualifying pair) —
     * the same bounded-bucket shape as every other near-dup operator here;
-    * hot prefixes are AQE-skew-split. Suffix fan-out is bounded at 49 rows
-    * per doc by the slice. */
+    * hot prefixes are AQE-skew-split. Suffix fan-out is bounded at
+    * 49 x SubstringMaxWindows rows per doc by construction. */
+  /** Window stride / count of the sampled suffix pass: 64-char windows at
+    * offsets 1, 161, 321, 481 — mid-document duplicates are sampled (the
+    * head-only slice missed a duplicated paragraph at position 200), the
+    * per-doc suffix count stays bounded at windows x 49, and windows are
+    * DISJOINT (stride > slice), so no suffix is generated twice. Mirrored
+    * in the oracle CTE; Round17Spec plants a mid-document duplicate. */
+  val SubstringStride = 160
+  val SubstringMaxWindows = 4
+
   /** Oracle twin of [[substringWitnessOn]] — the shared CTE chain (ends
-    * in `wit`: doc_id, sp, suf, pdoc, psp, lcp with lcp >= 16). */
+    * in `wit`: doc_id, sp, suf, pdoc, psp, lcp with lcp >= 16; sp is the
+    * GLOBAL character position, off + local - 1). */
   private val substringWitnessSql: String =
-    """t AS (
-      |  SELECT doc_id, substr(lower(text), 1, 64) AS t64 FROM documents
-      |  WHERE len(text) >= 16),
-      |s0 AS (SELECT doc_id, UNNEST(range(1, len(t64) - 14)) AS sp, t64 FROM t),
-      |s AS (SELECT doc_id, sp, substr(t64, CAST(sp AS INT)) AS suf FROM s0),
+    s"""t0 AS (SELECT doc_id, lower(text) AS lt FROM documents),
+      |tw AS (SELECT doc_id,
+      |  UNNEST(range(1, GREATEST(len(lt), 1) + 1, $SubstringStride)) AS off, lt FROM t0),
+      |t AS (SELECT doc_id, off, substr(lt, CAST(off AS INT), 64) AS t64 FROM tw
+      |  WHERE off <= 1 + ${(SubstringMaxWindows - 1) * SubstringStride}
+      |    AND len(substr(lt, CAST(off AS INT), 64)) >= 16),
+      |s0 AS (SELECT doc_id, off, UNNEST(range(1, len(t64) - 14)) AS lsp, t64 FROM t),
+      |s AS (SELECT doc_id, off + lsp - 1 AS sp, substr(t64, CAST(lsp AS INT)) AS suf FROM s0),
       |p AS (SELECT doc_id, sp, suf, substr(suf, 1, 16) AS p16 FROM s),
       |a AS (SELECT doc_id, sp, suf,
       |  LAG(suf) OVER (PARTITION BY p16 ORDER BY suf, doc_id, sp) AS psuf,
@@ -986,13 +1006,22 @@ object Dedup {
     * `minLcp` — columns (doc_id, sp, suf, pdoc, psp, psuf, lcp). */
   private def substringWitnessOn(docs: DataFrame, minLcp: Int, slice: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val lastOff = 1L + (SubstringMaxWindows - 1).toLong * SubstringStride
     val sufs = docs
-      .select(col("doc_id"), substring(lower(col("text")), 1, slice).as("t64"))
-      .filter(length(col("t64")) >= minLcp)
+      .select(col("doc_id"), lower(col("text")).as("lt"))
       .select(col("doc_id"),
-        explode(expr(s"sequence(1L, cast(length(t64) as bigint) - ${minLcp - 1}L)")).as("sp"),
+        explode(expr(
+          s"sequence(1L, greatest(cast(length(lt) as bigint), 1L), ${SubstringStride}L)")).as("off"),
+        col("lt"))
+      .filter(col("off") <= lastOff)
+      .select(col("doc_id"), col("off"),
+        expr(s"substring(lt, cast(off as int), $slice)").as("t64"))
+      .filter(length(col("t64")) >= minLcp)
+      .select(col("doc_id"), col("off"),
+        explode(expr(s"sequence(1L, cast(length(t64) as bigint) - ${minLcp - 1}L)")).as("lsp"),
         col("t64"))
-      .select(col("doc_id"), col("sp"), expr("substring(t64, cast(sp as int))").as("suf"))
+      .select(col("doc_id"), (col("off") + col("lsp") - lit(1L)).as("sp"),
+        expr("substring(t64, cast(lsp as int))").as("suf"))
       .withColumn("p16", substring(col("suf"), 1, minLcp))
     val w = Window.partitionBy("p16").orderBy(col("suf"), col("doc_id"), col("sp"))
     val adj = sufs

@@ -1255,6 +1255,71 @@ object Events {
       .orderBy("t_min")
   }
 
+  /** STRATIFIED SURVIVAL / LOG-RANK TABLE (ev_survival_strat) —
+    * ev_survival split into the two cohorts a product team actually
+    * compares: sessions that CONVERTED (contain >= 1 purchase event) vs
+    * sessions that did not, with the log-rank observed-vs-expected
+    * contribution per duration in EXACT integers. The classic log-rank
+    * term at duration t is O_c(t) - E_c(t) with E_c = d_t * n_c / n_t —
+    * a data-dependent rational that cannot hash-match cross-engine, so
+    * the published contribution is the n_t-scaled numerator
+    * lr_num(t) = d_end_c * n_t - d_t * n_risk_c (same sign, exact
+    * BIGINT; the classic term is lr_num / n_t). Censoring rule identical
+    * to ev_survival (within 1800s of observation end = censored).
+    *
+    * Scale: same profile as ev_survival — one (user_id) shuffle builds
+    * sessions, one map-side-combinable groupBy collapses to O(distinct
+    * minutes) rows, and the cumulative windows run on that tiny frame
+    * only (single-partition by design, never on raw rows). */
+  def survivalStrat(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_sec").asc, col("event_id").asc)
+    survivalStratOn(events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ts_sec"), col("event_type"))
+      .withColumn("prev_sec", lag(col("ts_sec"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") >= lit(1800L), lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("session_idx", sum(col("new_session")).over(byUser))
+      .groupBy("user_id", "session_idx")
+      .agg(min(col("ts_sec")).as("start_sec"), max(col("ts_sec")).as("end_sec"),
+        max(when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L))).as("conv")))
+  }
+
+  /** Same operator over any (start_sec, end_sec, conv) session frame —
+    * Round17Spec pins the per-stratum risk split and the lr_num sign on
+    * a planted two-cohort frame. */
+  private[graft] def survivalStratOn(sess: DataFrame): DataFrame = {
+    val s = sess.select(col("start_sec"), col("end_sec"), col("conv"))
+      .localCheckpoint() // consumers: obs-end agg + duration table
+    val obsEnd = s.agg(max(col("end_sec"))).collect()(0).getLong(0)
+    val durs = s.select(
+      expr("(end_sec - start_sec) div 60").as("t_min"), col("conv"),
+      when(col("end_sec") > lit(obsEnd - 1800L), lit(1L)).otherwise(lit(0L)).as("cens"))
+    val tab = durs.groupBy("t_min").agg(
+      sum(when(col("conv") === 1L && col("cens") === 0L, 1L).otherwise(0L)).as("d_end_c"),
+      sum(when(col("conv") === 1L && col("cens") === 1L, 1L).otherwise(0L)).as("c_cens_c"),
+      sum(when(col("conv") === 0L && col("cens") === 0L, 1L).otherwise(0L)).as("d_end_n"),
+      sum(when(col("conv") === 0L && col("cens") === 1L, 1L).otherwise(0L)).as("c_cens_n"))
+    // tiny frame (O(distinct minutes)): global-order windows are safe here
+    val wPrev = Window.orderBy("t_min").rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy("t_min")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tab
+      .withColumn("n_risk_c",
+        sum(col("d_end_c") + col("c_cens_c")).over(wAll)
+          - coalesce(sum(col("d_end_c") + col("c_cens_c")).over(wPrev), lit(0L)))
+      .withColumn("n_risk_n",
+        sum(col("d_end_n") + col("c_cens_n")).over(wAll)
+          - coalesce(sum(col("d_end_n") + col("c_cens_n")).over(wPrev), lit(0L)))
+      .withColumn("lr_num",
+        col("d_end_c") * (col("n_risk_c") + col("n_risk_n"))
+          - (col("d_end_c") + col("d_end_n")) * col("n_risk_c"))
+      .select("t_min", "n_risk_c", "d_end_c", "c_cens_c",
+        "n_risk_n", "d_end_n", "c_cens_n", "lr_num")
+      .orderBy("t_min")
+  }
+
   /** INTERVAL-OVERLAP JOIN (ev_overlap_join) — the missing join primitive
     * between q17's range join (point-in-interval) and the stream-stream
     * interval join spec: which CROSS-USER session pairs were open at the
@@ -1410,6 +1475,7 @@ object Events {
     "ev_cart_abandon" -> (cartAbandon _),
     "ev_latency_slo" -> (latencySlo _),
     "ev_survival" -> (survival _),
+    "ev_survival_strat" -> (survivalStrat _),
     "ev_overlap_join" -> (overlapJoin _),
     "ev_reservoir" -> (reservoir _),
     "ev_bot_detect" -> (botDetect _),
@@ -1561,6 +1627,50 @@ object Events {
          |  CAST(SUM(d_end) OVER (ORDER BY t_min
          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
          |FROM t ORDER BY t_min""".stripMargin,
+    "ev_survival_strat" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_type
+        |  FROM events
+        |), f AS (
+        |  SELECT *, LAG(ts_sec, 1) OVER win AS prev_sec
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)
+        |), g AS (
+        |  SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec >= 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM f
+        |), h AS (
+        |  SELECT *, CAST(SUM(new_session) OVER win AS BIGINT) AS session_idx
+        |  FROM g WINDOW win AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)
+        |), s AS (
+        |  SELECT user_id, session_idx, MIN(ts_sec) AS st, MAX(ts_sec) AS en,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM h GROUP BY user_id, session_idx
+        |), b AS (SELECT MAX(en) AS obs FROM s),
+        |d AS (
+        |  SELECT (en - st) // 60 AS t_min, conv,
+        |    CASE WHEN en > (SELECT obs FROM b) - 1800 THEN 1 ELSE 0 END AS cens
+        |  FROM s
+        |), t AS (
+        |  SELECT t_min,
+        |    CAST(SUM(CASE WHEN conv = 1 AND cens = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d_end_c,
+        |    CAST(SUM(CASE WHEN conv = 1 AND cens = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_cens_c,
+        |    CAST(SUM(CASE WHEN conv = 0 AND cens = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d_end_n,
+        |    CAST(SUM(CASE WHEN conv = 0 AND cens = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_cens_n
+        |  FROM d GROUP BY t_min
+        |)
+        |SELECT t_min,
+        |  n_risk_c, d_end_c, c_cens_c, n_risk_n, d_end_n, c_cens_n,
+        |  CAST(d_end_c * (n_risk_c + n_risk_n)
+        |    - (d_end_c + d_end_n) * n_risk_c AS BIGINT) AS lr_num
+        |FROM (
+        |  SELECT *,
+        |    CAST(SUM(d_end_c + c_cens_c) OVER ()
+        |      - COALESCE(SUM(d_end_c + c_cens_c) OVER (ORDER BY t_min
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk_c,
+        |    CAST(SUM(d_end_n + c_cens_n) OVER ()
+        |      - COALESCE(SUM(d_end_n + c_cens_n) OVER (ORDER BY t_min
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk_n
+        |  FROM t) r
+        |ORDER BY t_min""".stripMargin,
     "ev_overlap_join" ->
       s"""$sessCte,
          |p AS (

@@ -605,6 +605,27 @@ object GraphOps {
   /** Rounds of synchronous label propagation (gr_lpa). */
   val LpaRounds = 3
 
+  /** Basket cap of the gr_lpa / gr_modularity per-ORDER pair build:
+    * orders with more than this many distinct parts are dropped BEFORE
+    * pair generation — the CopurchaseBasketCap rationale at order grain
+    * (pair fan-out is quadratic in basket size; TPC-H's <= 7
+    * lineitems/order makes the cap dormant on the driver corpus, but a
+    * skewed real-world order stream would go quadratic without it).
+    * Mirrored in the oracle's inc CTE; Round17Spec plants a mega-order. */
+  val LpaOrderCap = 256L
+
+  /** Drop over-cap orders from a distinct (o, p) incidence frame: basket
+    * size via ONE count window on the order key (the same partitioning
+    * the downstream pair self-join needs — no second shuffle, unlike a
+    * groupBy + keep-join), then filter. */
+  private[graft] def capOrders(inc0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    inc0
+      .withColumn("bs", count(lit(1)).over(Window.partitionBy("o")))
+      .filter(col("bs") <= LpaOrderCap)
+      .drop("bs")
+  }
+
   /** Minimum co-order count for a gr_lpa edge: parts must co-occur in
     * >= 2 DISTINCT orders — single co-occurrence is noise (the
     * one-shared-basket pair), repetition is affinity. Also the sparsifier
@@ -636,9 +657,9 @@ object GraphOps {
     * per-round traffic as distributed PageRank; rounds localCheckpointed
     * (lineage house rule). Hot hubs are skewed dst keys — AQE splits. */
   def lpa(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val inc = graft.sources.Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
+    val inc = capOrders(graft.sources.Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct())
       .localCheckpoint() // self-join sides must not recompute (house rule)
     val edges = inc.as("x").join(inc.as("y"),
         col("x.o") === col("y.o") && col("x.p") < col("y.p"))
@@ -747,9 +768,9 @@ object GraphOps {
     * label lookups on the edge list; the Q row is one-row and cross-joins
     * only one-row frames. */
   def modularity(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val inc = graft.sources.Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
+    val inc = capOrders(graft.sources.Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct())
       .localCheckpoint() // self-join sides must not recompute (house rule)
     val edges = inc.as("x").join(inc.as("y"),
         col("x.o") === col("y.o") && col("x.p") < col("y.p"))
@@ -856,8 +877,12 @@ object GraphOps {
          |    FROM sym s JOIN l${r - 1} p ON s.src = p.u
          |    GROUP BY s.dst, p.lbl) t WHERE rn = 1
          |)""".stripMargin
-    s"""inc AS (
+    s"""inc0 AS (
        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+       |), okord AS (
+       |  SELECT o FROM inc0 GROUP BY o HAVING COUNT(*) <= $LpaOrderCap
+       |), inc AS (
+       |  SELECT i.o, i.p FROM inc0 i JOIN okord USING (o)
        |), edges AS (
        |  SELECT a, b FROM (
        |    SELECT x.p AS a, y.p AS b, COUNT(*) AS ns

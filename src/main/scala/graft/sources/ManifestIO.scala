@@ -1050,8 +1050,10 @@ object ManifestIO {
     *
     * Scale: the DV sidecar is deletes-sized (the point: a 100 TB base
     * with a 0.1% delete takes a GB-scale sidecar and zero data-file
-    * churn until compaction); the anti-join broadcasts it per file
-    * group; the write is one pass with a per-bucket position window
+    * churn until compaction); the anti-join SIZE-GATES the broadcast
+    * hint on the sidecar's own stats (dvGated) — broadcast while it
+    * fits, co-partitioned on (file_id, pos) under AQE once it doesn't;
+    * the write is one pass with a per-bucket position window
     * (bucket-partitioned sort, never global). Scratch path is
     * per-invocation unique (the mergeQuery race rule). */
   /** Lands the DV demo layout (8 file groups + the positional `_deletes`
@@ -1113,7 +1115,7 @@ object ManifestIO {
     val rewriteIds = stats.filter(col("rewrite") === 1L).select("file_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("file_id").orderBy("l_orderkey", "l_linenumber")
-    base.join(broadcast(dv), Seq("file_id", "pos"), "left_anti")
+    base.join(dvGated(dv), Seq("file_id", "pos"), "left_anti")
       .join(broadcast(rewriteIds), Seq("file_id"))
       .drop("pos").withColumn("pos", row_number().over(w).cast("long"))
       .write.mode(SaveMode.Overwrite).partitionBy("file_id").parquet(s"$root/data2")
@@ -1138,13 +1140,23 @@ object ManifestIO {
     out
   }
 
+  /** SIZE-GATED DV side for the anti-join: the sidecar is deletes-sized,
+    * so at shipped SFs it broadcasts — but a 100 TB base at 0.1% deletes
+    * yields a GB-scale sidecar at or past executor broadcast budgets, so
+    * the hint is gated on the DV's own stats (the Geo.sizeGated idiom:
+    * hint iff estimated bytes fit graft.broadcastGateBytes, default 64 MB;
+    * past the gate the anti-join co-partitions on (file_id, pos) under
+    * AQE). Round17Spec pins hint-on/hint-off plans + identical results. */
+  private def dvGated(dv: DataFrame): DataFrame =
+    graft.operators.Geo.sizeGated(dv, dv, fanout = 1L)
+
   /** The DV-scan accounting, separated so Round16Spec can plant a file
     * group whose rows are ALL deleted: left_outer joins keep it in the
     * report with (n_live = 0, live_qty NULL) — the oracle's
     * unconditional GROUP BY emits it, so an inner join here would
     * hash-mismatch the moment a group's delete fraction hits 100%. */
   private[graft] def dvAccounting(base: DataFrame, dv: DataFrame): DataFrame = {
-    val live = base.join(broadcast(dv), Seq("file_id", "pos"), "left_anti")
+    val live = base.join(dvGated(dv), Seq("file_id", "pos"), "left_anti")
     base.groupBy("file_id").agg(count(lit(1)).as("n_rows"))
       .join(dv.groupBy("file_id").agg(count(lit(1)).as("n_deleted")),
         Seq("file_id"), "left_outer")

@@ -217,6 +217,48 @@ object StreamingJobs {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  final case class PathEv(ts_sec: Long, event_type: String)
+  final case class UserPath(user_id: Long, n_in_path: Long, path: String)
+
+  /** Bounded LAST-N EVENT PATH per user on transformWithState ListState —
+    * the v2 API's remaining state type (ValueState, timers, and MapState
+    * are covered by the three jobs above; ListState completes the sweep):
+    * each batch appends the user's new events to the list, re-sorts on
+    * the unique (ts, type) order, and PUTS BACK only the most recent n —
+    * the state is bounded at n entries per key by construction, the
+    * clickstream-context shape (ev_paths' last-events window) a serving
+    * feature store keeps per user. Update-mode re-emits the key's current
+    * path each batch; the final row per key converges to the batch
+    * last-n window regardless of how events split across batches
+    * (StreamingSpec pins parity on a 3-batch split). */
+  class LastNPathProcessor(n: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long, String), UserPath] {
+    @transient private var st: org.apache.spark.sql.streaming.ListState[PathEv] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getListState[PathEv]("path",
+        org.apache.spark.sql.Encoders.product[PathEv],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, String)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[UserPath] = {
+      rows.foreach { case (_, ts, t) => st.appendValue(PathEv(ts, t)) }
+      val kept = st.get().toVector
+        .sortBy(e => (e.ts_sec, e.event_type)) // unique tie order (§4 rule)
+        .takeRight(n)
+      st.put(kept.toArray) // bounded: never more than n entries per key
+      Iterator.single(UserPath(key, kept.size.toLong,
+        kept.map(_.event_type).mkString(">")))
+    }
+  }
+
+  def lastNPathTws(events: Dataset[(Long, Long, String)], n: Int): Dataset[UserPath] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .transformWithState(new LastNPathProcessor(n),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   def sessionizeTws(events: Dataset[SessEv], gapSec: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events

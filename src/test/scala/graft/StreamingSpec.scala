@@ -305,6 +305,61 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("transformWithState ListState: bounded last-N path converges to batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // distinct (user, ts, type) so the unique (ts, type) sort order is
+      // total and takeRight(n) == the rank window on both paths
+      val base = Tables.events(spark, sfDir)
+        .select(col("user_id"), unix_timestamp(col("ts")).as("ts_sec"), col("event_type"))
+        .distinct().localCheckpoint()
+      val evs = base.as[(Long, Long, String)].collect()
+      val stream = MemoryStream[(Long, Long, String)]
+      // capture emissions WITH their batch id: Update mode re-emits a
+      // key's current path each batch, so the converged row per key is
+      // the one from its highest batch — a memory-sink table can't
+      // recover that (a later batch may emit a lexically smaller path)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+      val q = StreamingJobs.lastNPathTws(stream.toDS(), n = 3)
+        .writeStream.outputMode(OutputMode.Update())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingJobs.UserPath], bid: Long) =>
+          val rows = df.collect()
+          buf.synchronized { rows.foreach(r => buf += ((bid, r.user_id, r.n_in_path, r.path))) }
+        }.start()
+      // three micro-batches so cross-batch ListState append+trim is exercised
+      evs.grouped(evs.length / 3 + 1).foreach { chunk =>
+        stream.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val result = buf.groupBy(_._2).map { case (u, rs) =>
+        val last = rs.maxBy(_._1); (u, last._3, last._4)
+      }.toSeq.toDF("user_id", "n_in_path", "path")
+      val wRank = Window.partitionBy("user_id")
+        .orderBy(col("ts_sec").desc, col("event_type").desc)
+      val expected = base
+        .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_in_path"),
+          expr("array_join(transform(array_sort(collect_list(struct(ts_sec, event_type))), " +
+            "e -> e.event_type), '>')").as("path"))
+        .select("user_id", "n_in_path", "path")
+      assert(result.exceptAll(expected).isEmpty && expected.exceptAll(result).isEmpty,
+        s"tws=${result.count()} batch=${expected.count()}")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState running agg: v2 API parity across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
