@@ -1470,7 +1470,45 @@ object Events {
       .orderBy("h")
   }
 
+  /** Trailing window / budget of ev_rate_limit. */
+  val RateLimitWindowSec = 21600L
+  val RateLimitN = 3L
+
+  /** SLIDING-WINDOW RATE LIMITING (ev_rate_limit) — the abuse-control
+    * primitive every API gateway runs, audited offline: an event
+    * VIOLATES when its user's trailing-RateLimitWindowSec event count
+    * (inclusive) exceeds RateLimitN. The trailing count is one
+    * per-user RANGE window over epoch seconds — tie-safe by RANGE
+    * semantics (peer rows share the frame on both engines, no unique
+    * key needed). Output is the per-user pressure histogram: for each
+    * max-in-window value, how many users hit it and their total
+    * violating events — the report that sizes the limit before it is
+    * enforced.
+    *
+    * Scale: one (user_id) shuffle shared by the window and the rollup;
+    * the histogram is map-side-combinable and bounded by the max
+    * burst, never user count. */
+  def rateLimit(spark: SparkSession, dir: String): DataFrame =
+    rateLimitOn(events(spark, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("ts_sec")))
+
+  /** Same limiter over any (user_id, ts_sec) frame — Round18Spec plants
+    * a burst straddling the window edge and a tie (RANGE peers). */
+  def rateLimitOn(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_sec").asc)
+      .rangeBetween(-(RateLimitWindowSec - 1), 0)
+    ev
+      .withColumn("c", count(lit(1)).over(w))
+      .groupBy("user_id")
+      .agg(max(col("c")).as("max_in_window"),
+        sum(when(col("c") > RateLimitN, 1L).otherwise(0L)).as("viol"))
+      .groupBy("max_in_window")
+      .agg(count(lit(1)).as("n_users"), sum(col("viol")).as("sum_violations"))
+      .orderBy("max_in_window")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_rate_limit" -> (rateLimit _),
     "ev_burn_rate" -> (burnRate _),
     "ev_cart_abandon" -> (cartAbandon _),
     "ev_latency_slo" -> (latencySlo _),
@@ -1532,6 +1570,23 @@ object Events {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ev_rate_limit" ->
+      s"""WITH e AS (
+         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events
+         |), counted AS (
+         |  SELECT user_id,
+         |    COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_sec
+         |      RANGE BETWEEN ${RateLimitWindowSec - 1} PRECEDING AND CURRENT ROW) AS c
+         |  FROM e
+         |), per_user AS (
+         |  SELECT user_id, MAX(c) AS max_in_window,
+         |    SUM(CASE WHEN c > $RateLimitN THEN 1 ELSE 0 END) AS viol
+         |  FROM counted GROUP BY user_id
+         |)
+         |SELECT CAST(max_in_window AS BIGINT) AS max_in_window,
+         |  CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  CAST(SUM(viol) AS BIGINT) AS sum_violations
+         |FROM per_user GROUP BY max_in_window ORDER BY max_in_window""".stripMargin,
     "ev_burn_rate" ->
       """WITH hr AS (
         |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,

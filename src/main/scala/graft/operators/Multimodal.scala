@@ -466,7 +466,74 @@ object Multimodal {
       .orderBy("rung")
   }
 
+  /** Context budget / per-image token cap of mm_vit_tokens. */
+  val VitCtxTokens = 8192L
+  val VitMaxImgTokens = 1024L
+
+  /** VISION-TRANSFORMER TOKEN ACCOUNTING (mm_vit_tokens) — the budget
+    * arithmetic every VLM data pipeline runs before packing (ViT patch
+    * embedding: an image of w x h pixels at patch 16 costs
+    * 1 + ceil(w/16)*ceil(h/16) tokens incl. the CLS token; Dosovitskiy
+    * et al. 2021). Images whose raw cost exceeds VitMaxImgTokens are
+    * DOWNSCALED by the smallest power-of-two factor s in {1,2,4} that
+    * fits the cap — the deterministic stand-in for the resize policy
+    * (LLaVA's anyres / GPT-style tiling make the same discrete choice).
+    * All arithmetic stays BIGINT: ceil(x/k) = (x + k - 1) div k, dims
+    * derived from payload length exactly as mm_aspect_bucket. Final
+    * token costs pack into VitCtxTokens training contexts in doc order
+    * via START-OFFSET assignment (the mm_shard_pack rule — whole-doc
+    * first-fit does not prefix-sum). Output is the context-shape
+    * histogram: for each images-per-context value, how many contexts,
+    * their token mass, and how many of their images were downscaled —
+    * the audit a VLM training run reads before consuming shards.
+    *
+    * Scale: per-image cost is row-local arithmetic; global offsets via
+    * the two-phase prefix sum (per-range subtotals + broadcast range
+    * offsets + within-range window) — never a global ORDER BY window;
+    * both rollups are map-side-combinable. */
+  def vitTokens(spark: SparkSession, dir: String): DataFrame =
+    vitTokensOn(withPayload(spark, dir)
+      .select(col("doc_id"), length(col("payload")).cast("long").as("bl")))
+
+  /** Same operator over any (doc_id, bl) frame — Round18Spec pins the
+    * patch math and each downscale rung on hand-sized images. */
+  def vitTokensOn(docs: DataFrame): DataFrame = {
+    val RangeDocs = 100L
+    val toks = (s: Long) =>
+      s"1 + ((w + ${16 * s - 1}) div ${16 * s}) * ((h + ${16 * s - 1}) div ${16 * s})"
+    val sized = docs
+      .withColumn("w", expr("256 + (bl * 7919) % 768"))
+      .withColumn("h", expr("256 + (bl * 104729) % 768"))
+      .withColumn("scale_s", expr(
+        s"CASE WHEN ${toks(1L)} <= $VitMaxImgTokens THEN 1L " +
+          s"WHEN ${toks(2L)} <= $VitMaxImgTokens THEN 2L ELSE 4L END"))
+      .withColumn("img_tokens", expr(
+        s"CASE scale_s WHEN 1 THEN ${toks(1L)} WHEN 2 THEN ${toks(2L)} " +
+          s"ELSE ${toks(4L)} END"))
+      .withColumn("rng", expr(s"doc_id div $RangeDocs"))
+    val rangeTot = sized.groupBy("rng").agg(sum(col("img_tokens")).as("tot"))
+    val wRanges = Window.orderBy("rng")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = rangeTot
+      .withColumn("range_off", sum(col("tot")).over(wRanges) - col("tot"))
+      .select("rng", "range_off")
+    val wInRange = Window.partitionBy("rng").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sized.join(broadcast(offsets), Seq("rng"))
+      .withColumn("start",
+        col("range_off") + sum(col("img_tokens")).over(wInRange) - col("img_tokens"))
+      .withColumn("ctx_id", expr(s"start div $VitCtxTokens"))
+      .groupBy("ctx_id")
+      .agg(count(lit(1)).as("n_images"), sum(col("img_tokens")).as("ctx_tokens"),
+        sum(expr("CASE WHEN scale_s > 1 THEN 1 ELSE 0 END")).as("n_downscaled"))
+      .groupBy("n_images")
+      .agg(count(lit(1)).as("n_contexts"), sum(col("ctx_tokens")).as("sum_tokens"),
+        sum(col("n_downscaled")).as("sum_downscaled"))
+      .orderBy("n_images")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_vit_tokens" -> (vitTokens _),
     "mm_aspect_bucket" -> (aspectBucket _),
     "mm_epoch_shuffle" -> (epochShuffle _),
     "mm_scene_cut" -> (sceneCut _),
@@ -482,6 +549,40 @@ object Multimodal {
     "mm_embed_knn" -> (embedKnn _))
 
   val oracle: Map[String, String] = Map(
+    "mm_vit_tokens" -> {
+      val toks = (s: Long) =>
+        s"1 + ((w + ${16 * s - 1}) // ${16 * s}) * ((h + ${16 * s - 1}) // ${16 * s})"
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS bl FROM documents
+         |), dims AS (
+         |  SELECT doc_id, 256 + (bl * 7919) % 768 AS w,
+         |    256 + (bl * 104729) % 768 AS h
+         |  FROM d
+         |), costed AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ${toks(1L)} <= $VitMaxImgTokens THEN 1
+         |      WHEN ${toks(2L)} <= $VitMaxImgTokens THEN 2 ELSE 4 END AS scale_s,
+         |    CASE WHEN ${toks(1L)} <= $VitMaxImgTokens THEN ${toks(1L)}
+         |      WHEN ${toks(2L)} <= $VitMaxImgTokens THEN ${toks(2L)}
+         |      ELSE ${toks(4L)} END AS img_tokens
+         |  FROM dims
+         |), placed AS (
+         |  SELECT doc_id, scale_s, img_tokens,
+         |    (SUM(img_tokens) OVER (ORDER BY doc_id
+         |       ROWS UNBOUNDED PRECEDING) - img_tokens) // $VitCtxTokens AS ctx_id
+         |  FROM costed
+         |), ctx AS (
+         |  SELECT ctx_id, COUNT(*) AS n_images,
+         |    SUM(img_tokens) AS ctx_tokens,
+         |    SUM(CASE WHEN scale_s > 1 THEN 1 ELSE 0 END) AS n_downscaled
+         |  FROM placed GROUP BY ctx_id
+         |)
+         |SELECT CAST(n_images AS BIGINT) AS n_images,
+         |  CAST(COUNT(*) AS BIGINT) AS n_contexts,
+         |  CAST(SUM(ctx_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(SUM(n_downscaled) AS BIGINT) AS sum_downscaled
+         |FROM ctx GROUP BY n_images ORDER BY n_images""".stripMargin
+    },
     "mm_aspect_bucket" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS bl FROM documents

@@ -1716,7 +1716,94 @@ object TextAnalysis {
       .orderBy(col("score_x10000").desc, col("phrase"))
   }
 
+  /** Word-length bound / multi-piece vocab budget / max piece length of
+    * ta_wordpiece. */
+  val WpMaxWordLen = 12
+  val WpVocabK = 24L
+  val WpMaxPieceLen = 6
+
+  /** WORDPIECE ENCODE (ta_wordpiece) — the OTHER production tokenizer
+    * family next to the BPE arc (Devlin et al. 2019, BERT): greedy
+    * LONGEST-MATCH-FIRST segmentation against a fixed piece vocabulary,
+    * where a piece matched mid-word is a distinct '##continuation'
+    * symbol. The vocab is derived from the corpus itself: the top
+    * WpVocabK (offset, length 2..WpMaxPieceLen) substrings by
+    * occurrence-weighted frequency — start pieces and continuations
+    * ranked in one pool on the total order (count desc, piece,
+    * is_cont) — plus EVERY single character at every observed
+    * position flag, so segmentation never dead-ends (no [UNK] path;
+    * the all-chars floor is exactly BERT's fallback contract).
+    * Encoding runs over DISTINCT truncated words weighted by their
+    * occurrence counts (the standard tokenizer-encode trick — never
+    * re-segment the corpus row by row), advancing a cursor through at
+    * most WpMaxWordLen rounds: per round, explode candidate lengths,
+    * probe the broadcast vocab, take MAX(matched length), advance.
+    * Output: the fertility histogram (pieces-per-word) with distinct
+    * words, corpus occurrences, and total piece mass per bucket.
+    *
+    * Scale: the state frame is O(distinct words) — vocabulary-sized,
+    * not corpus-sized; each round is one broadcast probe + a map-side
+    * max, localCheckpointed (next round reads it). The oracle replays
+    * the identical rounds as chained CTEs with the vocab MATERIALIZED
+    * (the §6 BPE rule). */
+  def wordpiece(spark: SparkSession, dir: String): DataFrame =
+    wordpieceOn(documents(spark, dir))
+
+  /** Same encoder over any frame with a `text` column — Round18Spec pins
+    * greedy longest-match-first, the continuation flag, and the
+    * single-char floor on a toy corpus. */
+  def wordpieceOn(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w0"))
+      .select(expr(s"substring(w0, 1, $WpMaxWordLen)").as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // consumers: candidates, singles, encode init
+    val cands = words
+      .select(col("word"), col("cnt"),
+        explode(expr("sequence(1, length(word))")).as("o"))
+      .select(col("word"), col("cnt"), col("o"),
+        explode(expr(s"sequence(2, $WpMaxPieceLen)")).as("l"))
+      .filter(expr("o + l - 1 <= length(word)"))
+      .select(expr("substring(word, o, l)").as("piece"),
+        expr("CASE WHEN o = 1 THEN 0L ELSE 1L END").as("is_cont"), col("cnt"))
+      .groupBy("piece", "is_cont").agg(sum(col("cnt")).as("pcnt"))
+      .orderBy(col("pcnt").desc, col("piece").asc, col("is_cont").asc)
+      .limit(WpVocabK.toInt)
+      .select("piece", "is_cont")
+    val singles = words
+      .select(col("word"), explode(expr("sequence(1, length(word))")).as("o"))
+      .select(expr("substring(word, o, 1)").as("piece"),
+        expr("CASE WHEN o = 1 THEN 0L ELSE 1L END").as("is_cont"))
+      .distinct()
+    val vocab = cands.unionByName(singles).distinct()
+      .localCheckpoint() // probed once per encode round
+    var st = words
+      .select(col("word"), col("cnt"), lit(1L).as("pos"), lit(0L).as("n_pieces"))
+      .localCheckpoint() // consumed by round 1 (live + frozen branches)
+    for (_ <- 1 to WpMaxWordLen) {
+      val live = st.filter(col("pos") <= expr("length(word)"))
+        .select(col("word"), col("cnt"), col("pos"), col("n_pieces"),
+          explode(expr(s"sequence(1, $WpMaxPieceLen)")).as("l"))
+        .filter(expr("pos + l - 1 <= length(word)"))
+        .withColumn("probe", expr("substring(word, CAST(pos AS INT), l)"))
+        .withColumn("cont", expr("CASE WHEN pos = 1 THEN 0L ELSE 1L END"))
+        .join(broadcast(vocab),
+          col("probe") === col("piece") && col("cont") === col("is_cont"))
+        .groupBy("word", "cnt", "pos", "n_pieces")
+        .agg(max(col("l")).as("bl"))
+        .select(col("word"), col("cnt"),
+          (col("pos") + col("bl")).as("pos"), (col("n_pieces") + 1L).as("n_pieces"))
+      st = live.unionByName(st.filter(col("pos") > expr("length(word)")))
+        .localCheckpoint() // consumed by next round (live + frozen branches)
+    }
+    st.groupBy("n_pieces")
+      .agg(count(lit(1)).as("n_words"), sum(col("cnt")).as("n_occurrences"),
+        sum(expr("n_pieces * cnt")).as("sum_pieces"))
+      .orderBy("n_pieces")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_wordpiece" -> (wordpiece _),
     "ta_keyphrase" -> (keyphrase _),
     "ta_readability" -> (readability _),
     "ta_lid_eval" -> (lidEval _),
@@ -2003,6 +2090,59 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "ta_wordpiece" -> {
+      val round = (r: Int) =>
+        s"""s$r AS (
+           |  SELECT word, cnt,
+           |    CASE WHEN bl IS NOT NULL THEN pos + bl ELSE pos END AS pos,
+           |    CASE WHEN bl IS NOT NULL THEN np + 1 ELSE np END AS np
+           |  FROM (
+           |    SELECT s.word, s.cnt, s.pos, s.np,
+           |      MAX(CASE WHEN v.piece IS NOT NULL THEN l.l END) AS bl
+           |    FROM s${r - 1} s
+           |    CROSS JOIN (SELECT UNNEST(range(1, ${WpMaxPieceLen + 1})) AS l) l
+           |    LEFT JOIN vocab v ON v.piece = substr(s.word, CAST(s.pos AS BIGINT), l.l)
+           |      AND v.is_cont = CASE WHEN s.pos = 1 THEN 0 ELSE 1 END
+           |      AND s.pos + l.l - 1 <= length(s.word)
+           |      AND s.pos <= length(s.word)
+           |    GROUP BY 1, 2, 3, 4)
+           |)""".stripMargin
+      s"""WITH words AS MATERIALIZED (
+         |  SELECT word, COUNT(*) AS cnt FROM (
+         |    SELECT substr(w0, 1, $WpMaxWordLen) AS word FROM (
+         |      SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w0
+         |      FROM documents))
+         |  GROUP BY word
+         |), cand AS (
+         |  SELECT piece, is_cont FROM (
+         |    SELECT substr(w.word, o.o, l.l) AS piece,
+         |      CASE WHEN o.o = 1 THEN 0 ELSE 1 END AS is_cont,
+         |      SUM(w.cnt) AS pcnt
+         |    FROM words w
+         |    CROSS JOIN (SELECT UNNEST(range(1, ${WpMaxWordLen + 1})) AS o) o
+         |    CROSS JOIN (SELECT UNNEST(range(2, ${WpMaxPieceLen + 1})) AS l) l
+         |    WHERE o.o + l.l - 1 <= length(w.word)
+         |    GROUP BY 1, 2)
+         |  ORDER BY pcnt DESC, piece ASC, is_cont ASC LIMIT $WpVocabK
+         |), singles AS (
+         |  SELECT DISTINCT substr(w.word, o.o, 1) AS piece,
+         |    CASE WHEN o.o = 1 THEN 0 ELSE 1 END AS is_cont
+         |  FROM words w
+         |  CROSS JOIN (SELECT UNNEST(range(1, ${WpMaxWordLen + 1})) AS o) o
+         |  WHERE o.o <= length(w.word)
+         |), vocab AS MATERIALIZED (
+         |  SELECT DISTINCT piece, is_cont FROM (
+         |    SELECT piece, is_cont FROM cand
+         |    UNION ALL SELECT piece, is_cont FROM singles)
+         |), s0 AS (
+         |  SELECT word, cnt, 1 AS pos, 0 AS np FROM words
+         |), ${(1 to WpMaxWordLen).map(round).mkString(",\n")}
+         |SELECT CAST(np AS BIGINT) AS n_pieces,
+         |  CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(cnt) AS BIGINT) AS n_occurrences,
+         |  CAST(SUM(np * cnt) AS BIGINT) AS sum_pieces
+         |FROM s$WpMaxWordLen GROUP BY np ORDER BY np""".stripMargin
+    },
     "ta_keyphrase" -> {
       val stopList = RakeStops.map(s => s"'$s'").mkString(", ")
       s"""WITH d AS (

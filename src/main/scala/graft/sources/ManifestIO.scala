@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -975,6 +976,113 @@ object ManifestIO {
     * and a TakeOrdered(10) (orderBy+limit — never a global window sort);
     * everything after is one-row x one-row. Keys are profiled as strings
     * (nulls to '') so heterogeneous key types share one report schema. */
+  /** Audit thresholds of io_wap. */
+  val WapMinRows = 800L
+  val WapNegDenom = 4L
+
+  /** WRITE-AUDIT-PUBLISH (io_wap) — the gated-promotion workflow
+    * (Iceberg's WAP / Delta's staged commits, Netflix's original
+    * pattern): every staged batch lands invisible, an AUDIT computes
+    * its quality gates, and only passing batches PUBLISH; failing ones
+    * stay quarantined with the reason on record. Batches are the
+    * customer table at a 1000-key grain; the staged stream replays
+    * rows whose key divides 1009 (an upstream retry — the duplicate
+    * the uniqueness gate exists to catch). Three exact-integer gates:
+    * key uniqueness (n_dup_keys = 0), value domain (negative balances
+    * at most 1/WapNegDenom of rows, cross-multiplied — no float
+    * fraction), and volume (n_rows >= WapMinRows). Output per batch:
+    * the audit metrics, each gate verdict, and the publish decision.
+    *
+    * Scale: metrics are one map-side-combinable rollup per batch after
+    * a (batch, key) dedup count — the same two-phase shape as
+    * ev_sliding_distinct; no gate ever re-reads published data. */
+  def wapQuery(spark: SparkSession, dir: String): DataFrame =
+    wapOn(Tables.customer(spark, dir)
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("bal")))
+
+  /** Same audit over any (k, bal) base — Round18Spec plants a duplicate
+    * key, a negative-heavy batch, and a short batch, one per gate. */
+  def wapOn(base: DataFrame): DataFrame = {
+    val staged = base.unionByName(base.filter(col("k") % 1009 === 0))
+      .withColumn("batch_id", expr("k div 1000"))
+    val perKey = staged.groupBy("batch_id", "k")
+      .agg(count(lit(1)).as("nk"), sum(when(col("bal") < 0, 1L).otherwise(0L)).as("neg"))
+    perKey.groupBy("batch_id")
+      .agg(sum(col("nk")).as("n_rows"),
+        sum(when(col("nk") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
+        sum(col("neg")).as("n_neg"))
+      .withColumn("gate_unique", (col("n_dup_keys") === 0).cast("long"))
+      .withColumn("gate_domain",
+        (col("n_neg") * WapNegDenom <= col("n_rows")).cast("long"))
+      .withColumn("gate_volume", (col("n_rows") >= WapMinRows).cast("long"))
+      .withColumn("verdict",
+        when(col("gate_unique") * col("gate_domain") * col("gate_volume") === 1,
+          lit("publish")).otherwise(lit("quarantine")))
+      .select("batch_id", "n_rows", "n_dup_keys", "n_neg",
+        "gate_unique", "gate_domain", "gate_volume", "verdict")
+      .orderBy("batch_id")
+  }
+
+  /** Bin capacity / small-file threshold of io_compact_plan (KB-scale
+    * stand-ins for the 128 MB-scale production values). */
+  val CompactTargetBytes = 131072L
+  val CompactSmallBytes = 9000L
+
+  /** COMPACTION PLANNER (io_compact_plan) — the dry-run of `compact`:
+    * which small files coalesce into which rewrite task (Iceberg's
+    * binpack strategy: sort candidates by size descending, fill bins
+    * of CompactTargetBytes greedily; files at or above
+    * CompactSmallBytes are kept as-is). The file manifest is synthetic
+    * but exact: orders rolled up at a 64-key file grain with an
+    * integer byte estimate, so both engines see identical sizes.
+    * Whole-file first-fit does not prefix-sum, so bins use START-OFFSET
+    * assignment (the mm_shard_pack rule) in (size-bucket desc, size
+    * desc, file_id) order — a deterministic size-descending total
+    * order; bins overflow by at most one file, visible in bin_bytes.
+    * Output: one row per rewrite bin plus the 'keep' rollup sentinel
+    * (bin_id -1) for the files the planner leaves alone.
+    *
+    * Scale: the manifest is O(files), never O(rows); global offsets
+    * via the two-phase prefix sum (per-size-bucket subtotals +
+    * broadcast bucket offsets + within-bucket window) — at 800k files
+    * per 100 TB table there is no single-partition global sort. */
+  def compactPlanQuery(spark: SparkSession, dir: String): DataFrame =
+    compactPlanOn(Tables.orders(spark, dir)
+      .groupBy(expr("o_orderkey div 64").as("file_id"))
+      .agg(sum(expr("40 + CAST(floor(o_totalprice) AS BIGINT) % 200")).as("sz")))
+
+  /** Same planner over any (file_id, sz) manifest — Round18Spec pins the
+    * size-desc packing order, the one-file overflow bound, and the keep
+    * split on a hand-built manifest. */
+  def compactPlanOn(filesIn: DataFrame): DataFrame = {
+    val files = filesIn
+      .localCheckpoint() // consumers: small-file plan + keep rollup
+    val small = files.filter(col("sz") < CompactSmallBytes)
+      .withColumn("rng", expr("-(sz div 1024)"))
+    val rangeTot = small.groupBy("rng").agg(sum(col("sz")).as("tot"))
+    val wRanges = Window.orderBy(col("rng").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = rangeTot
+      .withColumn("range_off", sum(col("tot")).over(wRanges) - col("tot"))
+      .select("rng", "range_off")
+    val wInRange = Window.partitionBy("rng")
+      .orderBy(col("sz").desc, col("file_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bins = small.join(broadcast(offsets), Seq("rng"))
+      .withColumn("start", col("range_off") + sum(col("sz")).over(wInRange) - col("sz"))
+      .withColumn("bin_id", expr(s"start div $CompactTargetBytes"))
+      .groupBy("bin_id")
+      .agg(count(lit(1)).as("n_files"), sum(col("sz")).as("bin_bytes"))
+      .select(lit("rewrite").as("op"), col("bin_id"), col("n_files"), col("bin_bytes"))
+    val keep = files.filter(col("sz") >= CompactSmallBytes)
+      .groupBy()
+      .agg(count(lit(1)).as("n_files"),
+        coalesce(sum(col("sz")), lit(0L)).as("bin_bytes"))
+      .select(lit("keep").as("op"), lit(-1L).as("bin_id"),
+        col("n_files"), col("bin_bytes"))
+    bins.unionByName(keep).orderBy("op", "bin_id")
+  }
+
   def skewProfileQuery(spark: SparkSession, dir: String): DataFrame = {
     def profile(name: String, df: DataFrame, key: String): DataFrame = {
       val cnt = df
@@ -1173,6 +1281,8 @@ object ManifestIO {
     "io_deletion_vectors" -> (deletionVectorsQuery _),
     "io_dv_compact" -> (dvCompactQuery _),
     "io_skew_profile" -> (skewProfileQuery _),
+    "io_compact_plan" -> (compactPlanQuery _),
+    "io_wap" -> (wapQuery _),
     "io_dq_report" -> (dqReportQuery _),
     "io_kanon" -> (kanonQuery _),
     "io_merge" -> (mergeQuery _),
@@ -1191,6 +1301,55 @@ object ManifestIO {
     "io_partitioned_scan" -> (partitionedScanQuery _))
 
   val oracle: Map[String, String] = Map(
+    "io_wap" ->
+      s"""WITH staged AS (
+         |  SELECT c_custkey AS k, c_acctbal AS bal FROM customer
+         |  UNION ALL
+         |  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 1009 = 0
+         |), per_key AS (
+         |  SELECT k // 1000 AS batch_id, k, COUNT(*) AS nk,
+         |    SUM(CASE WHEN bal < 0 THEN 1 ELSE 0 END) AS neg
+         |  FROM staged GROUP BY 1, 2
+         |), audit AS (
+         |  SELECT batch_id, SUM(nk) AS n_rows,
+         |    SUM(CASE WHEN nk > 1 THEN 1 ELSE 0 END) AS n_dup_keys,
+         |    SUM(neg) AS n_neg
+         |  FROM per_key GROUP BY batch_id
+         |)
+         |SELECT CAST(batch_id AS BIGINT) AS batch_id,
+         |  CAST(n_rows AS BIGINT) AS n_rows,
+         |  CAST(n_dup_keys AS BIGINT) AS n_dup_keys,
+         |  CAST(n_neg AS BIGINT) AS n_neg,
+         |  CAST(CASE WHEN n_dup_keys = 0 THEN 1 ELSE 0 END AS BIGINT) AS gate_unique,
+         |  CAST(CASE WHEN n_neg * $WapNegDenom <= n_rows THEN 1 ELSE 0 END AS BIGINT)
+         |    AS gate_domain,
+         |  CAST(CASE WHEN n_rows >= $WapMinRows THEN 1 ELSE 0 END AS BIGINT)
+         |    AS gate_volume,
+         |  CASE WHEN n_dup_keys = 0 AND n_neg * $WapNegDenom <= n_rows
+         |    AND n_rows >= $WapMinRows THEN 'publish' ELSE 'quarantine' END AS verdict
+         |FROM audit ORDER BY batch_id""".stripMargin,
+    "io_compact_plan" ->
+      s"""WITH files AS (
+         |  SELECT o_orderkey // 64 AS file_id,
+         |    SUM(40 + CAST(floor(o_totalprice) AS BIGINT) % 200) AS sz
+         |  FROM orders GROUP BY 1
+         |), small AS (
+         |  SELECT file_id, sz FROM files WHERE sz < $CompactSmallBytes
+         |), placed AS (
+         |  SELECT file_id, sz,
+         |    (SUM(sz) OVER (ORDER BY -(sz // 1024) ASC, sz DESC, file_id ASC
+         |       ROWS UNBOUNDED PRECEDING) - sz) // $CompactTargetBytes AS bin_id
+         |  FROM small
+         |)
+         |SELECT * FROM (
+         |  SELECT 'rewrite' AS op, CAST(bin_id AS BIGINT) AS bin_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_files, CAST(SUM(sz) AS BIGINT) AS bin_bytes
+         |  FROM placed GROUP BY bin_id
+         |  UNION ALL
+         |  SELECT 'keep', CAST(-1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+         |    CAST(COALESCE(SUM(sz), 0) AS BIGINT)
+         |  FROM files WHERE sz >= $CompactSmallBytes
+         |) ORDER BY op, bin_id""".stripMargin,
     // the logical form of the positional delete: the DV path must
     // reproduce this exactly
     // logical form of the compaction decision + its outcome: the landed

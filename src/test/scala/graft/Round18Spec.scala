@@ -1,0 +1,135 @@
+package graft
+
+import graft.operators.{Events, GraphOps, Multimodal, TextAnalysis}
+import graft.sources.ManifestIO
+import org.apache.spark.sql.functions._
+
+/** Round-18 pins: the resource-allocation hub discount, ViT patch math +
+  * downscale rungs, the compaction planner's packing bounds, the WAP
+  * gates, the rate-limit RANGE window, and WordPiece greedy
+  * longest-match-first semantics — each on a hand-worked frame. */
+class Round18Spec extends SparkSpecBase {
+
+  test("resource allocation discounts the hub that raw common-neighbors cannot") {
+    import spark.implicits._
+    // pairs (1,2) and (3,4) both have exactly one common neighbor:
+    // (1,2) share the EXCLUSIVE node 10 (degree 2); (3,4) share the hub
+    // 20 (degree 6 via extra spokes). RA must rank (1,2) above (3,4);
+    // raw n_common ties them.
+    val edges = Seq(
+      (1L, 10L), (2L, 10L), // exclusive wedge
+      (3L, 20L), (4L, 20L), // hub wedge
+      (20L, 31L), (20L, 32L), (20L, 33L), (20L, 34L)) // hub spokes
+      .toDF("a", "b")
+    val out = GraphOps.resourceAllocOn(edges).collect()
+    val row12 = out.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+    val row34 = out.find(r => r.getLong(0) == 3L && r.getLong(1) == 4L).get
+    assert(row12.getLong(2) == 1L && row34.getLong(2) == 1L, "both wedges have one common neighbor")
+    assert(row12.getLong(3) == 500000000L, s"exclusive weight 10^9 div 2: $row12")
+    assert(row34.getLong(3) == 166666666L, s"hub weight 10^9 div 6: $row34")
+    assert(out.indexOf(row12) < out.indexOf(row34), "RA must rank the exclusive wedge first")
+  }
+
+  test("ViT token math: patch count exact, each downscale rung fires at its boundary") {
+    import spark.implicits._
+    // bl chosen so (w, h) hit all three rungs:
+    //   w = 256 + (bl*7919) % 768, h = 256 + (bl*104729) % 768
+    // bl=0 -> 256x256 -> 1 + 16*16 = 257 tokens, scale 1
+    // raw max is 1 + 64*64 = 4097 (w=h=1023): always representable at s=4
+    val out = Multimodal.vitTokensOn(Seq((0L, 0L)).toDF("doc_id", "bl")).collect()
+    assert(out.length == 1 && out.head.getLong(2) == 257L,
+      s"256x256 must cost 1 + 16x16 = 257 tokens: ${out.mkString(",")}")
+    // rung arithmetic, checked directly on the documented formulas:
+    // 1008x1008 -> raw 1+63*63=3970 > 1024; s=2 -> 1+32*32=1025 > 1024;
+    // s=4 -> 1+16*16=257 <= 1024 (the s=4 rung exists for exactly this band)
+    val toks = (w: Long, h: Long, s: Long) =>
+      1L + ((w + 16 * s - 1) / (16 * s)) * ((h + 16 * s - 1) / (16 * s))
+    assert(toks(1008, 1008, 1) == 3970L && toks(1008, 1008, 2) == 1025L
+      && toks(1008, 1008, 4) == 257L)
+    // 640x640 -> raw 1+40*40=1601 > 1024; s=2 -> 1+20*20=401 <= 1024
+    assert(toks(640, 640, 1) == 1601L && toks(640, 640, 2) == 401L)
+  }
+
+  test("compaction planner: size-desc packing, one-file overflow bound, keep split") {
+    import spark.implicits._
+    val target = ManifestIO.CompactTargetBytes
+    val smallCut = ManifestIO.CompactSmallBytes
+    // 40 small files of 5000 bytes + 2 large files that must be kept
+    val files = ((1L to 40L).map(i => (i, 5000L)) ++
+      Seq((100L, smallCut), (101L, smallCut + 5))).toDF("file_id", "sz")
+    val out = ManifestIO.compactPlanOn(files).collect()
+    val keep = out.filter(_.getString(0) == "keep")
+    assert(keep.length == 1 && keep.head.getLong(2) == 2L
+      && keep.head.getLong(3) == 2 * smallCut + 5,
+      s"files at/above the threshold are kept: ${keep.mkString(",")}")
+    val bins = out.filter(_.getString(0) == "rewrite")
+    assert(bins.map(_.getLong(2)).sum == 40L, "every small file lands in exactly one bin")
+    // start-offset rule: a bin holds ceil/floor of target/5000 files and
+    // overflows by at most one file
+    assert(bins.forall(r => r.getLong(3) < target + 5000L),
+      s"bin overflow must be bounded by one file: ${bins.mkString(",")}")
+    assert(bins.dropRight(1).forall(r => r.getLong(3) >= target - 5000L),
+      s"non-final bins must be filled to within one file of target: ${bins.mkString(",")}")
+  }
+
+  test("WAP gates: duplicate key, negative-domain breach, and volume each quarantine alone") {
+    import spark.implicits._
+    // batch 0: clean, 1000 rows, all positive        -> publish
+    // batch 1: contains k=1009 (restaged duplicate)  -> gate_unique fails
+    // batch 2: 30% negative balances                 -> gate_domain fails
+    // batch 3: only 10 rows                          -> gate_volume fails
+    val base = ((1L to 1000L).map(k => (k, 10.0)) ++
+      (1001L to 2000L).map(k => (k, 10.0)) ++
+      (2001L to 3000L).map(k => (k, if (k % 10 < 3) -5.0 else 10.0)) ++
+      (3001L to 3010L).map(k => (k, 10.0))).toDF("k", "bal")
+    val out = ManifestIO.wapOn(base).collect().sortBy(_.getLong(0))
+    assert(out(0).getString(7) == "publish", s"clean batch must publish: ${out(0)}")
+    assert(out(1).getString(7) == "quarantine" && out(1).getLong(4) == 0L,
+      s"duplicate key must fail gate_unique: ${out(1)}")
+    assert(out(2).getString(7) == "quarantine" && out(2).getLong(5) == 0L,
+      s"negative-heavy batch must fail gate_domain: ${out(2)}")
+    assert(out(3).getString(7) == "quarantine" && out(3).getLong(6) == 0L,
+      s"short batch must fail gate_volume: ${out(3)}")
+  }
+
+  test("rate limit: trailing RANGE window counts peers, violations start past the budget") {
+    import spark.implicits._
+    val w = Events.RateLimitWindowSec
+    // user 1: five events inside one window (two tied) -> counts 1,2,3,4,5
+    // (ties are RANGE peers: both tied rows see the full peer frame);
+    // user 2: two events exactly w apart -> the second does NOT see the first
+    val ev = Seq(
+      (1L, 1000L), (1L, 1100L), (1L, 1100L), (1L, 1200L), (1L, 1300L),
+      (2L, 5000L), (2L, 5000L + w)).toDF("user_id", "ts_sec")
+    val out = Events.rateLimitOn(ev).collect()
+    val u1 = out.find(_.getLong(0) == 5L).get // max_in_window = 5
+    assert(u1.getLong(1) == 1L, "one user peaks at 5 in-window events")
+    // counts per event: 1, 3, 3, 4, 5 -> violations (> 3): 2 events
+    assert(u1.getLong(2) == 2L, s"two events exceed the budget of 3: $u1")
+    val u2 = out.find(_.getLong(0) == 1L).get
+    assert(u2.getLong(1) == 1L && u2.getLong(2) == 0L,
+      s"a window-width gap must reset the count: $u2")
+  }
+
+  test("WordPiece: greedy longest-match-first with continuation pieces and char floor") {
+    import spark.implicits._
+    // corpus: 'abcdef' x4 and 'abcxyz' x1. Candidate multi-pieces are
+    // dominated by abcdef's substrings; with the vocab cap at 24 every
+    // piece of both words makes it in (tiny corpus), so each word
+    // encodes as [abcdef] = 1 piece and [abcxyz] = 1 piece.
+    val docs = Seq.fill(4)("abcdef").mkString(" ") + " abcxyz"
+    val out = TextAnalysis.wordpieceOn(Seq(docs).toDF("text")).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 1L && out.head.getLong(1) == 2L,
+      s"both words fit single vocab pieces: ${out.mkString(",")}")
+    assert(out.head.getLong(2) == 5L, "occurrence weights: 4 + 1")
+    // a word longer than WpMaxPieceLen MUST fragment: 'abcdefgh' (8 chars)
+    // has 25 candidate multi-pieces; the 24-cap's tie-break (pcnt desc,
+    // piece asc) cuts exactly '##gh' — the alphabetically last — so the
+    // encode is [abcdef][##g][##h]: greedy longest-match at the start,
+    // then the single-char floor where the vocab has no multi-piece
+    val out2 = TextAnalysis.wordpieceOn(Seq(Seq.fill(8)("abcdefgh").mkString(" "))
+      .toDF("text")).collect()
+    assert(out2.length == 1 && out2.head.getLong(0) == 3L,
+      s"8-char word = [abcdef][##g][##h] under the capped vocab: ${out2.mkString(",")}")
+  }
+}
