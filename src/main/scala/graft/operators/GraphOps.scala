@@ -955,9 +955,13 @@ object GraphOps {
     * in degree-bounded rows; m and both Q rows are one-row broadcasts.
     * g stays under 2^63 through ~sf100 on this graph (2m·k_in ~ e·d);
     * past that the gr_assort DECIMAL switch applies. */
-  def louvainMove(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  /** Shared phase-1 core: (sym, deg, mrow, newlab) over the artifact
+    * chain's (edges, labels) — the guarded synchronous sweep documented
+    * on gr_louvain_move, consumed by the move report AND the phase-2
+    * coarsening. All shapes/bounds as documented there. */
+  private[graft] def louvainMoveParts(edges: DataFrame, labels: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val (edges, labels) = lpaChain(spark, dir)
     val sym = edges.select((col("a") + lit(0L)).as("src"), (col("b") + lit(0L)).as("dst"))
       .unionByName(edges.select((col("b") + lit(0L)).as("src"), (col("a") + lit(0L)).as("dst")))
       .localCheckpoint() // deg + k_in sides
@@ -991,6 +995,12 @@ object GraphOps {
         when(col("g") > col("gown") && col("lc") < col("la"), col("lc"))
           .otherwise(col("la")).as("nl"))
       .localCheckpoint() // after stats + after intra lookup
+    (sym, deg, mrow, newlab)
+  }
+
+  def louvainMove(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val (edges, labels) = lpaChain(spark, dir)
+    val (_, deg, mrow, newlab) = louvainMoveParts(edges, labels)
     def perStats(lab: DataFrame): DataFrame = {
       val ds = deg.join(lab, Seq("u"))
         .groupBy("lbl").agg(sum("d").as("degree_sum"), count(lit(1)).as("n_members"))
@@ -1020,6 +1030,74 @@ object GraphOps {
       .crossJoin(broadcast(qRow(perAfter, "q_after_x10000")))
       .select(col("lbl").as("community"), col("n_members"), col("degree_sum"),
         col("intra_edges"), col("q_before_x10000"), col("q_after_x10000"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(12)
+  }
+
+  /** LOUVAIN COARSENING (gr_louvain_coarsen) — phase 2 of Blondel et
+    * al.: contract the post-move partition into a SUPER-GRAPH (one node
+    * per community, edge weight = inter-community edge count,
+    * self-loop = intra count), the graph the next Louvain level runs
+    * on. Published per super-node: members, self-loops, external weight
+    * and weighted degree, with the graph-level compression (super
+    * nodes/edges) riding every row — plus the LEVEL INVARIANT that
+    * makes coarsening auditable: Q computed from the COARSE quantities
+    * (deg_w = 2·self + ext — the super-graph's own degree) must equal Q
+    * computed at node grain (Σ node degrees per community), because
+    * contraction preserves modularity exactly (the property the
+    * multi-level algorithm rests on). Both are published; a mismatch
+    * means edge mass was dropped or double-counted.
+    *
+    * Scale: two co-partitioned label lookups on the edge list (the
+    * gr_modularity intra shape), one map-side-combinable rollup per
+    * grain; super-graph frames are O(communities) — strictly smaller
+    * than the input by construction. */
+  def louvainCoarsen(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val (edges, labels) = lpaChain(spark, dir)
+    val (_, deg, mrow, newlab) = louvainMoveParts(edges, labels)
+    val ea = edges
+      .join(newlab.select(col("u").as("a"), col("nl").as("ca")), Seq("a"))
+      .join(newlab.select(col("u").as("b"), col("nl").as("cb")), Seq("b"))
+      .localCheckpoint() // self-loop + inter branches
+    val selfs = ea.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("self_loops"))
+    val inter = ea.filter(col("ca") =!= col("cb"))
+      .select(least(col("ca"), col("cb")).as("c1"), greatest(col("ca"), col("cb")).as("c2"))
+      .groupBy("c1", "c2").agg(count(lit(1)).as("w"))
+      .localCheckpoint() // n_super_edges + both per-side ext rollups
+    val ext = inter.select(col("c1").as("community"), col("w"))
+      .unionByName(inter.select(col("c2").as("community"), col("w")))
+      .groupBy("community").agg(sum(col("w")).as("ext_w"))
+    val per = newlab.groupBy(col("nl").as("community")).agg(count(lit(1)).as("n_members"))
+      .join(selfs, Seq("community"), "left_outer")
+      .join(ext, Seq("community"), "left_outer")
+      .select(col("community"), col("n_members"),
+        coalesce(col("self_loops"), lit(0L)).as("self_loops"),
+        coalesce(col("ext_w"), lit(0L)).as("ext_w"))
+      .withColumn("deg_w", lit(2L) * col("self_loops") + col("ext_w"))
+      .localCheckpoint() // coarse-Q sums + published rows
+    def q(src: DataFrame, degCol: String, name: String): DataFrame =
+      src.agg(
+          sum(col("self_loops")).as("smc"),
+          sum(expr(s"CAST($degCol AS DECIMAL(19,0)) * CAST($degCol AS DECIMAL(19,0))"))
+            .as("sd2"))
+        .crossJoin(mrow)
+        .select(expr(
+          "CAST((CAST(10000 AS DECIMAL(38,0)) * " +
+            "(CAST(4 AS DECIMAL(38,0)) * m * smc - sd2 + CAST(4 AS DECIMAL(38,0)) * m * m)) " +
+            s"div (CAST(4 AS DECIMAL(38,0)) * m * m) - 10000 AS BIGINT)").as(name))
+    // node-grain twin: per-community degree as the sum of member degrees
+    val nodeGrain = deg.join(newlab, Seq("u"))
+      .groupBy(col("nl").as("community")).agg(sum(col("d")).as("deg_n"))
+      .join(per.select("community", "self_loops"), Seq("community"))
+    val gRow = per.agg(count(lit(1)).as("n_super_nodes"))
+      .crossJoin(inter.agg(count(lit(1)).as("n_super_edges")))
+      .crossJoin(q(per, "deg_w", "q_coarse_x10000"))
+      .crossJoin(q(nodeGrain, "deg_n", "q_after_x10000"))
+    per.crossJoin(broadcast(gRow))
+      .select(col("community"), col("n_members"), col("self_loops"), col("ext_w"),
+        col("deg_w"), col("n_super_nodes"), col("n_super_edges"),
+        col("q_after_x10000"), col("q_coarse_x10000"))
       .orderBy(col("n_members").desc, col("community"))
       .limit(12)
   }
@@ -1081,6 +1159,45 @@ object GraphOps {
 
   /** Shared LPA oracle CTE chain (inc → edges → sym → l0..lN) — used by
     * gr_lpa's rollup and gr_modularity's Q computation. */
+  /** The guarded synchronous move sweep as chained CTEs (lab → newlab),
+    * shared by the gr_louvain_move and gr_louvain_coarsen oracles —
+    * mirrors louvainMoveParts exactly. */
+  private def louvainMoveCtes: String =
+    s"""lab AS MATERIALIZED (SELECT u, lbl FROM l$LpaRounds),
+       |deg AS MATERIALIZED (SELECT src AS u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+       |mrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+       |stot AS (
+       |  SELECT lbl AS lc, CAST(SUM(d) AS BIGINT) AS stot
+       |  FROM deg JOIN lab USING (u) GROUP BY 1
+       |),
+       |kiin AS (
+       |  SELECT s.src AS u, p.lbl AS lc, CAST(COUNT(*) AS BIGINT) AS kin
+       |  FROM sym s JOIN lab p ON s.dst = p.u GROUP BY 1, 2
+       |),
+       |cand AS (
+       |  SELECT u, lc, MAX(kin) AS kin FROM (
+       |    SELECT u, lc, kin FROM kiin
+       |    UNION ALL SELECT u, lbl AS lc, CAST(0 AS BIGINT) AS kin FROM lab) z
+       |  GROUP BY 1, 2
+       |),
+       |gains AS (
+       |  SELECT c.u, c.lc, la.lbl AS la,
+       |    2 * (SELECT m FROM mrow) * c.kin
+       |      - deg.d * (stot.stot - CASE WHEN c.lc = la.lbl THEN deg.d ELSE 0 END) AS g
+       |  FROM cand c JOIN deg ON c.u = deg.u
+       |  JOIN lab la ON c.u = la.u JOIN stot ON c.lc = stot.lc
+       |),
+       |best AS (
+       |  SELECT u, lc, la, g FROM (
+       |    SELECT u, lc, la, g, ROW_NUMBER() OVER (PARTITION BY u ORDER BY g DESC, lc ASC) AS rn
+       |    FROM gains) t WHERE rn = 1
+       |),
+       |own AS (SELECT u, g AS gown FROM gains WHERE lc = la),
+       |newlab AS MATERIALIZED (
+       |  SELECT b.u, CASE WHEN b.g > own.gown AND b.lc < b.la THEN b.lc ELSE b.la END AS lbl
+       |  FROM best b JOIN own ON b.u = own.u
+       |)""".stripMargin
+
   private def lpaCtes: String = {
     val round = (r: Int) =>
       s"""l$r AS (
@@ -1112,6 +1229,7 @@ object GraphOps {
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
     "gr_modularity" -> (modularity _),
     "gr_louvain_move" -> (louvainMove _),
+    "gr_louvain_coarsen" -> (louvainCoarsen _),
     "gr_assort" -> (assortativity _),
     "gr_hits" -> (hits _),
     "gr_lpa" -> (lpa _),
@@ -1400,40 +1518,7 @@ object GraphOps {
          |FROM per, qrow ORDER BY n_members DESC, community LIMIT 12""".stripMargin,
     "gr_louvain_move" ->
       s"""WITH $lpaCtes,
-         |lab AS MATERIALIZED (SELECT u, lbl FROM l$LpaRounds),
-         |deg AS MATERIALIZED (SELECT src AS u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
-         |mrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
-         |stot AS (
-         |  SELECT lbl AS lc, CAST(SUM(d) AS BIGINT) AS stot
-         |  FROM deg JOIN lab USING (u) GROUP BY 1
-         |),
-         |kiin AS (
-         |  SELECT s.src AS u, p.lbl AS lc, CAST(COUNT(*) AS BIGINT) AS kin
-         |  FROM sym s JOIN lab p ON s.dst = p.u GROUP BY 1, 2
-         |),
-         |cand AS (
-         |  SELECT u, lc, MAX(kin) AS kin FROM (
-         |    SELECT u, lc, kin FROM kiin
-         |    UNION ALL SELECT u, lbl AS lc, CAST(0 AS BIGINT) AS kin FROM lab) z
-         |  GROUP BY 1, 2
-         |),
-         |gains AS (
-         |  SELECT c.u, c.lc, la.lbl AS la,
-         |    2 * (SELECT m FROM mrow) * c.kin
-         |      - deg.d * (stot.stot - CASE WHEN c.lc = la.lbl THEN deg.d ELSE 0 END) AS g
-         |  FROM cand c JOIN deg ON c.u = deg.u
-         |  JOIN lab la ON c.u = la.u JOIN stot ON c.lc = stot.lc
-         |),
-         |best AS (
-         |  SELECT u, lc, la, g FROM (
-         |    SELECT u, lc, la, g, ROW_NUMBER() OVER (PARTITION BY u ORDER BY g DESC, lc ASC) AS rn
-         |    FROM gains) t WHERE rn = 1
-         |),
-         |own AS (SELECT u, g AS gown FROM gains WHERE lc = la),
-         |newlab AS MATERIALIZED (
-         |  SELECT b.u, CASE WHEN b.g > own.gown AND b.lc < b.la THEN b.lc ELSE b.la END AS lbl
-         |  FROM best b JOIN own ON b.u = own.u
-         |),
+         |$louvainMoveCtes,
          |dsb AS (
          |  SELECT lbl, CAST(SUM(d) AS BIGINT) AS degree_sum FROM deg JOIN lab USING (u) GROUP BY 1
          |),
@@ -1476,6 +1561,65 @@ object GraphOps {
          |SELECT lbl AS community, n_members, degree_sum, intra_edges,
          |  q_before_x10000, q_after_x10000
          |FROM pera, qb, qa ORDER BY n_members DESC, community LIMIT 12""".stripMargin,
+    "gr_louvain_coarsen" ->
+      s"""WITH $lpaCtes,
+         |$louvainMoveCtes,
+         |ea AS MATERIALIZED (
+         |  SELECT la.lbl AS ca, lb.lbl AS cb
+         |  FROM edges e JOIN newlab la ON e.a = la.u JOIN newlab lb ON e.b = lb.u
+         |),
+         |selfs AS (
+         |  SELECT ca AS community, CAST(COUNT(*) AS BIGINT) AS self_loops
+         |  FROM ea WHERE ca = cb GROUP BY 1
+         |),
+         |inter AS MATERIALIZED (
+         |  SELECT LEAST(ca, cb) AS c1, GREATEST(ca, cb) AS c2,
+         |    CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM ea WHERE ca <> cb GROUP BY 1, 2
+         |),
+         |ext AS (
+         |  SELECT community, CAST(SUM(w) AS BIGINT) AS ext_w FROM (
+         |    SELECT c1 AS community, w FROM inter
+         |    UNION ALL SELECT c2 AS community, w FROM inter) z
+         |  GROUP BY 1
+         |),
+         |per AS MATERIALIZED (
+         |  SELECT mm.community, mm.n_members,
+         |    COALESCE(s.self_loops, 0) AS self_loops,
+         |    COALESCE(x.ext_w, 0) AS ext_w,
+         |    2 * COALESCE(s.self_loops, 0) + COALESCE(x.ext_w, 0) AS deg_w
+         |  FROM (SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+         |        FROM newlab GROUP BY 1) mm
+         |  LEFT JOIN selfs s ON mm.community = s.community
+         |  LEFT JOIN ext x ON mm.community = x.community
+         |),
+         |ng AS (
+         |  SELECT newlab.lbl AS community, CAST(SUM(deg.d) AS BIGINT) AS deg_n
+         |  FROM deg JOIN newlab USING (u) GROUP BY 1
+         |),
+         |qc AS (
+         |  SELECT CAST((10000::HUGEINT
+         |      * (4::HUGEINT * m * smc - sd2 + 4::HUGEINT * m * m))
+         |    // (4::HUGEINT * m * m) - 10000 AS BIGINT) AS q_coarse_x10000
+         |  FROM (SELECT CAST(SUM(self_loops) AS HUGEINT) AS smc,
+         |          SUM(deg_w::HUGEINT * deg_w::HUGEINT) AS sd2 FROM per), mrow
+         |),
+         |qa AS (
+         |  SELECT CAST((10000::HUGEINT
+         |      * (4::HUGEINT * m * smc - sd2 + 4::HUGEINT * m * m))
+         |    // (4::HUGEINT * m * m) - 10000 AS BIGINT) AS q_after_x10000
+         |  FROM (SELECT CAST(SUM(p.self_loops) AS HUGEINT) AS smc,
+         |          SUM(ng.deg_n::HUGEINT * ng.deg_n::HUGEINT) AS sd2
+         |        FROM ng JOIN per p ON ng.community = p.community), mrow
+         |),
+         |gs AS (
+         |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM per) AS n_super_nodes,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM inter) AS n_super_edges
+         |)
+         |SELECT per.community, per.n_members, per.self_loops, per.ext_w, per.deg_w,
+         |  gs.n_super_nodes, gs.n_super_edges, qa.q_after_x10000, qc.q_coarse_x10000
+         |FROM per, gs, qa, qc
+         |ORDER BY per.n_members DESC, per.community LIMIT 12""".stripMargin,
     "gr_copurchase" ->
       s"""WITH cp0 AS (
         |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part

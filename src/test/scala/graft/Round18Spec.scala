@@ -111,6 +111,21 @@ class Round18Spec extends SparkSpecBase {
       s"a window-width gap must reset the count: $u2")
   }
 
+  test("Louvain coarsening preserves modularity: coarse-grain Q == node-grain Q") {
+    // the phase-2 invariant (contraction preserves Q exactly): the coarse
+    // degree 2*self + ext must reproduce the node-grain degree sums, so
+    // both published Q columns agree; a mismatch means edge mass was
+    // dropped or double-counted in the super-graph build
+    val out = GraphOps.louvainCoarsen(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(7) == r.getLong(8)),
+      s"q_after != q_coarse: ${out.map(r => (r.getLong(7), r.getLong(8))).mkString(",")}")
+    // the super-graph is a real contraction: every row's community holds
+    // at least one member and the graph-level counts ride every row
+    assert(out.forall(_.getLong(1) >= 1L))
+    assert(out.map(_.getLong(5)).distinct.length == 1, "n_super_nodes must be global")
+  }
+
   test("WordPiece: greedy longest-match-first with continuation pieces and char floor") {
     import spark.implicits._
     // corpus: 'abcdef' x4 and 'abcxyz' x1. Candidate multi-pieces are
