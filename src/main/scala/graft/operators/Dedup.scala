@@ -1138,7 +1138,66 @@ object Dedup {
     entityOn(documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism))
 
+  /** Rolling window / boundary mask of dd_cdc: a position ends a chunk
+    * when the md5 of its trailing CdcWindow chars starts with CdcMask —
+    * two hex nibbles, so the expected chunk is 256 chars. */
+  val CdcWindow = 8
+  val CdcMask = "00"
+
+  /** CONTENT-DEFINED CHUNKING DEDUP (dd_cdc) — the storage-dedup
+    * primitive (Rabin/FastCDC family): chunk boundaries are decided by
+    * the CONTENT's rolling fingerprint, not fixed offsets, so an
+    * insertion early in a document shifts only the chunk it lands in —
+    * every downstream chunk re-aligns and still dedupes (the property
+    * fixed-size chunking fundamentally lacks, and why every backup /
+    * artifact store ships CDC). The fingerprint here is the house md5
+    * over the trailing CdcWindow chars (a gear/Rabin hash would be the
+    * production rolling variant; md5 keeps both engines bit-identical —
+    * the boundary DISTRIBUTION is what the operator exercises). A
+    * boundary closes the chunk at p; the document end is a forced
+    * sentinel boundary. Chunks dedupe corpus-wide by md5; output is the
+    * duplication histogram with reclaimable bytes — the dedup-ratio
+    * report a storage layer publishes.
+    *
+    * Scale: the position scan is per-doc flat arithmetic (boundary
+    * positions computed inside one transform/filter per document — rows
+    * never explode to the character grain); chunks are O(chars/256);
+    * the rollups are map-side-combinable on the chunk hash. */
+  def cdcOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs
+      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("n"))
+      .filter(col("n") >= CdcWindow)
+      .localCheckpoint() // consumers: boundary scan + chunk-text lookup
+    val bounds = d.select(col("doc_id"),
+        explode(expr(
+          s"filter(transform(sequence(CAST($CdcWindow AS BIGINT), n), " +
+            s"p -> CASE WHEN substring(md5(substring(text, CAST(p - ${CdcWindow - 1} AS INT), $CdcWindow)), 1, ${CdcMask.length}) = '$CdcMask' " +
+            s"THEN p ELSE CAST(-1 AS BIGINT) END), x -> x > 0)")).as("b"))
+    val allb = bounds
+      .unionByName(d.select(col("doc_id"), col("n").as("b")))
+      .distinct() // the doc end may itself be a content boundary
+    val byDoc = Window.partitionBy("doc_id").orderBy(col("b").asc)
+    allb
+      .withColumn("prev", lag(col("b"), 1, 0L).over(byDoc))
+      .join(d.select("doc_id", "text"), Seq("doc_id"))
+      .select(
+        md5(expr("substring(text, CAST(prev + 1 AS INT), CAST(b - prev AS INT))")).as("chash"),
+        (col("b") - col("prev")).as("clen"))
+      .groupBy("chash")
+      .agg(count(lit(1)).as("dup_count"), max(col("clen")).as("clen"))
+      .groupBy("dup_count")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(expr("(dup_count - 1) * clen")).as("reclaim_bytes"))
+      .orderBy("dup_count")
+  }
+
+  def cdc(spark: SparkSession, dir: String): DataFrame =
+    cdcOn(documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_cdc" -> (cdc _),
     "dd_containment" -> (containment _),
     "dd_profile" -> (dupProfile _),
     "dd_substring" -> (substringDedup _),
@@ -1166,6 +1225,34 @@ object Dedup {
     "dd_embed_cosine" -> (embedCosine _))
 
   val oracle: Map[String, String] = Map(
+    "dd_cdc" ->
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents
+         |  WHERE length(text) >= $CdcWindow
+         |), pos AS (
+         |  SELECT doc_id, UNNEST(range($CdcWindow, n + 1)) AS p FROM d
+         |), bounds AS (
+         |  SELECT pos.doc_id, pos.p AS b FROM pos JOIN d USING (doc_id)
+         |  WHERE substr(md5(substr(d.text, CAST(pos.p - ${CdcWindow - 1} AS BIGINT), $CdcWindow)),
+         |      1, ${CdcMask.length}) = '$CdcMask'
+         |), allb AS (
+         |  SELECT doc_id, b FROM bounds UNION SELECT doc_id, n AS b FROM d
+         |), ch AS (
+         |  SELECT doc_id, b,
+         |    COALESCE(LAG(b) OVER (PARTITION BY doc_id ORDER BY b), 0) AS prev
+         |  FROM allb
+         |), hashed AS (
+         |  SELECT md5(substr(d.text, ch.prev + 1, ch.b - ch.prev)) AS chash,
+         |    ch.b - ch.prev AS clen
+         |  FROM ch JOIN d USING (doc_id)
+         |), per AS (
+         |  SELECT chash, COUNT(*) AS dup_count, MAX(clen) AS clen
+         |  FROM hashed GROUP BY 1
+         |)
+         |SELECT CAST(dup_count AS BIGINT) AS dup_count,
+         |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(SUM((dup_count - 1) * clen) AS BIGINT) AS reclaim_bytes
+         |FROM per GROUP BY dup_count ORDER BY dup_count""".stripMargin,
     "dd_containment" ->
       s"""WITH sh AS ($shinglesSql),
          |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),

@@ -1802,7 +1802,91 @@ object TextAnalysis {
       .orderBy("n_pieces")
   }
 
+  /** Word-length bound / max piece length of ta_unigram. */
+  val UgMaxWordLen = 10
+  val UgMaxPieceLen = 4
+
+  /** UNIGRAM-LM SEGMENTATION (ta_unigram) — the THIRD tokenizer family
+    * (Kudo 2018, SentencePiece's default): where BPE merges greedily
+    * and WordPiece matches greedily, unigram picks the GLOBALLY best
+    * segmentation of each word by Viterbi over piece scores. Pieces are
+    * every 1..UgMaxPieceLen-char substring of the (truncated, distinct)
+    * words; a piece's LOG-PROBABILITY is frozen as the exact integer
+    * bitlen(count) − T, where T = bitlen(total piece mass) — the
+    * log2-scaled log(count/total), negative like the real thing, so the
+    * DP genuinely trades piece count against piece frequency (a rare
+    * piece costs more than two common ones; maximizing raw frequency
+    * sums would degenerate to char-splatter). The real M-step's float
+    * re-normalization is out of the determinism budget; the Viterbi
+    * machinery is the checked object. The DP maximizes (total score,
+    * then fewest pieces) via ONE packed key k = S*1024 + (1023 − P):
+    * relaxing by a piece of score s is k' = k + 1024*s − 1, and MAX(k)
+    * is exactly the lexicographic (S desc, P asc) argmax even while S
+    * runs negative — the decode shifts k non-negative first (the §4
+    * nonneg-shift rule) so Spark `div` and DuckDB `//` agree.
+    * UgMaxWordLen relaxation rounds guarantee convergence (every piece
+    * advances the cursor). Output: the pieces-per-word histogram with
+    * the count-weighted best-score mass.
+    *
+    * Scale: state is O(distinct words x word length) — vocabulary-
+    * sized; each round one broadcast probe + a map-side max; the oracle
+    * replays the rounds as chained CTEs (pieces MATERIALIZED). */
+  def unigram(spark: SparkSession, dir: String): DataFrame =
+    unigramOn(documents(spark, dir))
+
+  /** Same DP over any frame with a `text` column — Round18Spec pins the
+    * packed-key argmax (score beats piece count, then fewer pieces) on
+    * a hand-worked vocabulary. */
+  def unigramOn(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w0"))
+      .select(expr(s"substring(w0, 1, $UgMaxWordLen)").as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // consumers: piece counts + DP init
+    val pieces0 = words
+      .select(col("word"), col("cnt"),
+        explode(expr("sequence(1, length(word))")).as("o"))
+      .select(col("word"), col("cnt"), col("o"),
+        explode(expr(s"sequence(1, $UgMaxPieceLen)")).as("l"))
+      .filter(expr("o + l - 1 <= length(word)"))
+      .groupBy(expr("substring(word, o, l)").as("piece"))
+      .agg(sum(col("cnt")).as("pcnt"))
+    val tRow = pieces0.agg(expr("CAST(length(bin(sum(pcnt))) AS BIGINT)").as("t"))
+    val pieces = pieces0.crossJoin(broadcast(tRow))
+      .select(col("piece"),
+        expr("CAST(length(bin(pcnt)) AS BIGINT) - t").as("s"))
+      .localCheckpoint() // probed once per relaxation round
+    var st = words
+      .select(col("word"), col("cnt"), lit(0L).as("j"), lit(1023L).as("k"))
+      .localCheckpoint() // consumed by round 1 (carry + extend branches)
+    for (_ <- 1 to UgMaxWordLen) {
+      val ext = st
+        .select(col("word"), col("cnt"), col("j"), col("k"),
+          explode(expr(s"sequence(1, $UgMaxPieceLen)")).as("l"))
+        .filter(expr("j + l <= length(word)"))
+        .withColumn("probe", expr("substring(word, CAST(j + 1 AS INT), l)"))
+        .join(broadcast(pieces), col("probe") === col("piece"))
+        .select(col("word"), col("cnt"), (col("j") + col("l")).as("j"),
+          (col("k") + lit(1024L) * col("s") - lit(1L)).as("k"))
+      st = st.unionByName(ext)
+        .groupBy("word", "cnt", "j").agg(max(col("k")).as("k"))
+        .localCheckpoint() // consumed by next round (carry + extend)
+    }
+    // decode with the nonneg shift (k runs negative once scores are
+    // log-prob-shaped): 2^30 is a multiple of 1024, so the remainder
+    // still recovers P on both engines
+    st.filter(expr("j = length(word)"))
+      .withColumn("kk", col("k") + lit(1073741824L))
+      .select(col("cnt"), expr("1023 - (kk % 1024)").as("n_pieces"),
+        expr("kk div 1024 - 1048576").as("s"))
+      .groupBy("n_pieces")
+      .agg(count(lit(1)).as("n_words"), sum(col("cnt")).as("n_occurrences"),
+        sum(expr("s * cnt")).as("sum_score_w"))
+      .orderBy("n_pieces")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_unigram" -> (unigram _),
     "ta_wordpiece" -> (wordpiece _),
     "ta_keyphrase" -> (keyphrase _),
     "ta_readability" -> (readability _),
@@ -2090,6 +2174,50 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "ta_unigram" -> {
+      val round = (r: Int) =>
+        s"""v$r AS (
+           |  SELECT word, cnt, j, MAX(k) AS k FROM (
+           |    SELECT word, cnt, j, k FROM v${r - 1}
+           |    UNION ALL
+           |    SELECT v.word, v.cnt, v.j + l.l AS j, v.k + 1024 * p.s - 1 AS k
+           |    FROM v${r - 1} v
+           |    CROSS JOIN (SELECT UNNEST(range(1, ${UgMaxPieceLen + 1})) AS l) l
+           |    JOIN pieces p ON p.piece = substr(v.word, CAST(v.j + 1 AS BIGINT), l.l)
+           |    WHERE v.j + l.l <= length(v.word)
+           |  ) z GROUP BY 1, 2, 3
+           |)""".stripMargin
+      s"""WITH words AS MATERIALIZED (
+         |  SELECT word, COUNT(*) AS cnt FROM (
+         |    SELECT substr(w0, 1, $UgMaxWordLen) AS word FROM (
+         |      SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w0
+         |      FROM documents))
+         |  GROUP BY word
+         |), pieces0 AS MATERIALIZED (
+         |  SELECT substr(w.word, o.o, l.l) AS piece,
+         |    CAST(SUM(w.cnt) AS BIGINT) AS pcnt
+         |  FROM words w
+         |  CROSS JOIN (SELECT UNNEST(range(1, ${UgMaxWordLen + 1})) AS o) o
+         |  CROSS JOIN (SELECT UNNEST(range(1, ${UgMaxPieceLen + 1})) AS l) l
+         |  WHERE o.o + l.l - 1 <= length(w.word)
+         |  GROUP BY 1
+         |), trow AS (
+         |  SELECT CAST(length(bin(CAST(SUM(pcnt) AS BIGINT))) AS BIGINT) AS t
+         |  FROM pieces0
+         |), pieces AS MATERIALIZED (
+         |  SELECT piece, CAST(length(bin(pcnt)) AS BIGINT) - trow.t AS s
+         |  FROM pieces0, trow
+         |), v0 AS (
+         |  SELECT word, cnt, CAST(0 AS BIGINT) AS j, CAST(1023 AS BIGINT) AS k
+         |  FROM words
+         |), ${(1 to UgMaxWordLen).map(round).mkString(",\n")}
+         |SELECT CAST(1023 - ((k + 1073741824) % 1024) AS BIGINT) AS n_pieces,
+         |  CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(cnt) AS BIGINT) AS n_occurrences,
+         |  CAST(SUM(((k + 1073741824) // 1024 - 1048576) * cnt) AS BIGINT) AS sum_score_w
+         |FROM v$UgMaxWordLen WHERE j = length(word)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "ta_wordpiece" -> {
       val round = (r: Int) =>
         s"""s$r AS (

@@ -111,6 +111,54 @@ class Round18Spec extends SparkSpecBase {
       s"a window-width gap must reset the count: $u2")
   }
 
+  test("unigram Viterbi trades piece count against frequency in both directions") {
+    import spark.implicits._
+    // scenario 1: 'abcd' seen ONCE, 'ab'/'cd' each 100x — the rare whole
+    // word scores bitlen(1) - T, the split (bitlen(101) - T) x2; with
+    // total piece mass ~610 (T = 10), 14 - 2T > 1 - T, so the DP must
+    // SPLIT the rare word
+    val rare = (Seq.fill(100)("ab") ++ Seq.fill(100)("cd") ++ Seq("abcd")).mkString(" ")
+    val out1 = TextAnalysis.unigramOn(Seq(rare).toDF("text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out1 == Seq((1L, 2L, 200L), (2L, 1L, 1L)),
+      s"rare word must split into two common pieces: $out1")
+    // scenario 2: 'abcd' seen 50x — now bitlen(50)=6 vs the split's
+    // 2*(bitlen(150) - T) = 16 - 2T with T = 11: 6 - T wins, the DP must
+    // keep the whole word as ONE piece
+    val common = (Seq.fill(100)("ab") ++ Seq.fill(100)("cd")
+      ++ Seq.fill(50)("abcd")).mkString(" ")
+    val out2 = TextAnalysis.unigramOn(Seq(common).toDF("text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out2 == Seq((1L, 3L, 250L)),
+      s"a frequent word must stay one piece: $out2")
+  }
+
+  test("CDC chunking re-aligns after an insertion: shifted duplicates still dedupe") {
+    import spark.implicits._
+    // brute-force an 8-char string whose md5 opens with the CdcMask —
+    // exactly the boundary predicate the operator applies
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex2(s: String) =
+      md.digest(s.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+    val bnd = (0 to 999999).iterator.map(i => f"bnd$i%05d")
+      .find(s => hex2(s) == graft.operators.Dedup.CdcMask).get
+    // both docs share the (filler + boundary) x4 suffix; doc B carries an
+    // EXTRA PREFIX (the insertion) — fixed-size chunking would misalign
+    // every downstream chunk, CDC must still dedupe the repeated units
+    val unit = "abcdefgh" + bnd
+    val docA = "headerA-" + unit * 4
+    val docB = "longer-header-B-" + unit * 4
+    val out = graft.operators.Dedup.cdcOn(
+      Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")).collect()
+    val dupMass = out.filter(_.getLong(0) >= 2L)
+    assert(dupMass.nonEmpty, s"repeated content units must dedupe: ${out.mkString(",")}")
+    // the 16-char unit repeats 4x per doc; interior chunks are identical
+    // across BOTH docs despite the shifted prefix -> a chunk with
+    // dup_count >= 6 (3 interior repeats x 2 docs) must exist
+    assert(out.exists(r => r.getLong(0) >= 6L),
+      s"cross-doc re-alignment failed: ${out.mkString(",")}")
+  }
+
   test("Louvain coarsening preserves modularity: coarse-grain Q == node-grain Q") {
     // the phase-2 invariant (contraction preserves Q exactly): the coarse
     // degree 2*self + ext must reproduce the node-grain degree sums, so
