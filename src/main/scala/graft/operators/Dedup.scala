@@ -1040,9 +1040,30 @@ object Dedup {
       .filter(col("lcp") >= minLcp.toLong)
   }
 
-  def substringDedupOn(docs: DataFrame, minLcp: Int = 16, slice: Int = 64,
-      topK: Int = 25): DataFrame = {
-    substringWitnessOn(docs, minLcp, slice)
+  /** The witness list as a MODEL ARTIFACT (the LPA-chain pattern): the
+    * suffix pass is the expensive half of both substring operators and
+    * its output — the adjacent-suffix witnesses — IS the delete list
+    * Lee et al.'s pipeline materializes, so the first consumer persists
+    * it fingerprint-keyed on documents.parquet and the other deploys it.
+    * Parity + invalidation pinned in Round18Spec. */
+  private def substringWitnessFor(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("doc_id", "sp", "suf", "pdoc", "psp", "lcp")
+    val fp = graft.ModelStore.fingerprint(dir, "documents.parquet", "sdw1")
+    fp.flatMap(f => graft.ModelStore.read(spark, s"sdwit_$f", cols))
+      .map(_.localCheckpoint())
+      .getOrElse {
+        graft.ModelTelemetry.trains.incrementAndGet()
+        val w = substringWitnessOn(documents(spark, dir)
+            .repartition(spark.sparkContext.defaultParallelism), 16, 64)
+          .select(cols.map(col): _*)
+          .localCheckpoint() // consumer reads it twice (marks + report)
+        fp.foreach(f => graft.ModelStore.write(s"sdwit_$f", w))
+        w
+      }
+  }
+
+  private def substringDedupOnWitness(wit: DataFrame, topK: Int): DataFrame =
+    wit
       .select(col("lcp"),
         expr("substring(suf, 1, cast(lcp as int))").as("sub"),
         least(col("doc_id"), col("pdoc")).as("doc_a"),
@@ -1050,11 +1071,13 @@ object Dedup {
       .distinct()
       .orderBy(col("lcp").desc, col("sub"), col("doc_a"), col("doc_b"))
       .limit(topK)
-  }
+
+  def substringDedupOn(docs: DataFrame, minLcp: Int = 16, slice: Int = 64,
+      topK: Int = 25): DataFrame =
+    substringDedupOnWitness(substringWitnessOn(docs, minLcp, slice), topK)
 
   def substringDedup(spark: SparkSession, dir: String): DataFrame =
-    substringDedupOn(documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism))
+    substringDedupOnWitness(substringWitnessFor(spark, dir), 25)
 
   /** SUBSTRING REMOVAL RANGES (dd_substring_cut) — the actionable output
     * of the suffix pass: character-precise cut ranges per document (the
@@ -1069,9 +1092,12 @@ object Dedup {
     *
     * Scale: the witness frame is dd_substring's bucket-shuffle plan; the
     * merge is one window per doc over that doc's O(slice) marks. */
-  def substringCutOn(docs: DataFrame, minLcp: Int = 16, slice: Int = 64): DataFrame = {
+  def substringCutOn(docs: DataFrame, minLcp: Int = 16, slice: Int = 64): DataFrame =
+    substringCutOnWitness(substringWitnessOn(docs, minLcp, slice))
+
+  private def substringCutOnWitness(wit: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val marks = substringWitnessOn(docs, minLcp, slice)
+    val marks = wit
       .select(
         when(col("doc_id") > col("pdoc"), col("doc_id")).otherwise(col("pdoc")).as("doc_id"),
         when(col("doc_id") > col("pdoc"), col("sp")).otherwise(col("psp")).as("cs"),
@@ -1094,8 +1120,7 @@ object Dedup {
   }
 
   def substringCut(spark: SparkSession, dir: String): DataFrame =
-    substringCutOn(documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism))
+    substringCutOnWitness(substringWitnessFor(spark, dir))
 
   /** ENTITY RESOLUTION (dd_entity) — the classic record-linkage plan
     * (blocking + pairwise edit-distance verify) over document title

@@ -712,60 +712,17 @@ object GraphOps {
     * parity + invalidation). Both tables are O(parts)/O(co-purchase
     * pairs) — catalog-sized, never corpus-sized — and the read path is
     * a distributed parquet scan, not a driver collect. */
-  private val GraphModelRoot = "/tmp/graft_models"
-
-  private def lpaFingerprint(dir: String): Option[String] =
-    try {
-      val f = new java.io.File(dir, "lineitem.parquet")
-      if (!f.exists) None
-      else {
-        val files = if (f.isDirectory) f.listFiles.toSeq.sortBy(_.getName) else Seq(f)
-        val desc = files.map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString("|")
-        val md = java.security.MessageDigest.getInstance("MD5")
-        Some(md.digest(s"$dir|$desc|lpa1".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString)
-      }
-    } catch { case _: Throwable => None }
-
-  private def readGraphArt(spark: org.apache.spark.sql.SparkSession,
-      name: String, cols: Seq[String]): Option[DataFrame] =
-    try {
-      val d = new java.io.File(GraphModelRoot, name)
-      if (!d.isDirectory) None
-      else {
-        val df = spark.read.parquet(d.getPath).select(cols.map(col): _*)
-        if (df.isEmpty) None else Some(df)
-      }
-    } catch { case _: Throwable => None }
-
-  private def writeGraphArt(name: String, df: DataFrame): Unit =
-    try {
-      val root = new java.io.File(GraphModelRoot)
-      root.mkdirs()
-      val tmp = new java.io.File(root, s"tmp_${name}_${System.nanoTime}")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
-      val fin = new java.io.File(root, name)
-      if (!tmp.renameTo(fin)) {
-        // another writer won the race; its artifact is equivalent — drop ours
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(tmp)
-      }
-    } catch { case _: Throwable => () }
-
   /** (edges, labels) of the capped co-order graph: deployed from the
     * artifact when the fingerprint matches, else built (and persisted).
     * Both frames come back localCheckpointed — every consumer reads each
     * side more than once (sym union x2, lookups). */
   private[graft] def lpaChain(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, DataFrame) = {
-    val fp = lpaFingerprint(dir)
+    val fp = graft.ModelStore.fingerprint(dir, "lineitem.parquet", "lpa1")
     val cached = for {
       f <- fp
-      e <- readGraphArt(spark, s"lpaedges_$f", Seq("a", "b"))
-      l <- readGraphArt(spark, s"lpalbl_$f", Seq("u", "lbl"))
+      e <- graft.ModelStore.read(spark, s"lpaedges_$f", Seq("a", "b"))
+      l <- graft.ModelStore.read(spark, s"lpalbl_$f", Seq("u", "lbl"))
     } yield (e.localCheckpoint(), l.localCheckpoint())
     cached.getOrElse {
       graft.ModelTelemetry.trains.incrementAndGet()
@@ -784,8 +741,8 @@ object GraphOps {
       val labels = lpaLabelsOn(sym)
         .localCheckpoint() // every consumer reads labels 2-4 times
       fp.foreach { f =>
-        writeGraphArt(s"lpaedges_$f", edges)
-        writeGraphArt(s"lpalbl_$f", labels)
+        graft.ModelStore.write(s"lpaedges_$f", edges)
+        graft.ModelStore.write(s"lpalbl_$f", labels)
       }
       (edges, labels)
     }

@@ -111,6 +111,27 @@ class Round18Spec extends SparkSpecBase {
       s"a window-width gap must reset the count: $u2")
   }
 
+  test("substring witness artifact: cold build == warm deploy for both consumers") {
+    import spark.implicits._
+    val dir = s"/tmp/graft_sdwmodel_${System.nanoTime()}"
+    // the shared phrase must sit inside the FIRST sampled 64-char window
+    // (strided offsets 1/161/...), so keep the distinct prefixes short
+    val phrase = "the quick brown fox jumps over the lazy dog"
+    Seq(
+      (1L, "en", "aaa1 " + phrase),
+      (2L, "en", "bbb2 " + phrase))
+      .toDF("doc_id", "lang", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val t0 = ModelTelemetry.trains.get()
+    val dedupCold = graft.operators.Dedup.substringDedup(spark, dir).collect().toSeq
+    assert(ModelTelemetry.trains.get() == t0 + 1, "first consumer cold-builds the witness list")
+    val cutCold = graft.operators.Dedup.substringCut(spark, dir).collect().toSeq
+    assert(ModelTelemetry.trains.get() == t0 + 1, "the cut must deploy the persisted witnesses")
+    assert(graft.operators.Dedup.substringDedup(spark, dir).collect().toSeq == dedupCold)
+    assert(graft.operators.Dedup.substringCut(spark, dir).collect().toSeq == cutCold)
+    assert(dedupCold.nonEmpty && cutCold.nonEmpty, "the planted phrase must be witnessed")
+  }
+
   test("unigram Viterbi trades piece count against frequency in both directions") {
     import spark.implicits._
     // scenario 1: 'abcd' seen ONCE, 'ab'/'cd' each 100x — the rare whole
