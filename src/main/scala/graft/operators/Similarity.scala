@@ -386,17 +386,8 @@ object Similarity {
   }
 
   private def gsFingerprint(dir: String): Option[String] =
-    try {
-      val f = new java.io.File(dir, "embeddings.parquet")
-      if (!f.exists) None
-      else {
-        val files = if (f.isDirectory) f.listFiles.toSeq.sortBy(_.getName) else Seq(f)
-        val desc = files.map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString("|")
-        val md = java.security.MessageDigest.getInstance("MD5")
-        Some(md.digest(s"$dir|$desc|nnd${NnDescentK}x$NnDescentRounds".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString)
-      }
-    } catch { case _: Throwable => None }
+    graft.ModelStore.fingerprint(dir, "embeddings.parquet",
+      s"nnd${NnDescentK}x$NnDescentRounds")
 
   private def gsReadGraph(spark: SparkSession, fp: String): Option[DataFrame] =
     try {
@@ -409,22 +400,8 @@ object Similarity {
     } catch { case _: Throwable => None }
 
   private def gsWriteGraph(spark: SparkSession, fp: String, g: DataFrame): Unit =
-    try {
-      val root = new java.io.File(KmModelRoot)
-      root.mkdirs()
-      val tmp = new java.io.File(root, s"tmp_nnd_${fp}_${System.nanoTime}")
-      g.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-        .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
-      val fin = new java.io.File(root, s"nnd_$fp")
-      if (!tmp.renameTo(fin)) {
-        // another writer won the race; its artifact is equivalent — drop ours
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(tmp)
-      }
-    } catch { case _: Throwable => () }
+    graft.ModelStore.write(s"nnd_$fp",
+      g.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")))
 
   /** The refined kNN graph for the corpus at `dir`: deploy the persisted
     * index when its fingerprint matches, else run the NN-Descent build
@@ -747,20 +724,10 @@ object Similarity {
     * anomaly or fingerprint mismatch falls back to the fold and rewrites.
     * Writes are atomic (unique tmp dir + rename), so overlapping runs
     * only ever observe a complete model or none. */
-  private val KmModelRoot = "/tmp/graft_models"
+  private val KmModelRoot = graft.ModelStore.Root
 
   private def kmFingerprintTag(dir: String, tag: String): Option[String] =
-    try {
-      val f = new java.io.File(dir, "embeddings.parquet")
-      if (!f.exists) None
-      else {
-        val files = if (f.isDirectory) f.listFiles.toSeq.sortBy(_.getName) else Seq(f)
-        val desc = files.map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString("|")
-        val md = java.security.MessageDigest.getInstance("MD5")
-        Some(md.digest(s"$dir|$desc|$tag".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString)
-      }
-    } catch { case _: Throwable => None }
+    graft.ModelStore.fingerprint(dir, "embeddings.parquet", tag)
 
   private def kmFingerprint(dir: String): Option[String] = kmFingerprintTag(dir, "km2")
 
@@ -780,23 +747,9 @@ object Similarity {
     } catch { case _: Throwable => None }
 
   private def kmWriteCb(spark: SparkSession, fp: String, prefix: String, cb: DataFrame): Unit =
-    try {
-      val root = new java.io.File(KmModelRoot)
-      root.mkdirs()
-      val tmp = new java.io.File(root, s"tmp_$prefix${fp}_${System.nanoTime}")
+    graft.ModelStore.write(s"$prefix$fp",
       cb.select(col("c").cast("long").as("c"), col("i").cast("int").as("i"),
-          col("cS"), col("n"))
-        .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
-      val fin = new java.io.File(root, s"$prefix$fp")
-      if (!tmp.renameTo(fin)) {
-        // another writer won the race; its artifact is equivalent — drop ours
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(tmp)
-      }
-    } catch { case _: Throwable => () }
+        col("cS"), col("n")))
 
   /** Stale-snapshot codebook of ann_refresh (fingerprint tag km2stale) —
     * the quantizer trained on the stale half (even vec_ids, label-seeded,
@@ -841,25 +794,11 @@ object Similarity {
 
   private def kmWriteModel(spark: SparkSession, fp: String,
       cb2: DataFrame, cb3: DataFrame): Unit =
-    try {
-      val root = new java.io.File(KmModelRoot)
-      root.mkdirs()
-      val tmp = new java.io.File(root, s"tmp_km_${fp}_${System.nanoTime}")
+    graft.ModelStore.write(s"km_$fp",
       cb2.withColumn("stage", lit(2))
         .unionByName(cb3.withColumn("stage", lit(3)))
         .select(col("stage"), col("c").cast("long").as("c"),
-          col("i").cast("int").as("i"), col("cS"), col("n"))
-        .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
-      val fin = new java.io.File(root, s"km_$fp")
-      if (!tmp.renameTo(fin)) {
-        // another writer won the race; its artifact is equivalent — drop ours
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(tmp)
-      }
-    } catch { case _: Throwable => () }
+          col("i").cast("int").as("i"), col("cS"), col("n")))
 
   /** Cold path: run the label-seeded two-Lloyd fold over dims, persist the
     * codebooks, return (cb2, cb3, assignFull) — each eagerly checkpointed

@@ -320,20 +320,10 @@ object TextAnalysis {
     * artifact/fold parity and fingerprint invalidation). Writes are
     * atomic (unique tmp dir + rename), so a Bench overlapping a Verify
     * can only ever observe a complete model or none. */
-  private val BpeModelRoot = "/tmp/graft_models"
+  private val BpeModelRoot = graft.ModelStore.Root
 
   private def bpeFingerprint(dir: String, rounds: Int = BpeRounds): Option[String] =
-    try {
-      val f = new java.io.File(dir, "documents.parquet")
-      if (!f.exists) None
-      else {
-        val files = if (f.isDirectory) f.listFiles.toSeq.sortBy(_.getName) else Seq(f)
-        val desc = files.map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString("|")
-        val md = java.security.MessageDigest.getInstance("MD5")
-        Some(md.digest(s"$dir|$desc|$rounds".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString)
-      }
-    } catch { case _: Throwable => None }
+    graft.ModelStore.fingerprint(dir, "documents.parquet", rounds.toString)
 
   private def bpeReadModel(spark: SparkSession, fp: String,
       rounds: Int = BpeRounds): Option[Seq[(String, String, Long)]] =
@@ -349,25 +339,12 @@ object TextAnalysis {
       }
     } catch { case _: Throwable => None }
 
-  private def bpeWriteModel(spark: SparkSession, fp: String, pairs: Seq[(String, String, Long)]): Unit =
-    try {
-      import spark.implicits._
-      val root = new java.io.File(BpeModelRoot)
-      root.mkdirs()
-      val tmp = new java.io.File(root, s"tmp_${fp}_${System.nanoTime}")
+  private def bpeWriteModel(spark: SparkSession, fp: String, pairs: Seq[(String, String, Long)]): Unit = {
+    import spark.implicits._
+    graft.ModelStore.write(s"bpe_$fp",
       pairs.zipWithIndex.map { case ((bl, br, n), i) => (i + 1L, bl, br, n) }
-        .toDF("round", "bl", "br", "n_pair")
-        .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
-      val fin = new java.io.File(root, s"bpe_$fp")
-      if (!tmp.renameTo(fin)) {
-        // another writer won the race; its artifact is equivalent — drop ours
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(tmp)
-      }
-    } catch { case _: Throwable => () }
+        .toDF("round", "bl", "br", "n_pair"))
+  }
 
   /** Learned merges for the corpus at `dir`: deploy the persisted model
     * when its fingerprint matches, else run the fold and persist. */
@@ -1885,8 +1862,139 @@ object TextAnalysis {
       .orderBy("n_pieces")
   }
 
+  /** UNIGRAM-LM EM ITERATION (ta_unigram_em) — the trainer step on top
+    * of ta_unigram's decoder (Kudo 2018's loop: segment, re-count,
+    * prune, re-segment). Hard-EM with an exact twist that needs NO
+    * backpointers: a piece occurrence (word, j, len) lies on SOME
+    * optimal segmentation iff the packed keys COMPOSE —
+    * kf(j) + (1024·s − 1) + kb(j+len) − 1023 = kbest(word), where kf is
+    * the forward Viterbi table, kb the backward one (same relaxation,
+    * mirrored), and kbest = kf(|word|). The test is tie-inclusive
+    * (every co-optimal path counts its pieces once) and entirely
+    * BIGINT — no argmax tie-break ever has to be reconstructed. The
+    * M-step re-counts pieces from those memberships (occurrence-
+    * weighted), PRUNES pieces used by no optimal path (SentencePiece's
+    * vocabulary shrink — every word stays segmentable because its own
+    * optimal pieces survive by construction), rescores s2 =
+    * bitlen(newcnt) − T2, and round 2 re-segments over the surviving
+    * vocabulary. Output: one row per (em_round, n_pieces) histogram
+    * cell with the live-vocab size riding each round's rows — the
+    * likelihood climb and the prune, both visible.
+    *
+    * Scale: three bounded DP sweeps (forward, backward, forward-2) of
+    * UgMaxWordLen broadcast-probe rounds each over the O(distinct
+    * words x positions) state; the membership test is one three-way
+    * co-partitioned join on the word key. Oracle replays all three
+    * sweeps as chained CTEs (pieces MATERIALIZED). */
+  def unigramEm(spark: SparkSession, dir: String): DataFrame =
+    unigramEmOn(documents(spark, dir))
+
+  /** Same iteration over any frame with a `text` column — Round18Spec
+    * pins the prune and the round-2 rescoring on a hand-worked corpus. */
+  def unigramEmOn(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w0"))
+      .select(expr(s"substring(w0, 1, $UgMaxWordLen)").as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // consumers: pieces, both DP inits, occurrences
+    def scored(counts: DataFrame): DataFrame = {
+      val tRow = counts.agg(expr("CAST(length(bin(sum(pcnt))) AS BIGINT)").as("t"))
+      counts.crossJoin(broadcast(tRow))
+        .select(col("piece"), expr("CAST(length(bin(pcnt)) AS BIGINT) - t").as("s"))
+        .localCheckpoint() // probed per DP round + membership join
+    }
+    val pieces1 = scored(words
+      .select(col("word"), col("cnt"), explode(expr("sequence(1, length(word))")).as("o"))
+      .select(col("word"), col("cnt"), col("o"),
+        explode(expr(s"sequence(1, $UgMaxPieceLen)")).as("l"))
+      .filter(expr("o + l - 1 <= length(word)"))
+      .groupBy(expr("substring(word, o, l)").as("piece"))
+      .agg(sum(col("cnt")).as("pcnt")))
+    // forward Viterbi over a piece table: state (word, j, k)
+    def forward(pieces: DataFrame): DataFrame = {
+      var st = words.select(col("word"), lit(0L).as("j"), lit(1023L).as("k"))
+        .localCheckpoint() // round 1 reads carry + extend branches
+      for (_ <- 1 to UgMaxWordLen) {
+        val ext = st
+          .select(col("word"), col("j"), col("k"),
+            explode(expr(s"sequence(1, $UgMaxPieceLen)")).as("l"))
+          .filter(expr("j + l <= length(word)"))
+          .withColumn("probe", expr("substring(word, CAST(j + 1 AS INT), l)"))
+          .join(broadcast(pieces), col("probe") === col("piece"))
+          .select(col("word"), (col("j") + col("l")).as("j"),
+            (col("k") + lit(1024L) * col("s") - lit(1L)).as("k"))
+        st = st.unionByName(ext)
+          .groupBy("word", "j").agg(max(col("k")).as("k"))
+          .localCheckpoint() // next round reads carry + extend
+      }
+      st
+    }
+    // backward mirror: state (word, j, kb), kb(|word|) = 1023, relax
+    // j -> j - l with the piece covering (j-l+1 .. j)
+    def backward(pieces: DataFrame): DataFrame = {
+      var st = words.select(col("word"), expr("CAST(length(word) AS BIGINT)").as("j"),
+          lit(1023L).as("kb"))
+        .localCheckpoint()
+      for (_ <- 1 to UgMaxWordLen) {
+        val ext = st
+          .select(col("word"), col("j"), col("kb"),
+            explode(expr(s"sequence(1, $UgMaxPieceLen)")).as("l"))
+          .filter(expr("j - l >= 0"))
+          .withColumn("probe", expr("substring(word, CAST(j - l + 1 AS INT), l)"))
+          .join(broadcast(pieces), col("probe") === col("piece"))
+          .select(col("word"), (col("j") - col("l")).as("j"),
+            (col("kb") + lit(1024L) * col("s") - lit(1L)).as("kb"))
+        st = st.unionByName(ext)
+          .groupBy("word", "j").agg(max(col("kb")).as("kb"))
+          .localCheckpoint()
+      }
+      st
+    }
+    def histo(fin: DataFrame, round: Long, nVocab: DataFrame): DataFrame =
+      fin.filter(expr("j = length(word)"))
+        .join(words, Seq("word"))
+        .withColumn("kk", col("k") + lit(1073741824L))
+        .select(col("cnt"), expr("1023 - (kk % 1024)").as("n_pieces"),
+          expr("kk div 1024 - 1048576").as("s"))
+        .groupBy("n_pieces")
+        .agg(count(lit(1)).as("n_words"), sum(col("cnt")).as("n_occurrences"),
+          sum(expr("s * cnt")).as("sum_score_w"))
+        .select(lit(round).as("em_round"), col("n_pieces"), col("n_words"),
+          col("n_occurrences"), col("sum_score_w"))
+        .crossJoin(broadcast(nVocab))
+    val kf = forward(pieces1)
+      .localCheckpoint() // membership join + kbest + round-1 histogram
+    val kb = backward(pieces1)
+    val kbest = kf.filter(expr("j = length(word)"))
+      .select(col("word"), col("k").as("kbest"))
+    // every occurrence, tested for co-optimal-path membership
+    val occ = words
+      .select(col("word"), col("cnt"), explode(expr("sequence(0, length(word) - 1)")).as("j"))
+      .select(col("word"), col("cnt"), col("j"),
+        explode(expr(s"sequence(1, $UgMaxPieceLen)")).as("l"))
+      .filter(expr("j + l <= length(word)"))
+      .withColumn("piece", expr("substring(word, CAST(j + 1 AS INT), l)"))
+      .withColumn("jend", col("j") + col("l"))
+    val member = occ
+      .join(broadcast(pieces1), Seq("piece"))
+      .join(kf.select(col("word"), col("j"), col("k").as("kf")), Seq("word", "j"))
+      .join(kb.select(col("word"), col("j").as("jend"), col("kb")), Seq("word", "jend"))
+      .join(kbest, Seq("word"))
+      .filter(col("kf") + lit(1024L) * col("s") - lit(1L) + col("kb") - lit(1023L)
+        === col("kbest"))
+    val counts2 = member.groupBy("piece").agg(sum(col("cnt")).as("pcnt"))
+      .localCheckpoint() // vocab size + rescoring
+    val pieces2 = scored(counts2)
+    val kf2 = forward(pieces2)
+    val nv1 = pieces1.agg(count(lit(1)).as("n_vocab"))
+    val nv2 = pieces2.agg(count(lit(1)).as("n_vocab"))
+    histo(kf, 1L, nv1).unionByName(histo(kf2, 2L, nv2))
+      .orderBy("em_round", "n_pieces")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_unigram" -> (unigram _),
+    "ta_unigram_em" -> (unigramEm _),
     "ta_wordpiece" -> (wordpiece _),
     "ta_keyphrase" -> (keyphrase _),
     "ta_readability" -> (readability _),
@@ -2174,6 +2282,106 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "ta_unigram_em" -> {
+      val lens = s"(SELECT UNNEST(range(1, ${UgMaxPieceLen + 1})) AS l) l"
+      val fwd = (pre: String, pt: String) => (r: Int) =>
+        s"""$pre$r AS (
+           |  SELECT word, j, MAX(k) AS k FROM (
+           |    SELECT word, j, k FROM $pre${r - 1}
+           |    UNION ALL
+           |    SELECT v.word, v.j + l.l AS j, v.k + 1024 * p.s - 1 AS k
+           |    FROM $pre${r - 1} v
+           |    CROSS JOIN $lens
+           |    JOIN $pt p ON p.piece = substr(v.word, CAST(v.j + 1 AS BIGINT), l.l)
+           |      AND v.j + l.l <= length(v.word)
+           |  ) z GROUP BY 1, 2
+           |)""".stripMargin
+      val bwd = (r: Int) =>
+        s"""g$r AS (
+           |  SELECT word, j, MAX(kb) AS kb FROM (
+           |    SELECT word, j, kb FROM g${r - 1}
+           |    UNION ALL
+           |    SELECT v.word, v.j - l.l AS j, v.kb + 1024 * p.s - 1 AS kb
+           |    FROM g${r - 1} v
+           |    CROSS JOIN $lens
+           |    JOIN p1 p ON p.piece = substr(v.word, CAST(v.j - l.l + 1 AS BIGINT), l.l)
+           |      AND v.j - l.l >= 0
+           |  ) z GROUP BY 1, 2
+           |)""".stripMargin
+      val hist = (round: Int, src: String, nv: String) =>
+        s"""SELECT CAST($round AS BIGINT) AS em_round,
+           |  CAST(1023 - ((f.k + 1073741824) % 1024) AS BIGINT) AS n_pieces,
+           |  CAST(COUNT(*) AS BIGINT) AS n_words,
+           |  CAST(SUM(w.cnt) AS BIGINT) AS n_occurrences,
+           |  CAST(SUM(((f.k + 1073741824) // 1024 - 1048576) * w.cnt) AS BIGINT)
+           |    AS sum_score_w,
+           |  CAST(MAX($nv.n_vocab) AS BIGINT) AS n_vocab
+           |FROM $src f JOIN words w USING (word), $nv
+           |WHERE f.j = length(f.word)
+           |GROUP BY 1, 2""".stripMargin
+      s"""WITH words AS MATERIALIZED (
+         |  SELECT word, COUNT(*) AS cnt FROM (
+         |    SELECT substr(w0, 1, $UgMaxWordLen) AS word FROM (
+         |      SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w0
+         |      FROM documents))
+         |  GROUP BY word
+         |), counts1 AS (
+         |  SELECT substr(w.word, o.o, l.l) AS piece,
+         |    CAST(SUM(w.cnt) AS BIGINT) AS pcnt
+         |  FROM words w
+         |  CROSS JOIN (SELECT UNNEST(range(1, ${UgMaxWordLen + 1})) AS o) o
+         |  CROSS JOIN (SELECT UNNEST(range(1, ${UgMaxPieceLen + 1})) AS l) l
+         |  WHERE o.o + l.l - 1 <= length(w.word)
+         |  GROUP BY 1
+         |), p1 AS MATERIALIZED (
+         |  SELECT piece, CAST(length(bin(pcnt)) AS BIGINT)
+         |    - (SELECT CAST(length(bin(CAST(SUM(pcnt) AS BIGINT))) AS BIGINT)
+         |       FROM counts1) AS s
+         |  FROM counts1
+         |), f0 AS (
+         |  SELECT word, CAST(0 AS BIGINT) AS j, CAST(1023 AS BIGINT) AS k FROM words
+         |), ${(1 to UgMaxWordLen).map(fwd("f", "p1")).mkString(",\n")},
+         |g0 AS (
+         |  SELECT word, CAST(length(word) AS BIGINT) AS j, CAST(1023 AS BIGINT) AS kb
+         |  FROM words
+         |), ${(1 to UgMaxWordLen).map(bwd).mkString(",\n")},
+         |kf AS MATERIALIZED (SELECT word, j, k FROM f$UgMaxWordLen),
+         |kg AS MATERIALIZED (SELECT word, j, kb FROM g$UgMaxWordLen),
+         |kbest AS (SELECT word, k AS kbest FROM kf WHERE j = length(word)),
+         |occ0 AS (
+         |  SELECT word, cnt, UNNEST(range(0, length(word))) AS j FROM words
+         |), occ AS (
+         |  SELECT o.word, o.cnt, o.j, l.l,
+         |    substr(o.word, CAST(o.j + 1 AS BIGINT), l.l) AS piece,
+         |    o.j + l.l AS jend
+         |  FROM occ0 o CROSS JOIN $lens
+         |  WHERE o.j + l.l <= length(o.word)
+         |), member AS (
+         |  SELECT occ.piece, occ.cnt
+         |  FROM occ
+         |  JOIN p1 p ON p.piece = occ.piece
+         |  JOIN kf ON kf.word = occ.word AND kf.j = occ.j
+         |  JOIN kg ON kg.word = occ.word AND kg.j = occ.jend
+         |  JOIN kbest ON kbest.word = occ.word
+         |  WHERE kf.k + 1024 * p.s - 1 + kg.kb - 1023 = kbest.kbest
+         |), counts2 AS MATERIALIZED (
+         |  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS pcnt FROM member GROUP BY 1
+         |), p2 AS MATERIALIZED (
+         |  SELECT piece, CAST(length(bin(pcnt)) AS BIGINT)
+         |    - (SELECT CAST(length(bin(CAST(SUM(pcnt) AS BIGINT))) AS BIGINT)
+         |       FROM counts2) AS s
+         |  FROM counts2
+         |), h0 AS (
+         |  SELECT word, CAST(0 AS BIGINT) AS j, CAST(1023 AS BIGINT) AS k FROM words
+         |), ${(1 to UgMaxWordLen).map(fwd("h", "p2")).mkString(",\n")},
+         |nv1 AS (SELECT COUNT(*) AS n_vocab FROM p1),
+         |nv2 AS (SELECT COUNT(*) AS n_vocab FROM p2)
+         |SELECT * FROM (
+         |  ${hist(1, "kf", "nv1")}
+         |  UNION ALL
+         |  ${hist(2, s"h$UgMaxWordLen", "nv2")}
+         |) ORDER BY em_round, n_pieces""".stripMargin
+    },
     "ta_unigram" -> {
       val round = (r: Int) =>
         s"""v$r AS (

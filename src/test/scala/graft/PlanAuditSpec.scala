@@ -68,6 +68,13 @@ class PlanAuditSpec extends SparkSpecBase {
     // into the gain expression and the two ONE-ROW Q frames onto the
     // published rows — the gr_triangles sanctioned shape
     "gr_louvain_move",
+    // gr_louvain_coarsen cross-joins the ONE-ROW graph-stats frame
+    // (super-node/edge counts + both Q scores, each a one-row aggregate)
+    // onto the published rows — the gr_triangles sanctioned shape
+    "gr_louvain_coarsen",
+    // ta_unigram_em cross-joins the ONE-ROW vocab-size aggregate onto
+    // each round's histogram rows — the gr_triangles sanctioned shape
+    "ta_unigram_em",
     // ann_nndescent embeds the bounded-broadcast exact baseline for its
     // per-round recall eval (the ann_recall sanctioned shape) and
     // cross-joins ONE-ROW corpus-count / edge-count aggregates

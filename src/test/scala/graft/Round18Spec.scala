@@ -154,6 +154,26 @@ class Round18Spec extends SparkSpecBase {
       s"a frequent word must stay one piece: $out2")
   }
 
+  test("unigram EM: prunes to the used vocabulary and climbs the likelihood") {
+    import spark.implicits._
+    // ab x100, cd x100, abcd x50 — round 1 keeps every word whole (the
+    // scenario-2 trade above), so the pieces on optimal paths are
+    // exactly {ab, cd, abcd}: round 2 must prune the vocab to 3 and the
+    // rescored segmentation must score strictly higher (bitlen against
+    // a much smaller total mass)
+    val corpus = (Seq.fill(100)("ab") ++ Seq.fill(100)("cd")
+      ++ Seq.fill(50)("abcd")).mkString(" ")
+    val out = TextAnalysis.unigramEmOn(Seq(corpus).toDF("text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    val r1 = out.filter(_._1 == 1L)
+    val r2 = out.filter(_._1 == 2L)
+    assert(r1.map(_._2).toSeq == Seq(1L) && r2.map(_._2).toSeq == Seq(1L),
+      s"all three words stay single-piece in both rounds: ${out.mkString(",")}")
+    assert(r2.head._5 == 3L, s"round-2 vocab must prune to {ab, cd, abcd}: ${out.mkString(",")}")
+    assert(r2.head._4 > r1.head._4,
+      s"EM must climb: round-2 score ${r2.head._4} <= round-1 ${r1.head._4}")
+  }
+
   test("CDC chunking re-aligns after an insertion: shifted duplicates still dedupe") {
     import spark.implicits._
     // brute-force an 8-char string whose md5 opens with the CdcMask —
