@@ -1059,6 +1059,116 @@ object GraphOps {
       .limit(12)
   }
 
+  /** LOUVAIN LEVEL 2 (gr_louvain_level2) — the weighted move phase on
+    * the COARSENED graph, closing the multi-level loop (Blondel et al.:
+    * move, contract, move again on the super-graph): super-nodes start
+    * as singleton communities and evaluate the SAME insert-gain
+    * g(B) = 2m·k_in(B) − k_i·Σtot(B∖{i}) with every count replaced by a
+    * WEIGHT — k_in sums super-edge weights into B, k_i = Σw + 2·self
+    * (the self-loop rides with the node, contributing to its degree but
+    * never to another community's k_in — the standard convention), m =
+    * total weight including self-loops. Same synchronous sweep, same
+    * Grappolo guard, all BIGINT (weights are counts of original edges).
+    * Output per level-2 community: merged super-nodes, ORIGINAL node
+    * mass, internal weight and weighted degree, plus Q on the coarse
+    * graph under the singleton partition (q1 — equal to level 1's
+    * q_after by the coarsening invariant) and under the post-move
+    * partition (q2) — the multi-level climb, exact.
+    *
+    * Scale: every frame here is O(communities)/O(super-edges) —
+    * strictly smaller than level 1's input by construction; the gain
+    * join fans in a super-node's distinct neighbor-community count. */
+  def louvainLevel2(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (edges, labels) = lpaChain(spark, dir)
+    val (_, _, _, newlab) = louvainMoveParts(edges, labels)
+    val ea = edges
+      .join(newlab.select(col("u").as("a"), col("nl").as("ca")), Seq("a"))
+      .join(newlab.select(col("u").as("b"), col("nl").as("cb")), Seq("b"))
+      .localCheckpoint() // self-loop + inter branches
+    val selfs = ea.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(count(lit(1)).as("self_w"))
+    val inter = ea.filter(col("ca") =!= col("cb"))
+      .select(least(col("ca"), col("cb")).as("c1"), greatest(col("ca"), col("cb")).as("c2"))
+      .groupBy("c1", "c2").agg(count(lit(1)).as("w"))
+      .localCheckpoint() // both sym directions + m + intra2 lookup
+    val mass = newlab.groupBy(col("nl").as("c")).agg(count(lit(1)).as("n_nodes"))
+      .localCheckpoint() // node set + published mass + self join
+    val symw = inter.select(col("c1").as("c"), col("c2").as("d"), col("w"))
+      .unionByName(inter.select(col("c2").as("c"), col("c1").as("d"), col("w")))
+      .localCheckpoint() // kdeg + k_in sides
+    val kdeg = mass.select("c")
+      .join(symw.groupBy("c").agg(sum(col("w")).as("wsum")), Seq("c"), "left_outer")
+      .join(selfs, Seq("c"), "left_outer")
+      .select(col("c"), (coalesce(col("wsum"), lit(0L))
+        + lit(2L) * coalesce(col("self_w"), lit(0L))).as("k"))
+      .localCheckpoint() // gain join + stot (identity) + both Q rows
+    val mrow = inter.agg(sum(col("w")).as("iw"))
+      .crossJoin(selfs.agg(coalesce(sum(col("self_w")), lit(0L)).as("sw")))
+      .select((coalesce(col("iw"), lit(0L)) + col("sw")).as("m"))
+      .localCheckpoint() // gain expr + two Q rows
+    // singleton start: Σtot(B) = k(B); own community = the node itself
+    val kiin = symw.select(col("c"), col("d").as("lc"), col("w"))
+      .groupBy("c", "lc").agg(sum(col("w")).as("kin"))
+    val cand = kiin
+      .unionByName(kdeg.select(col("c"), col("c").as("lc"), lit(0L).as("kin")))
+      .groupBy("c", "lc").agg(max(col("kin")).as("kin"))
+    val wMove = Window.partitionBy("c").orderBy(col("g").desc, col("lc").asc)
+    val gains = cand
+      .join(kdeg, Seq("c"))
+      .join(kdeg.select(col("c").as("lc"), col("k").as("stot")), Seq("lc"))
+      .crossJoin(broadcast(mrow))
+      .withColumn("g", lit(2L) * col("m") * col("kin")
+        - col("k") * (col("stot") - when(col("lc") === col("c"), col("k")).otherwise(lit(0L))))
+      .select("c", "lc", "g")
+      .localCheckpoint() // argmax window + own-gain lookup
+    val best = gains.withColumn("rn", row_number().over(wMove)).filter(col("rn") === 1)
+    val own = gains.filter(col("lc") === col("c")).select(col("c"), col("g").as("gown"))
+    val newlab2 = best.join(own, Seq("c"))
+      .select(col("c"),
+        when(col("g") > col("gown") && col("lc") < col("c"), col("lc"))
+          .otherwise(col("c")).as("l2"))
+      .localCheckpoint() // per2 rollup + intra2 double lookup + deg2
+    def qRow(per: DataFrame, name: String): DataFrame =
+      per.agg(
+          sum(col("intra_w")).as("smc"),
+          sum(expr("CAST(deg_w AS DECIMAL(19,0)) * CAST(deg_w AS DECIMAL(19,0))")).as("sd2"))
+        .crossJoin(mrow)
+        .select(expr(
+          "CAST((CAST(10000 AS DECIMAL(38,0)) * " +
+            "(CAST(4 AS DECIMAL(38,0)) * m * smc - sd2 + CAST(4 AS DECIMAL(38,0)) * m * m)) " +
+            s"div (CAST(4 AS DECIMAL(38,0)) * m * m) - 10000 AS BIGINT)").as(name))
+    // singleton partition stats (q1 — the level-1 continuity anchor)
+    val per1 = kdeg.join(selfs, Seq("c"), "left_outer")
+      .select(coalesce(col("self_w"), lit(0L)).as("intra_w"), col("k").as("deg_w"))
+    // post-move stats: internal weight = member self-loops + inter edges
+    // whose BOTH super-endpoints share the new community
+    val selfIn2 = newlab2.join(selfs, Seq("c"), "left_outer")
+      .groupBy(col("l2")).agg(coalesce(sum(col("self_w")), lit(0L)).as("sw2"))
+    val interIn2 = inter
+      .join(newlab2.select(col("c").as("c1"), col("l2").as("la2")), Seq("c1"))
+      .join(newlab2.select(col("c").as("c2"), col("l2").as("lb2")), Seq("c2"))
+      .filter(col("la2") === col("lb2"))
+      .groupBy(col("la2").as("l2")).agg(sum(col("w")).as("iw2"))
+    val deg2 = newlab2.join(kdeg, Seq("c"))
+      .groupBy("l2").agg(sum(col("k")).as("deg_w"), count(lit(1)).as("n_super"))
+    val per2 = deg2
+      .join(selfIn2, Seq("l2"))
+      .join(interIn2, Seq("l2"), "left_outer")
+      .select(col("l2"), col("n_super"), col("deg_w"),
+        (col("sw2") + coalesce(col("iw2"), lit(0L))).as("intra_w"))
+      .localCheckpoint() // Q sums + published rows
+    val nodeMass = newlab2.join(mass, Seq("c"))
+      .groupBy("l2").agg(sum(col("n_nodes")).as("n_nodes"))
+    per2.join(nodeMass, Seq("l2"))
+      .crossJoin(broadcast(qRow(per1, "q1_x10000")))
+      .crossJoin(broadcast(qRow(per2.select(col("intra_w"), col("deg_w")), "q2_x10000")))
+      .select(col("l2").as("community"), col("n_super"), col("n_nodes"),
+        col("intra_w"), col("deg_w"), col("q1_x10000"), col("q2_x10000"))
+      .orderBy(col("n_nodes").desc, col("community"))
+      .limit(12)
+  }
+
   /** DEGREE ASSORTATIVITY (gr_assort) — Newman's r on the co-activity
     * graph: do high-degree users co-occur with high-degree users
     * (r > 0, social-network-like) or with leaves (r < 0,
@@ -1187,6 +1297,7 @@ object GraphOps {
     "gr_modularity" -> (modularity _),
     "gr_louvain_move" -> (louvainMove _),
     "gr_louvain_coarsen" -> (louvainCoarsen _),
+    "gr_louvain_level2" -> (louvainLevel2 _),
     "gr_assort" -> (assortativity _),
     "gr_hits" -> (hits _),
     "gr_lpa" -> (lpa _),
@@ -1577,6 +1688,114 @@ object GraphOps {
          |  gs.n_super_nodes, gs.n_super_edges, qa.q_after_x10000, qc.q_coarse_x10000
          |FROM per, gs, qa, qc
          |ORDER BY per.n_members DESC, per.community LIMIT 12""".stripMargin,
+    "gr_louvain_level2" ->
+      s"""WITH $lpaCtes,
+         |$louvainMoveCtes,
+         |ea AS MATERIALIZED (
+         |  SELECT la.lbl AS ca, lb.lbl AS cb
+         |  FROM edges e JOIN newlab la ON e.a = la.u JOIN newlab lb ON e.b = lb.u
+         |),
+         |selfs AS MATERIALIZED (
+         |  SELECT ca AS c, CAST(COUNT(*) AS BIGINT) AS self_w
+         |  FROM ea WHERE ca = cb GROUP BY 1
+         |),
+         |inter AS MATERIALIZED (
+         |  SELECT LEAST(ca, cb) AS c1, GREATEST(ca, cb) AS c2,
+         |    CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM ea WHERE ca <> cb GROUP BY 1, 2
+         |),
+         |mass AS MATERIALIZED (
+         |  SELECT lbl AS c, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |  FROM newlab GROUP BY 1
+         |),
+         |symw AS MATERIALIZED (
+         |  SELECT c1 AS c, c2 AS d, w FROM inter
+         |  UNION ALL SELECT c2 AS c, c1 AS d, w FROM inter
+         |),
+         |kdeg AS MATERIALIZED (
+         |  SELECT mass.c,
+         |    COALESCE(ws.wsum, 0) + 2 * COALESCE(s.self_w, 0) AS k
+         |  FROM mass
+         |  LEFT JOIN (SELECT c, CAST(SUM(w) AS BIGINT) AS wsum FROM symw GROUP BY 1) ws
+         |    ON mass.c = ws.c
+         |  LEFT JOIN selfs s ON mass.c = s.c
+         |),
+         |m2 AS (
+         |  SELECT CAST((SELECT COALESCE(SUM(w), 0) FROM inter)
+         |    + (SELECT COALESCE(SUM(self_w), 0) FROM selfs) AS BIGINT) AS m
+         |),
+         |kiin2 AS (
+         |  SELECT c, d AS lc, CAST(SUM(w) AS BIGINT) AS kin FROM symw GROUP BY 1, 2
+         |),
+         |cand2 AS (
+         |  SELECT c, lc, MAX(kin) AS kin FROM (
+         |    SELECT c, lc, kin FROM kiin2
+         |    UNION ALL SELECT c, c AS lc, CAST(0 AS BIGINT) AS kin FROM kdeg) z
+         |  GROUP BY 1, 2
+         |),
+         |gains2 AS (
+         |  SELECT cd.c, cd.lc,
+         |    2 * (SELECT m FROM m2) * cd.kin
+         |      - kn.k * (kt.k - CASE WHEN cd.lc = cd.c THEN kn.k ELSE 0 END) AS g
+         |  FROM cand2 cd
+         |  JOIN kdeg kn ON cd.c = kn.c
+         |  JOIN kdeg kt ON cd.lc = kt.c
+         |),
+         |best2 AS (
+         |  SELECT c, lc, g FROM (
+         |    SELECT c, lc, g, ROW_NUMBER() OVER (PARTITION BY c ORDER BY g DESC, lc ASC) AS rn
+         |    FROM gains2) t WHERE rn = 1
+         |),
+         |own2 AS (SELECT c, g AS gown FROM gains2 WHERE lc = c),
+         |newlab2 AS MATERIALIZED (
+         |  SELECT b.c, CASE WHEN b.g > o.gown AND b.lc < b.c THEN b.lc ELSE b.c END AS l2
+         |  FROM best2 b JOIN own2 o ON b.c = o.c
+         |),
+         |per1 AS (
+         |  SELECT COALESCE(s.self_w, 0) AS intra_w, kdeg.k AS deg_w
+         |  FROM kdeg LEFT JOIN selfs s ON kdeg.c = s.c
+         |),
+         |self_in2 AS (
+         |  SELECT n.l2, CAST(COALESCE(SUM(s.self_w), 0) AS BIGINT) AS sw2
+         |  FROM newlab2 n LEFT JOIN selfs s ON n.c = s.c GROUP BY 1
+         |),
+         |inter_in2 AS (
+         |  SELECT na.l2, CAST(SUM(i.w) AS BIGINT) AS iw2
+         |  FROM inter i
+         |  JOIN newlab2 na ON i.c1 = na.c
+         |  JOIN newlab2 nb ON i.c2 = nb.c
+         |  WHERE na.l2 = nb.l2 GROUP BY 1
+         |),
+         |per2 AS MATERIALIZED (
+         |  SELECT d.l2, d.n_super, d.deg_w, s.sw2 + COALESCE(i.iw2, 0) AS intra_w
+         |  FROM (SELECT n.l2, CAST(SUM(k.k) AS BIGINT) AS deg_w,
+         |          CAST(COUNT(*) AS BIGINT) AS n_super
+         |        FROM newlab2 n JOIN kdeg k ON n.c = k.c GROUP BY 1) d
+         |  JOIN self_in2 s ON d.l2 = s.l2
+         |  LEFT JOIN inter_in2 i ON d.l2 = i.l2
+         |),
+         |nmass AS (
+         |  SELECT n.l2, CAST(SUM(mass.n_nodes) AS BIGINT) AS n_nodes
+         |  FROM newlab2 n JOIN mass ON n.c = mass.c GROUP BY 1
+         |),
+         |q1 AS (
+         |  SELECT CAST((10000::HUGEINT
+         |      * (4::HUGEINT * m * smc - sd2 + 4::HUGEINT * m * m))
+         |    // (4::HUGEINT * m * m) - 10000 AS BIGINT) AS q1_x10000
+         |  FROM (SELECT CAST(SUM(intra_w) AS HUGEINT) AS smc,
+         |          SUM(deg_w::HUGEINT * deg_w::HUGEINT) AS sd2 FROM per1), m2
+         |),
+         |q2 AS (
+         |  SELECT CAST((10000::HUGEINT
+         |      * (4::HUGEINT * m * smc - sd2 + 4::HUGEINT * m * m))
+         |    // (4::HUGEINT * m * m) - 10000 AS BIGINT) AS q2_x10000
+         |  FROM (SELECT CAST(SUM(intra_w) AS HUGEINT) AS smc,
+         |          SUM(deg_w::HUGEINT * deg_w::HUGEINT) AS sd2 FROM per2), m2
+         |)
+         |SELECT per2.l2 AS community, per2.n_super, nmass.n_nodes,
+         |  per2.intra_w, per2.deg_w, q1.q1_x10000, q2.q2_x10000
+         |FROM per2 JOIN nmass ON per2.l2 = nmass.l2, q1, q2
+         |ORDER BY nmass.n_nodes DESC, community LIMIT 12""".stripMargin,
     "gr_copurchase" ->
       s"""WITH cp0 AS (
         |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part

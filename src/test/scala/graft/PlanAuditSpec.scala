@@ -75,6 +75,10 @@ class PlanAuditSpec extends SparkSpecBase {
     // ta_unigram_em cross-joins the ONE-ROW vocab-size aggregate onto
     // each round's histogram rows — the gr_triangles sanctioned shape
     "ta_unigram_em",
+    // gr_louvain_level2 cross-joins the ONE-ROW total-weight aggregate
+    // (m) into the gain expression and the two ONE-ROW Q frames onto
+    // the published rows — the gr_triangles sanctioned shape
+    "gr_louvain_level2",
     // ann_nndescent embeds the bounded-broadcast exact baseline for its
     // per-round recall eval (the ann_recall sanctioned shape) and
     // cross-joins ONE-ROW corpus-count / edge-count aggregates

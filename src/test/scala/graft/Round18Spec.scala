@@ -200,6 +200,20 @@ class Round18Spec extends SparkSpecBase {
       s"cross-doc re-alignment failed: ${out.mkString(",")}")
   }
 
+  test("Louvain level 2: q1 anchors to level 1's q_after and the weighted sweep climbs") {
+    val move = GraphOps.louvainMove(spark, sfDir).collect()
+    val l2 = GraphOps.louvainLevel2(spark, sfDir).collect()
+    assert(move.nonEmpty && l2.nonEmpty)
+    // continuity: the singleton partition on the coarse graph scores
+    // exactly level 1's post-move Q (the coarsening invariant, seen
+    // ACROSS queries this time)
+    assert(l2.head.getLong(5) == move.head.getLong(5),
+      s"q1 ${l2.head.getLong(5)} != level-1 q_after ${move.head.getLong(5)}")
+    // the guarded weighted sweep never loses modularity
+    assert(l2.head.getLong(6) >= l2.head.getLong(5),
+      s"level-2 sweep lost modularity: ${l2.head}")
+  }
+
   test("Louvain coarsening preserves modularity: coarse-grain Q == node-grain Q") {
     // the phase-2 invariant (contraction preserves Q exactly): the coarse
     // degree 2*self + ext must reproduce the node-grain degree sums, so
