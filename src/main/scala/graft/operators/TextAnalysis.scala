@@ -1757,7 +1757,11 @@ object TextAnalysis {
     var st = words
       .select(col("word"), col("cnt"), lit(1L).as("pos"), lit(0L).as("n_pieces"))
       .localCheckpoint() // consumed by round 1 (live + frozen branches)
-    for (_ <- 1 to WpMaxWordLen) {
+    // rounds past the corpus' longest word are no-ops (every cursor is
+    // frozen) — bound by the actual max; one-row agg on the checkpoint
+    val rounds = math.min(WpMaxWordLen,
+      words.agg(max(length(col("word")))).head.getInt(0))
+    for (_ <- 1 to rounds) {
       val live = st.filter(col("pos") <= expr("length(word)"))
         .select(col("word"), col("cnt"), col("pos"), col("n_pieces"),
           explode(expr(s"sequence(1, $WpMaxPieceLen)")).as("l"))
@@ -1836,7 +1840,10 @@ object TextAnalysis {
     var st = words
       .select(col("word"), col("cnt"), lit(0L).as("j"), lit(1023L).as("k"))
       .localCheckpoint() // consumed by round 1 (carry + extend branches)
-    for (_ <- 1 to UgMaxWordLen) {
+    // rounds past the corpus' longest word are no-ops — bound by the max
+    val rounds = math.min(UgMaxWordLen,
+      words.agg(max(length(col("word")))).head.getInt(0))
+    for (_ <- 1 to rounds) {
       val ext = st
         .select(col("word"), col("cnt"), col("j"), col("k"),
           explode(expr(s"sequence(1, $UgMaxPieceLen)")).as("l"))
@@ -1910,11 +1917,15 @@ object TextAnalysis {
       .filter(expr("o + l - 1 <= length(word)"))
       .groupBy(expr("substring(word, o, l)").as("piece"))
       .agg(sum(col("cnt")).as("pcnt")))
+    // rounds past the corpus' longest word are no-ops — bound all three
+    // DP sweeps by the actual max (one-row agg on the checkpoint)
+    val emRounds = math.min(UgMaxWordLen,
+      words.agg(max(length(col("word")))).head.getInt(0))
     // forward Viterbi over a piece table: state (word, j, k)
     def forward(pieces: DataFrame): DataFrame = {
       var st = words.select(col("word"), lit(0L).as("j"), lit(1023L).as("k"))
         .localCheckpoint() // round 1 reads carry + extend branches
-      for (_ <- 1 to UgMaxWordLen) {
+      for (_ <- 1 to emRounds) {
         val ext = st
           .select(col("word"), col("j"), col("k"),
             explode(expr(s"sequence(1, $UgMaxPieceLen)")).as("l"))
@@ -1935,7 +1946,7 @@ object TextAnalysis {
       var st = words.select(col("word"), expr("CAST(length(word) AS BIGINT)").as("j"),
           lit(1023L).as("kb"))
         .localCheckpoint()
-      for (_ <- 1 to UgMaxWordLen) {
+      for (_ <- 1 to emRounds) {
         val ext = st
           .select(col("word"), col("j"), col("kb"),
             explode(expr(s"sequence(1, $UgMaxPieceLen)")).as("l"))
