@@ -1057,7 +1057,8 @@ object Dedup {
             .repartition(spark.sparkContext.defaultParallelism), 16, 64)
           .select(cols.map(col): _*)
           .localCheckpoint() // consumer reads it twice (marks + report)
-        fp.foreach(f => graft.ModelStore.write(s"sdwit_$f", w))
+        // witnesses are O(docs x windows) — never one write task
+        fp.foreach(f => graft.ModelStore.write(s"sdwit_$f", w, singleFile = false))
         w
       }
   }

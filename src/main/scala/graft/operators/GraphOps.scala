@@ -178,7 +178,7 @@ object GraphOps {
     * capped pair build; coActivityEdges (distinct pairs), sssp (pair
     * multiplicity as weight), and temporalReach (hour-stamped edges)
     * all derive from it. */
-  private[graft] def coActivityPairs(
+  private def buildCoActivityPairs(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import graft.sources.Tables
     val act = Tables.events(spark, dir)
@@ -193,9 +193,54 @@ object GraphOps {
       .select(col("x.user_id").as("a"), col("y.user_id").as("b"), col("x.hr").as("hr"))
   }
 
+  /** The co-activity graph as the FOURTH fingerprint-keyed model
+    * artifact (the lpaChain contract applied to the gr tier's other
+    * shared chain): the capped pair list (a, b, hr) and its distinct
+    * edge projection (a, b) re-derive identically inside TWELVE queries
+    * (triangles, pagerank, ppr, ppr_converge, common_neighbors,
+    * resource_alloc, khop, kcore, assort, local_cc from the edges;
+    * sssp, temporal_reach from the pairs), each paying the events scan +
+    * hub-cap + cell self-join per the each-query-standalone driver
+    * contract. The first consumer persists both frames keyed by a
+    * fingerprint of the events parquet; warm consumers pay one parquet
+    * scan. Deterministic by construction (a distinct pair SET — no
+    * float, no order sensitivity), so deployed results are bit-identical
+    * to the fold; any read anomaly or fingerprint mismatch falls back to
+    * the build and rewrites (CoactModelSpec pins parity + invalidation).
+    * Both writes keep their partitioning (pairs are O(cells x cap^2) —
+    * corpus-proportional, never one task). Frames come back
+    * localCheckpointed: every consumer reads its frame 2+ times (sym
+    * union x2, degree + join sides). */
+  private[graft] def coActivityPairs(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val fp = graft.ModelStore.fingerprint(dir, "events.parquet", "coact1")
+    fp.flatMap(f => graft.ModelStore.read(spark, s"coactpairs_$f", Seq("a", "b", "hr")))
+      .map(_.localCheckpoint())
+      .getOrElse {
+        graft.ModelTelemetry.trains.incrementAndGet()
+        val pairs = buildCoActivityPairs(spark, dir)
+          .localCheckpoint() // consumers group/join it more than once
+        fp.foreach(f =>
+          graft.ModelStore.write(s"coactpairs_$f", pairs, singleFile = false))
+        pairs
+      }
+  }
+
   private[graft] def coActivityEdges(
-      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    coActivityPairs(spark, dir).select("a", "b").distinct()
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val fp = graft.ModelStore.fingerprint(dir, "events.parquet", "coact1")
+    fp.flatMap(f => graft.ModelStore.read(spark, s"coactedges_$f", Seq("a", "b")))
+      .map(_.localCheckpoint())
+      .getOrElse {
+        // cold: derive from the pairs artifact (which trains + persists
+        // itself if needed — the one ModelTelemetry count for the chain)
+        val edges = coActivityPairs(spark, dir).select("a", "b").distinct()
+          .localCheckpoint() // degree + self-join sides downstream
+        fp.foreach(f =>
+          graft.ModelStore.write(s"coactedges_$f", edges, singleFile = false))
+        edges
+      }
+  }
 
   def triangleStats(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val edges = coActivityEdges(spark, dir)
@@ -610,12 +655,39 @@ object GraphOps {
     * product. The pair count shuffles on the pair key with partial aggs;
     * hot parts are skewed pair keys — AQE splits. */
   def copurchase(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    copurchaseOn(graft.sources.Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(graft.sources.Tables.lineitem(spark, dir)
-          .select(col("l_orderkey"), col("l_partkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("cust"), col("l_partkey").as("part")), 30)
+    copurchasePairCounts(spark, dir)
+      .orderBy(col("n_cust").desc, col("p1"), col("p2"))
+      .limit(30)
+
+  /** The full co-purchase pair-count projection (p1, p2, n_cust) as a
+    * model artifact: the incidence build + customer-keyed self-join is
+    * the whole cost of gr_copurchase (the single slowest query at r10),
+    * and the projection is a deterministic count table — the lpaChain
+    * contract, keyed on BOTH source tables (orders x lineitem). Warm
+    * path: one parquet scan straight into the top-K (no checkpoint —
+    * single consumer, let the scan feed the TopK directly). */
+  private[graft] def copurchasePairCounts(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val fp = for {
+      a <- graft.ModelStore.fingerprint(dir, "orders.parquet", "copur1")
+      b <- graft.ModelStore.fingerprint(dir, "lineitem.parquet", "copur1")
+    } yield a.substring(0, 16) + b.substring(0, 16)
+    fp.flatMap(f => graft.ModelStore.read(spark, s"copur_$f", Seq("p1", "p2", "n_cust")))
+      .getOrElse {
+        graft.ModelTelemetry.trains.incrementAndGet()
+        val pc = copurchasePairCountsOn(
+          graft.sources.Tables.orders(spark, dir)
+            .select(col("o_orderkey"), col("o_custkey"))
+            .join(graft.sources.Tables.lineitem(spark, dir)
+                .select(col("l_orderkey"), col("l_partkey")),
+              col("o_orderkey") === col("l_orderkey"))
+            .select(col("o_custkey").as("cust"), col("l_partkey").as("part")))
+          .localCheckpoint() // isEmpty probe + write + topK all read it
+        fp.foreach(f =>
+          graft.ModelStore.write(s"copur_$f", pc, singleFile = false))
+        pc
+      }
+  }
 
   /** Basket cap of gr_copurchase: customers with more than this many
     * distinct parts are dropped BEFORE pair generation — pair fan-out is
@@ -629,7 +701,14 @@ object GraphOps {
   /** Same projection over any (cust, part) incidence frame — Round11Spec
     * pins the triangularization and repeat-purchase dedup; Round12Spec
     * pins the basket cap. */
-  def copurchaseOn(incidence: DataFrame, topK: Int): DataFrame = {
+  def copurchaseOn(incidence: DataFrame, topK: Int): DataFrame =
+    copurchasePairCountsOn(incidence)
+      .orderBy(col("n_cust").desc, col("p1"), col("p2"))
+      .limit(topK)
+
+  /** The capped pair-count build shared by copurchaseOn (specs) and the
+    * copur_ artifact fold. */
+  private def copurchasePairCountsOn(incidence: DataFrame): DataFrame = {
     val cp0 = incidence.distinct()
       .localCheckpoint() // basket sizes + both self-join sides (house rule)
     val ok = cp0.groupBy("cust").agg(count(lit(1)).as("bs"))
@@ -641,8 +720,6 @@ object GraphOps {
       .join(cp.select(col("cust"), col("part").as("p2")), Seq("cust"))
       .filter(col("p1") < col("p2"))
       .groupBy("p1", "p2").agg(count(lit(1)).as("n_cust"))
-      .orderBy(col("n_cust").desc, col("p1"), col("p2"))
-      .limit(topK)
   }
 
   /** Rounds of synchronous label propagation (gr_lpa). */
@@ -1169,6 +1246,178 @@ object GraphOps {
       .limit(12)
   }
 
+  /** Level bound of gr_louvain_full — the bounded-rounds contract
+    * (Blondel et al. converge in a handful of levels on real graphs;
+    * a level that fails to improve Q stops the loop earlier). */
+  val LouvainMaxLevels = 4
+
+  /** One-row Q of a per-community (intra_w, deg_w) frame under total
+    * edge mass m — the gr_modularity formula on weighted quantities,
+    * DECIMAL(38,0) end-to-end with the nonneg-shift integer division. */
+  private def louvainQRow(per: DataFrame, mrow: DataFrame, name: String): DataFrame =
+    per.agg(
+        sum(col("intra_w")).as("smc"),
+        sum(expr("CAST(deg_w AS DECIMAL(19,0)) * CAST(deg_w AS DECIMAL(19,0))")).as("sd2"))
+      .crossJoin(mrow)
+      .select(expr(
+        "CAST((CAST(10000 AS DECIMAL(38,0)) * " +
+          "(CAST(4 AS DECIMAL(38,0)) * m * smc - sd2 + CAST(4 AS DECIMAL(38,0)) * m * m)) " +
+          s"div (CAST(4 AS DECIMAL(38,0)) * m * m) - 10000 AS BIGINT)").as(name))
+
+  /** The level-k body of gr_louvain_full: one singleton-start guarded
+    * weighted move (louvainLevel2's arithmetic exactly — same insert
+    * gain, same Grappolo guard, all BIGINT) followed by the contraction,
+    * on a coarse graph (inter: c1 < c2 inter-community weights, selfs:
+    * self-loop weights, mass: original-node mass per super-node). m is
+    * the GLOBAL edge mass (contraction preserves total mass, so level
+    * 1's one-row m serves every level). Returns the contracted
+    * (inter', selfs', mass') plus the level's one-row
+    * (n_super_nodes, q_x10000) stats. Every frame here is
+    * O(communities)/O(super-edges) — strictly shrinking by level. */
+  private def louvainWeightedLevel(inter0: DataFrame, selfs0: DataFrame,
+      mass0: DataFrame, mrow: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val inter = inter0.localCheckpoint() // sym x2 + intra2 lookup
+    val selfs = selfs0.localCheckpoint() // kdeg + self_in2
+    val mass = mass0.localCheckpoint()   // node set + next-level rollup
+    val symw = inter.select(col("c1").as("c"), col("c2").as("d"), col("w"))
+      .unionByName(inter.select(col("c2").as("c"), col("c1").as("d"), col("w")))
+      .localCheckpoint() // kdeg + k_in sides
+    val kdeg = mass.select("c")
+      .join(symw.groupBy("c").agg(sum(col("w")).as("wsum")), Seq("c"), "left_outer")
+      .join(selfs, Seq("c"), "left_outer")
+      .select(col("c"), (coalesce(col("wsum"), lit(0L))
+        + lit(2L) * coalesce(col("self_w"), lit(0L))).as("k"))
+      .localCheckpoint() // gain join + stot lookup + deg2
+    val kiin = symw.select(col("c"), col("d").as("lc"), col("w"))
+      .groupBy("c", "lc").agg(sum(col("w")).as("kin"))
+    val cand = kiin
+      .unionByName(kdeg.select(col("c"), col("c").as("lc"), lit(0L).as("kin")))
+      .groupBy("c", "lc").agg(max(col("kin")).as("kin"))
+    val wMove = Window.partitionBy("c").orderBy(col("g").desc, col("lc").asc)
+    val gains = cand
+      .join(kdeg, Seq("c"))
+      .join(kdeg.select(col("c").as("lc"), col("k").as("stot")), Seq("lc"))
+      .crossJoin(broadcast(mrow))
+      .withColumn("g", lit(2L) * col("m") * col("kin")
+        - col("k") * (col("stot") - when(col("lc") === col("c"), col("k")).otherwise(lit(0L))))
+      .select("c", "lc", "g")
+      .localCheckpoint() // argmax window + own-gain lookup
+    val best = gains.withColumn("rn", row_number().over(wMove)).filter(col("rn") === 1)
+    val own = gains.filter(col("lc") === col("c")).select(col("c"), col("g").as("gown"))
+    val newlab = best.join(own, Seq("c"))
+      .select(col("c"),
+        when(col("g") > col("gown") && col("lc") < col("c"), col("lc"))
+          .otherwise(col("c")).as("l2"))
+      .localCheckpoint() // per2 rollup + intra double lookup + mass2
+    val selfIn2 = newlab.join(selfs, Seq("c"), "left_outer")
+      .groupBy(col("l2")).agg(coalesce(sum(col("self_w")), lit(0L)).as("sw2"))
+    val interIn2 = inter
+      .join(newlab.select(col("c").as("c1"), col("l2").as("la2")), Seq("c1"))
+      .join(newlab.select(col("c").as("c2"), col("l2").as("lb2")), Seq("c2"))
+      .filter(col("la2") === col("lb2"))
+      .groupBy(col("la2").as("l2")).agg(sum(col("w")).as("iw2"))
+    val per2 = newlab.join(kdeg, Seq("c"))
+      .groupBy("l2").agg(sum(col("k")).as("deg_w"))
+      .join(selfIn2, Seq("l2"))
+      .join(interIn2, Seq("l2"), "left_outer")
+      .select(col("l2"),
+        (col("sw2") + coalesce(col("iw2"), lit(0L))).as("intra_w"), col("deg_w"))
+      .localCheckpoint() // stats count + Q sums + next-level selfs
+    val stats = per2.agg(count(lit(1)).as("n_super_nodes"))
+      .crossJoin(louvainQRow(per2, mrow, "q_x10000"))
+    // contraction: new self weight = the community's intra mass; inter
+    // weights re-key on the surviving labels; node mass rolls up
+    val selfs2 = per2.select(col("l2").as("c"), col("intra_w").as("self_w"))
+    val inter2 = inter
+      .join(newlab.select(col("c").as("c1"), col("l2").as("la2")), Seq("c1"))
+      .join(newlab.select(col("c").as("c2"), col("l2").as("lb2")), Seq("c2"))
+      .filter(col("la2") =!= col("lb2"))
+      .select(least(col("la2"), col("lb2")).as("c1"),
+        greatest(col("la2"), col("lb2")).as("c2"), col("w"))
+      .groupBy("c1", "c2").agg(sum(col("w")).as("w"))
+    val mass2 = newlab.join(mass, Seq("c"))
+      .groupBy(col("l2")).agg(sum(col("n_nodes")).as("n_nodes"))
+      .select(col("l2").as("c"), col("n_nodes"))
+    (inter2, selfs2, mass2, stats)
+  }
+
+  /** FULL MULTI-LEVEL LOUVAIN (gr_louvain_full) — the composed loop the
+    * three phase queries prove piecewise (Blondel, Guillaume, Lambiotte
+    * & Lefebvre 2008): level 1 runs the guarded synchronous move from
+    * the LPA partition (gr_louvain_move exactly) and contracts
+    * (gr_louvain_coarsen exactly); each further level runs the weighted
+    * singleton-start move on the super-graph (gr_louvain_level2 exactly)
+    * and contracts again, until a level fails to improve Q or
+    * LouvainMaxLevels is reached — the bounded-round contract with a
+    * DATA-DEPENDENT early stop, driven driver-side off the one-row Q
+    * aggregate (the hash-min convergence idiom; the oracle unrolls all
+    * levels as MATERIALIZED CTEs and applies the same publish rule as
+    * scalar comparisons). Published per executed level:
+    * (level, n_super_nodes, q_x10000) — the multi-level climb, exact
+    * BIGINT end-to-end, the first non-improving level included (the
+    * visible plateau).
+    *
+    * Scale: level 1 is the gr_louvain_move/coarsen plan; every deeper
+    * frame is O(communities) — strictly shrinking; per-level stats are
+    * one-row collects (bounded by LouvainMaxLevels). */
+  def louvainFull(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val (edges, labels) = lpaChain(spark, dir)
+    louvainFullOn(spark, edges, labels)
+  }
+
+  /** Same loop over any undirected (a, b) edge frame with initial
+    * (u, lbl) labels — Round19Spec pins a hand-worked two-level graph. */
+  private[graft] def louvainFullOn(spark: org.apache.spark.sql.SparkSession,
+      edges: DataFrame, labels: DataFrame): DataFrame = {
+    val (_, _, mrow0, newlab) = louvainMoveParts(edges, labels)
+    val mrow = mrow0.localCheckpoint() // every level's gain + Q rows
+    val ea = edges
+      .join(newlab.select(col("u").as("a"), col("nl").as("ca")), Seq("a"))
+      .join(newlab.select(col("u").as("b"), col("nl").as("cb")), Seq("b"))
+      .localCheckpoint() // self-loop + inter branches
+    val selfs1 = ea.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(count(lit(1)).as("self_w"))
+      .localCheckpoint() // per1 + level-2 inputs
+    val inter1 = ea.filter(col("ca") =!= col("cb"))
+      .select(least(col("ca"), col("cb")).as("c1"), greatest(col("ca"), col("cb")).as("c2"))
+      .groupBy("c1", "c2").agg(count(lit(1)).as("w"))
+      .localCheckpoint() // ext rollup + level-2 inputs
+    val mass1 = newlab.groupBy(col("nl").as("c")).agg(count(lit(1)).as("n_nodes"))
+      .localCheckpoint() // per1 keys + level-2 inputs
+    val ext1 = inter1.select(col("c1").as("c"), col("w"))
+      .unionByName(inter1.select(col("c2").as("c"), col("w")))
+      .groupBy("c").agg(sum(col("w")).as("ext_w"))
+    val per1 = mass1.select("c")
+      .join(selfs1, Seq("c"), "left_outer")
+      .join(ext1, Seq("c"), "left_outer")
+      .select(col("c"), coalesce(col("self_w"), lit(0L)).as("intra_w"),
+        (lit(2L) * coalesce(col("self_w"), lit(0L))
+          + coalesce(col("ext_w"), lit(0L))).as("deg_w"))
+      .localCheckpoint() // count + Q sums
+    val st1 = per1.agg(count(lit(1)).as("n_super_nodes"))
+      .crossJoin(louvainQRow(per1, mrow, "q_x10000"))
+      .head() // ONE row — the bounded driver-side convergence read
+    val levels = scala.collection.mutable.ListBuffer(
+      (1L, st1.getLong(0), st1.getLong(1)))
+    var (inter, selfs, mass) = (inter1, selfs1, mass1)
+    var prevQ = st1.getLong(1)
+    var lvl = 2
+    var stop = false
+    while (lvl <= LouvainMaxLevels && !stop) {
+      val (i2, s2, m2, statsF) = louvainWeightedLevel(inter, selfs, mass, mrow)
+      val st = statsF.head() // one row per level, <= LouvainMaxLevels reads
+      levels += ((lvl.toLong, st.getLong(0), st.getLong(1)))
+      if (st.getLong(1) <= prevQ) stop = true // plateau published, loop ends
+      prevQ = st.getLong(1)
+      inter = i2; selfs = s2; mass = m2
+      lvl += 1
+    }
+    import spark.implicits._
+    levels.toSeq.toDF("level", "n_super_nodes", "q_x10000").orderBy("level")
+  }
+
   /** DEGREE ASSORTATIVITY (gr_assort) — Newman's r on the co-activity
     * graph: do high-degree users co-occur with high-degree users
     * (r > 0, social-network-like) or with leaves (r < 0,
@@ -1265,6 +1514,89 @@ object GraphOps {
        |  FROM best b JOIN own ON b.u = own.u
        |)""".stripMargin
 
+  /** Level-k CTE block of the gr_louvain_full oracle (k >= 2): the
+    * weighted singleton-start guarded move + contraction on the graph
+    * (i{k-1}, s{k-1}, ms{k-1}) — mirrors louvainWeightedLevel exactly.
+    * Multi-referenced CTEs are MATERIALIZED (DuckDB inlines by default —
+    * exponential in chain depth, the BPE-sweep lesson). */
+  private def louvainFullLevelCtes(k: Int): String = {
+    val p = k - 1
+    s"""symw$k AS MATERIALIZED (
+       |  SELECT c1 AS c, c2 AS d, w FROM i$p UNION ALL SELECT c2, c1, w FROM i$p
+       |),
+       |kdeg$k AS MATERIALIZED (
+       |  SELECT ms$p.c, COALESCE(ws.wsum, 0) + 2 * COALESCE(s.self_w, 0) AS k
+       |  FROM ms$p
+       |  LEFT JOIN (SELECT c, CAST(SUM(w) AS BIGINT) AS wsum FROM symw$k GROUP BY 1) ws
+       |    ON ms$p.c = ws.c
+       |  LEFT JOIN s$p s ON ms$p.c = s.c
+       |),
+       |kiin$k AS (
+       |  SELECT c, d AS lc, CAST(SUM(w) AS BIGINT) AS kin FROM symw$k GROUP BY 1, 2
+       |),
+       |cand$k AS (
+       |  SELECT c, lc, MAX(kin) AS kin FROM (
+       |    SELECT c, lc, kin FROM kiin$k
+       |    UNION ALL SELECT c, c AS lc, CAST(0 AS BIGINT) AS kin FROM kdeg$k) z
+       |  GROUP BY 1, 2
+       |),
+       |gains$k AS MATERIALIZED (
+       |  SELECT cd.c, cd.lc,
+       |    2 * (SELECT m FROM mrow) * cd.kin
+       |      - kn.k * (kt.k - CASE WHEN cd.lc = cd.c THEN kn.k ELSE 0 END) AS g
+       |  FROM cand$k cd
+       |  JOIN kdeg$k kn ON cd.c = kn.c
+       |  JOIN kdeg$k kt ON cd.lc = kt.c
+       |),
+       |best$k AS (
+       |  SELECT c, lc, g FROM (
+       |    SELECT c, lc, g, ROW_NUMBER() OVER (PARTITION BY c ORDER BY g DESC, lc ASC) AS rn
+       |    FROM gains$k) t WHERE rn = 1
+       |),
+       |own$k AS (SELECT c, g AS gown FROM gains$k WHERE lc = c),
+       |nl$k AS MATERIALIZED (
+       |  SELECT b.c, CASE WHEN b.g > o.gown AND b.lc < b.c THEN b.lc ELSE b.c END AS l2
+       |  FROM best$k b JOIN own$k o ON b.c = o.c
+       |),
+       |sin$k AS (
+       |  SELECT n.l2, CAST(COALESCE(SUM(s.self_w), 0) AS BIGINT) AS sw2
+       |  FROM nl$k n LEFT JOIN s$p s ON n.c = s.c GROUP BY 1
+       |),
+       |iin$k AS (
+       |  SELECT na.l2, CAST(SUM(i.w) AS BIGINT) AS iw2
+       |  FROM i$p i JOIN nl$k na ON i.c1 = na.c JOIN nl$k nb ON i.c2 = nb.c
+       |  WHERE na.l2 = nb.l2 GROUP BY 1
+       |),
+       |per$k AS MATERIALIZED (
+       |  SELECT d.l2, s.sw2 + COALESCE(i.iw2, 0) AS intra_w, d.deg_w
+       |  FROM (SELECT n.l2, CAST(SUM(kk.k) AS BIGINT) AS deg_w
+       |        FROM nl$k n JOIN kdeg$k kk ON n.c = kk.c GROUP BY 1) d
+       |  JOIN sin$k s ON d.l2 = s.l2
+       |  LEFT JOIN iin$k i ON d.l2 = i.l2
+       |),
+       |lv$k AS MATERIALIZED (
+       |  SELECT CAST($k AS BIGINT) AS level,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM per$k) AS n_super_nodes,
+       |    (SELECT CAST((10000::HUGEINT
+       |        * (4::HUGEINT * m * smc - sd2 + 4::HUGEINT * m * m))
+       |      // (4::HUGEINT * m * m) - 10000 AS BIGINT)
+       |     FROM (SELECT CAST(SUM(intra_w) AS HUGEINT) AS smc,
+       |             SUM(deg_w::HUGEINT * deg_w::HUGEINT) AS sd2 FROM per$k),
+       |       mrow) AS q_x10000
+       |),
+       |s$k AS MATERIALIZED (SELECT l2 AS c, intra_w AS self_w FROM per$k),
+       |i$k AS MATERIALIZED (
+       |  SELECT LEAST(na.l2, nb.l2) AS c1, GREATEST(na.l2, nb.l2) AS c2,
+       |    CAST(SUM(i.w) AS BIGINT) AS w
+       |  FROM i$p i JOIN nl$k na ON i.c1 = na.c JOIN nl$k nb ON i.c2 = nb.c
+       |  WHERE na.l2 <> nb.l2 GROUP BY 1, 2
+       |),
+       |ms$k AS MATERIALIZED (
+       |  SELECT n.l2 AS c, CAST(SUM(ms$p.n_nodes) AS BIGINT) AS n_nodes
+       |  FROM nl$k n JOIN ms$p ON n.c = ms$p.c GROUP BY 1
+       |)""".stripMargin
+  }
+
   private def lpaCtes: String = {
     val round = (r: Int) =>
       s"""l$r AS (
@@ -1298,6 +1630,7 @@ object GraphOps {
     "gr_louvain_move" -> (louvainMove _),
     "gr_louvain_coarsen" -> (louvainCoarsen _),
     "gr_louvain_level2" -> (louvainLevel2 _),
+    "gr_louvain_full" -> (louvainFull _),
     "gr_assort" -> (assortativity _),
     "gr_hits" -> (hits _),
     "gr_lpa" -> (lpa _),
@@ -1796,6 +2129,57 @@ object GraphOps {
          |  per2.intra_w, per2.deg_w, q1.q1_x10000, q2.q2_x10000
          |FROM per2 JOIN nmass ON per2.l2 = nmass.l2, q1, q2
          |ORDER BY nmass.n_nodes DESC, community LIMIT 12""".stripMargin,
+    "gr_louvain_full" ->
+      s"""WITH $lpaCtes,
+         |$louvainMoveCtes,
+         |ea AS MATERIALIZED (
+         |  SELECT la.lbl AS ca, lb.lbl AS cb
+         |  FROM edges e JOIN newlab la ON e.a = la.u JOIN newlab lb ON e.b = lb.u
+         |),
+         |s1 AS MATERIALIZED (
+         |  SELECT ca AS c, CAST(COUNT(*) AS BIGINT) AS self_w
+         |  FROM ea WHERE ca = cb GROUP BY 1
+         |),
+         |i1 AS MATERIALIZED (
+         |  SELECT LEAST(ca, cb) AS c1, GREATEST(ca, cb) AS c2,
+         |    CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM ea WHERE ca <> cb GROUP BY 1, 2
+         |),
+         |ms1 AS MATERIALIZED (
+         |  SELECT lbl AS c, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |  FROM newlab GROUP BY 1
+         |),
+         |ext1 AS (
+         |  SELECT c, CAST(SUM(w) AS BIGINT) AS ext_w FROM (
+         |    SELECT c1 AS c, w FROM i1 UNION ALL SELECT c2, w FROM i1) z
+         |  GROUP BY 1
+         |),
+         |per1 AS MATERIALIZED (
+         |  SELECT ms1.c, COALESCE(s.self_w, 0) AS intra_w,
+         |    2 * COALESCE(s.self_w, 0) + COALESCE(x.ext_w, 0) AS deg_w
+         |  FROM ms1 LEFT JOIN s1 s ON ms1.c = s.c LEFT JOIN ext1 x ON ms1.c = x.c
+         |),
+         |lv1 AS MATERIALIZED (
+         |  SELECT CAST(1 AS BIGINT) AS level,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM per1) AS n_super_nodes,
+         |    (SELECT CAST((10000::HUGEINT
+         |        * (4::HUGEINT * m * smc - sd2 + 4::HUGEINT * m * m))
+         |      // (4::HUGEINT * m * m) - 10000 AS BIGINT)
+         |     FROM (SELECT CAST(SUM(intra_w) AS HUGEINT) AS smc,
+         |             SUM(deg_w::HUGEINT * deg_w::HUGEINT) AS sd2 FROM per1),
+         |       mrow) AS q_x10000
+         |),
+         |${(2 to LouvainMaxLevels).map(louvainFullLevelCtes).mkString(",\n")}
+         |SELECT level, n_super_nodes, q_x10000 FROM (
+         |  ${(1 to LouvainMaxLevels).map(k => s"SELECT * FROM lv$k").mkString(" UNION ALL ")}) z
+         |WHERE level <= 2
+         |  ${(3 to LouvainMaxLevels).map { k =>
+             val improved = (2 until k)
+               .map(j => s"(SELECT q_x10000 FROM lv$j) > (SELECT q_x10000 FROM lv${j - 1})")
+               .mkString(" AND ")
+             s"OR (level = $k AND $improved)"
+           }.mkString("\n  ")}
+         |ORDER BY level""".stripMargin,
     "gr_copurchase" ->
       s"""WITH cp0 AS (
         |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part

@@ -401,7 +401,8 @@ object Similarity {
 
   private def gsWriteGraph(spark: SparkSession, fp: String, g: DataFrame): Unit =
     graft.ModelStore.write(s"nnd_$fp",
-      g.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")))
+      g.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
+      singleFile = false) // edge list is O(n*K) in corpus vectors
 
   /** The refined kNN graph for the corpus at `dir`: deploy the persisted
     * index when its fingerprint matches, else run the NN-Descent build

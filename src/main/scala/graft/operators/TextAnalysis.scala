@@ -1729,6 +1729,14 @@ object TextAnalysis {
   /** Same encoder over any frame with a `text` column — Round18Spec pins
     * greedy longest-match-first, the continuation flag, and the
     * single-char floor on a toy corpus. */
+  /** Longest word in a (word, cnt) frame; 0 on an empty corpus (the max
+    * of nothing is NULL — a bare getInt would NPE; zero DP rounds then
+    * yield the correct empty histogram). Bounds all tokenizer DP loops. */
+  private def maxWordLen(words: DataFrame): Int = {
+    val r = words.agg(max(length(col("word")))).head
+    if (r.isNullAt(0)) 0 else r.getInt(0)
+  }
+
   def wordpieceOn(docs: DataFrame): DataFrame = {
     val words = docs
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w0"))
@@ -1760,7 +1768,7 @@ object TextAnalysis {
     // rounds past the corpus' longest word are no-ops (every cursor is
     // frozen) — bound by the actual max; one-row agg on the checkpoint
     val rounds = math.min(WpMaxWordLen,
-      words.agg(max(length(col("word")))).head.getInt(0))
+      maxWordLen(words))
     for (_ <- 1 to rounds) {
       val live = st.filter(col("pos") <= expr("length(word)"))
         .select(col("word"), col("cnt"), col("pos"), col("n_pieces"),
@@ -1842,7 +1850,7 @@ object TextAnalysis {
       .localCheckpoint() // consumed by round 1 (carry + extend branches)
     // rounds past the corpus' longest word are no-ops — bound by the max
     val rounds = math.min(UgMaxWordLen,
-      words.agg(max(length(col("word")))).head.getInt(0))
+      maxWordLen(words))
     for (_ <- 1 to rounds) {
       val ext = st
         .select(col("word"), col("cnt"), col("j"), col("k"),
@@ -1920,7 +1928,7 @@ object TextAnalysis {
     // rounds past the corpus' longest word are no-ops — bound all three
     // DP sweeps by the actual max (one-row agg on the checkpoint)
     val emRounds = math.min(UgMaxWordLen,
-      words.agg(max(length(col("word")))).head.getInt(0))
+      maxWordLen(words))
     // forward Viterbi over a piece table: state (word, j, k)
     def forward(pieces: DataFrame): DataFrame = {
       var st = words.select(col("word"), lit(0L).as("j"), lit(1023L).as("k"))

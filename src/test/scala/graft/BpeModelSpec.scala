@@ -53,16 +53,22 @@ class BpeModelSpec extends SparkSpecBase {
     val first = TextAnalysis.bpeMergesFor(spark, dir, docs)
     assert(first.nonEmpty)
     // shift every file's mtime — the fingerprint must change, so the
-    // merges must be recomputed (observable: results still correct, and a
-    // SECOND artifact materializes for the new fingerprint)
-    val modelRoot = new java.io.File("/tmp/graft_models")
-    val before = Option(modelRoot.listFiles).map(_.count(_.getName.startsWith("bpe_"))).getOrElse(0)
+    // merges must be recomputed (observable: results still correct, and
+    // the NEW fingerprint's artifact materializes). Assert on THIS
+    // corpus' fingerprints, never a global artifact count — the store is
+    // shared with concurrent suites / Verify runs.
+    val tag = TextAnalysis.BpeRounds.toString
+    val fpBefore = ModelStore.fingerprint(dir, "documents.parquet", tag).get
+    assert(new java.io.File(ModelStore.Root, s"bpe_$fpBefore").isDirectory,
+      "cold train must persist the first fingerprint's merges")
     val pq = new java.io.File(dir, "documents.parquet")
     val files = if (pq.isDirectory) pq.listFiles.toSeq else Seq(pq)
     files.foreach(f => assert(f.setLastModified(f.lastModified() + 60000L)))
+    val fpAfter = ModelStore.fingerprint(dir, "documents.parquet", tag).get
+    assert(fpAfter != fpBefore, "the mtime bump must change the fingerprint")
     val second = TextAnalysis.bpeMergesFor(spark, dir, docs)
     assert(second == first, "same data must learn the same merges")
-    val after = Option(modelRoot.listFiles).map(_.count(_.getName.startsWith("bpe_"))).getOrElse(0)
-    assert(after == before + 1, s"expected a retrained artifact for the new fingerprint ($before -> $after)")
+    assert(new java.io.File(ModelStore.Root, s"bpe_$fpAfter").isDirectory,
+      "the retrain must persist the new fingerprint's merges")
   }
 }

@@ -63,14 +63,19 @@ class KmeansModelSpec extends SparkSpecBase {
   test("fingerprint invalidation: a changed corpus file forces a retrain") {
     val dir = writeCorpus()
     val first = rows(Similarity.kmeans(spark, dir))
-    val modelRoot = new java.io.File("/tmp/graft_models")
-    val before = Option(modelRoot.listFiles).map(_.count(_.getName.startsWith("km_"))).getOrElse(0)
+    // assert on THIS corpus' fingerprints, never a global artifact count —
+    // the store is shared with concurrent suites / Verify runs
+    val fpBefore = ModelStore.fingerprint(dir, "embeddings.parquet", "km2").get
+    assert(new java.io.File(ModelStore.Root, s"km_$fpBefore").isDirectory,
+      "cold train must persist the first fingerprint's codebook")
     val pq = new java.io.File(dir, "embeddings.parquet")
     val files = if (pq.isDirectory) pq.listFiles.toSeq else Seq(pq)
     files.foreach(f => assert(f.setLastModified(f.lastModified() + 60000L)))
+    val fpAfter = ModelStore.fingerprint(dir, "embeddings.parquet", "km2").get
+    assert(fpAfter != fpBefore, "the mtime bump must change the fingerprint")
     val second = rows(Similarity.kmeans(spark, dir))
     assert(second == first, "same data must learn the same clusters")
-    val after = Option(modelRoot.listFiles).map(_.count(_.getName.startsWith("km_"))).getOrElse(0)
-    assert(after == before + 1, s"expected a retrained artifact for the new fingerprint ($before -> $after)")
+    assert(new java.io.File(ModelStore.Root, s"km_$fpAfter").isDirectory,
+      "the retrain must persist the new fingerprint's codebook")
   }
 }

@@ -54,16 +54,19 @@ class LpaModelSpec extends SparkSpecBase {
   test("fingerprint invalidation: a changed lineitem file forces a rebuild") {
     val dir = writeCorpus()
     val first = rows(GraphOps.lpa(spark, dir))
-    val modelRoot = new java.io.File("/tmp/graft_models")
-    def nArts = Option(modelRoot.listFiles)
-      .map(_.count(_.getName.startsWith("lpalbl_"))).getOrElse(0)
-    val before = nArts
+    // assert on THIS corpus' fingerprints, never a global artifact count —
+    // the store is shared with concurrent suites / Verify runs
+    val fpBefore = ModelStore.fingerprint(dir, "lineitem.parquet", "lpa1").get
+    assert(new java.io.File(ModelStore.Root, s"lpalbl_$fpBefore").isDirectory,
+      "cold build must persist the first fingerprint's artifact")
     val pq = new java.io.File(dir, "lineitem.parquet")
     val files = if (pq.isDirectory) pq.listFiles.toSeq else Seq(pq)
     files.foreach(f => assert(f.setLastModified(f.lastModified() + 60000L)))
+    val fpAfter = ModelStore.fingerprint(dir, "lineitem.parquet", "lpa1").get
+    assert(fpAfter != fpBefore, "the mtime bump must change the fingerprint")
     val second = rows(GraphOps.lpa(spark, dir))
     assert(second == first, "same data must find the same communities")
-    assert(nArts == before + 1,
-      s"expected a rebuilt artifact for the new fingerprint ($before -> $nArts)")
+    assert(new java.io.File(ModelStore.Root, s"lpalbl_$fpAfter").isDirectory,
+      "the rebuild must persist the new fingerprint's artifact")
   }
 }

@@ -74,10 +74,13 @@ class Round18Spec extends SparkSpecBase {
 
   test("WAP gates: duplicate key, negative-domain breach, and volume each quarantine alone") {
     import spark.implicits._
-    // batch 0: clean, 1000 rows, all positive        -> publish
-    // batch 1: contains k=1009 (restaged duplicate)  -> gate_unique fails
-    // batch 2: 30% negative balances                 -> gate_domain fails
-    // batch 3: only 10 rows                          -> gate_volume fails
+    // wapOn batches on k div 1000 and restages every k % 1009 == 0 row,
+    // so the batches it actually sees are:
+    // batch 0: k 1..999     (999 rows, clean, >= WapMinRows) -> publish
+    // batch 1: k 1000..1999 + restaged 1009 dup              -> gate_unique fails
+    // batch 2: k 2000..2999 + restaged 2018 dup, 299 of 1001
+    //          rows negative (> 1/4)             -> gate_domain (and unique) fail
+    // batch 3: k 3000..3010 (11 rows, one negative at 3000)  -> gate_volume fails
     val base = ((1L to 1000L).map(k => (k, 10.0)) ++
       (1001L to 2000L).map(k => (k, 10.0)) ++
       (2001L to 3000L).map(k => (k, if (k % 10 < 3) -5.0 else 10.0)) ++
