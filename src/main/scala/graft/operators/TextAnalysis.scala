@@ -1737,12 +1737,26 @@ object TextAnalysis {
     if (r.isNullAt(0)) 0 else r.getInt(0)
   }
 
-  def wordpieceOn(docs: DataFrame): DataFrame = {
-    val words = docs
-      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w0"))
-      .select(expr(s"substring(w0, 1, $WpMaxWordLen)").as("word"))
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // consumers: candidates, singles, encode init
+  /** The tokenizer family's shared (word, cnt) extraction at a given
+    * truncation cap — checkpointed (candidates + singles + DP init all
+    * read it). */
+  private def tokWords(docs: DataFrame, cap: Int): DataFrame = docs
+    .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w0"))
+    .select(expr(s"substring(w0, 1, $cap)").as("word"))
+    .groupBy("word").agg(count(lit(1)).as("cnt"))
+    .localCheckpoint()
+
+  def wordpieceOn(docs: DataFrame): DataFrame =
+    wordpieceState(tokWords(docs, WpMaxWordLen))
+      .groupBy("n_pieces")
+      .agg(count(lit(1)).as("n_words"), sum(col("cnt")).as("n_occurrences"),
+        sum(expr("n_pieces * cnt")).as("sum_pieces"))
+      .orderBy("n_pieces")
+
+  /** The greedy encode's final per-word state (word, cnt, pos,
+    * n_pieces) — the shared core of ta_wordpiece's histogram and
+    * ta_tok_compare's corpus rollup. */
+  private def wordpieceState(words: DataFrame): DataFrame = {
     val cands = words
       .select(col("word"), col("cnt"),
         explode(expr("sequence(1, length(word))")).as("o"))
@@ -1785,10 +1799,7 @@ object TextAnalysis {
       st = live.unionByName(st.filter(col("pos") > expr("length(word)")))
         .localCheckpoint() // consumed by next round (live + frozen branches)
     }
-    st.groupBy("n_pieces")
-      .agg(count(lit(1)).as("n_words"), sum(col("cnt")).as("n_occurrences"),
-        sum(expr("n_pieces * cnt")).as("sum_pieces"))
-      .orderBy("n_pieces")
+    st
   }
 
   /** Word-length bound / max piece length of ta_unigram. */
@@ -1826,12 +1837,17 @@ object TextAnalysis {
   /** Same DP over any frame with a `text` column — Round18Spec pins the
     * packed-key argmax (score beats piece count, then fewer pieces) on
     * a hand-worked vocabulary. */
-  def unigramOn(docs: DataFrame): DataFrame = {
-    val words = docs
-      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w0"))
-      .select(expr(s"substring(w0, 1, $UgMaxWordLen)").as("word"))
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // consumers: piece counts + DP init
+  def unigramOn(docs: DataFrame): DataFrame =
+    unigramDecoded(tokWords(docs, UgMaxWordLen))
+      .groupBy("n_pieces")
+      .agg(count(lit(1)).as("n_words"), sum(col("cnt")).as("n_occurrences"),
+        sum(expr("s * cnt")).as("sum_score_w"))
+      .orderBy("n_pieces")
+
+  /** The Viterbi decode at word grain (word, cnt, n_pieces, s) — the
+    * shared core of ta_unigram's histogram and ta_tok_compare's corpus
+    * rollup. */
+  private def unigramDecoded(words: DataFrame): DataFrame = {
     val pieces0 = words
       .select(col("word"), col("cnt"),
         explode(expr("sequence(1, length(word))")).as("o"))
@@ -1869,12 +1885,50 @@ object TextAnalysis {
     // still recovers P on both engines
     st.filter(expr("j = length(word)"))
       .withColumn("kk", col("k") + lit(1073741824L))
-      .select(col("cnt"), expr("1023 - (kk % 1024)").as("n_pieces"),
+      .select(col("word"), col("cnt"), expr("1023 - (kk % 1024)").as("n_pieces"),
         expr("kk div 1024 - 1048576").as("s"))
-      .groupBy("n_pieces")
-      .agg(count(lit(1)).as("n_words"), sum(col("cnt")).as("n_occurrences"),
-        sum(expr("s * cnt")).as("sum_score_w"))
-      .orderBy("n_pieces")
+  }
+
+  /** TOKENIZER COMPARISON TABLE (ta_tok_compare) — the decision table a
+    * tokenizer team publishes before picking a scheme (Rust et al. 2021,
+    * "How Good is Your Tokenizer?"): WordPiece greedy encode vs the
+    * unigram-LM Viterbi decode vs the character floor, each rolled up to
+    * ONE corpus row of (tokens, words, chars, fertility = tokens/word,
+    * chars-per-token) in exact scaled integers. The char row is the
+    * no-vocabulary upper bound every subword scheme must beat; fertility
+    * is comparable across rows (the word count is basis-independent);
+    * chars-per-token is computed against each scheme's OWN truncation
+    * basis (WpMaxWordLen = 12 vs UgMaxWordLen = 10 — published in
+    * n_chars, so the basis is visible, never hidden). BPE's fertility
+    * lives on the space-split basis in ta_fertility / ta_bpe_sweep and
+    * is intentionally not mixed in here.
+    *
+    * Scale: both encodes are the proven O(distinct words x positions)
+    * DP states; the rollups are one-row aggregates; the union is three
+    * rows. Zero-guard CASEs keep an empty corpus a result, not a
+    * division error (mirrored in the oracle). */
+  def tokCompare(spark: SparkSession, dir: String): DataFrame =
+    tokCompareOn(documents(spark, dir))
+
+  /** Same table over any frame with a `text` column. */
+  def tokCompareOn(docs: DataFrame): DataFrame = {
+    val ugw = tokWords(docs, UgMaxWordLen)
+    def row(name: String, st: DataFrame, tokens: String): DataFrame =
+      st.agg(
+          coalesce(sum(expr(tokens)), lit(0L)).as("n_tokens"),
+          coalesce(sum(col("cnt")), lit(0L)).as("n_words"),
+          coalesce(sum(expr("length(word) * cnt")), lit(0L)).as("n_chars"))
+        .select(lit(name).as("tokenizer"), col("n_tokens"), col("n_words"),
+          col("n_chars"))
+    row("0_chars", ugw, "length(word) * cnt")
+      .unionByName(row("1_wordpiece",
+        wordpieceState(tokWords(docs, WpMaxWordLen)), "n_pieces * cnt"))
+      .unionByName(row("2_unigram", unigramDecoded(ugw), "n_pieces * cnt"))
+      .withColumn("fertility_x10000",
+        expr("CASE WHEN n_words = 0 THEN 0L ELSE n_tokens * 10000 div n_words END"))
+      .withColumn("cpt_x10000",
+        expr("CASE WHEN n_tokens = 0 THEN 0L ELSE n_chars * 10000 div n_tokens END"))
+      .orderBy("tokenizer")
   }
 
   /** UNIGRAM-LM EM ITERATION (ta_unigram_em) — the trainer step on top
@@ -2015,6 +2069,7 @@ object TextAnalysis {
     "ta_unigram" -> (unigram _),
     "ta_unigram_em" -> (unigramEm _),
     "ta_wordpiece" -> (wordpiece _),
+    "ta_tok_compare" -> (tokCompare _),
     "ta_keyphrase" -> (keyphrase _),
     "ta_readability" -> (readability _),
     "ta_lid_eval" -> (lidEval _),
@@ -2093,6 +2148,102 @@ object TextAnalysis {
        |  FROM ${pre}c$r WHERE NOT consumed)""".stripMargin
 
   /** One training round: pair counts + argmax + application. */
+  /** The full WordPiece oracle chain (words -> vocab -> greedy-encode
+    * rounds), every CTE name prefixed with `p` so two tokenizer chains
+    * can share one WITH clause (ta_tok_compare). Final state:
+    * `${p}s$WpMaxWordLen` (word, cnt, pos, np). Multi-referenced CTEs
+    * MATERIALIZED (the DuckDB-inlines-CTEs rule). */
+  private def wpOracleChain(p: String): String = {
+    val round = (r: Int) =>
+      s"""${p}s$r AS (
+         |  SELECT word, cnt,
+         |    CASE WHEN bl IS NOT NULL THEN pos + bl ELSE pos END AS pos,
+         |    CASE WHEN bl IS NOT NULL THEN np + 1 ELSE np END AS np
+         |  FROM (
+         |    SELECT s.word, s.cnt, s.pos, s.np,
+         |      MAX(CASE WHEN v.piece IS NOT NULL THEN l.l END) AS bl
+         |    FROM ${p}s${r - 1} s
+         |    CROSS JOIN (SELECT UNNEST(range(1, ${WpMaxPieceLen + 1})) AS l) l
+         |    LEFT JOIN ${p}vocab v ON v.piece = substr(s.word, CAST(s.pos AS BIGINT), l.l)
+         |      AND v.is_cont = CASE WHEN s.pos = 1 THEN 0 ELSE 1 END
+         |      AND s.pos + l.l - 1 <= length(s.word)
+         |      AND s.pos <= length(s.word)
+         |    GROUP BY 1, 2, 3, 4)
+         |)""".stripMargin
+    s"""${p}words AS MATERIALIZED (
+       |  SELECT word, COUNT(*) AS cnt FROM (
+       |    SELECT substr(w0, 1, $WpMaxWordLen) AS word FROM (
+       |      SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w0
+       |      FROM documents))
+       |  GROUP BY word
+       |), ${p}cand AS (
+       |  SELECT piece, is_cont FROM (
+       |    SELECT substr(w.word, o.o, l.l) AS piece,
+       |      CASE WHEN o.o = 1 THEN 0 ELSE 1 END AS is_cont,
+       |      SUM(w.cnt) AS pcnt
+       |    FROM ${p}words w
+       |    CROSS JOIN (SELECT UNNEST(range(1, ${WpMaxWordLen + 1})) AS o) o
+       |    CROSS JOIN (SELECT UNNEST(range(2, ${WpMaxPieceLen + 1})) AS l) l
+       |    WHERE o.o + l.l - 1 <= length(w.word)
+       |    GROUP BY 1, 2)
+       |  ORDER BY pcnt DESC, piece ASC, is_cont ASC LIMIT $WpVocabK
+       |), ${p}singles AS (
+       |  SELECT DISTINCT substr(w.word, o.o, 1) AS piece,
+       |    CASE WHEN o.o = 1 THEN 0 ELSE 1 END AS is_cont
+       |  FROM ${p}words w
+       |  CROSS JOIN (SELECT UNNEST(range(1, ${WpMaxWordLen + 1})) AS o) o
+       |  WHERE o.o <= length(w.word)
+       |), ${p}vocab AS MATERIALIZED (
+       |  SELECT DISTINCT piece, is_cont FROM (
+       |    SELECT piece, is_cont FROM ${p}cand
+       |    UNION ALL SELECT piece, is_cont FROM ${p}singles)
+       |), ${p}s0 AS (
+       |  SELECT word, cnt, 1 AS pos, 0 AS np FROM ${p}words
+       |), ${(1 to WpMaxWordLen).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  /** The full unigram-LM oracle chain (words -> scored pieces ->
+    * Viterbi rounds), CTE names prefixed with `p`. Final state:
+    * `${p}v$UgMaxWordLen` (word, cnt, j, k). */
+  private def ugOracleChain(p: String): String = {
+    val round = (r: Int) =>
+      s"""${p}v$r AS (
+         |  SELECT word, cnt, j, MAX(k) AS k FROM (
+         |    SELECT word, cnt, j, k FROM ${p}v${r - 1}
+         |    UNION ALL
+         |    SELECT v.word, v.cnt, v.j + l.l AS j, v.k + 1024 * p.s - 1 AS k
+         |    FROM ${p}v${r - 1} v
+         |    CROSS JOIN (SELECT UNNEST(range(1, ${UgMaxPieceLen + 1})) AS l) l
+         |    JOIN ${p}pieces p ON p.piece = substr(v.word, CAST(v.j + 1 AS BIGINT), l.l)
+         |    WHERE v.j + l.l <= length(v.word)
+         |  ) z GROUP BY 1, 2, 3
+         |)""".stripMargin
+    s"""${p}words AS MATERIALIZED (
+       |  SELECT word, COUNT(*) AS cnt FROM (
+       |    SELECT substr(w0, 1, $UgMaxWordLen) AS word FROM (
+       |      SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w0
+       |      FROM documents))
+       |  GROUP BY word
+       |), ${p}pieces0 AS MATERIALIZED (
+       |  SELECT substr(w.word, o.o, l.l) AS piece,
+       |    CAST(SUM(w.cnt) AS BIGINT) AS pcnt
+       |  FROM ${p}words w
+       |  CROSS JOIN (SELECT UNNEST(range(1, ${UgMaxWordLen + 1})) AS o) o
+       |  CROSS JOIN (SELECT UNNEST(range(1, ${UgMaxPieceLen + 1})) AS l) l
+       |  WHERE o.o + l.l - 1 <= length(w.word)
+       |  GROUP BY 1
+       |), ${p}trow AS (
+       |  SELECT CAST(length(bin(CAST(SUM(pcnt) AS BIGINT))) AS BIGINT) AS t
+       |  FROM ${p}pieces0
+       |), ${p}pieces AS MATERIALIZED (
+       |  SELECT piece, CAST(length(bin(pcnt)) AS BIGINT) - trow.t AS s
+       |  FROM ${p}pieces0 pieces0, ${p}trow trow
+       |), ${p}v0 AS (
+       |  SELECT word, cnt, CAST(0 AS BIGINT) AS j, CAST(1023 AS BIGINT) AS k
+       |  FROM ${p}words
+       |), ${(1 to UgMaxWordLen).map(round).mkString(",\n")}""".stripMargin
+  }
+
   private def bpeTrainRoundCtes(r: Int): String = {
     val prev = if (r == 1) "base" else s"p${r - 1}"
     s"""n$r AS MATERIALIZED (SELECT doc_id, pos, sym,
@@ -2401,103 +2552,54 @@ object TextAnalysis {
          |  ${hist(2, s"h$UgMaxWordLen", "nv2")}
          |) ORDER BY em_round, n_pieces""".stripMargin
     },
-    "ta_unigram" -> {
-      val round = (r: Int) =>
-        s"""v$r AS (
-           |  SELECT word, cnt, j, MAX(k) AS k FROM (
-           |    SELECT word, cnt, j, k FROM v${r - 1}
-           |    UNION ALL
-           |    SELECT v.word, v.cnt, v.j + l.l AS j, v.k + 1024 * p.s - 1 AS k
-           |    FROM v${r - 1} v
-           |    CROSS JOIN (SELECT UNNEST(range(1, ${UgMaxPieceLen + 1})) AS l) l
-           |    JOIN pieces p ON p.piece = substr(v.word, CAST(v.j + 1 AS BIGINT), l.l)
-           |    WHERE v.j + l.l <= length(v.word)
-           |  ) z GROUP BY 1, 2, 3
-           |)""".stripMargin
-      s"""WITH words AS MATERIALIZED (
-         |  SELECT word, COUNT(*) AS cnt FROM (
-         |    SELECT substr(w0, 1, $UgMaxWordLen) AS word FROM (
-         |      SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w0
-         |      FROM documents))
-         |  GROUP BY word
-         |), pieces0 AS MATERIALIZED (
-         |  SELECT substr(w.word, o.o, l.l) AS piece,
-         |    CAST(SUM(w.cnt) AS BIGINT) AS pcnt
-         |  FROM words w
-         |  CROSS JOIN (SELECT UNNEST(range(1, ${UgMaxWordLen + 1})) AS o) o
-         |  CROSS JOIN (SELECT UNNEST(range(1, ${UgMaxPieceLen + 1})) AS l) l
-         |  WHERE o.o + l.l - 1 <= length(w.word)
-         |  GROUP BY 1
-         |), trow AS (
-         |  SELECT CAST(length(bin(CAST(SUM(pcnt) AS BIGINT))) AS BIGINT) AS t
-         |  FROM pieces0
-         |), pieces AS MATERIALIZED (
-         |  SELECT piece, CAST(length(bin(pcnt)) AS BIGINT) - trow.t AS s
-         |  FROM pieces0, trow
-         |), v0 AS (
-         |  SELECT word, cnt, CAST(0 AS BIGINT) AS j, CAST(1023 AS BIGINT) AS k
-         |  FROM words
-         |), ${(1 to UgMaxWordLen).map(round).mkString(",\n")}
+    "ta_unigram" ->
+      s"""WITH ${ugOracleChain("")}
          |SELECT CAST(1023 - ((k + 1073741824) % 1024) AS BIGINT) AS n_pieces,
          |  CAST(COUNT(*) AS BIGINT) AS n_words,
          |  CAST(SUM(cnt) AS BIGINT) AS n_occurrences,
          |  CAST(SUM(((k + 1073741824) // 1024 - 1048576) * cnt) AS BIGINT) AS sum_score_w
          |FROM v$UgMaxWordLen WHERE j = length(word)
-         |GROUP BY 1 ORDER BY 1""".stripMargin
-    },
-    "ta_wordpiece" -> {
-      val round = (r: Int) =>
-        s"""s$r AS (
-           |  SELECT word, cnt,
-           |    CASE WHEN bl IS NOT NULL THEN pos + bl ELSE pos END AS pos,
-           |    CASE WHEN bl IS NOT NULL THEN np + 1 ELSE np END AS np
-           |  FROM (
-           |    SELECT s.word, s.cnt, s.pos, s.np,
-           |      MAX(CASE WHEN v.piece IS NOT NULL THEN l.l END) AS bl
-           |    FROM s${r - 1} s
-           |    CROSS JOIN (SELECT UNNEST(range(1, ${WpMaxPieceLen + 1})) AS l) l
-           |    LEFT JOIN vocab v ON v.piece = substr(s.word, CAST(s.pos AS BIGINT), l.l)
-           |      AND v.is_cont = CASE WHEN s.pos = 1 THEN 0 ELSE 1 END
-           |      AND s.pos + l.l - 1 <= length(s.word)
-           |      AND s.pos <= length(s.word)
-           |    GROUP BY 1, 2, 3, 4)
-           |)""".stripMargin
-      s"""WITH words AS MATERIALIZED (
-         |  SELECT word, COUNT(*) AS cnt FROM (
-         |    SELECT substr(w0, 1, $WpMaxWordLen) AS word FROM (
-         |      SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w0
-         |      FROM documents))
-         |  GROUP BY word
-         |), cand AS (
-         |  SELECT piece, is_cont FROM (
-         |    SELECT substr(w.word, o.o, l.l) AS piece,
-         |      CASE WHEN o.o = 1 THEN 0 ELSE 1 END AS is_cont,
-         |      SUM(w.cnt) AS pcnt
-         |    FROM words w
-         |    CROSS JOIN (SELECT UNNEST(range(1, ${WpMaxWordLen + 1})) AS o) o
-         |    CROSS JOIN (SELECT UNNEST(range(2, ${WpMaxPieceLen + 1})) AS l) l
-         |    WHERE o.o + l.l - 1 <= length(w.word)
-         |    GROUP BY 1, 2)
-         |  ORDER BY pcnt DESC, piece ASC, is_cont ASC LIMIT $WpVocabK
-         |), singles AS (
-         |  SELECT DISTINCT substr(w.word, o.o, 1) AS piece,
-         |    CASE WHEN o.o = 1 THEN 0 ELSE 1 END AS is_cont
-         |  FROM words w
-         |  CROSS JOIN (SELECT UNNEST(range(1, ${WpMaxWordLen + 1})) AS o) o
-         |  WHERE o.o <= length(w.word)
-         |), vocab AS MATERIALIZED (
-         |  SELECT DISTINCT piece, is_cont FROM (
-         |    SELECT piece, is_cont FROM cand
-         |    UNION ALL SELECT piece, is_cont FROM singles)
-         |), s0 AS (
-         |  SELECT word, cnt, 1 AS pos, 0 AS np FROM words
-         |), ${(1 to WpMaxWordLen).map(round).mkString(",\n")}
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ta_wordpiece" ->
+      s"""WITH ${wpOracleChain("")}
          |SELECT CAST(np AS BIGINT) AS n_pieces,
          |  CAST(COUNT(*) AS BIGINT) AS n_words,
          |  CAST(SUM(cnt) AS BIGINT) AS n_occurrences,
          |  CAST(SUM(np * cnt) AS BIGINT) AS sum_pieces
-         |FROM s$WpMaxWordLen GROUP BY np ORDER BY np""".stripMargin
-    },
+         |FROM s$WpMaxWordLen GROUP BY np ORDER BY np""".stripMargin,
+    "ta_tok_compare" ->
+      s"""WITH ${wpOracleChain("w")},
+         |${ugOracleChain("u")},
+         |crow AS (
+         |  SELECT '0_chars' AS tokenizer,
+         |    CAST(COALESCE(SUM(length(word) * cnt), 0) AS BIGINT) AS n_tokens,
+         |    CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_words,
+         |    CAST(COALESCE(SUM(length(word) * cnt), 0) AS BIGINT) AS n_chars
+         |  FROM uwords
+         |),
+         |wrow AS (
+         |  SELECT '1_wordpiece' AS tokenizer,
+         |    CAST(COALESCE(SUM(np * cnt), 0) AS BIGINT) AS n_tokens,
+         |    CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_words,
+         |    CAST(COALESCE(SUM(length(word) * cnt), 0) AS BIGINT) AS n_chars
+         |  FROM ws$WpMaxWordLen
+         |),
+         |urow AS (
+         |  SELECT '2_unigram' AS tokenizer,
+         |    CAST(COALESCE(SUM((1023 - ((k + 1073741824) % 1024)) * cnt), 0)
+         |      AS BIGINT) AS n_tokens,
+         |    CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_words,
+         |    CAST(COALESCE(SUM(length(word) * cnt), 0) AS BIGINT) AS n_chars
+         |  FROM uv$UgMaxWordLen WHERE j = length(word)
+         |)
+         |SELECT tokenizer, n_tokens, n_words, n_chars,
+         |  CASE WHEN n_words = 0 THEN 0 ELSE n_tokens * 10000 // n_words END
+         |    AS fertility_x10000,
+         |  CASE WHEN n_tokens = 0 THEN 0 ELSE n_chars * 10000 // n_tokens END
+         |    AS cpt_x10000
+         |FROM (SELECT * FROM crow UNION ALL SELECT * FROM wrow
+         |      UNION ALL SELECT * FROM urow) z
+         |ORDER BY tokenizer""".stripMargin,
     "ta_keyphrase" -> {
       val stopList = RakeStops.map(s => s"'$s'").mkString(", ")
       s"""WITH d AS (

@@ -63,6 +63,22 @@ class Round19Spec extends SparkSpecBase {
     assert(got(1)._3 <= got(0)._3, s"level 2 must not improve here: $got")
   }
 
+  /** Hand-worked ta_tok_compare: corpus "aa aa aa" → one word (aa, 3),
+    * 6 chars. WordPiece vocab holds "aa" (top candidate) → 1 piece per
+    * word, 3 tokens. Unigram: s(a) = bitlen(6)−4 = −1, s(aa) =
+    * bitlen(3)−4 = −2; paths a+a and aa tie on score −2 and the packed
+    * key prefers fewer pieces → 1 piece, 3 tokens. Char floor: 6. */
+  test("ta_tok_compare: hand-worked single-word corpus") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "aa aa aa")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokCompareOn(docs).collect().toSeq.map(_.toSeq)
+    assert(got == Seq(
+      Seq("0_chars", 6L, 3L, 6L, 20000L, 10000L),
+      Seq("1_wordpiece", 3L, 3L, 6L, 10000L, 20000L),
+      Seq("2_unigram", 3L, 3L, 6L, 10000L, 20000L)), s"trace: $got")
+  }
+
   /** A corpus with no [a-z]+ words used to NPE the tokenizer entry
     * points (max word length over zero words is NULL); the guarded
     * bound must yield zero DP rounds and an empty result instead. */
@@ -73,5 +89,12 @@ class Round19Spec extends SparkSpecBase {
     assert(TextAnalysis.wordpieceOn(docs).collect().isEmpty)
     assert(TextAnalysis.unigramOn(docs).collect().isEmpty)
     assert(TextAnalysis.unigramEmOn(docs).collect().isEmpty)
+    // the compare table still publishes its three rows — all-zero, with
+    // the division guards holding (never an ANSI divide-by-zero)
+    val cmp = TextAnalysis.tokCompareOn(docs).collect().toSeq.map(_.toSeq)
+    assert(cmp == Seq(
+      Seq("0_chars", 0L, 0L, 0L, 0L, 0L),
+      Seq("1_wordpiece", 0L, 0L, 0L, 0L, 0L),
+      Seq("2_unigram", 0L, 0L, 0L, 0L, 0L)), s"zero table: $cmp")
   }
 }
