@@ -1278,12 +1278,14 @@ object GraphOps {
       mass0: DataFrame, mrow: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val inter = inter0.localCheckpoint() // sym x2 + intra2 lookup
-    val selfs = selfs0.localCheckpoint() // kdeg + self_in2
-    val mass = mass0.localCheckpoint()   // node set + next-level rollup
+    val inter = inter0.localCheckpoint() // sym x2 + intra2 lookup + inter2
+    // selfs/mass/symw are cheap projections of checkpointed parents
+    // (the caller's frames or `inter` above) — re-materializing them
+    // costs a blocking job per level for nothing; leave them lazy
+    val selfs = selfs0
+    val mass = mass0
     val symw = inter.select(col("c1").as("c"), col("c2").as("d"), col("w"))
       .unionByName(inter.select(col("c2").as("c"), col("c1").as("d"), col("w")))
-      .localCheckpoint() // kdeg + k_in sides
     val kdeg = mass.select("c")
       .join(symw.groupBy("c").agg(sum(col("w")).as("wsum")), Seq("c"), "left_outer")
       .join(selfs, Seq("c"), "left_outer")
