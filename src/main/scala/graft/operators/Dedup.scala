@@ -56,6 +56,61 @@ object Dedup {
   def exact(spark: SparkSession, dir: String): DataFrame =
     exactOn(documents(spark, dir)).orderBy("keep_id")
 
+  /** DEDUP SATURATION CURVE (dd_saturation) — the acquisition-planning
+    * sibling of dd_exact and ta_heaps: at 25/50/75/100% prefixes of the
+    * doc_id range, how many docs are exact duplicates of something
+    * already seen? A RISING duplicate rate says the source is
+    * exhausting (new crawl mass repeats old mass — RefinedWeb's scaling
+    * argument); flat-low says the corpus can keep growing. ONE pass
+    * each side, the ta_heaps first-occurrence trick on the md5 content
+    * hash: a hash contributes a unique doc to the first cut containing
+    * its earliest doc_id, every doc counts toward its own cut, then a
+    * 4-row cumulative window publishes docs/unique/dup/rate per cut.
+    *
+    * Scale: one map-side-combinable min per content hash (the dd_exact
+    * shuffle), one per-cut rollup, a broadcast one-row maxid; the
+    * cumulative window touches 4 rows. */
+  def saturation(spark: SparkSession, dir: String): DataFrame =
+    saturationOn(documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  /** Same curve over any (doc_id, text) frame — Round20Spec pins the
+    * cumulative unique/dup accounting on a hand-worked prefix. */
+  def saturationOn(docsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docsIn.sparkSession
+    val docs = docsIn
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .localCheckpoint() // consumers: maxid + per-cut docs + first-occurrence
+    val maxid = docs.agg(max(col("doc_id")).as("maxid"))
+      .localCheckpoint() // one-row frame, two cut consumers
+    def cutOf(id: Column): Column =
+      Seq(25, 50, 75).foldLeft(when(lit(false), lit(0L))) { (c, f) =>
+        c.when(id <= expr(s"maxid * $f div 100"), lit(f.toLong))
+      }.otherwise(lit(100L))
+    val perCutDocs = docs.crossJoin(broadcast(maxid))
+      .select(cutOf(col("doc_id")).as("cut_pct"))
+      .groupBy("cut_pct").agg(count(lit(1)).as("nd"))
+    val perCutFirst = docs.groupBy("h").agg(min(col("doc_id")).as("fd"))
+      .crossJoin(broadcast(maxid))
+      .select(cutOf(col("fd")).as("cut_pct"))
+      .groupBy("cut_pct").agg(count(lit(1)).as("nu"))
+    val spine = spark.range(1, 5L).select((col("id") * 25L).as("cut_pct"))
+    val wCum = Window.orderBy("cut_pct")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(perCutDocs, Seq("cut_pct"), "left_outer")
+      .join(perCutFirst, Seq("cut_pct"), "left_outer")
+      .select(col("cut_pct"),
+        sum(coalesce(col("nd"), lit(0L))).over(wCum).as("n_docs"),
+        sum(coalesce(col("nu"), lit(0L))).over(wCum).as("n_unique"))
+      .withColumn("n_dup", expr("n_docs - n_unique"))
+      .withColumn("dup_rate_x10000",
+        when(col("n_docs") > 0, expr("n_dup * 10000 div n_docs"))
+          .otherwise(lit(0L)))
+      .orderBy("cut_pct")
+  }
+
   /** Normalized exact dedup — the standard first pass on web text: case-
     * fold + whitespace-collapse + trim before hashing, so trivially-mutated
     * copies land in one group. (Regex kept to a portable subset: DuckDB is
@@ -1239,6 +1294,7 @@ object Dedup {
     "ta_novelty" -> (novelty _),
     "dd_url_canon" -> (urlCanon _),
     "dd_exact" -> (exact _),
+    "dd_saturation" -> (saturation _),
     "dd_normalized" -> (normalized _),
     "dd_ngram_jaccard" -> (ngramJaccard _),
     "dd_jaccard_capped" -> (ngramJaccardCapped _),
@@ -1628,6 +1684,45 @@ object Dedup {
       """SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS norm_hash,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS group_size
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "dd_saturation" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents
+        |), mx AS (
+        |  SELECT MAX(doc_id) AS maxid FROM documents
+        |), dc AS (
+        |  SELECT CASE WHEN doc_id <= maxid * 25 // 100 THEN 25
+        |    WHEN doc_id <= maxid * 50 // 100 THEN 50
+        |    WHEN doc_id <= maxid * 75 // 100 THEN 75 ELSE 100 END AS cut_pct
+        |  FROM d CROSS JOIN mx
+        |), nd AS (
+        |  SELECT cut_pct, COUNT(*) AS nd FROM dc GROUP BY cut_pct
+        |), fo AS (
+        |  SELECT h, MIN(doc_id) AS fd FROM d GROUP BY h
+        |), fc AS (
+        |  SELECT CASE WHEN fd <= maxid * 25 // 100 THEN 25
+        |    WHEN fd <= maxid * 50 // 100 THEN 50
+        |    WHEN fd <= maxid * 75 // 100 THEN 75 ELSE 100 END AS cut_pct,
+        |    COUNT(*) AS nu
+        |  FROM fo CROSS JOIN mx GROUP BY 1
+        |), spine AS (
+        |  SELECT UNNEST([25, 50, 75, 100]) AS cut_pct
+        |), cum AS (
+        |  SELECT s.cut_pct,
+        |    SUM(COALESCE(nd.nd, 0)) OVER w AS n_docs,
+        |    SUM(COALESCE(fc.nu, 0)) OVER w AS n_unique
+        |  FROM spine s
+        |  LEFT JOIN nd USING (cut_pct) LEFT JOIN fc USING (cut_pct)
+        |  WINDOW w AS (ORDER BY s.cut_pct
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT CAST(cut_pct AS BIGINT) AS cut_pct,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_unique AS BIGINT) AS n_unique,
+        |  CAST(n_docs - n_unique AS BIGINT) AS n_dup,
+        |  CAST(CASE WHEN n_docs > 0
+        |    THEN (n_docs - n_unique) * 10000 // n_docs ELSE 0 END AS BIGINT)
+        |    AS dup_rate_x10000
+        |FROM cum ORDER BY cut_pct""".stripMargin,
     "dd_ngram_jaccard" ->
       s"""WITH sh AS ($shinglesSql),
          |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),

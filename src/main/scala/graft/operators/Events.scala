@@ -827,6 +827,63 @@ object Events {
       .orderBy("hour_epoch")
   }
 
+  /** ATTRIBUTION MODEL COMPARISON (ev_attrib_models) — the table a
+    * marketing-analytics team reads before picking a credit rule:
+    * ev_attribution's join run ONCE, credited under FOUR models at
+    * once — first-touch, last-touch, linear (the ev_attribution
+    * largest-remainder split), and position-based (40/20/40: first and
+    * last touch get 4000 units each, the middles split 2000 by the
+    * same largest-remainder rule; n=1 gets all 10000, n=2 splits
+    * 5000/5000). Every model distributes EXACTLY 10000 integer units
+    * per conversion — the models differ only in WHERE credit lands,
+    * so the per-model hourly rollups are directly comparable and the
+    * cross-model total is constant (a built-in consistency check).
+    *
+    * Scale: the single bucket-replicated equi-join and the single
+    * per-purchase window of ev_attribution (the melt quadruples only
+    * POST-join credited rows); one map-side-combinable rollup on
+    * (model, hour). */
+  def attribModels(spark: SparkSession, dir: String): DataFrame =
+    attribModelsOn(events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("es")),
+      "click", "purchase", AttribWindowSec)
+
+  /** Same comparison over any (user_id, event_type, event_id, es) frame —
+    * Round20Spec pins all four splits on a hand-worked 4-touch path. */
+  def attribModelsOn(ev: DataFrame, aType: String, bType: String, win: Long): DataFrame = {
+    val a = ev.filter(col("event_type") === aType)
+      .select(col("user_id"), col("event_id"), col("es").as("ea"),
+        explode(expr(s"array(es div $win, es div $win + 1)")).as("bkt"))
+    val p = ev.filter(col("event_type") === bType)
+      .select(col("user_id"), col("event_id").as("pid"), col("es").as("ep"),
+        expr(s"es div $win").as("bkt"))
+    val wCnt = Window.partitionBy("pid")
+    val wRk = Window.partitionBy("pid").orderBy(col("ea").asc, col("event_id").asc)
+    a.join(p, Seq("user_id", "bkt"))
+      .filter(col("ea") >= col("ep") - win && col("ea") < col("ep"))
+      .withColumn("n", count(lit(1)).over(wCnt))
+      .withColumn("rk", row_number().over(wRk))
+      .withColumn("lin",
+        expr("10000 div n + (CASE WHEN rk <= 10000 % n THEN 1 ELSE 0 END)"))
+      .withColumn("fst", expr("CAST(CASE WHEN rk = 1 THEN 10000 ELSE 0 END AS BIGINT)"))
+      .withColumn("lst", expr("CAST(CASE WHEN rk = n THEN 10000 ELSE 0 END AS BIGINT)"))
+      .withColumn("pos", expr(
+        """CAST(CASE WHEN n = 1 THEN 10000
+          |  WHEN n = 2 THEN 5000
+          |  WHEN rk = 1 OR rk = n THEN 4000
+          |  ELSE 2000 div (n - 2)
+          |    + (CASE WHEN rk - 1 <= 2000 % (n - 2) THEN 1 ELSE 0 END)
+          |END AS BIGINT)""".stripMargin.replace("\n", " ")))
+      .withColumn("hour_epoch", expr("(ea div 3600) * 3600"))
+      .select(col("hour_epoch"), expr(
+        "stack(4, 'first', fst, 'last', lst, 'linear', lin, 'position', pos)" +
+          " AS (model, credit)"))
+      .groupBy("model", "hour_epoch")
+      .agg(count(lit(1)).as("n_touches"), sum(col("credit")).as("credit_x10000"))
+      .orderBy("model", "hour_epoch")
+  }
+
   /** Per-hop match window of ev_cep, seconds (one day — the driver
     * corpus runs ~2 events per user-day, so tighter windows starve the
     * pattern; at production event densities this is minutes). */
@@ -1524,6 +1581,7 @@ object Events {
     "ev_heavy_hitters" -> (heavyHitters _),
     "ev_hll" -> (hll _),
     "ev_attribution" -> (attribution _),
+    "ev_attrib_models" -> (attribModels _),
     "ev_absence" -> (absence _),
     "ev_lateness" -> (lateness _),
     "ev_cdc_scd2" -> (cdcScd2 _),
@@ -1929,6 +1987,42 @@ object Events {
          |SELECT (ea // 3600) * 3600 AS hour_epoch, COUNT(*) AS n_clicks,
          |  CAST(SUM(credit) AS BIGINT) AS credit_x10000
          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_attrib_models" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, event_id,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+         |), a AS (
+         |  SELECT user_id, event_id, es AS ea FROM e WHERE event_type = 'click'
+         |), p AS (
+         |  SELECT user_id, event_id AS pid, es AS ep FROM e WHERE event_type = 'purchase'
+         |), j AS (
+         |  SELECT a.event_id, a.ea, p.pid,
+         |    COUNT(*) OVER (PARTITION BY p.pid) AS n,
+         |    ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY a.ea, a.event_id) AS rk
+         |  FROM a JOIN p ON p.user_id = a.user_id
+         |    AND a.ea >= p.ep - $AttribWindowSec AND a.ea < p.ep
+         |), c AS MATERIALIZED (
+         |  SELECT (ea // 3600) * 3600 AS hour_epoch,
+         |    10000 // n + (CASE WHEN rk <= 10000 % n THEN 1 ELSE 0 END) AS lin,
+         |    CASE WHEN rk = 1 THEN 10000 ELSE 0 END AS fst,
+         |    CASE WHEN rk = n THEN 10000 ELSE 0 END AS lst,
+         |    CASE WHEN n = 1 THEN 10000
+         |      WHEN n = 2 THEN 5000
+         |      WHEN rk = 1 OR rk = n THEN 4000
+         |      ELSE 2000 // (n - 2)
+         |        + (CASE WHEN rk - 1 <= 2000 % (n - 2) THEN 1 ELSE 0 END)
+         |    END AS pos
+         |  FROM j
+         |), m AS (
+         |  SELECT hour_epoch, 'first' AS model, fst AS credit FROM c
+         |  UNION ALL SELECT hour_epoch, 'last', lst FROM c
+         |  UNION ALL SELECT hour_epoch, 'linear', lin FROM c
+         |  UNION ALL SELECT hour_epoch, 'position', pos FROM c
+         |)
+         |SELECT model, hour_epoch, COUNT(*) AS n_touches,
+         |  CAST(SUM(credit) AS BIGINT) AS credit_x10000
+         |FROM m GROUP BY model, hour_epoch
+         |ORDER BY model, hour_epoch""".stripMargin,
     // semantic (unbucketed) formulation — the bucket replication is a
     // plan choice, not a semantics change: (ea, ea+T] spans <= 2 buckets
     "ev_absence" ->

@@ -1418,6 +1418,60 @@ object Geo {
       .orderBy("qid")
   }
 
+  /** Buffer radius of zs_buffer, in integer hundredths of a degree. */
+  val BufferR100 = 150L
+
+  /** BUFFER / MORPHOLOGICAL DILATION (zs_buffer) — the ST_Buffer +
+    * ST_Union verb of the reference's PostGIS vocabulary, rasterized:
+    * the buffered region of a point layer is every 1-degree cell whose
+    * CENTER lies within R = 1.5 deg of some point, and dissolving the
+    * per-point disks is a DISTINCT on the cell key (the zs_dissolve
+    * rasterized-union argument: geometry never meets geometry).
+    * Coordinates stay in the nonneg-shifted integer-hundredths frame
+    * (slon in [0,36000), slat in [0,7000)), so the center-distance test
+    * is pure BIGINT arithmetic — shift-invariant, division-free,
+    * identical on both engines. Cells outside the clip band are dropped
+    * (the reference clips to its lon/lat box the same way). Output per
+    * event_type: point count, dissolved buffer area in cells, cell-x
+    * extent — the coverage table a vector-enrichment step publishes.
+    *
+    * Scale: the dilation fans each point onto <= 25 candidate cells
+    * map-side (a literal 5x5 window — no join, no geometry pairs), then
+    * ONE distinct shuffle keyed by (event_type, cell) with map-side
+    * partials, output bounded by the grid (360 x 70 x types), never by
+    * the corpus. */
+  def buffer(spark: SparkSession, dir: String): DataFrame =
+    bufferOn(events(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("event_type"),
+        expr("event_id * 7919 % 36000").as("slon"),
+        expr("event_id * 104729 % 7000").as("slat")))
+
+  /** Same dilation over any (event_type, slon, slat) point frame in the
+    * shifted integer-hundredths frame — Round20Spec pins the 3x3 disk of
+    * a cell-centered point, band clipping, and the dissolve overlap. */
+  def bufferOn(pts: DataFrame): DataFrame = {
+    val r2 = BufferR100 * BufferR100
+    val cells = pts
+      .withColumn("ox", explode(expr("sequence(-2, 2)")))
+      .withColumn("oy", explode(expr("sequence(-2, 2)")))
+      .select(col("event_type"),
+        (expr("slon div 100") + col("ox")).as("cx"),
+        (expr("slat div 100") + col("oy")).as("cy"),
+        col("slon"), col("slat"))
+      .filter(col("cx") >= 0 && col("cx") < 360
+        && col("cy") >= 0 && col("cy") < 70)
+      .filter(expr("(cx * 100 + 50 - slon) * (cx * 100 + 50 - slon)" +
+        s" + (cy * 100 + 50 - slat) * (cy * 100 + 50 - slat) <= $r2"))
+      .select("event_type", "cx", "cy").distinct()
+    val nPts = pts.groupBy("event_type").agg(count(lit(1)).as("n_points"))
+    cells.groupBy("event_type")
+      .agg(count(lit(1)).as("n_buffer_cells"),
+        min("cx").as("min_cx"), max("cx").as("max_cx"))
+      .join(nPts, Seq("event_type"))
+      .orderBy("event_type")
+  }
+
   /** Dissolve / ST_Union area: the union area of each group's overlapping
     * zone boxes, EXACTLY, by integer-cell decomposition — zone corners are
     * integer degrees, so a zone is exactly its 20x10 = 200 unit cells and
@@ -1756,6 +1810,7 @@ object Geo {
     "zs_shared_borders" -> (sharedBorders _),
     "zs_dissolve" -> (dissolve _),
     "zs_kde" -> (kde _),
+    "zs_buffer" -> (buffer _),
     "zs_idw" -> (idw _),
     "zs_line_clip" -> (lineClip _),
     "zs_area_weighted" -> (areaWeighted _),
@@ -1943,6 +1998,29 @@ object Geo {
           |  COUNT(DISTINCT cell) AS union_cells,
           |  CAST((COUNT(*) * 100) // COUNT(DISTINCT cell) AS BIGINT) AS overlap_x100
           |FROM c GROUP BY grp ORDER BY grp""".stripMargin,
+      "zs_buffer" ->
+        s"""WITH pts AS MATERIALIZED (
+           |  SELECT event_type, event_id * 7919 % 36000 AS slon,
+           |    event_id * 104729 % 7000 AS slat
+           |  FROM events
+           |), cand AS (
+           |  SELECT event_type, slon // 100 + ox AS cx, slat // 100 + oy AS cy,
+           |    slon, slat
+           |  FROM pts, range(-2, 3) tx(ox), range(-2, 3) ty(oy)
+           |), cells AS (
+           |  SELECT DISTINCT event_type, cx, cy FROM cand
+           |  WHERE cx >= 0 AND cx < 360 AND cy >= 0 AND cy < 70
+           |    AND (cx * 100 + 50 - slon) * (cx * 100 + 50 - slon)
+           |      + (cy * 100 + 50 - slat) * (cy * 100 + 50 - slat)
+           |      <= ${BufferR100 * BufferR100}
+           |), np AS (
+           |  SELECT event_type, COUNT(*) AS n_points FROM pts GROUP BY event_type
+           |)
+           |SELECT c.event_type, COUNT(*) AS n_buffer_cells,
+           |  MIN(cx) AS min_cx, MAX(cx) AS max_cx, np.n_points
+           |FROM cells c JOIN np USING (event_type)
+           |GROUP BY c.event_type, np.n_points
+           |ORDER BY c.event_type""".stripMargin,
       "zs_kde" ->
         """WITH g AS (
           |  SELECT CAST(ga * 10 + gb AS BIGINT) AS qid,

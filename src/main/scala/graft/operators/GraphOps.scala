@@ -501,6 +501,131 @@ object GraphOps {
       .orderBy(col("ra_x1e9").desc, col("a").asc, col("b").asc)
   }
 
+  /** Prediction depth of gr_linkpred_eval (hits@K). */
+  val LinkpredK = 50L
+
+  /** Holdout selector of gr_linkpred_eval: ~1 edge in 5, md5-keyed. */
+  val LinkpredHoldoutMod = 5L
+
+  /** LINK-PREDICTION EVALUATION HARNESS (gr_linkpred_eval) — the
+    * experiment the link-prediction literature actually runs (Liben-
+    * Nowell & Kleinberg 2007): hide a deterministic ~20% of the edges
+    * (md5 on the edge key — the repo's only sanctioned hash), score
+    * non-adjacent pairs on the REMAINING graph with the three classic
+    * scorers — common neighbors, resource allocation (1/deg), and
+    * Adamic-Adar frozen as the exact-integer 10^9 div bitlen(deg)
+    * (bitlen = floor(log2)+1, exact on both engines — the documented
+    * log2 surrogate) — and report hits@K against the hidden edges per
+    * scorer. gr_common_neighbors/gr_resource_alloc publish rankings;
+    * this publishes which scorer RECOVERS ground truth, the table that
+    * justifies choosing one. All three scores ride the SAME wedge row
+    * (one pair generation, one groupBy), melt via stack into (scorer,
+    * score) and rank in ONE window — never three wedge plans.
+    *
+    * Scale: the wedge fan-out is the audited gr_common_neighbors plan
+    * (center cap BEFORE pair generation); the melt triples only the
+    * AGGREGATED candidate frame; ranks are a per-scorer window over
+    * candidates, cut at K; hits is a broadcast-able semi join against
+    * the O(holdout) edge list. */
+  def linkpredEval(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    linkpredEvalOn(coActivityEdges(spark, dir))
+
+  /** Same harness over any undirected (a, b) edge set kept once as
+    * a < b — Round20Spec pins the split, the AA bitlen weights, and a
+    * recovered planted edge on a hand-worked graph. */
+  def linkpredEvalOn(edgesIn: DataFrame): DataFrame = {
+    val keyed = edgesIn.withColumn("ho", expr(
+      s"""CAST(conv(substring(md5(concat('lp:', CAST(a AS STRING), ':',
+         |CAST(b AS STRING))), 1, 4), 16, 10) AS BIGINT)
+         |% $LinkpredHoldoutMod = 0""".stripMargin.replace("\n", " ")))
+      .localCheckpoint() // consumers: train side (x4) + holdout side (x2)
+    val train = keyed.filter(!col("ho")).select("a", "b")
+    val holdout = keyed.filter(col("ho")).select("a", "b")
+    val sym = train.select((col("a") + lit(0L)).as("u"), (col("b") + lit(0L)).as("v"))
+      .unionByName(train.select((col("b") + lit(0L)).as("u"), (col("a") + lit(0L)).as("v")))
+      .localCheckpoint() // consumers: deg + capped wedge self-join (both sides)
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
+      .localCheckpoint() // both wedge self-join sides re-derive it otherwise
+    val okc = sym.join(deg.filter(col("d") <= CnDegCap)
+      .select(col("u"),
+        expr("CAST(1000000000 AS BIGINT) div d").as("w_ra"),
+        expr("CAST(1000000000 AS BIGINT) div length(bin(d))").as("w_aa")), Seq("u"))
+    val cand = okc.as("x").join(okc.as("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.v").as("a"), col("y.v").as("b"),
+        col("x.w_ra").as("w_ra"), col("x.w_aa").as("w_aa"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"), sum("w_ra").as("ra"), sum("w_aa").as("aa"))
+      .join(train, Seq("a", "b"), "left_anti")
+    val melted = cand.select(col("a"), col("b"), expr(
+      """stack(3, 'aa', aa, 'cn', cn * CAST(1000000000 AS BIGINT), 'ra', ra)
+        |AS (scorer, score)""".stripMargin.replace("\n", " ")))
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy("scorer")
+      .orderBy(col("score").desc, col("a").asc, col("b").asc)
+    val top = melted.withColumn("rk", row_number().over(wS))
+      .filter(col("rk") <= LinkpredK)
+    val nHo = holdout.agg(count(lit(1)).as("n_holdout"))
+      .localCheckpoint() // one-row frame: keep the final-plan audit clean
+    top.join(holdout.withColumn("hit", lit(1L)), Seq("a", "b"), "left_outer")
+      .groupBy("scorer")
+      .agg(count(lit(1)).as("k_scored"), sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .crossJoin(broadcast(nHo))
+      .withColumn("precision_x10000", expr(s"hits * 10000 div $LinkpredK"))
+      .select("scorer", "k_scored", "hits", "n_holdout", "precision_x10000")
+      .orderBy("scorer")
+  }
+
+  /** Degree thresholds of gr_rich_club. */
+  val RichClubKs = Seq(1L, 2L, 4L, 8L, 16L)
+
+  /** RICH-CLUB COEFFICIENT (gr_rich_club) — the hub-interconnection
+    * diagnostic (Zhou & Mondragón 2004; Colizza et al. 2006 normalize
+    * it): for each degree threshold k, phi(k) = 2·E_k / (N_k·(N_k−1))
+    * where N_k counts nodes of degree > k and E_k the edges between
+    * two such nodes — a phi(k) rising with k says the hubs form a
+    * club (they preferentially interconnect), which changes how much
+    * a hub-cap distorts the graph tier's projections. Published as
+    * the exact scaled integer phi_x10000 per threshold.
+    *
+    * Scale: degree is one map-side-combinable groupBy; each edge gets
+    * its endpoint degrees via two co-partitioned joins and reduces to
+    * min(da, db); then BOTH histograms are single conditional-sum
+    * aggregates (one pass each, all thresholds at once) and the final
+    * stack touches 5 rows. No per-k scans, no self-joins. */
+  def richClub(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    richClubOn(coActivityEdges(spark, dir))
+
+  /** Same coefficient over any undirected (a, b) edge set kept once as
+    * a < b — Round20Spec pins phi on a hand-worked hub graph. */
+  def richClubOn(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.localCheckpoint() // deg union sides + tagged pass
+    val sym = edges.select((col("a") + lit(0L)).as("u"))
+      .unionByName(edges.select((col("b") + lit(0L)).as("u")))
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
+      .localCheckpoint() // consumers: two edge-tag sides + node histogram
+    val mdeg = edges
+      .join(deg.select(col("u").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("u").as("b"), col("d").as("db")), Seq("b"))
+      .select(least(col("da"), col("db")).as("m"))
+    val eAggs = RichClubKs.map(k =>
+      sum(when(col("m") > k, 1L).otherwise(0L)).as(s"e$k"))
+    val nAggs = RichClubKs.map(k =>
+      sum(when(col("d") > k, 1L).otherwise(0L)).as(s"n$k"))
+    val ea = mdeg.agg(eAggs.head, eAggs.tail: _*)
+      .localCheckpoint() // one-row frame: keep the final-plan audit clean
+    val na = deg.agg(nAggs.head, nAggs.tail: _*)
+      .localCheckpoint() // one-row frame, same rule
+    ea.crossJoin(na)
+      .select(expr(s"stack(${RichClubKs.length}, " +
+        RichClubKs.map(k => s"CAST($k AS BIGINT), e$k, n$k").mkString(", ") +
+        ") AS (k, n_edges, n_nodes)"))
+      .withColumn("phi_x10000", expr(
+        "CASE WHEN n_nodes >= 2 THEN (20000 * n_edges) div (n_nodes * (n_nodes - 1)) " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .select("k", "n_nodes", "n_edges", "phi_x10000")
+      .orderBy("k")
+  }
+
   /** Hop budget of gr_khop. */
   val KhopRounds = 3
 
@@ -1642,6 +1767,8 @@ object GraphOps {
     "gr_khop" -> (khop _),
     "gr_common_neighbors" -> (commonNeighbors _),
     "gr_resource_alloc" -> (resourceAlloc _),
+    "gr_linkpred_eval" -> (linkpredEval _),
+    "gr_rich_club" -> (richClub _),
     "gr_pagerank" -> (pagerank _),
     "gr_ppr" -> (ppr _),
     "gr_ppr_converge" -> (pprConverge _),
@@ -1752,6 +1879,111 @@ object GraphOps {
       .orderBy(col("lcc_x10000").desc, col("node")).limit(20)
       .select("node", "n_tri", "deg", "lcc_x10000")
       .orderBy(col("lcc_x10000").desc, col("node"))
+  }
+
+  private def richClubSql: String = {
+    val eSums = RichClubKs.map(k =>
+      s"CAST(SUM(CASE WHEN m > $k THEN 1 ELSE 0 END) AS BIGINT) AS e$k").mkString(",\n       |    ")
+    val nSums = RichClubKs.map(k =>
+      s"CAST(SUM(CASE WHEN d > $k THEN 1 ELSE 0 END) AS BIGINT) AS n$k").mkString(",\n       |    ")
+    val rows = RichClubKs.map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS k, n$k AS n_nodes, e$k AS n_edges,
+         |    CAST(CASE WHEN n$k >= 2
+         |      THEN (20000 * e$k) // (n$k * (n$k - 1)) ELSE 0 END AS BIGINT)
+         |      AS phi_x10000
+         |  FROM ea CROSS JOIN na""").mkString("\n       |  UNION ALL\n       |  ")
+    s"""WITH act AS MATERIALIZED (
+       |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr FROM events
+       |), sizes AS MATERIALIZED (
+       |  SELECT event_type, hr FROM (
+       |    SELECT event_type, hr, COUNT(*) AS n FROM act GROUP BY 1, 2) WHERE n <= 20
+       |), ok AS MATERIALIZED (
+       |  SELECT act.* FROM act JOIN sizes USING (event_type, hr)
+       |), edges AS MATERIALIZED (
+       |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+       |  FROM ok x JOIN ok y ON x.event_type = y.event_type AND x.hr = y.hr
+       |    AND x.user_id < y.user_id
+       |), sym AS (
+       |  SELECT a AS u FROM edges UNION ALL SELECT b FROM edges
+       |), deg AS MATERIALIZED (
+       |  SELECT u, COUNT(*) AS d FROM sym GROUP BY u
+       |), mdeg AS (
+       |  SELECT LEAST(da.d, db.d) AS m
+       |  FROM edges e JOIN deg da ON da.u = e.a JOIN deg db ON db.u = e.b
+       |), ea AS (
+       |  SELECT $eSums
+       |  FROM mdeg
+       |), na AS (
+       |  SELECT $nSums
+       |  FROM deg
+       |)
+       |SELECT * FROM (
+       |  $rows
+       |) ORDER BY k""".stripMargin
+  }
+
+  private def linkpredEvalSql: String = {
+    val hex4 = (1 to 4).map(k =>
+        s"(strpos('0123456789abcdef', substr(mh, $k, 1)) - 1)")
+      .reduce((a, b) => s"($a * 16 + $b)")
+    s"""WITH act AS MATERIALIZED (
+       |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr FROM events
+       |), sizes AS MATERIALIZED (
+       |  SELECT event_type, hr FROM (
+       |    SELECT event_type, hr, COUNT(*) AS n FROM act GROUP BY 1, 2) WHERE n <= 20
+       |), ok AS MATERIALIZED (
+       |  SELECT act.* FROM act JOIN sizes USING (event_type, hr)
+       |), edges AS MATERIALIZED (
+       |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+       |  FROM ok x JOIN ok y ON x.event_type = y.event_type AND x.hr = y.hr
+       |    AND x.user_id < y.user_id
+       |), keyed AS MATERIALIZED (
+       |  SELECT a, b, ($hex4) % $LinkpredHoldoutMod = 0 AS ho
+       |  FROM (SELECT a, b,
+       |    md5('lp:' || CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)) AS mh
+       |    FROM edges)
+       |), train AS MATERIALIZED (
+       |  SELECT a, b FROM keyed WHERE NOT ho
+       |), holdout AS MATERIALIZED (
+       |  SELECT a, b FROM keyed WHERE ho
+       |), sym AS (
+       |  SELECT a AS u, b AS v FROM train UNION ALL SELECT b, a FROM train
+       |), deg AS MATERIALIZED (
+       |  SELECT u, COUNT(*) AS d FROM sym GROUP BY u
+       |), okc AS (
+       |  SELECT sym.u, sym.v, 1000000000 // deg.d AS w_ra,
+       |    1000000000 // length(bin(deg.d)) AS w_aa
+       |  FROM sym JOIN deg USING (u) WHERE deg.d <= $CnDegCap
+       |), cand AS MATERIALIZED (
+       |  SELECT c.a, c.b, c.cn, c.ra, c.aa FROM (
+       |    SELECT x.v AS a, y.v AS b, COUNT(*) AS cn,
+       |      SUM(x.w_ra) AS ra, SUM(x.w_aa) AS aa
+       |    FROM okc x JOIN okc y ON x.u = y.u AND x.v < y.v
+       |    GROUP BY 1, 2) c
+       |  WHERE NOT EXISTS (SELECT 1 FROM train t WHERE t.a = c.a AND t.b = c.b)
+       |), melted AS (
+       |  SELECT a, b, 'aa' AS scorer, CAST(aa AS BIGINT) AS score FROM cand
+       |  UNION ALL
+       |  SELECT a, b, 'cn', CAST(cn AS BIGINT) * 1000000000 FROM cand
+       |  UNION ALL
+       |  SELECT a, b, 'ra', CAST(ra AS BIGINT) FROM cand
+       |), top AS (
+       |  SELECT * FROM (
+       |    SELECT a, b, scorer,
+       |      ROW_NUMBER() OVER (PARTITION BY scorer ORDER BY score DESC, a, b) AS rk
+       |    FROM melted)
+       |  WHERE rk <= $LinkpredK
+       |), nho AS (SELECT COUNT(*) AS n_holdout FROM holdout)
+       |SELECT t.scorer, COUNT(*) AS k_scored,
+       |  CAST(SUM(CASE WHEN h.a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |  nho.n_holdout,
+       |  CAST(SUM(CASE WHEN h.a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 10000 // $LinkpredK AS precision_x10000
+       |FROM top t
+       |LEFT JOIN holdout h ON t.a = h.a AND t.b = h.b
+       |CROSS JOIN nho
+       |GROUP BY t.scorer, nho.n_holdout
+       |ORDER BY t.scorer""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -2317,6 +2549,8 @@ object GraphOps {
          |JOIN deg da ON da.u = p.a
          |JOIN deg db ON db.u = p.b
          |ORDER BY p.n_common DESC, p.a, p.b LIMIT 20""".stripMargin,
+    "gr_linkpred_eval" -> linkpredEvalSql,
+    "gr_rich_club" -> richClubSql,
     "gr_resource_alloc" ->
       s"""WITH act AS (
          |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr FROM events

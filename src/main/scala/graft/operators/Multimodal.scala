@@ -466,6 +466,50 @@ object Multimodal {
       .orderBy("rung")
   }
 
+  /** Per-clip encoder token cap of mm_audio_tokens. */
+  val AudioMaxTokens = 1500L
+
+  /** AUDIO TOKEN ACCOUNTING (mm_audio_tokens) — the audio sibling of
+    * mm_vit_tokens: the sample → frame → token budget every speech
+    * pipeline prices before packing. Clip metadata is the deterministic
+    * fake (sample rate from doc_id mod 4 in {8, 16, 32, 48} kHz,
+    * duration from n_chars), but the arithmetic is the real front-end:
+    * resample to 16 kHz (n16 = n_samples * 16000 div sr — exact
+    * BIGINT), STFT frames at win 400 / hop 160 (the wav2vec2/Whisper
+    * constants: frames = (n16 - 400) div 160 + 1), encoder tokens =
+    * ceil(frames / 8) (three stride-2 convs), capped at AudioMaxTokens
+    * with the overflow counted — the truncation audit a speech-LM data
+    * pipeline publishes per source.
+    *
+    * Scale: every derivation is row-local integer arithmetic; the only
+    * shuffle is the map-side-combinable per-source rollup. */
+  def audioTokens(spark: SparkSession, dir: String): DataFrame =
+    audioTokensOn(documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"), col("n_chars")))
+
+  /** Same accounting over any (doc_id, source, n_chars) frame —
+    * Round20Spec pins the frame/token math on hand-sized clips. */
+  def audioTokensOn(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("sr", expr(
+        """CAST(CASE WHEN doc_id % 4 = 0 THEN 8000
+          |  WHEN doc_id % 4 = 1 THEN 16000
+          |  WHEN doc_id % 4 = 2 THEN 32000
+          |  ELSE 48000 END AS BIGINT)""".stripMargin.replace("\n", " ")))
+      .withColumn("dur_ms", expr("(n_chars * 137) % 180000 + 1000"))
+      .withColumn("n16", expr("(sr * dur_ms div 1000) * 16000 div sr"))
+      .withColumn("frames", expr(
+        "CASE WHEN n16 >= 400 THEN (n16 - 400) div 160 + 1 ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("tokens", expr("(frames + 7) div 8"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("dur_ms")).as("total_ms"),
+        sum(col("tokens")).as("tokens_full"),
+        sum(least(col("tokens"), lit(AudioMaxTokens))).as("tokens_kept"),
+        sum(when(col("tokens") > AudioMaxTokens, 1L).otherwise(0L)).as("n_truncated"))
+      .orderBy("source")
+
   /** Context budget / per-image token cap of mm_vit_tokens. */
   val VitCtxTokens = 8192L
   val VitMaxImgTokens = 1024L
@@ -534,6 +578,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_vit_tokens" -> (vitTokens _),
+    "mm_audio_tokens" -> (audioTokens _),
     "mm_aspect_bucket" -> (aspectBucket _),
     "mm_epoch_shuffle" -> (epochShuffle _),
     "mm_scene_cut" -> (sceneCut _),
@@ -549,6 +594,30 @@ object Multimodal {
     "mm_embed_knn" -> (embedKnn _))
 
   val oracle: Map[String, String] = Map(
+    "mm_audio_tokens" ->
+      s"""WITH c AS (
+         |  SELECT source,
+         |    CASE WHEN doc_id % 4 = 0 THEN 8000
+         |      WHEN doc_id % 4 = 1 THEN 16000
+         |      WHEN doc_id % 4 = 2 THEN 32000
+         |      ELSE 48000 END AS sr,
+         |    (n_chars * 137) % 180000 + 1000 AS dur_ms
+         |  FROM documents
+         |), t AS (
+         |  SELECT source, dur_ms, tokens FROM (
+         |    SELECT source, dur_ms,
+         |      (CASE WHEN n16 >= 400 THEN (n16 - 400) // 160 + 1 ELSE 0 END + 7)
+         |        // 8 AS tokens
+         |    FROM (SELECT source, dur_ms,
+         |      (sr * dur_ms // 1000) * 16000 // sr AS n16 FROM c))
+         |)
+         |SELECT source, COUNT(*) AS n_clips,
+         |  CAST(SUM(dur_ms) AS BIGINT) AS total_ms,
+         |  CAST(SUM(tokens) AS BIGINT) AS tokens_full,
+         |  CAST(SUM(LEAST(tokens, $AudioMaxTokens)) AS BIGINT) AS tokens_kept,
+         |  CAST(SUM(CASE WHEN tokens > $AudioMaxTokens THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_truncated
+         |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "mm_vit_tokens" -> {
       val toks = (s: Long) =>
         s"1 + ((w + ${16 * s - 1}) // ${16 * s}) * ((h + ${16 * s - 1}) // ${16 * s})"

@@ -571,7 +571,45 @@ object Relational {
       .orderBy(col("n_matched").desc, col("user_id"))
   }
 
+  /** Salt fan-out of q33_salted_join. */
+  val SaltS = 8L
+
+  /** EXPLICIT SKEW-SALTED JOIN (q33_salted_join) — the execution-side
+    * counterpart of io_skew_profile's "should I salt" verdict: the fact
+    * side carries a deterministic salt (l_orderkey % S) and the dim side
+    * is replicated S times with every salt value, so a HOT supplier key
+    * fans across S shuffle partitions instead of one straggler task —
+    * the manual skew mitigation that works when AQE's runtime skew split
+    * (pinned in SkewSpec) can't see the skew (map-side inputs, AQE off,
+    * or a non-shuffle downstream consumer that must inherit the salted
+    * partitioning). The oracle runs the PLAIN unsalted join: hash-match
+    * proves the transform is semantics-preserving, which is the whole
+    * contract of salting.
+    *
+    * Scale: dim replication is S x |supplier| (dim-sized; Catalyst may
+    * still broadcast it — salting composes harmlessly), and the shuffle
+    * key (l_suppkey, salt) has S x the cardinality of the natural key —
+    * strictly better task balance under skew. Revenue accumulates as
+    * DECIMAL(18,6) (the double-sum determinism rule). */
+  def q33SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fact = lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"),
+        (col("l_orderkey") % SaltS).as("salt"))
+    val dim = supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .withColumn("salt", explode(expr(s"sequence(0L, ${SaltS - 1L})")))
+    fact.join(dim,
+        fact("l_suppkey") === dim("s_suppkey") && fact("salt") === dim("salt"))
+      .groupBy("s_nationkey")
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("s_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_salted_join" -> (q33SaltedJoin _),
     "q32_setops_all" -> (q32SetOpsAll _),
     "q31_lateral" -> (q31Lateral _),
     "q30_unpivot" -> (q30Unpivot _),
@@ -603,6 +641,12 @@ object Relational {
     "q12_union_dedup" -> (q12UnionDedup _))
 
   val oracle: Map[String, String] = Map(
+    "q33_salted_join" ->
+      """SELECT s_nationkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q32_setops_all" ->
       """WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
         |p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),

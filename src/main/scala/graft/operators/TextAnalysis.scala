@@ -790,6 +790,64 @@ object TextAnalysis {
       .orderBy("cut_pct")
   }
 
+  /** Top-rank cap of ta_zipf (bounds the regression point set). */
+  val ZipfTopN = 1024
+
+  /** ZIPF RANK-FREQUENCY FIT (ta_zipf) — the corpus-health sibling of
+    * ta_heaps: Zipf's law (Zipf 1949; Piantadosi 2014 review) says
+    * freq(rank) ~ rank^(-s) with s near 1 for natural language, and a
+    * corpus whose fitted s drifts is a curation signal — s >> 1 means a
+    * few boilerplate tokens dominate (template-heavy crawl), s << 1
+    * means a flat tail (shuffled/synthetic text). Exact-integer
+    * re-expression: both logs in the least-squares slope are frozen as
+    * BIT LENGTH (length(bin(x)) = floor(log2 x)+1 — exact on BOTH
+    * engines), so the fit is ordinary integer least squares over
+    * (bitlen(rank), bitlen(freq)) of the top-N words by (freq desc,
+    * word asc) — a total order. The slope numerator can be negative
+    * (it IS, on a Zipfian corpus), so the division publishes via the
+    * abs-split (operands nonnegative => Spark div = DuckDB //).
+    * Output: one row per rank OCTAVE (bitlen(rank)) — word count,
+    * token mass, freq range — with the global slope_x10000 riding
+    * every row (the sanctioned one-row cross-join shape).
+    *
+    * Scale: one map-side-combinable corpus word count, a top-N
+    * TakeOrdered (never a global sort), then the regression and the
+    * octave rollup both aggregate <= N rows. The single-partition
+    * rank window orders the already-limited N-row frame. */
+  def zipf(spark: SparkSession, dir: String): DataFrame =
+    zipfOn(documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  /** Same fit over any frame with a `text` column — Round20Spec pins the
+    * octave table and the hand-worked integer slope on a tiny corpus. */
+  def zipfOn(docs: DataFrame): DataFrame = {
+    val pts = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word").asc).limit(ZipfTopN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("word").asc)).cast("long"))
+      .select(col("rank"), col("freq"),
+        length(bin(col("rank"))).cast("long").as("x"),
+        length(bin(col("freq"))).cast("long").as("y"))
+      .localCheckpoint() // consumers: regression agg + octave rollup
+    val reg = pts
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .select(expr(
+        """CASE WHEN n * sxy - sx * sy >= 0
+          |  THEN (10000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)
+          |  ELSE -((10000 * (sx * sy - n * sxy)) div (n * sxx - sx * sx))
+          |END""".stripMargin).as("slope_x10000"))
+      .localCheckpoint() // one-row frame: keep the final-plan audit clean
+    pts
+      .groupBy(col("x").as("rank_octave"))
+      .agg(count(lit(1)).as("n_words"), sum("freq").as("mass"),
+        min("freq").as("min_freq"), max("freq").as("max_freq"))
+      .crossJoin(broadcast(reg))
+      .orderBy("rank_octave")
+  }
+
   /** Domain-mixture reweighting (the Pile/DoReMi-style curation step
     * before training): per-source token mass vs the equal-share target,
     * and the up/down-sampling factor each source needs to hit it. One
@@ -2094,6 +2152,7 @@ object TextAnalysis {
     "ta_bpe_encode" -> (bpeEncode _),
     "ta_bpe_sweep" -> (bpeSweep _),
     "ta_heaps" -> (heaps _),
+    "ta_zipf" -> (zipf _),
     "ta_diversity" -> (diversity _),
     "ta_pii_scrub" -> (piiScrub _),
     "ta_boilerplate" -> (boilerplate _),
@@ -3094,6 +3153,35 @@ object TextAnalysis {
         |FROM u ORDER BY v_cut""".stripMargin,
     "ta_bpe_train" -> bpeOracleSql,
     "ta_bpe_sweep" -> bpeSweepOracleSql,
+    "ta_zipf" ->
+      s"""WITH words AS (
+         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+         |), freqs AS (
+         |  SELECT word, COUNT(*) AS freq FROM words GROUP BY word
+         |  ORDER BY freq DESC, word ASC LIMIT $ZipfTopN
+         |), pts AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY freq DESC, word ASC) AS rank, freq
+         |  FROM freqs
+         |), xy AS (
+         |  SELECT CAST(freq AS BIGINT) AS freq,
+         |    CAST(length(bin(rank)) AS BIGINT) AS x,
+         |    CAST(length(bin(freq)) AS BIGINT) AS y
+         |  FROM pts
+         |), reg AS (
+         |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         |    SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM xy
+         |), slope AS (
+         |  SELECT CAST(CASE WHEN n * sxy - sx * sy >= 0
+         |    THEN (10000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+         |    ELSE -((10000 * (sx * sy - n * sxy)) // (n * sxx - sx * sx))
+         |  END AS BIGINT) AS slope_x10000 FROM reg
+         |)
+         |SELECT x AS rank_octave, COUNT(*) AS n_words,
+         |  CAST(SUM(freq) AS BIGINT) AS mass,
+         |  MIN(freq) AS min_freq, MAX(freq) AS max_freq, s.slope_x10000
+         |FROM xy CROSS JOIN slope s
+         |GROUP BY x, s.slope_x10000
+         |ORDER BY rank_octave""".stripMargin,
     "ta_heaps" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents

@@ -457,6 +457,73 @@ object ManifestIO {
       .orderBy("event_type")
   }
 
+  def ldpQuery(spark: SparkSession, dir: String): DataFrame =
+    ldpOn(Tables.events(spark, dir))
+
+  /** LOCAL DIFFERENTIAL PRIVACY — k-ary randomized response (io_ldp).
+    * The privacy tier's collection-side sibling of io_kanon's
+    * release-side audit: each event reports its TRUE event_type with
+    * probability 3/4, otherwise a uniformly drawn type (Warner 1965;
+    * the k-RR mechanism RAPPOR generalizes) — then the aggregator
+    * debiases: E[obs_t] = p*n_t + (1-p)*n/K, so est_t =
+    * (4*obs_t*K - n) / (3K) with p = 3/4. The "coin" is md5 on the
+    * event key (the repo's only sanctioned hash), so both engines flip
+    * identically and the whole mechanism-plus-estimator roundtrip is
+    * oracle-checkable bit for bit. The estimator numerator can run
+    * negative for rare types (that IS the mechanism's noise floor), so
+    * the division publishes via the abs-split; the privacy bound rides
+    * every row as exp_eps = 1 + 3K EXACTLY (e^eps of k-RR at p=3/4 —
+    * the one transcendental-free way to publish epsilon). Output per
+    * type: true count, observed randomized count, debiased estimate,
+    * signed error — the utility table a privacy deployment publishes
+    * when calibrating k-RR against its type taxonomy.
+    *
+    * Scale: ONE corpus scan emits (true, reported) per event as a
+    * 2-row melt, then one map-side-combinable groupBy on the bounded
+    * type key; the vocabulary and its size are broadcast one-row/K-row
+    * frames; the total rides a window over the AGGREGATED K-row frame
+    * (the ta_mixture shape) — no second corpus pass. */
+  def ldpOn(events: DataFrame): DataFrame = {
+    val w = Window.orderBy("event_type")
+    val vocab = events.select(col("event_type")).distinct()
+      .withColumn("idx", row_number().over(w).cast("long") - 1L)
+      .localCheckpoint() // consumers: K count + replacement lookup
+    val kRow = vocab.agg(count(lit(1)).as("kk"))
+      .localCheckpoint() // one-row frame: two crossJoin consumers
+    val coin = events.select(col("event_id"), col("event_type"))
+      .withColumn("mh", md5(concat(lit("ldp:"), col("event_id").cast("string"))))
+      .withColumn("c", expr(
+        "CAST(conv(substring(mh, 1, 1), 16, 10) AS BIGINT) % 4"))
+      .withColumn("rh", expr(
+        "CAST(conv(substring(mh, 2, 4), 16, 10) AS BIGINT)"))
+      .crossJoin(broadcast(kRow))
+      .withColumn("ridx", col("rh") % col("kk"))
+    val reported = coin
+      .join(broadcast(vocab.select(col("idx").as("ridx"),
+        col("event_type").as("rtype"))), Seq("ridx"))
+      .select(col("event_type"),
+        when(col("c") < 3, col("event_type")).otherwise(col("rtype")).as("rep"))
+    val counts = reported
+      .select(explode(array(
+        struct(col("event_type").as("t"), lit(1L).as("is_true")),
+        struct(col("rep").as("t"), lit(0L).as("is_true")))).as("s"))
+      .select(col("s.t").as("event_type"), col("s.is_true"))
+      .groupBy("event_type")
+      .agg(sum("is_true").as("true_cnt"), sum(expr("1 - is_true")).as("obs_cnt"))
+      .withColumn("n", sum("true_cnt").over(Window.partitionBy()))
+    counts.crossJoin(broadcast(kRow))
+      .withColumn("est_x10000", expr(
+        """CASE WHEN 4 * obs_cnt * kk - n >= 0
+          |  THEN (10000 * (4 * obs_cnt * kk - n)) div (3 * kk)
+          |  ELSE -((10000 * (n - 4 * obs_cnt * kk)) div (3 * kk))
+          |END""".stripMargin.replace("\n", " ")))
+      .withColumn("err_x10000", expr("est_x10000 - true_cnt * 10000"))
+      .withColumn("exp_eps", expr("1 + 3 * kk"))
+      .select("event_type", "true_cnt", "obs_cnt", "est_x10000",
+        "err_x10000", "exp_eps")
+      .orderBy("event_type")
+  }
+
   def dqReportQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .agg(
@@ -1285,6 +1352,7 @@ object ManifestIO {
     "io_wap" -> (wapQuery _),
     "io_dq_report" -> (dqReportQuery _),
     "io_kanon" -> (kanonQuery _),
+    "io_ldp" -> (ldpQuery _),
     "io_merge" -> (mergeQuery _),
     "io_histogram" -> (histogramQuery _),
     "io_partition_evolution" -> (partitionEvolutionQuery _),
@@ -1299,6 +1367,47 @@ object ManifestIO {
     "io_csv_manifest" -> (csvManifestQuery _),
     "io_json_manifest" -> (jsonManifestQuery _),
     "io_partitioned_scan" -> (partitionedScanQuery _))
+
+  private def ldpSql: String = {
+    val hex1 = "(strpos('0123456789abcdef', substr(mh, 1, 1)) - 1)"
+    val hex4 = (2 to 5).map(k =>
+        s"(strpos('0123456789abcdef', substr(mh, $k, 1)) - 1)")
+      .reduce((a, b) => s"($a * 16 + $b)")
+    """WITH vocab AS MATERIALIZED (
+      |  SELECT event_type, ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS idx
+      |  FROM (SELECT DISTINCT event_type FROM events)
+      |), kk AS MATERIALIZED (SELECT COUNT(*) AS kk FROM vocab
+      |), coin AS (
+      |  SELECT event_type, HEX1 % 4 AS c, HEX4 % kk.kk AS ridx
+      |  FROM (SELECT event_type,
+      |    md5('ldp:' || CAST(event_id AS VARCHAR)) AS mh FROM events)
+      |  CROSS JOIN kk
+      |), rep AS MATERIALIZED (
+      |  SELECT coin.event_type,
+      |    CASE WHEN c < 3 THEN coin.event_type ELSE v.event_type END AS rep
+      |  FROM coin JOIN vocab v ON v.idx = coin.ridx
+      |), melted AS (
+      |  SELECT event_type AS t, 1 AS is_true FROM rep
+      |  UNION ALL SELECT rep, 0 FROM rep
+      |), counts AS (
+      |  SELECT t AS event_type, CAST(SUM(is_true) AS BIGINT) AS true_cnt,
+      |    CAST(SUM(1 - is_true) AS BIGINT) AS obs_cnt
+      |  FROM melted GROUP BY t
+      |), tot AS (SELECT CAST(SUM(true_cnt) AS BIGINT) AS n FROM counts
+      |), est AS (
+      |  SELECT c.event_type, c.true_cnt, c.obs_cnt,
+      |    CAST(CASE WHEN 4 * c.obs_cnt * kk.kk - tot.n >= 0
+      |      THEN (10000 * (4 * c.obs_cnt * kk.kk - tot.n)) // (3 * kk.kk)
+      |      ELSE -((10000 * (tot.n - 4 * c.obs_cnt * kk.kk)) // (3 * kk.kk))
+      |    END AS BIGINT) AS est_x10000,
+      |    CAST(1 + 3 * kk.kk AS BIGINT) AS exp_eps
+      |  FROM counts c CROSS JOIN kk CROSS JOIN tot
+      |)
+      |SELECT event_type, true_cnt, obs_cnt, est_x10000,
+      |  est_x10000 - true_cnt * 10000 AS err_x10000, exp_eps
+      |FROM est ORDER BY event_type""".stripMargin
+      .replace("HEX1", hex1).replace("HEX4", hex4)
+  }
 
   val oracle: Map[String, String] = Map(
     "io_wap" ->
@@ -1494,6 +1603,7 @@ object ManifestIO {
         |  COALESCE(MAX(r.n_risk_users), 0) AS n_risk_users
         |FROM combos c LEFT JOIN risk r ON c.event_type = r.event_type
         |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin,
+    "io_ldp" -> ldpSql,
     "io_merge" ->
       """WITH upd0 AS (
         |  SELECT l_orderkey AS okey,

@@ -121,7 +121,23 @@ class PlanAuditSpec extends SparkSpecBase {
     "io_skew_profile",
     // gr_modularity cross-joins the ONE-ROW edge-count and ONE-ROW global
     // Q aggregates onto the per-community rows — the gr_triangles shape
-    "gr_modularity")
+    "gr_modularity",
+    // gr_linkpred_eval cross-joins the ONE-ROW holdout-count aggregate
+    // onto its three scorer rows — the gr_triangles sanctioned shape
+    "gr_linkpred_eval",
+    // ta_zipf cross-joins the ONE-ROW regression-slope aggregate onto
+    // its <= 11 octave rows — the gr_triangles sanctioned shape
+    "ta_zipf",
+    // io_ldp cross-joins the ONE-ROW vocabulary-size aggregate onto the
+    // per-event coin stream and the per-type estimates — K-bounded
+    // broadcast, the gr_triangles shape
+    "io_ldp",
+    // gr_rich_club cross-joins its TWO ONE-ROW conditional-sum
+    // histograms for the 5-row stack — the gr_triangles shape
+    "gr_rich_club",
+    // dd_saturation cross-joins the ONE-ROW max-doc-id aggregate onto
+    // the doc and first-occurrence streams — the ta_heaps shape
+    "dd_saturation")
 
   test("no query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
