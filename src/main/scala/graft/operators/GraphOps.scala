@@ -575,6 +575,39 @@ object GraphOps {
       .orderBy("scorer")
   }
 
+  /** CONNECTED-COMPONENT SIZE HISTOGRAM (gr_components) — the graph
+    * census every projection audit starts with: how fragmented is the
+    * co-activity graph, and does one giant component dominate (the
+    * percolation question that decides whether sampling by component is
+    * even possible)? Labels come from the audited two-phase star
+    * contraction (minLabelComponentsDoubling — the Kiveris et al. 2014
+    * alternating large-star/small-star algorithm, O(log n) rounds with
+    * a driver-side star-forest convergence test), then two bounded
+    * rollups: component sizes, then the size histogram. Nodes are the
+    * edge endpoints (isolated users have no co-activity by definition).
+    * The oracle replays reachability as a recursive min-label closure
+    * (the dd_cluster precedent) — different algorithm, same fixpoint,
+    * which makes the hash-match a real cross-check of the contraction.
+    *
+    * Scale: star contraction is the published 100 TB components
+    * algorithm (each round two groupBy-min passes + equi-joins, edges
+    * only shrink); the histogram aggregates O(components) rows. */
+  def componentsQ(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    componentsOn(coActivityEdges(spark, dir))
+
+  /** Same census over any undirected (a, b) edge set kept once as
+    * a < b — Round20Spec pins the histogram on hand-worked fragments. */
+  def componentsOn(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.localCheckpoint() // node projection + label input
+    val nodes = edges.select(col("a").as("id"))
+      .unionByName(edges.select(col("b").as("id"))).distinct()
+    val comp = minLabelComponentsDoubling(
+      nodes, edges.select(col("a").as("src"), col("b").as("dst")))
+    comp.groupBy("comp").agg(count(lit(1)).as("comp_size"))
+      .groupBy("comp_size").agg(count(lit(1)).as("n_components"))
+      .orderBy("comp_size")
+  }
+
   /** Degree thresholds of gr_rich_club. */
   val RichClubKs = Seq(1L, 2L, 4L, 8L, 16L)
 
@@ -1769,6 +1802,7 @@ object GraphOps {
     "gr_resource_alloc" -> (resourceAlloc _),
     "gr_linkpred_eval" -> (linkpredEval _),
     "gr_rich_club" -> (richClub _),
+    "gr_components" -> (componentsQ _),
     "gr_pagerank" -> (pagerank _),
     "gr_ppr" -> (ppr _),
     "gr_ppr_converge" -> (pprConverge _),
@@ -1880,6 +1914,34 @@ object GraphOps {
       .select("node", "n_tri", "deg", "lcc_x10000")
       .orderBy(col("lcc_x10000").desc, col("node"))
   }
+
+  private def componentsSql: String =
+    """WITH RECURSIVE act AS MATERIALIZED (
+      |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr FROM events
+      |), sizes AS MATERIALIZED (
+      |  SELECT event_type, hr FROM (
+      |    SELECT event_type, hr, COUNT(*) AS n FROM act GROUP BY 1, 2) WHERE n <= 20
+      |), ok AS MATERIALIZED (
+      |  SELECT act.* FROM act JOIN sizes USING (event_type, hr)
+      |), edges AS MATERIALIZED (
+      |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+      |  FROM ok x JOIN ok y ON x.event_type = y.event_type AND x.hr = y.hr
+      |    AND x.user_id < y.user_id
+      |), e AS MATERIALIZED (
+      |  SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b, a FROM edges
+      |), n AS MATERIALIZED (
+      |  SELECT a AS id FROM edges UNION SELECT b FROM edges
+      |), reach AS (
+      |  SELECT id, id AS comp FROM n
+      |  UNION
+      |  SELECT e.dst AS id, reach.comp FROM reach JOIN e ON reach.id = e.src
+      |), c AS (
+      |  SELECT id, MIN(comp) AS comp FROM reach GROUP BY id
+      |), s AS (
+      |  SELECT comp, COUNT(*) AS comp_size FROM c GROUP BY comp
+      |)
+      |SELECT CAST(comp_size AS BIGINT) AS comp_size, COUNT(*) AS n_components
+      |FROM s GROUP BY comp_size ORDER BY comp_size""".stripMargin
 
   private def richClubSql: String = {
     val eSums = RichClubKs.map(k =>
@@ -2551,6 +2613,7 @@ object GraphOps {
          |ORDER BY p.n_common DESC, p.a, p.b LIMIT 20""".stripMargin,
     "gr_linkpred_eval" -> linkpredEvalSql,
     "gr_rich_club" -> richClubSql,
+    "gr_components" -> componentsSql,
     "gr_resource_alloc" ->
       s"""WITH act AS (
          |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr FROM events

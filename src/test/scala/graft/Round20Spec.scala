@@ -193,6 +193,23 @@ class Round20Spec extends SparkSpecBase {
       s"hand-worked rich-club table diverged: $got")
   }
 
+  // -- gr_components -----------------------------------------------------
+
+  /** Path 1-2-3, edge 10-11, triangle 20-21-22, edge 30-31: component
+    * sizes 3, 2, 3, 2 -> histogram (2 -> 2 components, 3 -> 2). */
+  test("gr_components: hand-worked fragment census") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L), (2L, 3L),
+      (10L, 11L),
+      (20L, 21L), (20L, 22L), (21L, 22L),
+      (30L, 31L)).toDF("a", "b")
+    val got = GraphOps.componentsOn(edges).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got == Seq((2L, 2L), (3L, 2L)),
+      s"hand-worked component histogram diverged: $got")
+  }
+
   // -- ev_attrib_models --------------------------------------------------
 
   /** One purchase at es 3630 (window [30, 3630)) over clicks at es 100
