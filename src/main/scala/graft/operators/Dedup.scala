@@ -111,6 +111,40 @@ object Dedup {
       .orderBy("cut_pct")
   }
 
+  /** DUPLICATED-N-GRAM FRACTION (dd_dup_ngrams) — the Gopher/RefinedWeb
+    * quality signal dd_exact can't see: per document, what share of its
+    * distinct word-3-grams also occur in OTHER documents? A high share
+    * with no exact-dup match is boilerplate/template contamination (the
+    * doc is stitched from corpus-common fragments). Published as the
+    * decile histogram of the per-doc share (decile = frac_x10000 div
+    * 1000, 0..10) with the gram mass per decile — bounded output at any
+    * corpus size. df counts DOCUMENTS per gram (shingles are distinct
+    * per doc), so a gram repeated only inside one doc does not count as
+    * duplicated — that within-doc signal is ta_repetition's job.
+    *
+    * Scale: reuses the dd_ngram_jaccard shingle shuffle; df is one
+    * map-side-combinable groupBy on the gram key; the per-doc rollup
+    * joins back on the same key and the decile histogram is 11 rows. */
+  def dupNgrams(spark: SparkSession, dir: String): DataFrame =
+    dupNgramsOn(shingles(spark, dir))
+
+  /** Same histogram over any (doc_id, sh) distinct shingle set —
+    * Round20Spec pins the share arithmetic on a hand-worked corpus. */
+  def dupNgramsOn(sh: DataFrame): DataFrame = {
+    val s = sh.localCheckpoint() // consumers: df + per-doc join side
+    val df = s.groupBy("sh").agg(count(lit(1)).as("df"))
+    val perDoc = s.join(df, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("frac_x10000", expr("n_dup * 10000 div n_sh"))
+    perDoc
+      .groupBy(expr("frac_x10000 div 1000").as("dup_decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_sh").as("total_grams"), sum("n_dup").as("dup_grams"))
+      .orderBy("dup_decile")
+  }
+
   /** Normalized exact dedup — the standard first pass on web text: case-
     * fold + whitespace-collapse + trim before hashing, so trivially-mutated
     * copies land in one group. (Regex kept to a portable subset: DuckDB is
@@ -1295,6 +1329,7 @@ object Dedup {
     "dd_url_canon" -> (urlCanon _),
     "dd_exact" -> (exact _),
     "dd_saturation" -> (saturation _),
+    "dd_dup_ngrams" -> (dupNgrams _),
     "dd_normalized" -> (normalized _),
     "dd_ngram_jaccard" -> (ngramJaccard _),
     "dd_jaccard_capped" -> (ngramJaccardCapped _),
@@ -1723,6 +1758,22 @@ object Dedup {
         |    THEN (n_docs - n_unique) * 10000 // n_docs ELSE 0 END AS BIGINT)
         |    AS dup_rate_x10000
         |FROM cum ORDER BY cut_pct""".stripMargin,
+    "dd_dup_ngrams" ->
+      s"""WITH sh AS MATERIALIZED ($shinglesSql),
+         |df AS MATERIALIZED (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+         |pd AS (
+         |  SELECT s.doc_id, COUNT(*) AS n_sh,
+         |    CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM sh s JOIN df USING (sh) GROUP BY s.doc_id
+         |), fr AS (
+         |  SELECT doc_id, n_sh, n_dup, n_dup * 10000 // n_sh AS frac_x10000
+         |  FROM pd
+         |)
+         |SELECT CAST(frac_x10000 // 1000 AS BIGINT) AS dup_decile,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_sh) AS BIGINT) AS total_grams,
+         |  CAST(SUM(n_dup) AS BIGINT) AS dup_grams
+         |FROM fr GROUP BY 1 ORDER BY dup_decile""".stripMargin,
     "dd_ngram_jaccard" ->
       s"""WITH sh AS ($shinglesSql),
          |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),

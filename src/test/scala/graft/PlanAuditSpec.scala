@@ -137,7 +137,10 @@ class PlanAuditSpec extends SparkSpecBase {
     "gr_rich_club",
     // dd_saturation cross-joins the ONE-ROW max-doc-id aggregate onto
     // the doc and first-occurrence streams — the ta_heaps shape
-    "dd_saturation")
+    "dd_saturation",
+    // ta_bm25 cross-joins the ONE-ROW corpus-stats aggregate (n, S)
+    // onto the term-match stream — the gr_triangles shape
+    "ta_bm25")
 
   test("no query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -252,6 +252,40 @@ class Round20Spec extends SparkSpecBase {
       s"hand-worked audio budget diverged: ${r.toString}")
   }
 
+  // -- ta_bm25 -----------------------------------------------------------
+
+  /** Corpus: 0 "apple banana", 1 "apple apple cherry", 2 "banana",
+    * 3 "cherry cherry cherry" (n 4, S 9). For query 0: via apple ->
+    * cid 1 (tf 2, df 2, dl 3): idf bitlen(4//2) = 2, tfnorm
+    * 7920000 // 630 = 12571 -> 25142; via banana -> cid 2 (tf 1,
+    * df 2, dl 1): 3960000 // 306 = 12941 -> 25882. So cid 2 ranks
+    * above cid 1; cid 3 shares no term and is absent. */
+  test("ta_bm25: hand-worked contributions and ranking for one query") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "apple banana"), (1L, "apple apple cherry"),
+      (2L, "banana"), (3L, "cherry cherry cherry")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25On(docs).collect().toSeq
+      .filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got == Seq((1L, 2L, 25882L), (2L, 1L, 25142L)),
+      s"hand-worked BM25 ranking diverged: $got")
+  }
+
+  // -- dd_dup_ngrams -----------------------------------------------------
+
+  /** Shingles: doc1 {x,y}, doc2 {x,z}, doc3 {w}. df(x)=2 -> docs 1,2
+    * are half-duplicated (decile 5), doc 3 clean (decile 0). */
+  test("dd_dup_ngrams: hand-worked duplicated-gram deciles") {
+    import spark.implicits._
+    val sh = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "z"), (3L, "w"))
+      .toDF("doc_id", "sh")
+    val got = graft.operators.Dedup.dupNgramsOn(sh).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got == Seq((0L, 1L, 1L, 0L), (5L, 2L, 4L, 2L)),
+      s"hand-worked dup-gram histogram diverged: $got")
+  }
+
   // -- q33_salted_join -------------------------------------------------
 
   test("q33_salted_join: salted plan equals the plain unsalted join") {
