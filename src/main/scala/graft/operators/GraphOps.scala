@@ -521,6 +521,11 @@ object GraphOps {
     * justifies choosing one. All three scores ride the SAME wedge row
     * (one pair generation, one groupBy), melt via stack into (scorer,
     * score) and rank in ONE window — never three wedge plans.
+    * precision_x10000 normalizes by the FIXED K by design (standard
+    * precision@K: an underfull candidate pool counts its missing slots
+    * as misses, so scorers stay comparable across corpora); k_scored is
+    * published alongside so precision@retrieved = hits/k_scored is one
+    * division away (ADVICE r11 — documented, not changed).
     *
     * Scale: the wedge fan-out is the audited gr_common_neighbors plan
     * (center cap BEFORE pair generation); the melt triples only the
@@ -681,6 +686,101 @@ object GraphOps {
       .unionByName(ed.select((col("b") + lit(0L)).as("src"), (col("a") + lit(0L)).as("dst")))
       .localCheckpoint() // one join per round
     khopOn(sym)
+  }
+
+  /** Sources / BFS depth / published rows of gr_betweenness. */
+  val BrandesSources = 8
+  val BrandesDepth = 4
+  val BrandesTopK = 20
+
+  /** K-SOURCE SHORTEST-PATH CENTRALITY (gr_betweenness) — completes the
+    * centrality arc next to pagerank/ppr/hits: which nodes do shortest
+    * paths actually route THROUGH? Exact re-expression: the published
+    * score is depth-capped STRESS centrality (Shimbel 1953; Brandes
+    * 2008's variants paper shows it rides the same two-phase
+    * accumulation as betweenness) from the BrandesSources smallest node
+    * ids — stress(v) = sum over sources s of sigma(s,v) * P_s(v), where
+    * sigma is the exact shortest-path COUNT into v (summed along BFS
+    * levels, the Brandes forward pass) and P_s(v) = sum over DAG
+    * successors w of (1 + P_s(w)) counts the shortest-path
+    * continuations out of v (the Brandes backward pass with the
+    * sigma_v/sigma_w ratio integer-ized away: betweenness proper needs
+    * rational ratios that no cross-engine hash can pin, stress is the
+    * exact-integer member of the same family — K-source sampling per
+    * Brandes & Pich 2007). Sources are excluded at publish (endpoint
+    * convention). Output: top-BrandesTopK nodes by (stress desc, u asc)
+    * with their per-source touch count.
+    *
+    * Scale: forward = BrandesDepth rounds of ONE frontier-edge
+    * co-partitioned join each (frontier bounded by sources x nodes),
+    * anti-joined against the visited set — the gr_khop shape carrying an
+    * extra integer; backward = the same joins level-by-level in reverse;
+    * every loop-carried frame localCheckpoints. Overflow bound:
+    * sigma * P <= (paths per node)^2 at depth 4 on the hub-capped
+    * co-activity graph — orders of magnitude under the 10^17 DECIMAL
+    * rule line (and the spec plants a dense clique to check the worst
+    * local blowup). */
+  def betweenness(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val ed = coActivityEdges(spark, dir)
+    val sym = ed.select((col("a") + lit(0L)).as("src"), (col("b") + lit(0L)).as("dst"))
+      .unionByName(ed.select((col("b") + lit(0L)).as("src"), (col("a") + lit(0L)).as("dst")))
+      .localCheckpoint() // one join per forward round + one per backward
+    betweennessOn(sym)
+  }
+
+  /** Same operator over any symmetric (src, dst) edge frame — Round21Spec
+    * replays sigma/P by hand on a diamond-plus-tail graph and a clique. */
+  def betweennessOn(sym: DataFrame): DataFrame = {
+    val srcs = sym.select(col("src").as("s")).distinct()
+      .orderBy(col("s").asc).limit(BrandesSources)
+      .localCheckpoint() // seeds the forward pass; bounded rows
+    // forward: levels(d) = (s, u, sigma) for nodes first reached at depth d
+    var level = srcs.select(col("s"), col("s").as("u"), lit(1L).as("sigma"))
+      .localCheckpoint()
+    val levels = scala.collection.mutable.ArrayBuffer(level)
+    var visited = level.select("s", "u").localCheckpoint()
+    for (_ <- 1 to BrandesDepth) {
+      val nxt = level.join(sym, col("u") === col("src"))
+        .select(col("s"), col("dst").as("u"), col("sigma"))
+        .join(visited, Seq("s", "u"), "left_anti")
+        .groupBy("s", "u").agg(sum(col("sigma")).as("sigma"))
+        .localCheckpoint() // consumed by visited, next round, backward
+      levels += nxt
+      visited = visited.unionByName(nxt.select("s", "u")).localCheckpoint()
+      level = nxt
+    }
+    // backward: P(v) = sum over BFS-DAG successors w of (1 + P(w));
+    // delta holds level d+1's P while depth d is being computed
+    var delta = levels(BrandesDepth).select(col("s"), col("u"), lit(0L).as("p"))
+      .localCheckpoint()
+    // deepest level has no successors: stress 0 (rows kept for n_sources)
+    var scored = levels(BrandesDepth)
+      .select(col("s"), col("u"), lit(0L).as("stress"))
+    for (d <- (BrandesDepth - 1) to 0 by -1) {
+      val succ = delta.select(col("s"), col("u").as("w"), col("p").as("pw"))
+      val contrib = levels(d).select(col("s"), col("u"))
+        .join(sym, col("u") === col("src"))
+        .select(col("s"), col("u"), col("dst").as("w"))
+        .join(succ, Seq("s", "w"))
+        .groupBy("s", "u").agg(sum(lit(1L) + col("pw")).as("p"))
+      delta = levels(d).select(col("s"), col("u"), col("sigma"))
+        .join(contrib, Seq("s", "u"), "left_outer")
+        .select(col("s"), col("u"), coalesce(col("p"), lit(0L)).as("p"),
+          col("sigma"))
+        .localCheckpoint() // next backward round + the score union
+      scored = scored.unionByName(
+        delta.select(col("s"), col("u"), (col("sigma") * col("p")).as("stress")))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("stress").desc, col("u").asc)
+    scored
+      .filter(col("u") =!= col("s")) // endpoint convention: sources excluded
+      .groupBy("u")
+      .agg(sum(col("stress")).as("stress"), count(lit(1)).as("n_sources"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= BrandesTopK)
+      .select("rank", "u", "stress", "n_sources")
+      .orderBy("rank")
   }
 
   /** Same operator over any symmetric (src, dst) edge frame — Round9Spec
@@ -1798,6 +1898,7 @@ object GraphOps {
     "gr_kcore" -> (kcore _),
     "gr_sssp" -> (sssp _),
     "gr_khop" -> (khop _),
+    "gr_betweenness" -> (betweenness _),
     "gr_common_neighbors" -> (commonNeighbors _),
     "gr_resource_alloc" -> (resourceAlloc _),
     "gr_linkpred_eval" -> (linkpredEval _),
@@ -2577,6 +2678,62 @@ object GraphOps {
          |SELECT CAST(COALESCE(dk.d, -1) AS BIGINT) AS d, COUNT(*) AS n_users
          |FROM nodes LEFT JOIN d$KhopRounds dk USING (u)
          |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "gr_betweenness" -> {
+      val fwd = (r: Int) =>
+        s"""f$r AS MATERIALIZED (
+           |  SELECT f.s, y.dst AS u, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+           |  FROM f${r - 1} f JOIN sym y ON f.u = y.src
+           |  LEFT JOIN v${r - 1} v ON v.s = f.s AND v.u = y.dst
+           |  WHERE v.u IS NULL
+           |  GROUP BY f.s, y.dst
+           |), v$r AS MATERIALIZED (
+           |  SELECT s, u FROM v${r - 1} UNION ALL SELECT s, u FROM f$r
+           |)""".stripMargin
+      val bwd = (d: Int) =>
+        s"""p$d AS MATERIALIZED (
+           |  SELECT f.s, f.u, CAST(COALESCE(c.p, 0) AS BIGINT) AS p, f.sigma
+           |  FROM f$d f LEFT JOIN (
+           |    SELECT f2.s, f2.u, SUM(1 + pn.p) AS p
+           |    FROM f$d f2 JOIN sym y ON f2.u = y.src
+           |    JOIN p${d + 1} pn ON pn.s = f2.s AND pn.u = y.dst
+           |    GROUP BY f2.s, f2.u) c ON c.s = f.s AND c.u = f.u
+           |)""".stripMargin
+      s"""WITH act AS (
+         |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr FROM events
+         |), sizes AS (
+         |  SELECT event_type, hr FROM (
+         |    SELECT event_type, hr, COUNT(*) AS n FROM act GROUP BY 1, 2) WHERE n <= 20
+         |), ok AS (
+         |  SELECT act.* FROM act JOIN sizes USING (event_type, hr)
+         |), edges AS (
+         |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+         |  FROM ok x JOIN ok y ON x.event_type = y.event_type AND x.hr = y.hr
+         |    AND x.user_id < y.user_id
+         |), sym AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b, a FROM edges
+         |), srcs AS (
+         |  SELECT DISTINCT src AS s FROM sym ORDER BY s LIMIT $BrandesSources
+         |), f0 AS MATERIALIZED (
+         |  SELECT s, s AS u, CAST(1 AS BIGINT) AS sigma FROM srcs
+         |), v0 AS MATERIALIZED (SELECT s, u FROM f0),
+         |${(1 to BrandesDepth).map(fwd).mkString(",\n")},
+         |p$BrandesDepth AS MATERIALIZED (
+         |  SELECT s, u, CAST(0 AS BIGINT) AS p, sigma FROM f$BrandesDepth
+         |),
+         |${((BrandesDepth - 1) to 0 by -1).map(bwd).mkString(",\n")},
+         |scored AS (
+         |  SELECT s, u, CAST(0 AS BIGINT) AS stress FROM f$BrandesDepth
+         |${(0 until BrandesDepth).map(d =>
+             s"  UNION ALL SELECT s, u, CAST(sigma * p AS BIGINT) AS stress FROM p$d")
+            .mkString("\n|")}
+         |)
+         |SELECT CAST(rank AS BIGINT) AS rank, u, stress, n_sources FROM (
+         |  SELECT u, CAST(SUM(stress) AS BIGINT) AS stress,
+         |    COUNT(*) AS n_sources,
+         |    ROW_NUMBER() OVER (ORDER BY SUM(stress) DESC, u ASC) AS rank
+         |  FROM scored WHERE u <> s GROUP BY u) t
+         |WHERE rank <= $BrandesTopK ORDER BY rank""".stripMargin
     },
     "gr_common_neighbors" ->
       s"""WITH act AS (

@@ -266,44 +266,67 @@ object Similarity {
   def graphSearch(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
       .localCheckpoint() // graph init + rescore lookups x hops + query side
+    beamServe(c, gsBackboneOn(c))
+  }
+
+  /** The deterministic md5-keyed K-out long-link graph over corpus ids —
+    * ann_graph_search's serving graph, ann_graph_refined's anti-trap
+    * backbone, and ann_graph_recall's random tier (one definition, three
+    * consumers). */
+  private[graft] def gsBackboneOn(c: DataFrame): DataFrame = {
     val nTot = c.agg(count(lit(1)).as("n"))
-    val g0 = c.select(col("vec_id").as("src")).crossJoin(broadcast(nTot))
+    c.select(col("vec_id").as("src")).crossJoin(broadcast(nTot))
       .select(col("src"), col("n"), explode(expr(s"sequence(0, ${GsOutK - 1})")).as("j"))
       .withColumn("h", expr("CAST(conv(substring(md5(concat('gs:', " +
         "CAST(src AS STRING), ':', CAST(j AS STRING))), 1, 6), 16, 10) AS BIGINT) % n"))
       .withColumn("dst", expr("CASE WHEN h = src THEN (h + 1) % n ELSE h END"))
       .select("src", "dst").distinct()
-    beamServe(c, g0)
   }
 
-  /** The ef-search loop over any (src, dst) base graph — shared by
-    * ann_graph_search (random init) and ann_graph_refined (the persisted
-    * NN-Descent index). Per-hop cost stays queries x W x out-degree. */
-  private def beamServe(c: DataFrame, g0: DataFrame): DataFrame = {
-    val sym = g0.select((col("src") + lit(0L)).as("src"), (col("dst") + lit(0L)).as("dst"))
-      .unionByName(g0.select((col("dst") + lit(0L)).as("src"), (col("src") + lit(0L)).as("dst")))
-      .distinct()
-      .localCheckpoint() // one adjacency join per hop
-    val q = c.filter(col("vec_id") < 10)
+  /** Bounded query set of the graph-serving family (vec_id < 10). */
+  private def beamQueries(c: DataFrame): DataFrame =
+    c.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
       .localCheckpoint() // rescore joins x hops
-    def score(cand: DataFrame): DataFrame = cand
-      .join(broadcast(q), Seq("qid"))
-      .join(c.select(col("vec_id").as("cid"), col("embedding").as("cv"),
-        col("nrm").as("cn")), Seq("cid"))
-      .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
-      .select("qid", "cid", "cos")
+
+  /** Exact-rescore of a (qid, cid) candidate frame: broadcast queries,
+    * equi-join the corpus vectors, native vector_dot cosine. */
+  private def beamScore(c: DataFrame, q: DataFrame)(cand: DataFrame): DataFrame = cand
+    .join(broadcast(q), Seq("qid"))
+    .join(c.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      col("nrm").as("cn")), Seq("cid"))
+    .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
+    .select("qid", "cid", "cos")
+
+  /** The hop loop itself: expand/rescore/re-trim `hops` times from an
+    * ALREADY-SCORED initial beam over base graph `g` (symmetrized here).
+    * Factored out so the layered serve can chain two loops (upper layer,
+    * then base layer seeded by the upper beam). Per-hop cost stays
+    * queries x W x out-degree; beams localCheckpoint per hop (the
+    * iterative-algorithm rule). */
+  private def beamLoop(c: DataFrame, q: DataFrame, g: DataFrame,
+      init: DataFrame, hops: Int): DataFrame =
+    beamLoopSym(c, q, beamSym(g), init, hops)
+
+  /** Symmetrized, deduped, checkpointed adjacency of a (src, dst) graph —
+    * built once per serve even when two lanes share the base layer. */
+  private def beamSym(g: DataFrame): DataFrame =
+    g.select((col("src") + lit(0L)).as("src"), (col("dst") + lit(0L)).as("dst"))
+      .unionByName(g.select((col("dst") + lit(0L)).as("src"), (col("src") + lit(0L)).as("dst")))
+      .distinct()
+      .localCheckpoint() // one adjacency join per hop
+
+  private def beamLoopSym(c: DataFrame, q: DataFrame, sym: DataFrame,
+      init: DataFrame, hops: Int): DataFrame = {
     val wB = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
-    var beam = score(q.select(col("qid"))
-        .withColumn("cid", expr("CASE WHEN qid = 0 THEN 1L ELSE 0L END")))
-      .localCheckpoint()
-    for (_ <- 1 to GsHops) {
+    var beam = init
+    for (_ <- 1 to hops) {
       val expand = beam.select(col("qid"), col("cid").as("src"))
         .join(sym, Seq("src"))
         .select(col("qid"), col("dst").as("cid"))
         .filter(col("qid") =!= col("cid"))
         .distinct()
-      beam = score(expand).unionByName(beam)
+      beam = beamScore(c, q)(expand).unionByName(beam)
         // a frontier node already in the beam scores identically — max dedups
         .groupBy("qid", "cid").agg(max(col("cos")).as("cos"))
         .withColumn("rn", row_number().over(wB)).filter(col("rn") <= GsBeam)
@@ -311,9 +334,26 @@ object Similarity {
         .localCheckpoint() // next hop + final trim
     }
     beam
+  }
+
+  /** Final per-query top-3 publish of a served beam. */
+  private def beamTrim(beam: DataFrame): DataFrame = {
+    val wB = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    beam
       .withColumn("rank", row_number().over(wB)).filter(col("rank") <= 3)
       .select(col("qid"), col("rank"), col("cid"), r4(col("cos")).as("cos_sim"))
       .orderBy("qid", "rank")
+  }
+
+  /** The ef-search loop over any (src, dst) base graph — shared by
+    * ann_graph_search (random init) and ann_graph_refined (the persisted
+    * NN-Descent index). Per-hop cost stays queries x W x out-degree. */
+  private[graft] def beamServe(c: DataFrame, g0: DataFrame): DataFrame = {
+    val q = beamQueries(c)
+    val b0 = beamScore(c, q)(q.select(col("qid"))
+        .withColumn("cid", expr("CASE WHEN qid = 0 THEN 1L ELSE 0L END")))
+      .localCheckpoint()
+    beamTrim(beamLoop(c, q, g0, b0, GsHops))
   }
 
   /** GRAPH-ANN INDEX ARTIFACT + SERVE (ann_graph_refined) — closes
@@ -335,14 +375,8 @@ object Similarity {
   def graphRefined(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
       .localCheckpoint() // build rescores x rounds + serve rescores x hops
-    val nTot = c.agg(count(lit(1)).as("n"))
-    val backbone = c.select(col("vec_id").as("src")).crossJoin(broadcast(nTot))
-      .select(col("src"), col("n"), explode(expr(s"sequence(0, ${GsOutK - 1})")).as("j"))
-      .withColumn("h", expr("CAST(conv(substring(md5(concat('gs:', " +
-        "CAST(src AS STRING), ':', CAST(j AS STRING))), 1, 6), 16, 10) AS BIGINT) % n"))
-      .withColumn("dst", expr("CASE WHEN h = src THEN (h + 1) % n ELSE h END"))
-      .select("src", "dst").distinct()
-    beamServe(c, refinedGraphFor(spark, dir, c).unionByName(backbone).distinct())
+    beamServe(c,
+      refinedGraphFor(spark, dir, c).unionByName(gsBackboneOn(c)).distinct())
   }
 
   /** GRAPH-TIER RECALL COMPARISON (ann_graph_recall) — the measured
@@ -359,13 +393,7 @@ object Similarity {
   def graphRecall(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
       .localCheckpoint() // init + two serves' rescores + exact pass
-    val nTot = c.agg(count(lit(1)).as("n"))
-    val rand = c.select(col("vec_id").as("src")).crossJoin(broadcast(nTot))
-      .select(col("src"), col("n"), explode(expr(s"sequence(0, ${GsOutK - 1})")).as("j"))
-      .withColumn("h", expr("CAST(conv(substring(md5(concat('gs:', " +
-        "CAST(src AS STRING), ':', CAST(j AS STRING))), 1, 6), 16, 10) AS BIGINT) % n"))
-      .withColumn("dst", expr("CASE WHEN h = src THEN (h + 1) % n ELSE h END"))
-      .select("src", "dst").distinct()
+    val rand = gsBackboneOn(c)
       .localCheckpoint() // random-tier serve + the hybrid union
     val exact = bruteforceOn(c.filter(col("vec_id") < 10), c, 3)
       .select(col("qid"), col("cid"))
@@ -414,6 +442,128 @@ object Similarity {
       graft.ModelTelemetry.trains.incrementAndGet()
       val g = nndGraphs(c).last // localCheckpointed by the build
       fp.foreach(gsWriteGraph(spark, _, g))
+      g
+    }
+  }
+
+  /** Hub modulus of the layered index: vec_id % GsHubMod == 0 promotes
+    * ~1/GsHubMod of the corpus to layer 1 (HNSW assigns levels by a
+    * geometric draw on a per-node hash; a deterministic arithmetic
+    * sample keeps the layer membership oracle-replayable with zero
+    * extra state and — unlike a rank window over the hub set — needs no
+    * global ordering pass at build time). */
+  val GsHubMod = 8L
+
+  /** LAYERED GRAPH-ANN INDEX + TOP-DOWN SERVE (ann_graph_layered) — the
+    * HNSW layer rationale (Malkov & Yashunin 2018) made a first-class
+    * artifact. ann_graph_recall MEASURED the failure this exists to fix:
+    * a pure kNN graph is strongly clustered, so a fixed-entry beam traps
+    * in the entry's neighborhood (recall 0.17 refined-only vs 0.60
+    * hybrid at sf0.01). The hybrid tier patched that by unioning random
+    * long links into ONE flat graph; the layered index persists BOTH
+    * tiers as one edge list with a `layer` column — layer 1 = a sparse
+    * hub subset (vec_id % GsHubMod == 0) wired by md5-derived K-out long
+    * links hub-to-hub (each hop crosses ~GsHubMod times more of the id
+    * space than a base-layer hop), layer 0 = the persisted NN-Descent
+    * kNN edges merged with the flat long-link backbone (the DiskANN
+    * base-graph shape, so the base serve is exactly the hybrid tier's) —
+    * and serves TOP-DOWN: GsHops beam hops over layer 1 navigate
+    * coarsely to the query's region, then the surviving beam seeds a
+    * base-layer descent lane, published as the union-top-3 with the
+    * fixed-entry lane (see layeredServe for why two lanes — greedy beam
+    * search is not seed-monotone, and the entry lane is what makes the
+    * pinned recall floor structural rather than statistical). The spec
+    * pins recall(layered) >= recall(hybrid) on the measured corpus plus
+    * artifact/fold parity and fingerprint invalidation; the oracle
+    * replays build + both serve phases as one MATERIALIZED chained-CTE
+    * program.
+    *
+    * Scale: the upper layer has n/GsHubMod nodes with out-degree GsOutK
+    * (built by pure arithmetic on the one-row corpus count — no window,
+    * no shuffle beyond the distinct); serve cost is 2 x GsHops bounded
+    * hops (queries x W x 2K rows each, corpus-independent); the artifact
+    * write is partitioned (O(n*K) edges, never one task). */
+  def graphLayered(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir).localCheckpoint()
+    val g = layeredGraphFor(spark, dir, c)
+      .localCheckpoint() // the serve filters it once per layer
+    layeredServe(c, g)
+  }
+
+  /** Top-down serve over a (layer, src, dst) index: entry at the fixed
+    * hub (vec_id 0; GsHubMod for query 0 — never self), upper loop over
+    * layer-1 long links, lower loop over layer-0 kNN edges seeded by the
+    * upper beam. Exposed for the recall-floor spec. */
+  private[graft] def layeredServe(c: DataFrame, g: DataFrame): DataFrame = {
+    val q = beamQueries(c)
+    val b0 = beamScore(c, q)(q.select(col("qid"))
+        .withColumn("cid", expr(s"CASE WHEN qid = 0 THEN ${GsHubMod}L ELSE 0L END")))
+      .localCheckpoint()
+    val sym0 = beamSym(g.filter(col("layer") === 0L).select("src", "dst"))
+    val upper = beamLoop(c, q, g.filter(col("layer") === 1L).select("src", "dst"),
+      b0, GsHops) // localCheckpointed by the loop's last hop
+    // Two base-layer lanes, published as the top-3 of their union:
+    // the DESCENT lane runs from the upper beam (the HNSW path — at
+    // scale the hub warm start is what finds the query's region), and
+    // the ENTRY lane replays the flat serve's exact trajectory from the
+    // fixed entry. Greedy beam search is not monotone in seed quality
+    // (a better-scored seed set can push out the node whose expansion
+    // held the answer), so seeding ONE lane with both was measured
+    // losing per-query coin flips vs the flat hybrid; keeping the entry
+    // lane intact makes the pinned floor recall(layered) >= recall(flat
+    // hybrid) structural — the layered candidate set contains the flat
+    // serve's, and a published exact-top-3 hit can only be displaced by
+    // another exact-top-3 member under the same (cos, cid) order.
+    val laneA = beamLoopSym(c, q, sym0, b0, GsHops)
+    val laneB = beamLoopSym(c, q, sym0, upper, GsHops)
+    beamTrim(laneA.unionByName(laneB)
+      .groupBy("qid", "cid").agg(max(col("cos")).as("cos")))
+  }
+
+  /** The layered edge list for any corpus frame: layer-1 hub long links
+    * (pure arithmetic off the one-row count — hub j's id is j*GsHubMod,
+    * dense ids make rank == id div GsHubMod so no ordering pass); layer 0
+    * is the refined kNN edges MERGED with the flat long-link backbone —
+    * the DiskANN base-graph shape (long edges folded into the base
+    * graph, not only the hierarchy), which makes the base serve exactly
+    * the hybrid tier's and the upper layer a strict warm-start on top. */
+  private[graft] def layeredEdgesOn(c: DataFrame, refined: DataFrame): DataFrame = {
+    val nTot = c.agg(count(lit(1)).as("n"))
+    val upperE = c.filter(col("vec_id") % GsHubMod === 0L)
+      .select(col("vec_id").as("src")).crossJoin(broadcast(nTot))
+      .withColumn("nh", expr(s"(n + ${GsHubMod - 1}) div $GsHubMod"))
+      .select(col("src"), col("nh"), explode(expr(s"sequence(0, ${GsOutK - 1})")).as("j"))
+      .withColumn("h", expr("CAST(conv(substring(md5(concat('ly:', " +
+        "CAST(src AS STRING), ':', CAST(j AS STRING))), 1, 6), 16, 10) AS BIGINT) % nh"))
+      .withColumn("dst", expr(s"CASE WHEN h * $GsHubMod = src " +
+        s"THEN ((h + 1) % nh) * $GsHubMod ELSE h * $GsHubMod END"))
+      .select("src", "dst").distinct()
+    upperE.withColumn("layer", lit(1L))
+      .unionByName(refined.select("src", "dst")
+        .unionByName(gsBackboneOn(c)).distinct()
+        .withColumn("layer", lit(0L)))
+      .select("layer", "src", "dst")
+  }
+
+  private def layeredFingerprint(dir: String): Option[String] =
+    graft.ModelStore.fingerprint(dir, "embeddings.parquet",
+      s"nndl${NnDescentK}x${NnDescentRounds}h${GsHubMod}k$GsOutK")
+
+  /** The layered index for the corpus at `dir`: deploy the persisted
+    * artifact when its fingerprint matches, else build (reusing the
+    * refined-graph artifact for layer 0 when IT is warm) and persist. */
+  private[graft] def layeredGraphFor(spark: SparkSession, dir: String,
+      c: DataFrame): DataFrame = {
+    val fp = layeredFingerprint(dir)
+    fp.flatMap(f => graft.ModelStore.read(spark, s"nndl_$f",
+        Seq("layer", "src", "dst"))).getOrElse {
+      graft.ModelTelemetry.trains.incrementAndGet()
+      val g = layeredEdgesOn(c, refinedGraphFor(spark, dir, c))
+        .localCheckpoint() // consumed by the write and both serve loops
+      fp.foreach(f => graft.ModelStore.write(s"nndl_$f",
+        g.select(col("layer").cast("long").as("layer"),
+          col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
+        singleFile = false)) // edge list is O(n*K) in corpus vectors
       g
     }
   }
@@ -1697,6 +1847,7 @@ object Similarity {
     "ann_nndescent" -> (nndescent _),
     "ann_graph_search" -> (graphSearch _),
     "ann_graph_refined" -> (graphRefined _),
+    "ann_graph_layered" -> (graphLayered _),
     "ann_graph_recall" -> (graphRecall _),
     "ann_range" -> (rangeSearch _),
     "dd_semdedup" -> (semDedup _),
@@ -2653,6 +2804,110 @@ object Similarity {
          |  SELECT qid, cid, cos,
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
          |  FROM b$GsHops) f
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+    },
+    "ann_graph_layered" -> {
+      val h6 = md5Hex6Sql
+      // build rounds: the ann_nndescent refinement (layer 0), MATERIALIZED
+      val round = (r: Int) =>
+        s"""s$r AS MATERIALIZED (
+           |  SELECT src, dst FROM g${r - 1} UNION SELECT dst, src FROM g${r - 1}
+           |), c$r AS (
+           |  SELECT DISTINCT u, w FROM (
+           |    SELECT a.src AS u, t.dst AS w FROM s$r a JOIN s$r t ON a.dst = t.src
+           |    WHERE a.src <> t.dst
+           |    UNION ALL SELECT src, dst FROM g${r - 1}) p
+           |), g$r AS MATERIALIZED (
+           |  SELECT u AS src, w AS dst FROM (
+           |    SELECT c.u, c.w,
+           |      ROW_NUMBER() OVER (PARTITION BY c.u ORDER BY
+           |        ${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) DESC,
+           |        c.w ASC) AS rn
+           |    FROM c$r c JOIN e x ON c.u = x.vec_id JOIN e y ON c.w = y.vec_id
+           |  ) WHERE rn <= $NnDescentK
+           |)""".stripMargin
+      // serve hops: upper loop over the hub long links, lower loop over
+      // the refined kNN edges seeded by the upper beam
+      val hop = (pfx: String, sym: String) => (r: Int) =>
+        s"""$pfx$r AS MATERIALIZED (
+           |  SELECT qid, cid, cos FROM (
+           |    SELECT u.qid, u.cid, u.cos,
+           |      ROW_NUMBER() OVER (PARTITION BY u.qid
+           |        ORDER BY u.cos DESC, u.cid ASC) AS rn
+           |    FROM (
+           |      SELECT qid, cid, MAX(cos) AS cos FROM (
+           |        SELECT qid, cid, cos FROM $pfx${r - 1}
+           |        UNION ALL
+           |        SELECT x.qid, s.dst AS cid,
+           |          ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+           |        FROM $pfx${r - 1} x JOIN $sym s ON x.cid = s.src
+           |        JOIN q ON q.qid = x.qid JOIN e c ON c.vec_id = s.dst
+           |        WHERE s.dst <> x.qid
+           |      ) z GROUP BY qid, cid
+           |    ) u
+           |  ) WHERE rn <= $GsBeam
+           |)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings
+         |),
+         |nt AS (SELECT COUNT(*) AS n FROM e),
+         |g0 AS (
+         |  SELECT DISTINCT src, CASE WHEN h = src THEN (h + 1) % n ELSE h END AS dst
+         |  FROM (
+         |    SELECT src, n, $h6 % n AS h FROM (
+         |      SELECT e.vec_id AS src, nt.n AS n,
+         |        md5('nnd:' || CAST(e.vec_id AS VARCHAR) || ':' || CAST(ga AS VARCHAR)) AS mh
+         |      FROM e CROSS JOIN nt CROSS JOIN range(0, 5) t(ga)) s0) s1
+         |),
+         |${(1 to NnDescentRounds).map(round).mkString(",\n")},
+         |nh AS (SELECT (n + ${GsHubMod - 1}) // $GsHubMod AS nh FROM nt),
+         |up AS (
+         |  SELECT DISTINCT src, CASE WHEN h * $GsHubMod = src
+         |    THEN ((h + 1) % nh) * $GsHubMod ELSE h * $GsHubMod END AS dst
+         |  FROM (
+         |    SELECT src, nh, $h6 % nh AS h FROM (
+         |      SELECT e.vec_id AS src, nh.nh AS nh,
+         |        md5('ly:' || CAST(e.vec_id AS VARCHAR) || ':' || CAST(ga AS VARCHAR)) AS mh
+         |      FROM e CROSS JOIN nh CROSS JOIN range(0, $GsOutK) t(ga)
+         |      WHERE e.vec_id % $GsHubMod = 0) s0) s1
+         |),
+         |gr AS (
+         |  SELECT DISTINCT src, CASE WHEN h = src THEN (h + 1) % n ELSE h END AS dst
+         |  FROM (
+         |    SELECT src, n, $h6 % n AS h FROM (
+         |      SELECT e.vec_id AS src, nt.n AS n,
+         |        md5('gs:' || CAST(e.vec_id AS VARCHAR) || ':' || CAST(ga AS VARCHAR)) AS mh
+         |      FROM e CROSS JOIN nt CROSS JOIN range(0, $GsOutK) t(ga)) s0) s1
+         |),
+         |symu AS MATERIALIZED (SELECT src, dst FROM up UNION SELECT dst, src FROM up),
+         |symf AS MATERIALIZED (
+         |  SELECT src, dst FROM g$NnDescentRounds
+         |  UNION SELECT dst, src FROM g$NnDescentRounds
+         |  UNION SELECT src, dst FROM gr
+         |  UNION SELECT dst, src FROM gr
+         |),
+         |q AS MATERIALIZED (
+         |  SELECT vec_id AS qid, embedding, nrm FROM e WHERE vec_id < 10
+         |),
+         |u0 AS MATERIALIZED (
+         |  SELECT q.qid, c.vec_id AS cid,
+         |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |  FROM q JOIN e c ON c.vec_id = CASE WHEN q.qid = 0 THEN $GsHubMod ELSE 0 END
+         |),
+         |${(1 to GsHops).map(hop("u", "symu")).mkString(",\n")},
+         |a0 AS (SELECT * FROM u0),
+         |${(1 to GsHops).map(hop("a", "symf")).mkString(",\n")},
+         |l0 AS (SELECT * FROM u$GsHops),
+         |${(1 to GsHops).map(hop("l", "symf")).mkString(",\n")}
+         |SELECT qid, rank, cid, ${graft.sources.Tables.r4Sql("cos")} AS cos_sim
+         |FROM (
+         |  SELECT qid, cid, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+         |  FROM (
+         |    SELECT qid, cid, MAX(cos) AS cos FROM (
+         |      SELECT * FROM a$GsHops UNION ALL SELECT * FROM l$GsHops) z
+         |    GROUP BY qid, cid) u2
+         |) f
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
     },
     "ann_graph_recall" -> {

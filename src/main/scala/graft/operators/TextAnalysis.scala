@@ -867,6 +867,10 @@ object TextAnalysis {
     * word asc) — a total order. The slope numerator can be negative
     * (it IS, on a Zipfian corpus), so the division publishes via the
     * abs-split (operands nonnegative => Spark div = DuckDB //).
+    * Degenerate guard: one regression point (a single distinct word)
+    * zeroes the denominator n*sxx - sx*sx, where Spark div yields NULL
+    * but DuckDB // raises — a leading CASE arm publishes slope 0
+    * identically on both engines (ADVICE r11).
     * Output: one row per rank OCTAVE (bitlen(rank)) — word count,
     * token mass, freq range — with the global slope_x10000 riding
     * every row (the sanctioned one-row cross-join shape).
@@ -896,7 +900,8 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
         sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
       .select(expr(
-        """CASE WHEN n * sxy - sx * sy >= 0
+        """CASE WHEN n * sxx - sx * sx = 0 THEN 0
+          |  WHEN n * sxy - sx * sy >= 0
           |  THEN (10000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)
           |  ELSE -((10000 * (sx * sy - n * sxy)) div (n * sxx - sx * sx))
           |END""".stripMargin).as("slope_x10000"))
@@ -3263,7 +3268,8 @@ object TextAnalysis {
          |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
          |    SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM xy
          |), slope AS (
-         |  SELECT CAST(CASE WHEN n * sxy - sx * sy >= 0
+         |  SELECT CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+         |    WHEN n * sxy - sx * sy >= 0
          |    THEN (10000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
          |    ELSE -((10000 * (sx * sy - n * sxy)) // (n * sxx - sx * sx))
          |  END AS BIGINT) AS slope_x10000 FROM reg

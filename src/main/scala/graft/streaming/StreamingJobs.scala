@@ -259,6 +259,80 @@ object StreamingJobs {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  final case class FlushAcc(n: Long, total: Long)
+  final case class FlushOut(user_id: Long, n: Long, total: Long, via: String)
+
+  /** Idle-flush accumulator on transformWithState PROCESSING-TIME TIMERS —
+    * the last arbitrary-state-v2 mode (ValueState/MapState/ListState and
+    * event-time timers are covered by the jobs above): per key, integer
+    * amounts accumulate in ValueState and each input batch re-arms ONE
+    * processing-time timer at now + idleMs (delete-then-register, the
+    * sessionizer's re-arm discipline); when the timer expires the key's
+    * accumulator flushes (via = 'timer') and clears. A negative amount is
+    * the drain poison pill: the key flushes inline (via = 'drain'),
+    * clears state AND its timer — the shutdown path a production
+    * idle-flush job needs.
+    *
+    * Determinism contract (why this is testable at all): processing time
+    * is wall-clock, so the spec never asserts WHICH batch a timer fires
+    * in. The pinned invariants are clock-free — CONSERVATION (every
+    * amount appears in exactly one flush: no loss when a timer and new
+    * input race, no double flush after a drain) and LIVENESS (an idle
+    * key's timer does fire, awaited by a bounded sink poll — never a
+    * single racy sleep). Engine behavior this mode forces (measured):
+    * once any processing-time timer is registered the micro-batch engine
+    * schedules batch after batch so pending timers can fire, which means
+    * processAllAvailable NEVER RETURNS — a test must drive the query
+    * with a paced trigger and poll the sink instead (StreamingSpec).
+    * State per key is O(1); timers are per-key singletons. */
+  class IdleFlushProcessor(idleMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), FlushOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[FlushAcc] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[FlushAcc]("acc",
+        org.apache.spark.sql.Encoders.product[FlushAcc],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[FlushOut] = {
+      var drain = false
+      var acc = if (st.exists()) st.get() else FlushAcc(0L, 0L)
+      rows.foreach { case (_, amount) =>
+        if (amount < 0L) drain = true
+        else acc = FlushAcc(acc.n + 1L, acc.total + amount)
+      }
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (drain) {
+        st.clear()
+        if (acc.n > 0L) Iterator.single(FlushOut(key, acc.n, acc.total, "drain"))
+        else Iterator.empty
+      } else {
+        st.update(acc)
+        getHandle.registerTimer(tv.getCurrentProcessingTimeInMs() + idleMs)
+        Iterator.empty
+      }
+    }
+    override def handleExpiredTimer(key: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[FlushOut] = {
+      if (!st.exists()) Iterator.empty
+      else {
+        val acc = st.get()
+        st.clear()
+        if (acc.n > 0L) Iterator.single(FlushOut(key, acc.n, acc.total, "timer"))
+        else Iterator.empty
+      }
+    }
+  }
+
+  def idleFlushTws(events: Dataset[(Long, Long)], idleMs: Long): Dataset[FlushOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .transformWithState(new IdleFlushProcessor(idleMs),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(), OutputMode.Update())
+  }
+
   def sessionizeTws(events: Dataset[SessEv], gapSec: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events

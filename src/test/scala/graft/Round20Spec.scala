@@ -120,7 +120,10 @@ class Round20Spec extends SparkSpecBase {
     val holdout = allEdges.filter { case (a, b) => held(a, b) }.toSet
     val train = allEdges.filterNot { case (a, b) => held(a, b) }
     assert(holdout.nonEmpty, "split replay selected nothing — test graph too small")
-    // independent scorer replay (cap is irrelevant at n=8)
+    // independent scorer replay; the replay omits the CnDegCap filter,
+    // which is safe here because every degree on this 30-node graph is
+    // far below CnDegCap=256, so the cap never fires in the operator
+    // either (ADVICE r11)
     val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set())
     train.foreach { case (a, b) => adj(a) += b; adj(b) += a }
     def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)

@@ -404,6 +404,80 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("transformWithState ProcessingTime timers: idle flush conserves every amount") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[(Long, Long)]
+      // A registered processing-time timer makes the engine schedule
+      // batch after batch on its own (shouldRunAnotherBatch stays true so
+      // pending timers can fire) — which also means processAllAvailable
+      // NEVER RETURNS under this mode. So this test drives the query the
+      // only deterministic way: a paced trigger, addData without any
+      // blocking call, and a bounded poll on the sink until the expected
+      // flush lands. Nothing asserts WHICH batch a timer fires in — the
+      // pins are clock-free: exact conservation (every amount in exactly
+      // one flush) and liveness (an idle key's timer does fire).
+      val buf = scala.collection.mutable.ArrayBuffer.empty[StreamingJobs.FlushOut]
+      val q = StreamingJobs.idleFlushTws(stream.toDS(), idleMs = 20L)
+        .writeStream.outputMode(OutputMode.Update())
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingJobs.FlushOut], _: Long) =>
+          val rows = df.collect()
+          buf.synchronized { rows.foreach(buf += _) }
+        }.start()
+      def rowsOf(u: Long): Vector[StreamingJobs.FlushOut] =
+        buf.synchronized { buf.filter(_.user_id == u).toVector }
+      def await(what: String)(done: => Boolean): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (!done && System.nanoTime() < deadline) Thread.sleep(25L)
+        assert(done, s"timed out awaiting $what; buf=${buf.synchronized(buf.toVector)}")
+      }
+      // one addData call = one atomic MemoryStream block = one batch, so
+      // key 1's two amounts always accumulate before any flush
+      stream.addData(Seq((1L, 10L), (1L, 20L), (2L, 5L)))
+      await("first idle flush of keys 1 and 2")(
+        rowsOf(1L).nonEmpty && rowsOf(2L).nonEmpty)
+      assert(rowsOf(1L) == Vector(StreamingJobs.FlushOut(1L, 2L, 30L, "timer")),
+        s"key 1 first flush: ${rowsOf(1L)}")
+      assert(rowsOf(2L) == Vector(StreamingJobs.FlushOut(2L, 1L, 5L, "timer")),
+        s"key 2 first flush: ${rowsOf(2L)}")
+      // state cleared by the flush: new input re-accumulates from zero
+      stream.addData(Seq((1L, 7L)))
+      await("key 1 second idle flush")(rowsOf(1L).size >= 2)
+      assert(rowsOf(1L)(1) == StreamingJobs.FlushOut(1L, 1L, 7L, "timer"),
+        s"key 1 second flush: ${rowsOf(1L)}")
+      // drain poison in the same block as fresh input: flushes inline,
+      // deletes the armed timer, and the timer must never re-fire it
+      stream.addData(Seq((1L, 3L), (1L, -1L)))
+      await("key 1 drain flush")(rowsOf(1L).size >= 3)
+      assert(rowsOf(1L)(2) == StreamingJobs.FlushOut(1L, 1L, 3L, "drain"),
+        s"key 1 drain flush: ${rowsOf(1L)}")
+      // a poison on an already-flushed (empty) key emits nothing — give
+      // the engine a couple of trigger periods, then pin totals
+      stream.addData(Seq((2L, -1L)))
+      Thread.sleep(300L)
+      q.stop()
+      val all = buf.synchronized { buf.toVector }
+      // conservation: every amount in exactly one flush, no empty rows
+      assert(rowsOf(1L).map(r => (r.n, r.total)) == Vector((2L, 30L), (1L, 7L), (1L, 3L)),
+        s"key 1 lost or double-flushed: ${rowsOf(1L)}")
+      assert(rowsOf(2L).map(r => (r.n, r.total)) == Vector((1L, 5L)),
+        s"key 2 lost, double-flushed, or empty-drained: ${rowsOf(2L)}")
+      assert(all.forall(r => r.n > 0L && (r.via == "timer" || r.via == "drain")),
+        s"malformed flush rows: ${all.filterNot(r => r.n > 0L)}")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream interval join matches the batch range join pair set") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
