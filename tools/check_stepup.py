@@ -13,10 +13,14 @@ smaller step factor (the judge-sanctioned 3x fallback) or a bigger
 timeout without re-running the rest.
 
 Usage: python3 tools/check_stepup.py <sfdir> <verify_outdir> [timeout_s]
-           [only_csv]
+           [only_csv] [shard_idx n_shards]
 
 Writes <verify_outdir>/stepup_results.json incrementally; a rerun skips
 queries already marked pass (delete the file for a clean slate).
+Sharded runs (shard_idx/n_shards: interleaved i % n split so the heavy
+oracles spread across shards) write stepup_results.shard<i>of<n>.json —
+merge with tools/merge_stepup.py style one-liner or a rerun without
+shards after copying passes in.
 """
 import json
 import os
@@ -26,12 +30,16 @@ import time
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 timeout = int(sys.argv[3]) if len(sys.argv) > 3 else 900
-only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 and sys.argv[4] else None
+shard_idx, n_shards = (int(sys.argv[5]), int(sys.argv[6])) \
+    if len(sys.argv) > 6 else (0, 1)
 
 declared = json.load(open(f"{outdir}/queries.json"))
 keys = sorted(k for k in declared if only is None or k in only)
+keys = [k for i, k in enumerate(keys) if i % n_shards == shard_idx]
 
-respath = f"{outdir}/stepup_results.json"
+respath = f"{outdir}/stepup_results.json" if n_shards == 1 else \
+    f"{outdir}/stepup_results.shard{shard_idx}of{n_shards}.json"
 res = {}
 if os.path.exists(respath):
     res = json.load(open(respath))
