@@ -102,8 +102,25 @@ object Bench {
       .map { case (k, i) => "\"" + k + "\":" + i }.mkString("{", ",", "}")
     val colds = coldHits.toSeq.sortBy(_._1)
       .map { case (k, c) => "\"" + k + "\":" + c }.mkString("{", ",", "}")
+    // Per-query sample stats (judge directive r12 #3): `queries` stays the
+    // min (the authoritative per-query figure), but storm adjudication needs
+    // the spread — a key whose min ≈ median is a real cost; min << median is
+    // a steal-window read. File-only (too big for the 2000B stdout tail).
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val sampleStats = names.map { n =>
+      val xs = samples.getOrElse(n, Nil)
+      val body =
+        if (xs.isEmpty) "{\"min\":-1.0,\"median\":-1.0,\"n_samples\":0}"
+        else "{\"min\":" + fmt(xs.min) + ",\"median\":" + fmt(median(xs)) +
+          ",\"n_samples\":" + xs.length + "}"
+      "\"" + n + "\":" + body
+    }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"per_query","unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","n_queries":${results.size},"total":${fmt(total)},"order_index":$orderIdx,"cold_hits":$colds}"""
+      s"""{"metric":"per_query","unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","n_queries":${results.size},"total":${fmt(total)},"order_index":$orderIdx,"cold_hits":$colds,"samples":$sampleStats}"""
     try {
       val repoDir = new java.io.File("/root/repo")
       val outFile = new java.io.File(if (repoDir.isDirectory) repoDir else new java.io.File(sys.props("user.dir")), "BENCH_FULL.json")

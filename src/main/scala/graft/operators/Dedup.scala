@@ -1946,19 +1946,23 @@ object Dedup {
          |GROUP BY da, db ORDER BY da, db""".stripMargin,
     "dd_simhash" -> simhashOracleSql(shinglesSql, 12),
     "dd_cluster" ->
-      s"""WITH RECURSIVE sh AS ($shinglesSql),
-         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      // sh is self-joined and e sits inside the recursive term; DuckDB
+      // re-evaluates plain CTEs per reference AND per closure iteration,
+      // so without MATERIALIZED every reach round replays the whole
+      // shingle build + Jaccard join (the 10x step-up timeout cause)
+      s"""WITH RECURSIVE sh AS MATERIALIZED ($shinglesSql),
+         |cnt AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
          |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2
          |),
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT da, db FROM inter
          |  JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
          |  WHERE ${graft.sources.Tables.r4Sql("CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter)")} >= 0.5
          |),
-         |e AS (SELECT da AS src, db AS dst FROM pairs UNION ALL SELECT db, da FROM pairs),
+         |e AS MATERIALIZED (SELECT da AS src, db AS dst FROM pairs UNION ALL SELECT db, da FROM pairs),
          |reach AS (
          |  SELECT doc_id AS id, doc_id AS comp FROM documents
          |  UNION

@@ -2474,17 +2474,21 @@ object Geo {
            |FROM p JOIN m ON p.layer_id = m.layer_id
            |GROUP BY 1, 2, 3 ORDER BY p.layer_id""".stripMargin,
       "zs_polygonize" ->
+        // c and e MUST be MATERIALIZED: e is referenced inside the
+        // recursive term, and DuckDB re-evaluates plain CTEs there —
+        // without it every closure iteration replays the full events
+        // scan + cell self-join (the 10x step-up timeout cause)
         s"""WITH RECURSIVE
            |pts AS ($pointsSql),
-           |cells AS (
+           |cells AS MATERIALIZED (
            |  SELECT CAST(floor(lon) AS BIGINT) AS fx, CAST(floor(lat) AS BIGINT) AS fy,
            |    COUNT(*) AS n
            |  FROM pts GROUP BY 1, 2
            |),
-           |c AS (
+           |c AS MATERIALIZED (
            |  SELECT fx, fy, n, n % 4 AS cls, (fx + 180) * 70 + (fy + 35) AS lbl FROM cells
            |),
-           |e AS (
+           |e AS MATERIALIZED (
            |  SELECT a.lbl AS src, b.lbl AS dst FROM c a JOIN c b
            |  ON a.cls = b.cls AND
            |    ((a.fx + 1 = b.fx AND a.fy = b.fy) OR (b.fx + 1 = a.fx AND a.fy = b.fy) OR

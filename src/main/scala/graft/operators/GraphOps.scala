@@ -565,10 +565,18 @@ object GraphOps {
     val melted = cand.select(col("a"), col("b"), expr(
       """stack(3, 'aa', aa, 'cn', cn * CAST(1000000000 AS BIGINT), 'ra', ra)
         |AS (scorer, score)""".stripMargin.replace("\n", " ")))
-    val wS = org.apache.spark.sql.expressions.Window.partitionBy("scorer")
-      .orderBy(col("score").desc, col("a").asc, col("b").asc)
-    val top = melted.withColumn("rk", row_number().over(wS))
-      .filter(col("rk") <= LinkpredK)
+    // Per-scorer top-K via the native two-phase heap (TopKPerKeyExec):
+    // a Window.partitionBy("scorer") has cardinality 3, so ALL candidate
+    // pairs would sort in 3 tasks. Key/tie must be BIGINT: scorer maps
+    // to a code, and the (a asc, b asc) tiebreak packs as a*2^32+b —
+    // order-preserving because ids are nonnegative and < 2^32 (the
+    // user-id-space bound the Morton/packing tiers already assume).
+    val top = graft.plans.TopKPerKeyNative.topK(
+      melted
+        .withColumn("sid", expr(
+          "CASE scorer WHEN 'aa' THEN 1L WHEN 'cn' THEN 2L ELSE 3L END"))
+        .withColumn("tie", expr("a * 4294967296L + b")),
+      "sid", "score", "tie", LinkpredK.toInt)
     val nHo = holdout.agg(count(lit(1)).as("n_holdout"))
       .localCheckpoint() // one-row frame: keep the final-plan audit clean
     top.join(holdout.withColumn("hit", lit(1L)), Seq("a", "b"), "left_outer")
@@ -771,14 +779,19 @@ object GraphOps {
       scored = scored.unionByName(
         delta.select(col("s"), col("u"), (col("sigma") * col("p")).as("stress")))
     }
+    // Publish via distributed TakeOrderedAndProject (orderBy+limit caps
+    // the per-node aggregate to BrandesTopK rows with map-side partial
+    // top-k), then rank the capped frame — the gr_pagerank idiom; an
+    // un-partitioned window here would single-task-sort every reached
+    // node at 100x.
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("stress").desc, col("u").asc)
     scored
       .filter(col("u") =!= col("s")) // endpoint convention: sources excluded
       .groupBy("u")
       .agg(sum(col("stress")).as("stress"), count(lit(1)).as("n_sources"))
+      .orderBy(col("stress").desc, col("u").asc).limit(BrandesTopK)
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= BrandesTopK)
       .select("rank", "u", "stress", "n_sources")
       .orderBy("rank")
   }
@@ -1741,7 +1754,7 @@ object GraphOps {
   private def louvainMoveCtes: String =
     s"""lab AS MATERIALIZED (SELECT u, lbl FROM l$LpaRounds),
        |deg AS MATERIALIZED (SELECT src AS u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
-       |mrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+       |mrow AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
        |stot AS (
        |  SELECT lbl AS lc, CAST(SUM(d) AS BIGINT) AS stot
        |  FROM deg JOIN lab USING (u) GROUP BY 1
@@ -1756,7 +1769,7 @@ object GraphOps {
        |    UNION ALL SELECT u, lbl AS lc, CAST(0 AS BIGINT) AS kin FROM lab) z
        |  GROUP BY 1, 2
        |),
-       |gains AS (
+       |gains AS MATERIALIZED (
        |  SELECT c.u, c.lc, la.lbl AS la,
        |    2 * (SELECT m FROM mrow) * c.kin
        |      - deg.d * (stot.stot - CASE WHEN c.lc = la.lbl THEN deg.d ELSE 0 END) AS g
@@ -1857,9 +1870,14 @@ object GraphOps {
        |)""".stripMargin
   }
 
+  // Every multi-referenced CTE is MATERIALIZED: DuckDB inlines plain CTEs,
+  // so sym (referenced once per LPA round) would re-execute the whole
+  // edge build per round, and l$LpaRounds (referenced 2-3x by the
+  // modularity rollups) would replay the full chain per reference — the
+  // BPE-sweep inlining lesson; this is the 10x step-up timeout fix.
   private def lpaCtes: String = {
     val round = (r: Int) =>
-      s"""l$r AS (
+      s"""l$r AS MATERIALIZED (
          |  SELECT u, lbl FROM (
          |    SELECT s.dst AS u, p.lbl, COUNT(*) AS c,
          |      ROW_NUMBER() OVER (PARTITION BY s.dst
@@ -1867,20 +1885,20 @@ object GraphOps {
          |    FROM sym s JOIN l${r - 1} p ON s.src = p.u
          |    GROUP BY s.dst, p.lbl) t WHERE rn = 1
          |)""".stripMargin
-    s"""inc0 AS (
+    s"""inc0 AS MATERIALIZED (
        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
        |), okord AS (
        |  SELECT o FROM inc0 GROUP BY o HAVING COUNT(*) <= $LpaOrderCap
-       |), inc AS (
+       |), inc AS MATERIALIZED (
        |  SELECT i.o, i.p FROM inc0 i JOIN okord USING (o)
-       |), edges AS (
+       |), edges AS MATERIALIZED (
        |  SELECT a, b FROM (
        |    SELECT x.p AS a, y.p AS b, COUNT(*) AS ns
        |    FROM inc x JOIN inc y ON x.o = y.o AND x.p < y.p
        |    GROUP BY 1, 2) t WHERE ns >= $LpaMinShared
-       |), sym AS (
+       |), sym AS MATERIALIZED (
        |  SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b, a FROM edges
-       |), l0 AS (
+       |), l0 AS MATERIALIZED (
        |  SELECT DISTINCT src AS u, src AS lbl FROM sym
        |), ${(1 to LpaRounds).map(round).mkString(",\n")}""".stripMargin
   }
@@ -2284,8 +2302,8 @@ object GraphOps {
          |GROUP BY lbl ORDER BY n_members DESC, community LIMIT 25""".stripMargin,
     "gr_modularity" ->
       s"""WITH $lpaCtes,
-         |lab AS (SELECT u, lbl FROM l$LpaRounds),
-         |deg AS (SELECT src AS u, COUNT(*) AS d FROM sym GROUP BY 1),
+         |lab AS MATERIALIZED (SELECT u, lbl FROM l$LpaRounds),
+         |deg AS MATERIALIZED (SELECT src AS u, COUNT(*) AS d FROM sym GROUP BY 1),
          |ds AS (
          |  SELECT lbl, CAST(SUM(d) AS BIGINT) AS degree_sum, COUNT(*) AS n_members
          |  FROM deg JOIN lab USING (u) GROUP BY 1
@@ -2295,7 +2313,7 @@ object GraphOps {
          |  FROM edges e JOIN lab la ON e.a = la.u JOIN lab lb ON e.b = lb.u
          |  WHERE la.lbl = lb.lbl GROUP BY 1
          |),
-         |per AS (
+         |per AS MATERIALIZED (
          |  SELECT ds.lbl, n_members, degree_sum,
          |    COALESCE(intra_edges, 0) AS intra_edges
          |  FROM ds LEFT JOIN ia ON ds.lbl = ia.lbl
@@ -2591,24 +2609,28 @@ object GraphOps {
         |FROM cp a JOIN cp b ON a.cust = b.cust AND a.part < b.part
         |GROUP BY 1, 2 ORDER BY n_cust DESC, p1, p2 LIMIT 30""".stripMargin,
     "gr_kcore" -> {
+      // k$r / e$r are multi-referenced (each peel round reads the prior
+      // edge set twice and the survivor set twice); MATERIALIZED stops
+      // DuckDB's default inlining from replaying the whole peel chain
+      // per reference — exponential in rounds, the 10x timeout cause
       val round = (r: Int) =>
-        s"""k$r AS (
+        s"""k$r AS MATERIALIZED (
            |  SELECT src AS u FROM e${r - 1} GROUP BY src HAVING COUNT(*) >= $KcoreK
-           |), e$r AS (
+           |), e$r AS MATERIALIZED (
            |  SELECT src, dst FROM e${r - 1}
            |  WHERE src IN (SELECT u FROM k$r) AND dst IN (SELECT u FROM k$r))""".stripMargin
-      s"""WITH act AS (
+      s"""WITH act AS MATERIALIZED (
          |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr FROM events
          |), sizes AS (
          |  SELECT event_type, hr FROM (
          |    SELECT event_type, hr, COUNT(*) AS n FROM act GROUP BY 1, 2) WHERE n <= 20
-         |), ok AS (
+         |), ok AS MATERIALIZED (
          |  SELECT act.* FROM act JOIN sizes USING (event_type, hr)
-         |), edges AS (
+         |), edges AS MATERIALIZED (
          |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
          |  FROM ok x JOIN ok y ON x.event_type = y.event_type AND x.hr = y.hr
          |    AND x.user_id < y.user_id
-         |), e0 AS (
+         |), e0 AS MATERIALIZED (
          |  SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b, a FROM edges
          |), ${(1 to KcoreRounds).map(round).mkString(",\n")}
          |SELECT * FROM (
@@ -2618,31 +2640,34 @@ object GraphOps {
          |) ORDER BY round""".stripMargin
     },
     "gr_sssp" -> {
+      // d$r references d${r-1} twice (relax + carry): without
+      // MATERIALIZED, DuckDB inlining doubles the chain per round —
+      // 2^rounds replays of the edge build, the 10x timeout cause
       val round = (r: Int) =>
-        s"""d$r AS (
+        s"""d$r AS MATERIALIZED (
            |  SELECT u, CAST(MIN(d) AS BIGINT) AS d FROM (
            |    SELECT s.dst AS u, d${r - 1}.d + s.w AS d
            |    FROM sym s JOIN d${r - 1} ON s.src = d${r - 1}.u
            |    UNION ALL SELECT u, d FROM d${r - 1}) f
            |  GROUP BY u)""".stripMargin
-      s"""WITH act AS (
+      s"""WITH act AS MATERIALIZED (
          |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr FROM events
          |), sizes AS (
          |  SELECT event_type, hr FROM (
          |    SELECT event_type, hr, COUNT(*) AS n FROM act GROUP BY 1, 2) WHERE n <= 20
-         |), ok AS (
+         |), ok AS MATERIALIZED (
          |  SELECT act.* FROM act JOIN sizes USING (event_type, hr)
-         |), we AS (
+         |), we AS MATERIALIZED (
          |  SELECT a, b, CAST(GREATEST(1, 11 - n) AS BIGINT) AS w FROM (
          |    SELECT x.user_id AS a, y.user_id AS b, COUNT(*) AS n
          |    FROM ok x JOIN ok y ON x.event_type = y.event_type AND x.hr = y.hr
          |      AND x.user_id < y.user_id
          |    GROUP BY 1, 2)
-         |), sym AS (
+         |), sym AS MATERIALIZED (
          |  SELECT a AS src, b AS dst, w FROM we UNION ALL SELECT b, a, w FROM we
-         |), nodes AS (
+         |), nodes AS MATERIALIZED (
          |  SELECT DISTINCT src AS u FROM sym
-         |), d0 AS (
+         |), d0 AS MATERIALIZED (
          |  SELECT u, CAST(0 AS BIGINT) AS d FROM nodes WHERE u % 100 = 0
          |), ${(1 to SsspRounds).map(round).mkString(",\n")}
          |SELECT CAST(COALESCE(dk.d, -1) AS BIGINT) AS d, COUNT(*) AS n_users
@@ -2650,29 +2675,31 @@ object GraphOps {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "gr_khop" -> {
+      // same double-reference chain as gr_sssp — MATERIALIZED for the
+      // same inlining reason (this one passed at 10x but in 294.8s)
       val round = (r: Int) =>
-        s"""d$r AS (
+        s"""d$r AS MATERIALIZED (
            |  SELECT u, CAST(MIN(d) AS BIGINT) AS d FROM (
            |    SELECT s.dst AS u, d${r - 1}.d + 1 AS d
            |    FROM sym s JOIN d${r - 1} ON s.src = d${r - 1}.u
            |    UNION ALL SELECT u, d FROM d${r - 1}) f
            |  GROUP BY u)""".stripMargin
-      s"""WITH act AS (
+      s"""WITH act AS MATERIALIZED (
          |  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr FROM events
          |), sizes AS (
          |  SELECT event_type, hr FROM (
          |    SELECT event_type, hr, COUNT(*) AS n FROM act GROUP BY 1, 2) WHERE n <= 20
-         |), ok AS (
+         |), ok AS MATERIALIZED (
          |  SELECT act.* FROM act JOIN sizes USING (event_type, hr)
-         |), edges AS (
+         |), edges AS MATERIALIZED (
          |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
          |  FROM ok x JOIN ok y ON x.event_type = y.event_type AND x.hr = y.hr
          |    AND x.user_id < y.user_id
-         |), sym AS (
+         |), sym AS MATERIALIZED (
          |  SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b, a FROM edges
-         |), nodes AS (
+         |), nodes AS MATERIALIZED (
          |  SELECT DISTINCT src AS u FROM sym
-         |), d0 AS (
+         |), d0 AS MATERIALIZED (
          |  SELECT u, CAST(0 AS BIGINT) AS d FROM nodes WHERE u % 100 = 0
          |), ${(1 to KhopRounds).map(round).mkString(",\n")}
          |SELECT CAST(COALESCE(dk.d, -1) AS BIGINT) AS d, COUNT(*) AS n_users

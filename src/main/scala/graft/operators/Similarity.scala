@@ -3024,15 +3024,19 @@ object Similarity {
     },
     "ann_nndescent" -> {
       val h6 = md5Hex6Sql
+      // Each round references g${r-1} three times and s$r twice; plain
+      // CTEs inline in DuckDB, so the un-materialized chain replays
+      // ~5^rounds copies of every earlier round (the 10x step-up
+      // timeout cause). MATERIALIZED evaluates each round exactly once.
       val round = (r: Int) =>
-        s"""s$r AS (
+        s"""s$r AS MATERIALIZED (
            |  SELECT src, dst FROM g${r - 1} UNION SELECT dst, src FROM g${r - 1}
-           |), c$r AS (
+           |), c$r AS MATERIALIZED (
            |  SELECT DISTINCT u, w FROM (
            |    SELECT a.src AS u, t.dst AS w FROM s$r a JOIN s$r t ON a.dst = t.src
            |    WHERE a.src <> t.dst
            |    UNION ALL SELECT src, dst FROM g${r - 1}) p
-           |), g$r AS (
+           |), g$r AS MATERIALIZED (
            |  SELECT u AS src, w AS dst FROM (
            |    SELECT c.u, c.w,
            |      ROW_NUMBER() OVER (PARTITION BY c.u ORDER BY
@@ -3049,11 +3053,11 @@ object Similarity {
            |  FROM exact LEFT JOIN (SELECT * FROM g$r WHERE src < 10) h
            |    ON exact.qid = h.src AND exact.cid = h.dst
            |)""".stripMargin
-      s"""WITH e AS (
+      s"""WITH e AS MATERIALIZED (
          |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings
          |),
-         |nt AS (SELECT COUNT(*) AS n FROM e),
-         |g0 AS (
+         |nt AS MATERIALIZED (SELECT COUNT(*) AS n FROM e),
+         |g0 AS MATERIALIZED (
          |  SELECT DISTINCT src, CASE WHEN h = src THEN (h + 1) % n ELSE h END AS dst
          |  FROM (
          |    SELECT src, n, $h6 % n AS h FROM (
@@ -3062,7 +3066,7 @@ object Similarity {
          |      FROM e CROSS JOIN nt CROSS JOIN range(0, 5) t(ga)) s0) s1
          |),
          |${(1 to NnDescentRounds).map(round).mkString(",\n")},
-         |exact AS (
+         |exact AS MATERIALIZED (
          |  SELECT qid, cid FROM (
          |    SELECT q.vec_id AS qid, c.vec_id AS cid,
          |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY

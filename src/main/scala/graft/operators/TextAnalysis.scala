@@ -1070,10 +1070,11 @@ object TextAnalysis {
     * The coverage-vs-V elbow is how a vocab budget is actually chosen;
     * the complement is the OOV rate the runtime will eat as <unk>.
     *
-    * Scale: word counts are one map-side-combinable shuffle; the rank
-    * window runs over the O(vocab) count frame (not the corpus); the
-    * top-256 table broadcasts onto one held-out pass; all three cuts
-    * read that single pass via conditional sums + stack. */
+    * Scale: word counts are one map-side-combinable shuffle; the top-256
+    * cap is a distributed TakeOrderedAndProject (partial top-k per
+    * partition), so the rank window orders only the 256-row capped
+    * frame; the top-256 table broadcasts onto one held-out pass; all
+    * three cuts read that single pass via conditional sums + stack. */
   def oov(spark: SparkSession, dir: String): DataFrame = {
     val words = documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
@@ -1082,9 +1083,9 @@ object TextAnalysis {
       .localCheckpoint() // train counts + held-out probe
     val ranked = words.filter(col("doc_id") % 10 =!= 0)
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(256)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("c").desc, col("w"))).cast("long"))
-      .filter(col("rk") <= 256L)
       .select("w", "rk")
     words.filter(col("doc_id") % 10 === 0)
       .join(broadcast(ranked), Seq("w"), "left_outer")

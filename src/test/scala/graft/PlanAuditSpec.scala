@@ -142,6 +142,68 @@ class PlanAuditSpec extends SparkSpecBase {
     // onto the term-match stream — the gr_triangles shape
     "ta_bm25")
 
+  // A Window whose partition spec is empty (or all-literal) runs every
+  // input row through ONE task — a single-task sort that kills a 100x
+  // scale-up unless the frame is bounded by construction. Frames capped
+  // by an upstream LIMIT (the TakeOrdered-then-rank publish idiom:
+  // gr_pagerank, zipfOn, gr_betweenness, ta_oov) are auto-sanctioned by
+  // the GlobalLimit check in the gate below; everything else needs a
+  // documented bound here. (A Limit below a join could in principle
+  // false-sanction an unbounded side, but no registry query windows over
+  // a join-of-limited-frame — the gate errs toward catching the shipped
+  // pattern: rank/row_number straight over a data-sized aggregate.)
+  private val allowGlobalWindow: Map[String, String] = Map(
+    "ta_ppl_bucket" -> "O(ndv) histogram: window over per-bucket rollup, ndv bounded by the score grid",
+    "ev_latency_slo" -> "O(ndv) histogram: cumulative window over the bounded latency-bucket rollup",
+    "io_histogram" -> "O(ndv) histogram: window over the fixed bin rollup",
+    "ev_survival" -> "O(minutes) life table: cumulative hazard over the bounded duration grid",
+    "ev_survival_strat" -> "O(minutes x strata) life table: same grid per stratum",
+    "io_cdf" -> "O(ndv) distribution: cumulative window over the bounded value rollup",
+    "ta_mixture" -> "O(sources) rollup: global-total window over the per-source aggregate; sources is a bounded catalog dimension, not data-sized",
+    "pipe_curation" -> "O(sources) rollup: the ta_mixture shape inside the curation capstone",
+    "ta_resample" -> "O(sources) rollup: the ta_mixture shape feeding the resample weights",
+    "dd_profile" -> "O(5) histogram: global total over the fixed CASE size-bucket rollup",
+    "io_compact_plan" -> "O(9) histogram: cumulative window over 1KB size buckets (sz < 9000)",
+    "io_ldp" -> "O(event-type vocabulary) rollup: global total over per-type coin counts",
+    "ev_concurrency" -> "O(days) calendar rollup: cumulative window over per-day totals",
+    "q28_rfm" -> "O(value-domain) quantile cuts: three cumulative windows over bounded value-bucket rollups (last_day div 100, n_orders, m_cents div 1e7)",
+    "ev_lateness" -> "O(arrival-chunks) trace: prefix-max high watermark over the n/1000 chunk rollup — the per-round-trace class; chunk width is the declared replay granularity",
+    "ta_bpe_encode" -> "O(rounds) trace: lag over the 5-row per-round token-count union",
+    "ta_bpe_train" -> "O(rounds) trace: lag over the 5-row per-round token-count union",
+    // the distributed two-phase prefix-sum family: phase 2's window input
+    // is the per-range total table (n/RangeDocs rows — two orders below
+    // the corpus; the within-range scan is range-PARTITIONED). RangeDocs
+    // is the declared knob that widens with corpus so phase-2 input stays
+    // partitions-scale on a real cluster.
+    "mm_shard_pack" -> "prefix-sum phase 2 over the n/100 range-total table",
+    "mm_interleave" -> "prefix-sum phase 2 over the n/100 range-total table",
+    "mm_vit_tokens" -> "prefix-sum phase 2 over the n/100 range-total table",
+    "pipe_export" -> "prefix-sum phase 2 over the n/100 range-total table",
+    "ta_seq_pack" -> "prefix-sum phase 2 over the n/100 range-total table")
+
+  test("no constant-parallelism window over an unbounded frame") {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Range => LRange, Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (allowGlobalWindow.contains(name)) Nil
+      else fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty || w.partitionSpec.forall(_.foldable) => w
+      }.filter { w =>
+        // bounded by construction: an upstream LIMIT (the TakeOrdered-
+        // then-rank idiom) or a <=1024-row literal Range spine (dense
+        // percentile/cut grids) caps the window's input rows
+        val capped = w.child.collectFirst {
+          case g: GlobalLimit => g
+          case r: LRange if r.numElements.isValidInt && r.numElements.toInt <= 1024 => r
+        }.isDefined
+        !capped
+      }.map(w => s"$name:\n$w")
+    }
+    assert(offenders.isEmpty,
+      s"constant-parallelism window over an unbounded frame (single-task sort " +
+        s"at 100x — cap with orderBy().limit(K) first, use TopKPerKeyNative, or " +
+        s"add a documented-bound allowlist entry):\n" + offenders.mkString("\n"))
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, sfDir))

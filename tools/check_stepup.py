@@ -17,32 +17,62 @@ Usage: python3 tools/check_stepup.py <sfdir> <verify_outdir> [timeout_s]
 
 Writes <verify_outdir>/stepup_results.json incrementally; a rerun skips
 queries already marked pass (delete the file for a clean slate).
-Sharded runs (shard_idx/n_shards: interleaved i % n split so the heavy
-oracles spread across shards) write stepup_results.shard<i>of<n>.json —
-merge with tools/merge_stepup.py style one-liner or a rerun without
-shards after copying passes in.
+Sharded runs (shard_idx/n_shards: stable crc32(key) % n_shards split, so
+a key's shard never moves across reruns or registry changes) write
+stepup_results.shard<i>of<n>.json — merge the shards with:
+
+    python3 -c "import json,glob; m={}; [m.update(json.load(open(f)))
+        for f in sorted(glob.glob('OUTDIR/stepup_results.shard*of*.json'))];
+        json.dump(m, open('OUTDIR/stepup_results.json','w'), indent=1)"
 """
 import json
 import os
 import subprocess
 import sys
 import time
+import zlib
 
+if len(sys.argv) == 6:
+    sys.exit("check_stepup: shard_idx and n_shards must be given together "
+             "(got 5 args — a lone shard_idx would silently run ALL keys "
+             "and overwrite the unsharded results file)")
 sfdir, outdir = sys.argv[1], sys.argv[2]
 timeout = int(sys.argv[3]) if len(sys.argv) > 3 else 900
 only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 and sys.argv[4] else None
 shard_idx, n_shards = (int(sys.argv[5]), int(sys.argv[6])) \
     if len(sys.argv) > 6 else (0, 1)
+if not (0 <= shard_idx < n_shards):
+    sys.exit(f"check_stepup: need 0 <= shard_idx < n_shards, "
+             f"got {shard_idx}/{n_shards}")
 
 declared = json.load(open(f"{outdir}/queries.json"))
 keys = sorted(k for k in declared if only is None or k in only)
-keys = [k for i, k in enumerate(keys) if i % n_shards == shard_idx]
+# stable hash shard: a key keeps its shard across reruns, only-filters,
+# and registry growth (an index-based split reassigned keys and left
+# stale entries behind)
+keys = [k for k in keys
+        if zlib.crc32(k.encode()) % n_shards == shard_idx]
 
 respath = f"{outdir}/stepup_results.json" if n_shards == 1 else \
     f"{outdir}/stepup_results.shard{shard_idx}of{n_shards}.json"
 res = {}
 if os.path.exists(respath):
-    res = json.load(open(respath))
+    try:
+        res = json.load(open(respath))
+    except json.JSONDecodeError:
+        print(f"warn: {respath} corrupt (truncated mid-dump?) — starting "
+              "fresh", flush=True)
+        res = {}
+# prune entries that are not in this run's key set (stale results from a
+# prior filter or the old index-based sharding must not survive a merge)
+res = {k: v for k, v in res.items() if k in set(keys)}
+
+
+def dump_atomic(obj, path):
+    tmp = path + ".tmp"
+    json.dump(obj, open(tmp, "w"), indent=1)
+    os.replace(tmp, path)
+
 
 here = os.path.dirname(os.path.abspath(__file__))
 for i, k in enumerate(keys):
@@ -62,7 +92,7 @@ for i, k in enumerate(keys):
         res[k] = {"status": "timeout", "sec": timeout}
     print(f"[{i + 1}/{len(keys)}] {k}: {res[k]['status']} {res[k]['sec']}s",
           flush=True)
-    json.dump(res, open(respath, "w"), indent=1)
+    dump_atomic(res, respath)
 
 done = [k for k in keys if k in res]
 npass = sum(1 for k in done if res[k]["status"] == "pass")

@@ -20,6 +20,7 @@ Usage: python3 tools/make_sfstep.py <src_sf_dir> <dst_dir> [K=10]
 ENGINEERING test data only — never committed, never a substitute for
 driver-shipped testdata; provenance recorded in SURVEY.md §8.
 """
+import os
 import sys
 
 import duckdb
@@ -28,6 +29,7 @@ import duckdb
 def main() -> None:
     src, dst = sys.argv[1], sys.argv[2]
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"CREATE TABLE copies AS SELECT UNNEST(range({k})) AS i")
 
