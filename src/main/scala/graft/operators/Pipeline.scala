@@ -80,13 +80,17 @@ object Pipeline {
     else {
       // one write job per output: each layer's plan is a branch of the
       // union, partitionBy routes it to its own partition directory, and
-      // the plans execute exactly once (no persist + count pre-pass)
-      writeLayerPartition(
-        missing.map(enrichLayer(spark, dir, _)).reduce(_ unionByName _),
-        s"$outRoot/enriched")
-      writeLayerPartition(
-        missing.map(tileLayer(spark, dir, _)).reduce(_ unionByName _),
-        s"$outRoot/tiles")
+      // the plans execute exactly once (no persist + count pre-pass).
+      // The two outputs are independent (disjoint paths, disjoint plans) —
+      // write them concurrently so one write's commit tail back-fills with
+      // the other's tasks (guide §2.6)
+      Par.run2(
+        () => writeLayerPartition(
+          missing.map(enrichLayer(spark, dir, _)).reduce(_ unionByName _),
+          s"$outRoot/enriched"),
+        () => writeLayerPartition(
+          missing.map(tileLayer(spark, dir, _)).reduce(_ unionByName _),
+          s"$outRoot/tiles"))
       // row counts come from the LANDED data (partition-pruned parquet
       // metadata count), not a recompute of the plans
       val names = missing.map(_.name)

@@ -220,10 +220,14 @@ object Similarity {
     * Round12Spec pins the monotone recall trace on a planted-cluster
     * corpus. */
   def nndescentOn(c: DataFrame): DataFrame = {
-    val graphs = nndGraphs(c)
-    val exact = bruteforceOn(c.filter(col("vec_id") < 10), c, NnDescentK)
-      .select(col("qid"), col("cid"))
-      .localCheckpoint() // one eval join per round
+    // the refinement build and the exact-baseline pass are independent —
+    // the exact pass's corpus scan back-fills the build's barriers
+    // (guide §2.6)
+    val (graphs, exact) = Par.run2(
+      () => nndGraphs(c),
+      () => bruteforceOn(c.filter(col("vec_id") < 10), c, NnDescentK)
+        .select(col("qid"), col("cid"))
+        .localCheckpoint()) // one eval join per round
     val trace = graphs.zipWithIndex.map { case (g, r) =>
       val ne = g.agg(count(lit(1)).as("n_edges"))
       exact.join(g.filter(col("src") < 10)
@@ -393,11 +397,16 @@ object Similarity {
   def graphRecall(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
       .localCheckpoint() // init + two serves' rescores + exact pass
-    val rand = gsBackboneOn(c)
-      .localCheckpoint() // random-tier serve + the hybrid union
-    val exact = bruteforceOn(c.filter(col("vec_id") < 10), c, 3)
-      .select(col("qid"), col("cid"))
-      .localCheckpoint() // one hit join per tier
+    // the random backbone, the exact baseline, and the refined-index
+    // deploy/build are mutually independent consumers of the checkpointed
+    // corpus — materialize them concurrently (guide §2.6)
+    val Seq(rand, exact, refined) = Par.run(Seq(
+      () => gsBackboneOn(c)
+        .localCheckpoint(), // random-tier serve + the hybrid union
+      () => bruteforceOn(c.filter(col("vec_id") < 10), c, 3)
+        .select(col("qid"), col("cid"))
+        .localCheckpoint(), // one hit join per tier
+      () => refinedGraphFor(spark, dir, c)))
     def tierRow(name: String, g: DataFrame): DataFrame =
       exact.join(beamServe(c, g).select(col("qid"), col("cid"), lit(1L).as("hit")),
           Seq("qid", "cid"), "left_outer")
@@ -405,11 +414,14 @@ object Similarity {
           sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
         .select(lit(name).as("tier"), col("n_exact"), col("n_hits"),
           r4(col("n_hits").cast("double") / col("n_exact")).as("recall_at_3"))
-    val refined = refinedGraphFor(spark, dir, c)
-    tierRow("1_random", rand)
-      .unionByName(tierRow("2_refined", refined))
-      .unionByName(tierRow("3_hybrid",
-        refined.unionByName(rand).distinct()))
+    // three independent serves over checkpointed parents (c, rand, exact;
+    // refined is the artifact scan or the build's checkpoint) — concurrent
+    // submission overlaps their per-hop checkpoint jobs (guide §2.6)
+    Par.run(Seq(
+      () => tierRow("1_random", rand),
+      () => tierRow("2_refined", refined),
+      () => tierRow("3_hybrid", refined.unionByName(rand).distinct())))
+      .reduce(_ unionByName _)
       .orderBy("tier")
   }
 
@@ -500,8 +512,6 @@ object Similarity {
         .withColumn("cid", expr(s"CASE WHEN qid = 0 THEN ${GsHubMod}L ELSE 0L END")))
       .localCheckpoint()
     val sym0 = beamSym(g.filter(col("layer") === 0L).select("src", "dst"))
-    val upper = beamLoop(c, q, g.filter(col("layer") === 1L).select("src", "dst"),
-      b0, GsHops) // localCheckpointed by the loop's last hop
     // Two base-layer lanes, published as the top-3 of their union:
     // the DESCENT lane runs from the upper beam (the HNSW path — at
     // scale the hub warm start is what finds the query's region), and
@@ -514,8 +524,16 @@ object Similarity {
     // hybrid) structural — the layered candidate set contains the flat
     // serve's, and a published exact-top-3 hit can only be displaced by
     // another exact-top-3 member under the same (cos, cid) order.
-    val laneA = beamLoopSym(c, q, sym0, b0, GsHops)
-    val laneB = beamLoopSym(c, q, sym0, upper, GsHops)
+    // lane A is independent of the upper-layer loop — run it concurrently
+    // with [upper loop -> lane B] so the two hop-checkpoint chains overlap
+    // (guide §2.6); shared parents (sym0, b0, q, c, g) are all checkpointed
+    val (laneA, laneB) = Par.run2(
+      () => beamLoopSym(c, q, sym0, b0, GsHops),
+      () => {
+        val upper = beamLoop(c, q,
+          g.filter(col("layer") === 1L).select("src", "dst"), b0, GsHops)
+        beamLoopSym(c, q, sym0, upper, GsHops)
+      })
     beamTrim(laneA.unionByName(laneB)
       .groupBy("qid", "cid").agg(max(col("cos")).as("cos")))
   }
@@ -1612,11 +1630,15 @@ object Similarity {
       .join(broadcast(qb.select(col("qid"), col("qv"), col("qn")).join(probes, Seq("qid"))),
         Seq("c"))
       .filter(col("qid") =!= col("cid"))
-    Seq(
-      tierRow("1_brute", brute),
-      tierRow("2_lsh", lshCand),
-      tierRow("3_ivf", ivfCand),
-      tierRow("4_multiprobe", mpCand))
+    // the four tiers are independent eager pipelines over checkpointed
+    // parents (c, clustered, qb, exact, nEx) — submit them concurrently so
+    // each tier's checkpoint jobs back-fill the others' tails (guide §2.6);
+    // rows and union order are unchanged
+    Par.run(Seq(
+      () => tierRow("1_brute", brute),
+      () => tierRow("2_lsh", lshCand),
+      () => tierRow("3_ivf", ivfCand),
+      () => tierRow("4_multiprobe", mpCand)))
       .reduce(_ unionByName _)
       .orderBy("tier")
   }

@@ -359,15 +359,32 @@ object TextAnalysis {
     }
   }
 
-  /** Replay known merges over the `off`-slice as one checkpointed literal
-    * chain (each frame has two consumers — the next apply and its counts
-    * branch — so the per-stage checkpoint rule applies). Returns frames
-    * for rounds 0..BpeRounds, the shape bpeLearn returns. */
+  /** Replay known merges over the `off`-slice as one literal chain.
+    * Returns frames for rounds 0..pairsN.length, the shape bpeLearn
+    * returns. Checkpoint discipline (optimization r13): a frame is
+    * eagerly materialized ONLY when it genuinely has two consumers — a
+    * counts branch (`counted(r)`) AND a next round building on it. A
+    * single-consumer frame stays lazy: its window chain executes once,
+    * inside its one consumer's job (all rounds share the doc_id
+    * partitioning, so a multi-round lazy chain carries ONE exchange).
+    * ta_fertility consumes only the last frame — its whole replay is now
+    * one lazy plan / one job; ta_bpe_sweep counts only its cut frames. */
   private[graft] def bpeReplayFrames(docs: DataFrame,
-      pairsN: Seq[(String, String, Long)], off: Int): Seq[DataFrame] =
-    pairsN.scanLeft(bpeBase(docs, off).localCheckpoint()) {
-      case (f, (bl, br, _)) => bpeApplyLit(bpeWithNext(f), bl, br).localCheckpoint()
+      pairsN: Seq[(String, String, Long)], off: Int,
+      counted: Int => Boolean = _ => true): Seq[DataFrame] = {
+    val rounds = pairsN.length
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var f = bpeBase(docs, off)
+    if (counted(0) && rounds > 0) f = f.localCheckpoint()
+    frames += f
+    for (((bl, br, _), i) <- pairsN.zipWithIndex) {
+      var g = bpeApplyLit(bpeWithNext(f), bl, br)
+      if (counted(i + 1) && i + 1 < rounds) g = g.localCheckpoint()
+      frames += g
+      f = g
     }
+    frames.toSeq
+  }
 
   /** Same operator over any (doc_id, text) frame — BpeSpec pins the
     * boundary-blocking, tie-break, and run-parity overlap rules on a
@@ -682,7 +699,9 @@ object TextAnalysis {
 
   private def fertilityWith(docs: DataFrame,
       pairsN: Seq[(String, String, Long)]): DataFrame = {
-    val fin = bpeReplayFrames(docs, pairsN, off = 41).last
+    // only the final frame is consumed — the whole replay stays one lazy
+    // plan (counted = nothing), one job instead of one per round
+    val fin = bpeReplayFrames(docs, pairsN, off = 41, counted = _ => false).last
     fin.groupBy("doc_id")
       .agg(
         sum(when(col("sym") === " ", 0L).otherwise(1L)).as("n_tok"),
@@ -719,7 +738,11 @@ object TextAnalysis {
     val docs = documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
     val pairsN = bpeMergesFor(spark, dir, docs, BpeSweepRounds)
-    val frames = bpeReplayFrames(docs, pairsN, off = 41)
+    // only the cut frames feed counts — frames between cuts stay lazy
+    // links of the chain (their windows run once, inside the next cut's
+    // materialization)
+    val frames = bpeReplayFrames(docs, pairsN, off = 41,
+      counted = BpeSweepCuts.contains(_))
     val words = frames(0)
       .agg((sum(when(col("sym") === " ", 1L).otherwise(0L))
         + countDistinct(col("doc_id"))).as("n_words"))
@@ -1905,7 +1928,15 @@ object TextAnalysis {
       .select(col("word"), col("cnt"), lit(1L).as("pos"), lit(0L).as("n_pieces"))
       .localCheckpoint() // consumed by round 1 (live + frozen branches)
     // rounds past the corpus' longest word are no-ops (every cursor is
-    // frozen) — bound by the actual max; one-row agg on the checkpoint
+    // frozen) — bound by the actual max; one-row agg on the checkpoint.
+    // MEASURED r13 and kept: a single lazy exactly-r-pieces chain (rounds
+    // referencing their predecessor once, final union of frozen slices)
+    // doubled this query's time at sf0.1 (ta_wordpiece 2.05s -> 4.1s,
+    // ta_tok_compare 4.1s -> 9.2s) — AQE does not reliably reuse the
+    // per-round exchanges across the chain's two consumers, so the
+    // O(rounds^2) re-execution swamps the ~10 saved checkpoint jobs.
+    // The per-round localCheckpoint (1 job per round over a
+    // vocabulary-bounded frame) is the measured optimum on this shape.
     val rounds = math.min(WpMaxWordLen,
       maxWordLen(words))
     for (_ <- 1 to rounds) {
@@ -1989,7 +2020,13 @@ object TextAnalysis {
     var st = words
       .select(col("word"), col("cnt"), lit(0L).as("j"), lit(1023L).as("k"))
       .localCheckpoint() // consumed by round 1 (carry + extend branches)
-    // rounds past the corpus' longest word are no-ops — bound by the max
+    // rounds past the corpus' longest word are no-ops — bound by the max.
+    // MEASURED r13 and kept: the lazy exactly-r-pieces chain (one plan,
+    // union of per-round frames, final groupBy-max) ran ~1.8x SLOWER at
+    // sf0.1 (ta_unigram 2.0s -> 3.6s) — per-round exchanges are not
+    // reliably reused across the chain's two consumers under AQE, so the
+    // redundant re-execution outweighs the saved checkpoint jobs. The
+    // per-round checkpoint is the measured optimum for this DP shape.
     val rounds = math.min(UgMaxWordLen,
       maxWordLen(words))
     for (_ <- 1 to rounds) {
@@ -2105,7 +2142,10 @@ object TextAnalysis {
       .groupBy(expr("substring(word, o, l)").as("piece"))
       .agg(sum(col("cnt")).as("pcnt")))
     // rounds past the corpus' longest word are no-ops — bound all three
-    // DP sweeps by the actual max (one-row agg on the checkpoint)
+    // DP sweeps by the actual max (one-row agg on the checkpoint).
+    // MEASURED r13 and kept: lazy exactly-r chains nearly DOUBLED this
+    // query (4.4s -> 8.2s at sf0.1; see unigramDecoded) — per-round
+    // checkpoints stay.
     val emRounds = math.min(UgMaxWordLen,
       maxWordLen(words))
     // forward Viterbi over a piece table: state (word, j, k)
