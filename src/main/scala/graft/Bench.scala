@@ -4,17 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Three timed runs per query, report the min: the first run carries JIT
     // / codegen warmup, and this host shows multi-second CPU-steal bursts
@@ -31,6 +21,17 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // The canonical artifact (BENCH_FULL.json) is the judge/PERF per-query
+    // map for the driver's primary run: full registry, 32 cpus, sf0.1.
+    // Everything else — the driver's low-cpu scaling run, SPARK_GRAFT_ONLY
+    // local iteration, smoke SFs — goes to a variant filename so it can
+    // never clobber the primary map (r13 lost the 32-cpu map to the c8
+    // scaling run this way).
+    val sfName = new java.io.File(sfDir).getName
+    val fullMapName =
+      if (only.isEmpty && cpus == "32" && sfName == "sf0.1") "BENCH_FULL.json"
+      else s"BENCH_FULL_c${cpus}_$sfName" +
+        (if (only.nonEmpty) "_filtered" else "") + ".json"
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     // Artifact-cache telemetry (judge directive r9 #8): with the shared
@@ -120,10 +121,10 @@ object Bench {
       "\"" + n + "\":" + body
     }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"per_query","unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","n_queries":${results.size},"total":${fmt(total)},"order_index":$orderIdx,"cold_hits":$colds,"samples":$sampleStats}"""
+      s"""{"metric":"per_query","unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","cpus":$cpus,"n_queries":${results.size},"total":${fmt(total)},"order_index":$orderIdx,"cold_hits":$colds,"samples":$sampleStats}"""
     try {
       val repoDir = new java.io.File("/root/repo")
-      val outFile = new java.io.File(if (repoDir.isDirectory) repoDir else new java.io.File(sys.props("user.dir")), "BENCH_FULL.json")
+      val outFile = new java.io.File(if (repoDir.isDirectory) repoDir else new java.io.File(sys.props("user.dir")), fullMapName)
       val w = new java.io.PrintWriter(outFile, "UTF-8")
       try w.println(fullJson) finally w.close()
     } catch { case _: Throwable => () } // file emission is best-effort; stdout contract stands alone
@@ -140,7 +141,7 @@ object Bench {
     println(s"""{"metric":"group_totals","unit":"sec","groups":$groups}""")
     val slowest = results.sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"slowest","unit":"sec","queries":$slowest,"full_map":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"slowest","unit":"sec","queries":$slowest,"full_map":"$fullMapName"}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }

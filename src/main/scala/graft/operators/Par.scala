@@ -19,13 +19,23 @@ package graft.operators
   * load-bearing for thread safety too). */
 private[graft] object Par {
 
-  /** Run the thunks concurrently, return results in input order. The first
-    * failure rethrows its original cause (so Bench/Verify error capture sees
-    * the real exception, not an ExecutionException wrapper). */
+  /** 2-3 jobs in flight is plenty (guide §2.6): enough to back-fill a stage
+    * tail, not so many that they fight for executors on a real cluster.
+    * Fan-outs larger than the cap queue on the pool in input order. */
+  private val MaxInFlight = 3
+
+  /** Run the thunks concurrently (at most MaxInFlight at once), return
+    * results in input order. The first failure cancels the remaining
+    * futures and shuts the pool down hard — sibling Spark jobs must not
+    * keep running after the query has already failed (they would consume
+    * the cluster and pollute the next query's timing) — then rethrows its
+    * original cause (so Bench/Verify error capture sees the real exception,
+    * not an ExecutionException wrapper). */
   def run[A](thunks: Seq[() => A]): Seq[A] = {
     if (thunks.lengthCompare(1) <= 0) thunks.map(_())
     else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(thunks.size, MaxInFlight))
       try {
         val futures = thunks.map { t =>
           pool.submit(new java.util.concurrent.Callable[A] {
@@ -35,7 +45,10 @@ private[graft] object Par {
         futures.map { f =>
           try f.get()
           catch {
-            case e: java.util.concurrent.ExecutionException => throw e.getCause
+            case e: java.util.concurrent.ExecutionException =>
+              futures.foreach(_.cancel(true))
+              pool.shutdownNow()
+              throw e.getCause
           }
         }
       } finally pool.shutdown()
