@@ -130,6 +130,16 @@ object GraphOps {
     var rounds = 0
     val dbg = sys.env.contains("GRAFT_DEBUG_ROUNDS")
     while (!converged && rounds < maxRounds) {
+      // MEASURED r14 and reverted: materializing every TWO star pairs
+      // (smallStar(largeStar(smallStar(largeStar(e))))) to halve the
+      // per-round checkpoint+aggregate jobs made every consumer SLOWER
+      // (sentinel-normalized: dd_cluster 0.81x, zs_polygonize 0.78x,
+      // zs_ridge 0.88x at sf0.1/c32). Both star operators reference
+      // their input 2-3 times (nbrs union + join / groupBy + join +
+      // selfLinks), so an unmaterialized inner pair's subtree gets
+      // REPLICATED into the outer pair's plan — the Spark twin of the
+      // DuckDB CTE-inlining blowup. Per-round materialization is
+      // structurally required, not just lineage hygiene.
       val next = smallStar(largeStar(e)).localCheckpoint()
       // star-forest test (see doc above): one out-edge per src, depth 1
       val Array(cnt, nsrc) = next.agg(
@@ -1267,13 +1277,17 @@ object GraphOps {
   private[graft] def louvainMoveParts(edges: DataFrame, labels: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val sym = edges.select((col("a") + lit(0L)).as("src"), (col("b") + lit(0L)).as("dst"))
-      .unionByName(edges.select((col("b") + lit(0L)).as("src"), (col("a") + lit(0L)).as("dst")))
-      .localCheckpoint() // deg + k_in sides
+    // §2.6 overlap: sym and mrow are independent reads of the
+    // (checkpointed) edges — submit concurrently so the one-row edge
+    // count rides sym's materialization instead of queueing behind it
+    val (sym, mrow) = Par.run2(
+      () => edges.select((col("a") + lit(0L)).as("src"), (col("b") + lit(0L)).as("dst"))
+        .unionByName(edges.select((col("b") + lit(0L)).as("src"), (col("a") + lit(0L)).as("dst")))
+        .localCheckpoint(), // deg + k_in sides
+      () => edges.agg(count(lit(1)).as("m"))
+        .localCheckpoint()) // gain expr + two Q rows
     val deg = sym.groupBy(col("src").as("u")).agg(count(lit(1)).as("d"))
       .localCheckpoint() // stot + gain join + after stats
-    val mrow = edges.agg(count(lit(1)).as("m"))
-      .localCheckpoint() // gain expr + two Q rows
     val stot = deg.join(labels, Seq("u"))
       .groupBy(col("lbl").as("lc")).agg(sum("d").as("stot"))
     val kiin = sym.select(col("src").as("u"), col("dst").as("v"))
@@ -1436,25 +1450,33 @@ object GraphOps {
       .localCheckpoint() // self-loop + inter branches
     val selfs = ea.filter(col("ca") === col("cb"))
       .groupBy(col("ca").as("c")).agg(count(lit(1)).as("self_w"))
-    val inter = ea.filter(col("ca") =!= col("cb"))
-      .select(least(col("ca"), col("cb")).as("c1"), greatest(col("ca"), col("cb")).as("c2"))
-      .groupBy("c1", "c2").agg(count(lit(1)).as("w"))
-      .localCheckpoint() // both sym directions + m + intra2 lookup
-    val mass = newlab.groupBy(col("nl").as("c")).agg(count(lit(1)).as("n_nodes"))
-      .localCheckpoint() // node set + published mass + self join
+    // §2.6 overlap: inter (reads ea) and mass (reads newlab) are
+    // independent rollups of checkpointed parents — submit concurrently
+    val (inter, mass) = Par.run2(
+      () => ea.filter(col("ca") =!= col("cb"))
+        .select(least(col("ca"), col("cb")).as("c1"), greatest(col("ca"), col("cb")).as("c2"))
+        .groupBy("c1", "c2").agg(count(lit(1)).as("w"))
+        .localCheckpoint(), // both sym directions + m + intra2 lookup
+      () => newlab.groupBy(col("nl").as("c")).agg(count(lit(1)).as("n_nodes"))
+        .localCheckpoint()) // node set + published mass + self join
     val symw = inter.select(col("c1").as("c"), col("c2").as("d"), col("w"))
       .unionByName(inter.select(col("c2").as("c"), col("c1").as("d"), col("w")))
       .localCheckpoint() // kdeg + k_in sides
-    val kdeg = mass.select("c")
-      .join(symw.groupBy("c").agg(sum(col("w")).as("wsum")), Seq("c"), "left_outer")
-      .join(selfs, Seq("c"), "left_outer")
-      .select(col("c"), (coalesce(col("wsum"), lit(0L))
-        + lit(2L) * coalesce(col("self_w"), lit(0L))).as("k"))
-      .localCheckpoint() // gain join + stot (identity) + both Q rows
-    val mrow = inter.agg(sum(col("w")).as("iw"))
-      .crossJoin(selfs.agg(coalesce(sum(col("self_w")), lit(0L)).as("sw")))
-      .select((coalesce(col("iw"), lit(0L)) + col("sw")).as("m"))
-      .localCheckpoint() // gain expr + two Q rows
+    // §2.6 overlap: kdeg (symw+mass+selfs) and the one-row m (inter+selfs)
+    // are independent given the checkpoints above; selfs stays a lazy
+    // rollup over checkpointed ea, recomputed per consumer exactly as the
+    // sequential code did
+    val (kdeg, mrow) = Par.run2(
+      () => mass.select("c")
+        .join(symw.groupBy("c").agg(sum(col("w")).as("wsum")), Seq("c"), "left_outer")
+        .join(selfs, Seq("c"), "left_outer")
+        .select(col("c"), (coalesce(col("wsum"), lit(0L))
+          + lit(2L) * coalesce(col("self_w"), lit(0L))).as("k"))
+        .localCheckpoint(), // gain join + stot (identity) + both Q rows
+      () => inter.agg(sum(col("w")).as("iw"))
+        .crossJoin(selfs.agg(coalesce(sum(col("self_w")), lit(0L)).as("sw")))
+        .select((coalesce(col("iw"), lit(0L)) + col("sw")).as("m"))
+        .localCheckpoint()) // gain expr + two Q rows
     // singleton start: Σtot(B) = k(B); own community = the node itself
     val kiin = symw.select(col("c"), col("d").as("lc"), col("w"))
       .groupBy("c", "lc").agg(sum(col("w")).as("kin"))
@@ -1549,7 +1571,10 @@ object GraphOps {
       mass0: DataFrame, mrow: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val inter = inter0.localCheckpoint() // sym x2 + intra2 lookup + inter2
+    // inter0 arrives CHECKPOINTED (level 1's Par rollup / the loop's
+    // overlapped i2 checkpoint) — the r13 per-level re-checkpoint here
+    // was a redundant blocking job
+    val inter = inter0 // sym x2 + intra2 lookup + inter2
     // selfs/mass/symw are cheap projections of checkpointed parents
     // (the caller's frames or `inter` above) — re-materializing them
     // costs a blocking job per level for nothing; leave them lazy
@@ -1644,21 +1669,25 @@ object GraphOps {
     * (u, lbl) labels — Round19Spec pins a hand-worked two-level graph. */
   private[graft] def louvainFullOn(spark: org.apache.spark.sql.SparkSession,
       edges: DataFrame, labels: DataFrame): DataFrame = {
-    val (_, _, mrow0, newlab) = louvainMoveParts(edges, labels)
-    val mrow = mrow0.localCheckpoint() // every level's gain + Q rows
+    val (_, _, mrow, newlab) = louvainMoveParts(edges, labels)
+    // mrow comes back already checkpointed from louvainMoveParts — the r13
+    // second localCheckpoint here was one redundant blocking job
     val ea = edges
       .join(newlab.select(col("u").as("a"), col("nl").as("ca")), Seq("a"))
       .join(newlab.select(col("u").as("b"), col("nl").as("cb")), Seq("b"))
       .localCheckpoint() // self-loop + inter branches
-    val selfs1 = ea.filter(col("ca") === col("cb"))
-      .groupBy(col("ca").as("c")).agg(count(lit(1)).as("self_w"))
-      .localCheckpoint() // per1 + level-2 inputs
-    val inter1 = ea.filter(col("ca") =!= col("cb"))
-      .select(least(col("ca"), col("cb")).as("c1"), greatest(col("ca"), col("cb")).as("c2"))
-      .groupBy("c1", "c2").agg(count(lit(1)).as("w"))
-      .localCheckpoint() // ext rollup + level-2 inputs
-    val mass1 = newlab.groupBy(col("nl").as("c")).agg(count(lit(1)).as("n_nodes"))
-      .localCheckpoint() // per1 keys + level-2 inputs
+    // §2.6 overlap: the three level-1 rollups read only the checkpointed
+    // ea/newlab — three independent small jobs, submitted concurrently
+    val Seq(selfs1, inter1, mass1) = Par.run(Seq[() => DataFrame](
+      () => ea.filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("c")).agg(count(lit(1)).as("self_w"))
+        .localCheckpoint(), // per1 + level-2 inputs
+      () => ea.filter(col("ca") =!= col("cb"))
+        .select(least(col("ca"), col("cb")).as("c1"), greatest(col("ca"), col("cb")).as("c2"))
+        .groupBy("c1", "c2").agg(count(lit(1)).as("w"))
+        .localCheckpoint(), // ext rollup + level-2 inputs
+      () => newlab.groupBy(col("nl").as("c")).agg(count(lit(1)).as("n_nodes"))
+        .localCheckpoint())) // per1 keys + level-2 inputs
     val ext1 = inter1.select(col("c1").as("c"), col("w"))
       .unionByName(inter1.select(col("c2").as("c"), col("w")))
       .groupBy("c").agg(sum(col("w")).as("ext_w"))
@@ -1680,11 +1709,18 @@ object GraphOps {
     var stop = false
     while (lvl <= LouvainMaxLevels && !stop) {
       val (i2, s2, m2, statsF) = louvainWeightedLevel(inter, selfs, mass, mrow)
-      val st = statsF.head() // one row per level, <= LouvainMaxLevels reads
+      // §2.6 overlap: the level's one-row stats read and the NEXT level's
+      // inter checkpoint both consume only this level's checkpointed
+      // frames — submit concurrently. On the final (plateau) level the
+      // speculative checkpoint is one wasted small job that rides the
+      // stats job instead of adding wall time.
+      val (st, i2c) = Par.run2(
+        () => statsF.head(), // one row per level, <= LouvainMaxLevels reads
+        () => i2.localCheckpoint())
       levels += ((lvl.toLong, st.getLong(0), st.getLong(1)))
       if (st.getLong(1) <= prevQ) stop = true // plateau published, loop ends
       prevQ = st.getLong(1)
-      inter = i2; selfs = s2; mass = m2
+      inter = i2c; selfs = s2; mass = m2
       lvl += 1
     }
     import spark.implicits._

@@ -1264,13 +1264,17 @@ object Similarity {
     *    selection, never final scores. */
   def ivfpq(spark: SparkSession, dir: String): DataFrame = {
     val (dims, assignFull, cbiv) = kmeansFull(spark, dir) // cbiv = serving codebook
-    val assign = assignFull.select(col("vec_id"), col("c")).localCheckpoint()
-    val c = corpus(spark, dir).localCheckpoint() // queries + rerank + cand norms
-    // --- PQ tier: label-subspace codebook, codes, reconstruction (ann_pq) ---
+    // §2.6 overlap: the assignment probe (checkpointed dims + local
+    // codebook), the corpus read, and the PQ subspace codebook rollup
+    // (checkpointed dims) are three independent eager jobs
     val sdims = dims.withColumn("s", expr("i div 32"))
-    val cbq = sdims.groupBy(col("label").as("cb_label"), col("s"), col("i"))
-      .agg(sum("xq").as("cS"), count(lit(1)).as("n"))
-      .localCheckpoint() // labels x 64 rows; probed by every corpus dim
+    val Seq(assign, c, cbq) = Par.run(Seq[() => DataFrame](
+      () => assignFull.select(col("vec_id"), col("c")).localCheckpoint(),
+      () => corpus(spark, dir).localCheckpoint(), // queries + rerank + cand norms
+      () => sdims.groupBy(col("label").as("cb_label"), col("s"), col("i"))
+        .agg(sum("xq").as("cS"), count(lit(1)).as("n"))
+        .localCheckpoint())) // labels x 64 rows; probed by every corpus dim
+    // --- PQ tier: label-subspace codebook, codes, reconstruction (ann_pq) ---
     val wAsg = Window.partitionBy("vec_id", "s").orderBy(
       (col("p").cast("double") / (col("n") * col("n")).cast("double")).asc,
       col("cb_label").asc)
@@ -1501,8 +1505,11 @@ object Similarity {
     * one-row stage aggregates union into ONE job. */
   def pipeAnn(spark: SparkSession, dir: String): DataFrame = {
     val (dims, assignFull, cb) = kmeansFull(spark, dir) // cb = serving codebook
-    val assign = assignFull.select(col("vec_id"), col("c")).localCheckpoint()
-    val c = corpus(spark, dir).localCheckpoint() // stage-1 count + exact pass + both probe sides
+    // §2.6 overlap: the warm-path assignment probe (reads checkpointed
+    // dims + the local codebook) and the corpus read are independent
+    val (assign, c) = Par.run2(
+      () => assignFull.select(col("vec_id"), col("c")).localCheckpoint(),
+      () => corpus(spark, dir).localCheckpoint()) // stage-1 count + exact pass + both probe sides
     val clustered = c.join(assign, Seq("vec_id"))
       .localCheckpoint() // stage-3 counts + candidate side + query side
     val wp = Window.partitionBy("vec_id").orderBy(
@@ -1519,22 +1526,30 @@ object Similarity {
     val q = clustered.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
       .join(probes, Seq("qid"))
-    val cand = clustered
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
-        col("nrm").as("cn"), col("c"))
-      .join(broadcast(q), Seq("c"))
-      .filter(col("qid") =!= col("cid"))
-      .localCheckpoint() // stage-4 count + serve ranking
+    // §2.6 overlap: the serve lane (candidates -> ranked results, reads
+    // clustered/dims/cb) and the exact-baseline pass (reads only c) are
+    // independent eager chains — run them concurrently so the exact
+    // scan back-fills the serve lane's stage tails
     val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
-    val served = cand
-      .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(wr))
-      .filter(col("rank") <= 10)
-      .select(col("qid"), col("cid"), col("rank"))
-      .localCheckpoint() // stage-4 stat + eval join
-    val exact = bruteforceOn(c.filter(col("vec_id") < 10), c, 3)
-      .select(col("qid"), col("cid"))
-      .localCheckpoint() // stage-5 count + hit join
+    val ((cand, served), exact) = Par.run2(
+      () => {
+        val cd = clustered
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+            col("nrm").as("cn"), col("c"))
+          .join(broadcast(q), Seq("c"))
+          .filter(col("qid") =!= col("cid"))
+          .localCheckpoint() // stage-4 count + serve ranking
+        val sv = cd
+          .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
+          .withColumn("rank", row_number().over(wr))
+          .filter(col("rank") <= 10)
+          .select(col("qid"), col("cid"), col("rank"))
+          .localCheckpoint() // stage-4 stat + eval join
+        (cd, sv)
+      },
+      () => bruteforceOn(c.filter(col("vec_id") < 10), c, 3)
+        .select(col("qid"), col("cid"))
+        .localCheckpoint()) // stage-5 count + hit join
     def stage(id: Long, name: String, nRows: DataFrame, stat: DataFrame): DataFrame =
       nRows.withColumnRenamed(nRows.columns.head, "n_rows")
         .crossJoin(stat.withColumnRenamed(stat.columns.head, "stat"))
