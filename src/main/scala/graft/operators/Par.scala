@@ -31,8 +31,14 @@ private[graft] object Par {
     * the cluster and pollute the next query's timing) — then rethrows its
     * original cause (so Bench/Verify error capture sees the real exception,
     * not an ExecutionException wrapper). */
+  /** Measurement knob: GRAFT_SEQ=1 runs every Par call site sequentially
+    * (same thunks, same order — results identical by construction), so a
+    * single binary can interleave overlapped/sequential bench samples on
+    * a drifting host without recompiles between them. */
+  private val forceSeq = sys.env.get("GRAFT_SEQ").contains("1")
+
   def run[A](thunks: Seq[() => A]): Seq[A] = {
-    if (thunks.lengthCompare(1) <= 0) thunks.map(_())
+    if (forceSeq || thunks.lengthCompare(1) <= 0) thunks.map(_())
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(thunks.size, MaxInFlight))
